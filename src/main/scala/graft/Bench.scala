@@ -1,23 +1,46 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): run the headline queries on
+  * SPARK_GRAFT_SF_DIR and print ONE JSON line.
+  *
+  * Each query is fully materialized through the noop sink (a bare `count()`
+  * would let Catalyst prune most of the work for scan-shaped queries).
+  * Two timed runs per query, min taken — first run pays JIT/codegen warmup.
+  */
 object Bench {
+  val Headline: Seq[String] = Seq(
+    "q03_daily_kpis", "q07_pricing_summary", "q08_top_parts_brand_month",
+    "q09_revenue_by_nation", "q19_ngram_jaccard_pairs", "q22_knn_brute")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = Headline.map { name =>
+      val t = try math.min(runOnce(name), runOnce(name))
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      name -> t
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

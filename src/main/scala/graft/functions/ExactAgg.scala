@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Order-independent (associativity-proof) aggregation helpers.
+  *
+  * Plain `sum(double)` is not reproducible across partitionings: IEEE-754
+  * addition is not associative, so the same query on 32 vs 32,000 partitions
+  * yields different last-ulp results. For money-like measures we sum exact
+  * fixed-point cents (`floor(x*100)` as BIGINT — deterministic per row, exact
+  * and order-independent as an integer sum), then convert once to double.
+  * This makes results bit-identical on any cluster size AND bit-identical to
+  * the DuckDB oracle, which evaluates the same scalar expressions.
+  *
+  * Range: |x| ≤ 1e7 in cents is ~1e9/row; an int64 sum overflows only past
+  * ~9e9 rows per group — acceptable for grouped KPIs; switch to
+  * `sum(cents.cast("decimal(38,0)"))` for global sums at extreme scale.
+  */
+object ExactAgg {
+  /** Exact integer cents of a double money value (deterministic per row). */
+  def cents(c: Column): Column = floor(c * lit(100.0)).cast("long")
+
+  /** Order-independent sum of `c` at fixed-point `scale` (e.g. 10000 for a
+    * 4-decimal measure), returned as double.
+    */
+  def scaledSum(c: Column, scale: Long): Column =
+    sum(floor(c * lit(scale.toDouble)).cast("long")).cast("double") / lit(scale.toDouble)
+
+  /** Order-independent sum of a money column, returned as double. */
+  def moneySum(c: Column): Column = sum(cents(c)).cast("double") / lit(100.0)
+
+  /** Deterministic mean of a money column (exact sum / count). */
+  def moneyAvg(c: Column): Column = moneySum(c) / count(lit(1))
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data pipeline: exact, blocked n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB contract): nothing here is ever all-pairs over the
+  * corpus. Exact dedup is one shuffle on the content hash. Near-dup
+  * candidate generation is always *blocked* — explicit (lang, length-band)
+  * blocks for Jaccard, LSH band-buckets for MinHash, same-signature blocks
+  * for SimHash, label/cluster blocks for embeddings — so pair counts are
+  * bounded by block sizes, and each block join is an ordinary shuffle join
+  * on the block key (skew bounded by the banding parameters).
+  */
+object Dedup {
+
+  /** Exact dedup on the normalized-content md5: one representative (min
+    * doc_id) per content group. Single hash shuffle; map-side combine.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Blocked char-3-gram Jaccard near-dup pairs: candidates share
+    * (lang, n_chars/50 band); jaccard = |A∩B| / |A∪B| on distinct shingles.
+    * Integer set sizes -> the ratio is exactly reproducible.
+    *
+    * Hot-path engineering:
+    *  - shingles are xxhash64'd to longs before the pair join — set
+    *    intersection over primitive longs, not 3-char strings (distinctness
+    *    preserved; a 64-bit collision across a corpus is ~p<1e-7);
+    *  - |A∪B| = |A|+|B|-|A∩B| — one hash-set build per pair, not two;
+    *  - both sides are explicitly repartitioned on the block key so the
+    *    quadratic-in-block-size pair work spreads across the cluster
+    *    instead of riding a broadcast join on however few partitions the
+    *    scan produced (on a single small parquet file that is ONE task).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sh = docs.select(
+        col("doc_id"), col("lang"),
+        floor(col("n_chars") / 50).as("band"),
+        transform(shingles3(col("text")), s => xxhash64(s)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .repartition(parts, col("lang"), col("band"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") &&
+        col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+        (col("a.n_sh") + col("b.n_sh")).as("n_both"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (col("inter").cast("double") / (col("n_both") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: numHashes permutations h_i(x) = (a_i*x + b_i) mod p
+    * over murmur3-hashed shingles. Returns (doc_id, mh: array<bigint>).
+    */
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(numHashes)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
+                         rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    val params = hashParams(numHashes)
+    val hs = docs.select(
+      col("doc_id"),
+      transform(shingles3(normText(col("text"))), s => hash(s).cast("long")).as("hs"))
+    val mh = array(params.map { case (a, b) =>
+      array_min(transform(col("hs"), h => pmod(h * a + b, lit(MersennePrime))))
+    }: _*)
+    hs.select(col("doc_id"), mh.as("mh"))
+  }
+
+  /** MinHash + LSH near-dup pairs: split the signature into `bands` bands,
+    * bucket by (band index, band hash), emit same-bucket pairs, verify each
+    * candidate with exact shingle Jaccard >= threshold.
+    *
+    * The shuffle key is the (band, bucket) pair — this IS the blocking/
+    * salting scheme; bucket sizes (hence pair blowup) are tuned by
+    * bands × rows, not by corpus size.
+    */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, numHashes)
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"), hash(slice(col("mh"), j * rows + 1, rows)).as("sig"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.sig"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), shingles3(normText(col("text"))).as("sh"))
+    cand
+      .join(sh.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("doc_id_2") === col("s2.doc_id"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (size(array_intersect(col("s1.sh"), col("s2.sh"))).cast("double") /
+          size(array_union(col("s1.sh"), col("s2.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
+    * token-hash bit value; sign of the sum becomes the bit. Computed with 64
+    * declarative aggregates after an explode — one shuffle on doc_id.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(tokensWs(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within (lang) blocks: hamming distance
+    * (bit_count of xor) <= maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by the `label` column (stand-in
+    * for a cluster/bucket id — at scale the block key comes from coarse
+    * quantization, e.g. the IVF cell). Norms precomputed pre-join.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("label"), col("embedding"),
+      vnorm(col("embedding")).as("nrm"))
+    val a = withNorm.as("a")
+    val b = withNorm.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id_1"),
+        col("b.vec_id").as("vec_id_2"),
+        cosineWithNorms(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.ExactAgg
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's core transform job re-expressed declaratively
+  * (reference: glue_jobs/transform.py:19-50):
+  * derive a date from the event timestamp, join the fact stream to a
+  * dimension, compute per-(day, genre) KPIs, and per-group top-k via a
+  * `row_number` window.
+  *
+  * Scale notes (100 TB contract):
+  *  - the dimension side is `broadcast()` (bounded domain), so the join is
+  *    map-side — no fact shuffle;
+  *  - sum/count aggregates combine map-side; the single unavoidable shuffle
+  *    is on the (day, genre) grouping key;
+  *  - `countDistinct` is planned by Catalyst as a two-phase expand+agg —
+  *    exact, and partial-aggregated;
+  *  - top-k windows run over the *aggregated* counts (days × genres ≪ fact
+  *    rows), never over the raw fact table;
+  *  - every window carries a total-order tie-breaker so ranks are stable
+  *    under any partitioning (`row_number` over a non-total order is
+  *    nondeterministic at scale).
+  */
+object Kpi {
+
+  /** events ⋈ customer with derived event_date and segment (the
+    * streams ⋈ songs analog of transform.py:19-23).
+    */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame = {
+    val dim = customer.select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .drop("c_custkey")
+  }
+
+  /** Daily per-segment KPIs (transform.py:26-36): distinct users, exact
+    * total value, event count, and the derived avg-per-user ratio.
+    */
+  def dailyKpis(events: DataFrame, customer: DataFrame): DataFrame =
+    enrich(events, customer)
+      .groupBy(col("event_date"), col("segment"))
+      .agg(
+        countDistinct(col("user_id")).as("unique_users"),
+        ExactAgg.moneySum(col("value")).as("total_value"),
+        count(lit(1)).as("event_count"))
+      .withColumn("avg_value_per_user", col("total_value") / col("unique_users"))
+
+  /** Generic per-group top-k (transform.py:39-50): count rows per
+    * (groupCols ++ rankCol), rank within groupCols by count desc with a
+    * total-order tie-break, keep rank <= k.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], rankCol: String, k: Int): DataFrame = {
+    val counted = df.groupBy((groupCols :+ rankCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("cnt").desc, col(rankCol).asc)
+    counted.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Key-value items in the shape the reference loads into DynamoDB
+    * (reference: glue_jobs/load_dynamo.py:133-143): string date, composite
+    * `hash#range` key, int coercions, and null-key rows skipped.
+    */
+  def kvItems(topSongs: DataFrame, hashCol: String, rangeCols: (String, String),
+              countCol: String): DataFrame = {
+    val (r1, r2) = rangeCols
+    topSongs
+      .filter(col(hashCol).isNotNull && col(r1).isNotNull && col(r2).isNotNull)
+      .select(
+        col(hashCol).cast("string").as("pk"),
+        concat(col(r1), lit("#"), col(r2)).as("sk"),
+        col(countCol).cast("long").as("play_count"),
+        col("rank").cast("long").as("rank"))
+  }
+}

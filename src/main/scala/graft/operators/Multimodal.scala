@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns plus a typed metadata struct, with decode/feature-extraction as a
+  * partition-parallel stage.
+  *
+  * The Spark-side plumbing (schema, batching via mapPartitions, metadata
+  * derivation, content addressing) is real and tested; the actual
+  * image/audio decode is STUBBED (`fakeDecode`) — codec libraries are not in
+  * this container. Swap `fakeDecode` for a real decoder (or a Pandas-UDF
+  * `mapInPandas` stage on a PySpark cluster) without touching the plan
+  * shape.
+  */
+object Multimodal {
+
+  /** Attach binary payload + cheap metadata: byte size and a sha-256 content
+    * id (content addressing = the dedup/caching key for blob stores).
+    */
+  def withBinaryMeta(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")))
+      .withColumn("content_id", sha2(col("payload"), 256))
+
+  final case class MediaFeature(doc_id: Long, n_bytes: Int, width: Int,
+                                height: Int, feature: Array[Float])
+
+  /** STUB decoder: deterministic fake "decode" of a binary payload into
+    * (width, height, feature vector). Real decode goes here.
+    */
+  private def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val w = 16 + (payload.length % 32)
+    val h = 16 + ((payload.length / 32) % 32)
+    val feat = Array.tabulate(8)(i => payload((i * 7) % payload.length).toFloat)
+    (w, h, feat)
+  }
+
+  /** Partition-parallel decode/feature-extract stage. Runs once per payload
+    * inside executors (mapPartitions => per-partition codec init amortized);
+    * output is a typed Dataset with a columnar-friendly schema.
+    */
+  def decodeFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    withBinaryMeta(docs)
+      .select(col("doc_id"), col("payload"), col("n_bytes"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here
+        it.map { case (id, payload, n) =>
+          val (w, h, f) = fakeDecode(payload)
+          MediaFeature(id, n, w, h, f)
+        }
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteKnn` is the exactness baseline: Q×N cosine evaluations — the right
+  * tool when Q is small (e.g. eval queries), and the correctness oracle for
+  * the approximate paths. The scale path is `lshKnn`: random-hyperplane
+  * signatures bucket the corpus (one shuffle on the signature), queries
+  * multiprobe neighboring buckets, and only in-bucket candidates are scored.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. The query side is
+    * broadcast (small Q); candidates stream by — no shuffle of the corpus
+    * until the final per-query top-k, whose input is already Q×N reduced
+    * rows. Ranks carry a vec_id tie-break for determinism.
+    */
+  def bruteKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      vnorm(col("embedding")).as("c_nrm"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      vnorm(col("embedding")).as("q_nrm"))
+    val scored = cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: bit i = [dot(v, plane_i) >= 0].
+    * Planes are a fixed-seed pseudo-random matrix compiled into the plan as
+    * literals (tiny: nBits × dim doubles).
+    */
+  private def planes(nBits: Int, dim: Int): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  def lshSignature(emb: DataFrame, nBits: Int, dim: Int): DataFrame = {
+    val ps = planes(nBits, dim)
+    val sig = ps.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(vdot(col("embedding"), planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.withColumn("sig", sig)
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's bucket or any 1-bit
+    * neighboring bucket (multiprobe), scored exactly, per-query top-k.
+    * Recall vs `bruteKnn` is asserted in the test suite.
+    */
+  def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, nBits: Int = 12,
+             dim: Int = 64): DataFrame = {
+    val cand = lshSignature(emb, nBits, dim)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        vnorm(col("embedding")).as("c_nrm"), col("sig").as("c_sig"))
+    // query probes: own bucket + all 1-bit flips
+    val qsig = lshSignature(queries, nBits, dim)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        vnorm(col("embedding")).as("q_nrm"), col("sig"))
+    val probes = qsig.select(col("query_id"), col("q_emb"), col("q_nrm"),
+      explode(array((lit(0L) +: (0 until nBits).map(i => shiftleft(lit(1L), i))).map(
+        m => col("sig").bitwiseXOR(m)): _*)).as("probe_sig"))
+    probes.join(cand, col("probe_sig") === col("c_sig") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")).as("cos_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+}

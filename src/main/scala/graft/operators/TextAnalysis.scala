@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, fingerprinting. Everything is built from
+  * codegen'd built-ins over the `documents` table — per-row scalar work, no
+  * shuffle except where a window/group is stated, so throughput is
+  * scan-bound at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace + BPE-ish token counts and char stats per document. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokensWs(col("text"))).as("n_tokens_ws"),
+      size(tokensBpe(col("text"))).as("n_tokens_bpe"),
+      length(col("text")).as("n_chars"))
+
+  /** Heuristic quality score: token count band, punctuation ratio, stopword
+    * ratio — the usual cheap pre-filters before expensive dedup/LM scoring.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "in", "is", "and")
+
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokensWs(col("text"))
+    val nTok = size(toks).cast("double")
+    val nonAlnum = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+    val punctRatio = nonAlnum.cast("double") / length(col("text"))
+    val stopHits = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val stopRatio = stopHits.cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      (least(nTok / lit(100.0), lit(1.0)) * (lit(1.0) - punctRatio)
+        * (lit(0.5) + stopRatio)).as("quality_score"))
+  }
+
+  /** Marker-word language ID. Per-language marker lists; the guess is the
+    * language with the most marker hits, ties broken by the fixed language
+    * order. (A real system would use character n-gram profiles; the marker
+    * scheme is the same shape — per-row counting + argmax — and is exactly
+    * reproducible.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "es", "y", "que"),
+    "fr" -> Seq("le", "les", "est", "et", "une"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokensWs(col("text"))
+    val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+    // argmax with first-wins tie-break in LangMarkers order
+    val guess = scores.zipWithIndex.foldRight(lit("unknown")) {
+      case (((lang, s), i), els) =>
+        val isMax = scores.drop(i + 1).map(o => s >= o._2).foldLeft(
+          scores.take(i).map(o => s > o._2).foldLeft(lit(true))(_ && _))(_ && _)
+        when(isMax && s > 0, lit(lang)).otherwise(els)
+    }
+    docs.select(
+      (Seq(col("doc_id"), col("lang")) ++
+        scores.map { case (l, s) => s.as(s"score_$l") } :+
+        guess.as("guessed_lang")): _*)
+  }
+
+  /** md5 content fingerprint + duplicate rank within each fingerprint. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("dup_rank", row_number().over(w))
+  }
+
+  /** Order-sensitive rolling-hash fingerprint (Karp–Rabin over tokens). */
+  def rollingFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), rollingHash(col("text")).as("rolling_fp"))
+}

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle_sql in
+DuckDB over the sf tables, compare to the Verify parquet dump (columns
+sorted by name, rows sorted, exact values)."""
+import sys, json, glob, math
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for qdir in sorted(glob.glob(f"{out_dir}/q*")):
+    name = qdir.split("/")[-1]
+    spark_df = con.sql(f"FROM read_parquet('{qdir}/*.parquet')").df()
+    spark_df = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    if name not in oracle:
+        print(f"{name}: rows-only ({len(spark_df)} rows)" +
+              ("  ** EMPTY **" if len(spark_df) == 0 else ""))
+        fails += len(spark_df) == 0
+        continue
+    try:
+        ora_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}")
+        fails += 1
+        continue
+    ora_df = ora_df.reindex(sorted(ora_df.columns), axis=1)
+    status = []
+    if list(spark_df.columns) != list(ora_df.columns):
+        status.append(f"COLS spark={list(spark_df.columns)} ora={list(ora_df.columns)}")
+    elif len(spark_df) != len(ora_df):
+        status.append(f"ROWS spark={len(spark_df)} ora={len(ora_df)}")
+    else:
+        a = spark_df.sort_values(by=list(spark_df.columns)).reset_index(drop=True)
+        b = ora_df.sort_values(by=list(ora_df.columns)).reset_index(drop=True)
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if str(av.dtype) != str(bv.dtype):
+                status.append(f"DTYPE {c}: {av.dtype} vs {bv.dtype}")
+            eq = (av == bv) | (av.isna() & bv.isna())
+            if not eq.all():
+                i = (~eq).idxmax()
+                status.append(f"VAL {c}[{i}]: {av[i]!r} vs {bv[i]!r} ({int((~eq).sum())} diffs)")
+    if status:
+        fails += 1
+        print(f"{name}: FAIL {'; '.join(status[:4])}")
+    else:
+        print(f"{name}: OK ({len(spark_df)} rows)")
+print("FAILS:", fails)
+sys.exit(1 if fails else 0)
