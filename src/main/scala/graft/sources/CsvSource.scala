@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** CSV ingest with header + explicit schema, the Spark-native form of the
@@ -11,6 +12,12 @@ import org.apache.spark.sql.types.StructType
   * types, and malformed rows routed to a corrupt-record column instead of
   * poisoning the load — the analog of the reference's bad-records split at
   * the parse layer.
+  *
+  * Spark restriction: a query that filters on `_corrupt_record` straight
+  * off the scan is unsupported (the parser prunes/pushes and the column
+  * comes back null) — the parse must be materialized first. `readSplit`
+  * does exactly that; `read` returns the raw lazy frame for full-row
+  * consumers.
   */
 object CsvSource {
   def read(spark: SparkSession, path: String, schema: StructType,
@@ -21,4 +28,15 @@ object CsvSource {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add("_corrupt_record", "string"))
       .csv(path)
+
+  /** (good, bad) split on parse-level corruption. The parsed frame is
+    * cached — required for corrupt-record filters to be well-defined, and
+    * both splits reuse the single parse.
+    */
+  def readSplit(spark: SparkSession, path: String, schema: StructType,
+                header: Boolean = true): (DataFrame, DataFrame) = {
+    val df = read(spark, path, schema, header).cache()
+    (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      df.filter(col("_corrupt_record").isNotNull))
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    // (doc_id, lang, text) — 1 and 2 identical after normalization; 4 near-dup of 1
+    (1L, "en", "the quick brown fox jumps over the lazy dog"),
+    (2L, "en", "The  Quick Brown Fox jumps over the lazy dog"),
+    (3L, "en", "completely different content about spark engines"),
+    (4L, "en", "the quick brown fox jumps over the lazy cat")
+  ).toDF("doc_id", "lang", "text")
+    .withColumn("n_chars", expr("length(text)"))
+
+  test("exact dedup groups normalized copies, keeps min doc_id") {
+    val r = Dedup.exact(docs).select("doc_id", "n_copies").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    r.map(_._1) should contain(1L) // representative of the {1,2} group
+    r.find(_._1 == 1L).get._2 shouldBe 2L
+    r.length shouldBe 3 // {1,2}, {3}, {4}
+  }
+
+  test("ngramJaccardPairs finds near-dups with exact jaccard values") {
+    // identical-length docs share the band; near-dups 1-4 differ by one word
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)]
+      .collect().sortBy(p => (p._1, p._2))
+    val p14 = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    p14 should be(defined)
+    p14.get._3 should be > 0.7 // one-word difference in a 43-char doc
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
+  }
+
+  test("ngramJaccardPairs jaccard matches a hand-computed value") {
+    val tiny = Seq((1L, "en", "abcd"), (2L, "en", "bcde"))
+      .toDF("doc_id", "lang", "text").withColumn("n_chars", expr("length(text)"))
+    // shingles {abc,bcd} vs {bcd,cde}: |inter|=1, |union|=3
+    val j = Dedup.ngramJaccardPairs(tiny, 0.3)
+      .select("jaccard").as[Double].head()
+    j shouldBe 1.0 / 3.0
+  }
+
+  test("minhashLshPairs recovers the high-jaccard pairs (verified candidates)") {
+    val lsh = Dedup.minhashLshPairs(docs, 64, 16, 0.5)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    // exact duplicates are always found (all bands agree)
+    lsh should contain((1L, 2L))
+    // verification step bounds false positives
+    lsh should not contain ((1L, 3L))
+  }
+
+  test("minhash signature of identical docs is identical") {
+    val two = Seq((1L, "same text here"), (2L, "same text here")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(two, 32).select("mh").as[Seq[Long]].collect()
+    sigs(0) shouldBe sigs(1)
+  }
+
+  test("simhashPairs: identical token streams at hamming 0, unrelated docs apart") {
+    val tiny = Seq(
+      (1L, "en", "spark shuffles data across the cluster"),
+      (2L, "en", "spark shuffles data across the cluster"),
+      (3L, "en", "ducks swim on quiet ponds at dawn today")
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.simhashPairs(tiny, 3)
+      .select("doc_id_1", "doc_id_2", "hamming").as[(Long, Long, Long)]
+      .collect()
+    pairs.find(p => p._1 == 1L && p._2 == 2L).map(_._3) shouldBe Some(0L)
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
+  }
+
+  test("embeddingNearDupPairs finds same-label near-identical vectors") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.99f, 0.01f, 0.0f)),
+      (3L, 0, Array(0.0f, 1.0f, 0.0f)),
+      (4L, 1, Array(1.0f, 0.0f, 0.0f)) // near-dup of 1 but different label/block
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, 0.95)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+}

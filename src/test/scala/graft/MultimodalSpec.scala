@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq((1L, "hello media"), (2L, "hello media"), (3L, "other"))
+    .toDF("doc_id", "text")
+
+  test("withBinaryMeta: byte length + sha-256 content addressing") {
+    val r = Multimodal.withBinaryMeta(docs)
+      .select("doc_id", "n_bytes", "content_id")
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    r(0)._2 shouldBe 11
+    r(0)._3 shouldBe r(1)._3 // same payload -> same content id
+    r(2)._3 should not be r(0)._3
+    r(0)._3 should fullyMatch regex "[0-9a-f]{64}"
+  }
+
+  test("decodeFeatures: deterministic stub decode with typed schema") {
+    val ds = Multimodal.decodeFeatures(spark, docs)
+    val r1 = ds.collect().sortBy(_.doc_id)
+    val r2 = Multimodal.decodeFeatures(spark, docs).collect().sortBy(_.doc_id)
+    r1.map(_.feature.toSeq) shouldBe r2.map(_.feature.toSeq) // deterministic
+    r1(0).n_bytes shouldBe 11
+    r1(0).feature.length shouldBe 8
+    ds.schema.fieldNames shouldBe Array("doc_id", "n_bytes", "width", "height", "feature")
+  }
+}

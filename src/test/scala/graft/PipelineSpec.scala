@@ -1,0 +1,35 @@
+package graft
+
+import graft.sinks.KeyValueSink
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("processFile runs validate->transform->load once, skips reprocessing") {
+    KeyValueSink.KVStore.clear()
+    val work = Files.createTempDirectory("pipe").toString
+    val input = s"$work/in/batch1"
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "view", 20.0),
+      (3L, null.asInstanceOf[Timestamp], 1L, "bad", 5.0) // null ts -> bad record
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(input)
+    val customer = Seq((1L, "SEG_A"), (2L, "SEG_B")).toDF("c_custkey", "c_mktsegment")
+
+    val p = new Pipeline(spark, work)
+    p.processFile(input, customer) shouldBe true
+    // KPIs written per date partition
+    val kpis = spark.read.parquet(s"$work/processed/daily_kpis")
+    kpis.count() shouldBe 2 // one row per (date, segment)
+    // bad record captured
+    spark.read.parquet(s"$work/bad-records/batch1").count() shouldBe 1
+    // KV sink received the top-k items
+    KeyValueSink.KVStore.scan("TopTypesPerSegment").size should be > 0
+    // idempotency: second run is a no-op
+    p.processFile(input, customer) shouldBe false
+    p.processedFiles() shouldBe Set("batch1")
+  }
+}

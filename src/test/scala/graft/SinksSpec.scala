@@ -1,0 +1,61 @@
+package graft
+
+import graft.sinks.{KeyValueSink, PartitionedSink}
+import graft.sources.{CsvSource, PartitionDiscovery}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("KeyValueSink writes items, skips null-key rows, idempotent puts") {
+    KeyValueSink.KVStore.clear()
+    val df = Seq(
+      (Some("2024-01-01"), Some("A#click"), 5L),
+      (Some("2024-01-01"), None, 9L), // null sk -> skipped
+      (None, Some("B#view"), 7L)      // null pk -> skipped
+    ).toDF("pk", "sk", "play_count")
+    KeyValueSink.write(df, "TestTable", "pk", "sk")
+    KeyValueSink.write(df, "TestTable", "pk", "sk") // retry-safe
+    val items = KeyValueSink.KVStore.scan("TestTable")
+    items.size shouldBe 1
+    items.head._2("play_count") shouldBe 5L
+  }
+
+  test("PartitionedSink dynamic overwrite replaces only the written partitions") {
+    val dir = Files.createTempDirectory("psink").toString
+    val v1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("event_date", "v")
+    PartitionedSink.writeDaily(v1, "event_date", dir)
+    // rewrite ONLY day 2 with a new value
+    val v2 = Seq(("2024-01-02", 99L)).toDF("event_date", "v")
+    PartitionedSink.writeDaily(v2, "event_date", dir)
+    val back = spark.read.parquet(dir).select("date", "v").as[(String, Long)]
+      .collect().sortBy(_._1)
+    back shouldBe Array(("2024-01-01", 1L), ("2024-01-02", 99L))
+  }
+
+  test("PartitionDiscovery finds the latest date= partition and prunes the read") {
+    val dir = Files.createTempDirectory("pdisc").toString
+    val df = Seq(("2024-01-01", 1L), ("2024-03-05", 2L), ("2024-02-01", 3L))
+      .toDF("date", "v")
+    df.write.partitionBy("date").parquet(s"$dir/t")
+    PartitionDiscovery.latestDatePartition(spark, s"$dir/t") shouldBe
+      Some(s"$dir/t/date=2024-03-05")
+    val latest = PartitionDiscovery.readLatest(spark, s"$dir/t").get
+    latest.select("v").as[Long].collect() shouldBe Array(2L)
+    PartitionDiscovery.latestDatePartition(spark, s"$dir/absent") shouldBe None
+  }
+
+  test("CsvSource: explicit schema, malformed rows land in _corrupt_record") {
+    val dir = Files.createTempDirectory("csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,val\n1,10\n2,notanumber\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("val", LongType)))
+    val (good, bad) = CsvSource.readSplit(spark, s"$dir/in.csv", schema)
+    good.select("id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+    bad.count() shouldBe 1
+    bad.select("_corrupt_record").as[String].head() shouldBe "2,notanumber"
+  }
+}

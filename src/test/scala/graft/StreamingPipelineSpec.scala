@@ -1,0 +1,54 @@
+package graft
+
+import graft.sinks.KeyValueSink
+import graft.streaming.StreamingPipeline
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.types._
+
+class StreamingPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  test("file-source stream processes each input exactly once via checkpoint") {
+    KeyValueSink.KVStore.clear()
+    val dir = Files.createTempDirectory("stream").toString
+    val input = s"$dir/in"
+    val ckpt = s"$dir/ckpt"
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:15:00"), 2L, "click", 20.0),
+      (3L, Timestamp.valueOf("2024-01-01 11:05:00"), 1L, "view", 5.0),
+      (4L, null.asInstanceOf[Timestamp], 1L, "bad", 1.0) // dropped by validation
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.parquet(input)
+
+    val kpis = StreamingPipeline.kpiStream(spark, input, schema, 60, 120)
+    StreamingPipeline.runOnce(StreamingPipeline.toKvSink(kpis, "StreamKpis", ckpt))
+
+    val items = KeyValueSink.KVStore.scan("StreamKpis")
+    items.size shouldBe 2 // (10:00 click), (11:00 view)
+    val click10 = items.find(_._1._3 == "click").get._2
+    click10("event_count") shouldBe 2L
+    click10("total_value") shouldBe 30.0
+
+    // restart on the same checkpoint with no new files -> nothing re-emitted
+    KeyValueSink.KVStore.clear()
+    StreamingPipeline.runOnce(StreamingPipeline.toKvSink(
+      StreamingPipeline.kpiStream(spark, input, schema, 60, 120), "StreamKpis", ckpt))
+    KeyValueSink.KVStore.scan("StreamKpis").size shouldBe 0
+
+    // a NEW file is picked up incrementally
+    Seq((5L, Timestamp.valueOf("2024-01-01 12:05:00"), 3L, "click", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.mode("append").parquet(input)
+    StreamingPipeline.runOnce(StreamingPipeline.toKvSink(
+      StreamingPipeline.kpiStream(spark, input, schema, 60, 120), "StreamKpis", ckpt))
+    val after = KeyValueSink.KVStore.scan("StreamKpis")
+    after.size shouldBe 1 // only the 12:00 window from the new file
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenStats: whitespace tokens drop empties, BPE-ish splits runs") {
+    val docs = Seq((1L, "ab1  cd! x9")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(docs).head()
+    r.getAs[Int]("n_tokens_ws") shouldBe 3
+    // ab,1,cd,!,x,9
+    r.getAs[Int]("n_tokens_bpe") shouldBe 6
+    r.getAs[Int]("n_chars") shouldBe 11
+  }
+
+  test("qualityScore components are exact ratios") {
+    val docs = Seq((1L, "the cat!")).toDF("doc_id", "text") // 8 chars, 1 non-alnum
+    val r = TextAnalysis.qualityScore(docs).head()
+    r.getAs[Double]("n_tokens") shouldBe 2.0
+    r.getAs[Double]("punct_ratio") shouldBe 1.0 / 8.0
+    r.getAs[Double]("stopword_ratio") shouldBe 0.5 // "the" of 2 tokens
+  }
+
+  test("langId picks the language with most marker hits, en-first tie-break") {
+    val docs = Seq(
+      (1L, "en", "the cat is on the mat"),
+      (2L, "de", "der hund und die katze ist da"),
+      (3L, "xx", "zzz qqq www")
+    ).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.langId(docs).select("doc_id", "guessed_lang")
+      .as[(Long, String)].collect().sortBy(_._1)
+    r shouldBe Array((1L, "en"), (2L, "de"), (3L, "unknown"))
+  }
+
+  test("fingerprints: normalization collapses case and whitespace") {
+    val docs = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "different")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprints(docs)
+      .select("doc_id", "fp", "dup_rank").as[(Long, String, Int)]
+      .collect().sortBy(_._1)
+    r(0)._2 shouldBe r(1)._2 // same normalized content -> same md5
+    r(0)._3 shouldBe 1
+    r(1)._3 shouldBe 2 // ranked by doc_id within the fp group
+    r(2)._2 should not be r(0)._2
+  }
+
+  test("rollingHash is order-sensitive where md5-normalized is not") {
+    val docs = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.rollingFingerprints(docs)
+      .select("rolling_fp").as[Long].collect()
+    r(0) should not be r(1)
+  }
+
+  test("shingles3 produces distinct char 3-grams, empty below 3 chars") {
+    val df = Seq(("abcab", 1), ("ab", 2)).toDF("text", "id")
+    val r = df.select(TextFunctions.shingles3(col("text")).as("sh"))
+      .as[Seq[String]].collect()
+    r(0).sorted shouldBe Seq("abc", "bca", "cab") // "abcab": abc,bca,cab (distinct)
+    r(1) shouldBe Seq.empty
+  }
+}
