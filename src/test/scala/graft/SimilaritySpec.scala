@@ -55,6 +55,17 @@ class SimilaritySpec extends SparkTestBase {
     lsh shouldBe brute
   }
 
+  test("ivfKnn achieves full recall on well-separated clusters") {
+    val emb = clustered
+    val queries = emb.filter(col("vec_id").isin(0L, 5L))
+    val brute = Similarity.bruteKnn(emb, queries, 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // 2 cells, probe 1: each cluster collapses into its own cell
+    val ivf = Similarity.ivfKnn(emb, queries, 4, nCells = 2, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    ivf shouldBe brute
+  }
+
   test("lshKnn cosine scores are exact (same fold as brute force)") {
     val emb = clustered
     val queries = emb.filter(col("vec_id") === 0)
