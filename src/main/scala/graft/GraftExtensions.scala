@@ -1,0 +1,46 @@
+package graft
+
+import graft.expressions.{SortedIntersectCount, VectorDot}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Custom-function surface, wired the two public ways Spark offers:
+  *
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the SparkSessionExtensions injection point), or
+  *  - `GraftFunctions.register(spark)` on a live session (what
+  *    `Tables.load` does, so every query path is covered even when the
+  *    driver owns the session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("graft_vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_vector_dot"),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    (FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently register graft functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+      registrations.foreach { case (ident, info, builder) =>
+        reg.registerFunction(ident, info, builder)
+      }
+    }
+}

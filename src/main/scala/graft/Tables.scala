@@ -24,9 +24,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftFunctions.register(spark) // idempotent; covers driver-owned sessions
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

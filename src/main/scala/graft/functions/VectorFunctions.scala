@@ -5,15 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Dense-vector primitives over `array<float>` embedding columns.
   *
-  * Built from codegen'd higher-order functions (`zip_with` + `aggregate`),
-  * which fold left-to-right — a deterministic evaluation order, so cosine
-  * scores are reproducible across partitionings and match an oracle that
-  * evaluates the same fold. All arithmetic is promoted to double before the
-  * first multiply.
+  * `vdot` resolves to the codegen'd `graft.expressions.VectorDot` kernel
+  * (registered by `GraftFunctions.register` / `GraftExtensions`): a tight
+  * primitive loop in WholeStageCodegen. `vdotFold` is the pure-built-in
+  * twin (`zip_with` + `aggregate`, a sequential left fold) — bit-identical
+  * results, kept as the no-custom-expression fallback and as the spec
+  * cross-check. All arithmetic is promoted to double before the first
+  * multiply; accumulation order is left-to-right in both forms, so scores
+  * are reproducible across partitionings and match the DuckDB oracle's
+  * `list_reduce`.
   */
 object VectorFunctions {
-  /** Dot product, left-to-right fold in double precision. */
+  /** Dot product via the codegen'd kernel (requires graft registration). */
   def vdot(a: Column, b: Column): Column =
+    call_function("graft_vector_dot", a, b)
+
+  /** Dot product as a pure built-in fold — same semantics as `vdot`. */
+  def vdotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

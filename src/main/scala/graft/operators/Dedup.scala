@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for a training-data pipeline: exact, blocked n-gram
@@ -26,41 +26,78 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Sorted, xxhash64'd shingle sets: the join-ready form for set-similarity
+    * kernels. Hashing makes elements primitive longs (distinctness
+    * preserved; a 64-bit collision across a corpus is ~p<1e-7); sorting
+    * ONCE per document lets every candidate pair use the allocation-free
+    * `graft_sorted_intersect_count` merge kernel instead of a hash-set
+    * build per pair.
+    */
+  private def hashedShingles(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // shingling is the per-document CPU hot spot: spread the docs FIRST so
+    // it runs cluster-wide — a small parquet input is otherwise one task,
+    // and the whole shingle pass serializes onto one core
+    docs.select(col("doc_id"), col("text"))
+      .repartition(parts, col("doc_id"))
+      .select(
+        col("doc_id"),
+        array_sort(transform(shingles3(col("text")), s => xxhash64(s))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+  }
+
+  private def jaccard(aSh: Column, bSh: Column, nBoth: Column): Column = {
+    val inter = call_function("graft_sorted_intersect_count", aSh, bSh)
+    inter.cast("double") / (nBoth - inter)
+  }
+
   /** Blocked char-3-gram Jaccard near-dup pairs: candidates share
     * (lang, n_chars/50 band); jaccard = |A∩B| / |A∪B| on distinct shingles.
     * Integer set sizes -> the ratio is exactly reproducible.
     *
-    * Hot-path engineering:
-    *  - shingles are xxhash64'd to longs before the pair join — set
-    *    intersection over primitive longs, not 3-char strings (distinctness
-    *    preserved; a 64-bit collision across a corpus is ~p<1e-7);
-    *  - |A∪B| = |A|+|B|-|A∩B| — one hash-set build per pair, not two;
-    *  - both sides are explicitly repartitioned on the block key so the
-    *    quadratic-in-block-size pair work spreads across the cluster
-    *    instead of riding a broadcast join on however few partitions the
-    *    scan produced (on a single small parquet file that is ONE task).
+    * Scale engineering (the pair work is quadratic in block size, so the
+    * plan must spread PAIRS, not documents):
+    *  - both sides repartition on the block key — identical exchanges, so
+    *    Spark computes+shuffles the shingles ONCE (ReusedExchange) and the
+    *    pair generation runs with full parallelism instead of riding a
+    *    broadcast join on the scan's (often single) partition;
+    *  - `saltFactor > 1` additionally splits each block's pair space
+    *    (right side keyed by doc_id mod salt, left replicated per salt;
+    *    each pair produced exactly once) — the escape hatch when the block
+    *    size distribution is heavy-tailed and one block dominates. It
+    *    replicates the left side's arrays saltFactor×, so it is off by
+    *    default and worth it only for genuinely hot blocks;
+    *  - |A∪B| = |A|+|B|-|A∩B| and the sorted-merge kernel: one linear
+    *    pass per pair, zero allocation.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        saltFactor: Int = 1): DataFrame = {
     val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val sh = docs.select(
-        col("doc_id"), col("lang"),
-        floor(col("n_chars") / 50).as("band"),
-        transform(shingles3(col("text")), s => xxhash64(s)).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .repartition(parts, col("lang"), col("band"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b,
+    val sh = docs.select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 50).as("band"))
+      .join(hashedShingles(docs), "doc_id")
+    val (a, b) =
+      if (saltFactor <= 1) {
+        val side = sh.repartition(parts, col("lang"), col("band"))
+        (side, side)
+      } else {
+        (sh.withColumn("salt",
+            explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+          .repartition(parts, col("lang"), col("band"), col("salt")),
+          sh.withColumn("salt", pmod(col("doc_id"), lit(saltFactor)))
+            .repartition(parts, col("lang"), col("band"), col("salt")))
+      }
+    val saltCond =
+      if (saltFactor <= 1) lit(true) else col("a.salt") === col("b.salt")
+    a.as("a").join(b.as("b"),
         col("a.lang") === col("b.lang") &&
         col("a.band") === col("b.band") &&
+        saltCond &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_id_1"),
         col("b.doc_id").as("doc_id_2"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
-        (col("a.n_sh") + col("b.n_sh")).as("n_both"))
-      .select(col("doc_id_1"), col("doc_id_2"),
-        (col("inter").cast("double") / (col("n_both") - col("inter"))).as("jaccard"))
+        jaccard(col("a.sh"), col("b.sh"), col("a.n_sh") + col("b.n_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -76,9 +113,12 @@ object Dedup {
 
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
     val params = hashParams(numHashes)
-    val hs = docs.select(
-      col("doc_id"),
-      transform(shingles3(normText(col("text"))), s => hash(s).cast("long")).as("hs"))
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val hs = docs.select(col("doc_id"), col("text"))
+      .repartition(parts, col("doc_id")) // parallelize the shingle+minhash CPU
+      .select(
+        col("doc_id"),
+        transform(shingles3(normText(col("text"))), s => hash(s).cast("long")).as("hs"))
     val mh = array(params.map { case (a, b) =>
       array_min(transform(col("hs"), h => pmod(h * a + b, lit(MersennePrime))))
     }: _*)
@@ -108,13 +148,14 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
       .distinct()
-    val sh = docs.select(col("doc_id"), shingles3(normText(col("text"))).as("sh"))
+    val sh = docs.select(col("doc_id"), normText(col("text")).as("text"))
+    val hs = hashedShingles(sh)
     cand
-      .join(sh.as("s1"), col("doc_id_1") === col("s1.doc_id"))
-      .join(sh.as("s2"), col("doc_id_2") === col("s2.doc_id"))
+      .join(hs.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+      .join(hs.as("s2"), col("doc_id_2") === col("s2.doc_id"))
       .select(col("doc_id_1"), col("doc_id_2"),
-        (size(array_intersect(col("s1.sh"), col("s2.sh"))).cast("double") /
-          size(array_union(col("s1.sh"), col("s2.sh")))).as("jaccard"))
+        jaccard(col("s1.sh"), col("s2.sh"),
+          col("s1.n_sh") + col("s2.n_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
