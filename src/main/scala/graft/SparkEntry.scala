@@ -259,7 +259,57 @@ object SparkEntry {
         .select(
           unix_micros(col("session_window.start")).as("session_start_us"),
           unix_micros(col("session_window.end")).as("session_end_us"),
-          col("user_id"), col("n_events"), col("total_value")))
+          col("user_id"), col("n_events"), col("total_value"))),
+
+    // §2.6 — rollup subtotals (region → region+nation → grand total)
+    "q29_rollup_revenue" -> ((s, dir) => {
+      val dims = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name"), col("n_name"))
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(ExactAgg.scaledSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // §2.6 — running totals: integer-cents cumulative window (tree-
+    // aggregation-proof: the windowed sum is over BIGINTs)
+    "q30_running_revenue" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+        .agg(sum(ExactAgg.cents(col("o_totalprice"))).as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+      import org.apache.spark.sql.expressions.Window
+      monthly
+        .withColumn("cum_cents",
+          sum(col("rev_cents")).over(Window.orderBy(col("month"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("month"), col("n_orders"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"),
+          (col("cum_cents").cast("double") / 100.0).as("cum_revenue"))
+    }),
+
+    // §2.6 — anti-join: customers with no finished order
+    "q31_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_customers"))),
+
+    // §2.6 — pivot with a FIXED value list (no discovery pass at scale)
+    "q32_pivot_events" -> ((s, dir) =>
+      enriched(s, dir)
+        .groupBy(col("segment"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -486,6 +536,46 @@ object SparkEntry {
          |       $SumCents AS total_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1""".stripMargin,
+
+    "q29_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q30_running_revenue" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders,
+        |       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(sum(rev_cents) OVER (ORDER BY month
+        |              ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS cum_revenue
+        |FROM m""".stripMargin,
+
+    "q31_anti_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin,
+
+    "q32_pivot_events" ->
+      s"""$EnrichedCte
+         |SELECT segment,
+         |       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         |       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+         |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         |       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         |       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+         |FROM e GROUP BY 1""".stripMargin,
 
     // gap-merge sessions: cumulative new-session flags form session ids;
     // session_window's end = last event + gap

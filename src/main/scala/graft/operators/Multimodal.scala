@@ -56,4 +56,28 @@ object Multimodal {
         }
       }
   }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB frame sampler: `nFrames` evenly spaced "frames" (byte slices) per
+    * payload — the video-decode batch shape (1 payload row → N frame rows)
+    * with the real plumbing: partition-parallel decode, typed flatMap
+    * output, columnar-friendly schema. A real build swaps the slicer for a
+    * codec (or runs the equivalent `mapInPandas` stage under PySpark).
+    */
+  def frameSample(spark: SparkSession, docs: DataFrame, nFrames: Int): Dataset[Frame] = {
+    import spark.implicits._
+    withBinaryMeta(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val stride = math.max(1, payload.length / nFrames)
+          (0 until math.min(nFrames, payload.length)).iterator.map { i =>
+            val from = i * stride
+            Frame(id, i, payload.slice(from, math.min(from + stride, payload.length)))
+          }
+        }
+      }
+  }
 }

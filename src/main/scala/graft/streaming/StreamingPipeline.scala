@@ -47,6 +47,17 @@ object StreamingPipeline {
         KeyValueSink.write(items, table, "pk", "sk")
       }
 
+  /** Streaming replay dedup: exactly-once rows out of an at-least-once
+    * feed, the streaming twin of `operators.Events.dedupEvents`. State is
+    * keyed by (user_id, ts) and expired by the watermark — bounded by the
+    * duplicate-arrival horizon, not the stream's history.
+    */
+  def dedupStream(stream: DataFrame, watermarkMinutes: Int): DataFrame =
+    stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", s"$watermarkMinutes minutes")
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+
   /** Synchronous one-shot run for tests/backfills: process everything
     * currently in the directory, then stop (Trigger.AvailableNow — the
     * batch-like mode a scheduled MWAA DAG approximates).

@@ -18,6 +18,16 @@ class MultimodalSpec extends SparkTestBase {
     r(0)._3 should fullyMatch regex "[0-9a-f]{64}"
   }
 
+  test("frameSample: 1 payload row fans out to n typed frame rows") {
+    val frames = Multimodal.frameSample(spark, docs, 4).collect()
+    frames.count(_.doc_id == 1L) shouldBe 4
+    frames.filter(_.doc_id == 1L).map(_.frame_idx).sorted shouldBe Array(0, 1, 2, 3)
+    // frames reassemble a prefix of the payload (stride slicing, no overlap)
+    val joined = frames.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+      .flatMap(_.frame_bytes)
+    new String(joined.take(8), "UTF-8") shouldBe "hello me"
+  }
+
   test("decodeFeatures: deterministic stub decode with typed schema") {
     val ds = Multimodal.decodeFeatures(spark, docs)
     val r1 = ds.collect().sortBy(_.doc_id)

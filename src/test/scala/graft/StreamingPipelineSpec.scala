@@ -14,6 +14,25 @@ class StreamingPipelineSpec extends SparkTestBase {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  test("dedupStream drops at-least-once replays within the watermark") {
+    val dir = Files.createTempDirectory("sdedup").toString
+    val input = s"$dir/in"
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click_replay", 1.0), // dup key
+      (3L, Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "view", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.parquet(input)
+    val stream = spark.readStream.schema(schema).parquet(input)
+    val q = graft.streaming.StreamingPipeline.dedupStream(stream, 60)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("sdedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("sdedup").count() shouldBe 2 // one of the dup pair dropped
+  }
+
   test("file-source stream processes each input exactly once via checkpoint") {
     KeyValueSink.KVStore.clear()
     val dir = Files.createTempDirectory("stream").toString
