@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** Property-style tests (fixed-seed random inputs) for the custom codegen'd
+  * kernels: on arbitrary inputs they must agree exactly with the built-in
+  * formulations they replace.
+  */
+class KernelPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20240812L)
+
+  test("property: vdot == fold for arbitrary lengths and values") {
+    val pairs = (1 to 100).map { _ =>
+      val n = rng.nextInt(129) // 0..128, includes empty vectors
+      (Array.fill(n)(rng.nextFloat() * 200f - 100f),
+        Array.fill(n)(rng.nextFloat() * 200f - 100f))
+    }
+    val rows = pairs.toDF("a", "b").select(
+      VectorFunctions.vdot(col("a"), col("b")).as("fast"),
+      VectorFunctions.vdotFold(col("a"), col("b")).as("fold"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (fast, fold) => assert(fast == fold) }
+  }
+
+  test("property: sorted_intersect_count == size(array_intersect)") {
+    def sortedSet() = Array.fill(rng.nextInt(201))(
+      rng.nextLong() % 1000L).distinct.sorted
+    val pairs = (1 to 200).map(_ => (sortedSet(), sortedSet()))
+    val rows = pairs.toDF("a", "b").select(
+      call_function("graft_sorted_intersect_count", col("a"), col("b")).as("fast"),
+      org.apache.spark.sql.functions.size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (fast, builtin) => assert(fast == builtin) }
+  }
+
+  test("property: moneySum invariant under partition count") {
+    (1 to 3).foreach { _ =>
+      val vals = List.fill(200)(rng.nextDouble() * 2e6 - 1e6)
+      val results = Seq(1, 3, 17).map { n =>
+        vals.toDF("v").repartition(n)
+          .agg(graft.functions.ExactAgg.moneySum(col("v")).as("s"))
+          .as[Double].head()
+      }
+      assert(results.distinct.size == 1)
+    }
+  }
+}
