@@ -27,17 +27,41 @@ class Pipeline(spark: SparkSession, workDir: String) {
     Files.writeString(ledger, name + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
 
+  /** Files rejected by schema validation (the DAG's branch-on-validation
+    * failure path, music_etl_pipeline.py's end_pipeline branch): recorded,
+    * never retried, never partially transformed.
+    */
+  def rejectedFiles(): Set[String] = {
+    val f = Paths.get(workDir, "rejected_files.txt")
+    if (Files.exists(f)) Files.readAllLines(f).asScala.toSet else Set.empty
+  }
+
+  private def markRejected(name: String, reason: String): Unit =
+    Files.writeString(Paths.get(workDir, "rejected_files.txt"),
+      s"$name\t$reason\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+
   /** Run validate → transform → load for one input file; skip if already
     * processed (music_etl_pipeline.py:34-45). Returns true if processed.
+    * A file whose schema fails validation branches to the rejected ledger
+    * (no partial outputs) and returns false.
     */
   def processFile(eventsFile: String, customer: DataFrame,
                   requiredCols: Seq[String] = Seq("user_id", "event_type", "ts")): Boolean = {
     val name = Paths.get(eventsFile).getFileName.toString
     if (processedFiles().contains(name)) return false
+    if (rejectedFiles().exists(_.startsWith(name + "\t")) ||
+        rejectedFiles().contains(name)) return false
 
     val raw = spark.read.parquet(eventsFile)
-    // validate (glue_jobs/validate.py)
-    val (good, bad) = Validation.splitGoodBad(raw, requiredCols, "events")
+    // validate (glue_jobs/validate.py); schema failure -> rejected branch
+    val (good, bad) =
+      try Validation.splitGoodBad(raw, requiredCols, "events")
+      catch {
+        case e: Validation.MissingColumnsException =>
+          markRejected(name, e.missing.mkString(","))
+          return false
+      }
     bad.write.mode("overwrite").parquet(s"$workDir/bad-records/$name")
     // transform (glue_jobs/transform.py)
     val kpis = Kpi.dailyKpis(good, customer)

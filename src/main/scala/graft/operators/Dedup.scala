@@ -89,10 +89,16 @@ object Dedup {
       }
     val saltCond =
       if (saltFactor <= 1) lit(true) else col("a.salt") === col("b.salt")
+    // lossless size-ratio prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
+    // pair whose sizes are further apart than the threshold ratio can never
+    // pass — skip the merge kernel for it entirely
+    val sizeCond =
+      col("a.n_sh") * threshold <= col("b.n_sh") &&
+        col("b.n_sh") * threshold <= col("a.n_sh")
     a.as("a").join(b.as("b"),
         col("a.lang") === col("b.lang") &&
         col("a.band") === col("b.band") &&
-        saltCond &&
+        saltCond && sizeCond &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_id_1"),

@@ -32,4 +32,19 @@ class PipelineSpec extends SparkTestBase {
     p.processFile(input, customer) shouldBe false
     p.processedFiles() shouldBe Set("batch1")
   }
+
+  test("a file failing schema validation branches to rejected, no outputs") {
+    val work = Files.createTempDirectory("pipe-rej").toString
+    val input = s"$work/in/badschema"
+    Seq((1L, "oops")).toDF("event_id", "not_the_schema").write.parquet(input)
+    val customer = Seq((1L, "SEG_A")).toDF("c_custkey", "c_mktsegment")
+
+    val p = new Pipeline(spark, work)
+    p.processFile(input, customer) shouldBe false
+    p.rejectedFiles().exists(_.startsWith("badschema")) shouldBe true
+    p.processedFiles() shouldBe empty
+    new java.io.File(s"$work/processed").exists() shouldBe false
+    // rejected files are never retried
+    p.processFile(input, customer) shouldBe false
+  }
 }
