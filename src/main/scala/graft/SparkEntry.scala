@@ -309,7 +309,12 @@ object SparkEntry {
         .groupBy(col("segment"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L))
+        .na.fill(0L)),
+
+    // §2.2 — one-pass multi-constraint quality report
+    "q33_quality_report" -> ((s, dir) =>
+      Quality.report(events(s, dir), "event_id",
+        Seq("user_id", "event_type", "value", "props"), "value"))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -576,6 +581,17 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
          |       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
          |FROM e GROUP BY 1""".stripMargin,
+
+    "q33_quality_report" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT event_id) AS n_distinct_keys,
+        |       count(*) = count(DISTINCT event_id) AS key_is_unique,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       CAST(sum(CASE WHEN user_id    IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_ratio_user_id,
+        |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_ratio_event_type,
+        |       CAST(sum(CASE WHEN value      IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_ratio_value,
+        |       CAST(sum(CASE WHEN props      IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_ratio_props
+        |FROM events""".stripMargin,
 
     // gap-merge sessions: cumulative new-session flags form session ids;
     // session_window's end = last event + gap

@@ -47,6 +47,28 @@ object StreamingPipeline {
         KeyValueSink.write(items, table, "pk", "sk")
       }
 
+  /** Stream–static enrichment: the micro-batch stream joined to a batch
+    * dimension (broadcast — no stream-side shuffle), then windowed per-
+    * segment KPIs. The streaming twin of `operators.Kpi.dailyKpis`.
+    */
+  def enrichedKpiStream(spark: SparkSession, inputDir: String, schema: StructType,
+                        customer: DataFrame, windowMinutes: Int = 60,
+                        watermarkMinutes: Int = 120): DataFrame = {
+    val dim = customer.select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"))
+      .withWatermark("ts", s"$watermarkMinutes minutes")
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("segment"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        ExactAgg.moneySum(col("value")).as("total_value"))
+  }
+
   /** Streaming replay dedup: exactly-once rows out of an at-least-once
     * feed, the streaming twin of `operators.Events.dedupEvents`. State is
     * keyed by (user_id, ts) and expired by the watermark — bounded by the

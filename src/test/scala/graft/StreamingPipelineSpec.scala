@@ -14,6 +14,31 @@ class StreamingPipelineSpec extends SparkTestBase {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  test("enrichedKpiStream joins the stream to a static dim and windows KPIs") {
+    val dir = Files.createTempDirectory("sjoin").toString
+    val input = s"$dir/in"
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:15:00"), 2L, "click", 20.0),
+      (3L, Timestamp.valueOf("2024-01-01 10:20:00"), 3L, "view", 5.0) // no dim row
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.parquet(input)
+    val customer = Seq((1L, "SEG_A"), (2L, "SEG_B")).toDF("c_custkey", "c_mktsegment")
+
+    // complete mode: windows need not be watermark-finalized to observe them
+    val q = graft.streaming.StreamingPipeline
+      .enrichedKpiStream(spark, input, schema, customer, 60, 120)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("sjoin")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("sjoin")
+      .select("segment", "event_count", "total_value")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    rows shouldBe Array(("SEG_A", 1L, 10.0), ("SEG_B", 1L, 20.0))
+  }
+
   test("dedupStream drops at-least-once replays within the watermark") {
     val dir = Files.createTempDirectory("sdedup").toString
     val input = s"$dir/in"
