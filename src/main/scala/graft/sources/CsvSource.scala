@@ -39,4 +39,26 @@ object CsvSource {
     (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       df.filter(col("_corrupt_record").isNotNull))
   }
+
+  /** DROPMALFORMED: malformed rows silently removed — for feeds where bad
+    * rows are expected noise and a bad-records zone isn't wanted.
+    */
+  def readDropMalformed(spark: SparkSession, path: String, schema: StructType,
+                        header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "DROPMALFORMED")
+      .schema(schema)
+      .csv(path)
+
+  /** FAILFAST: any malformed row aborts the read — for contracts where a
+    * bad row means an upstream bug, not noise.
+    */
+  def readFailFast(spark: SparkSession, path: String, schema: StructType,
+                   header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "FAILFAST")
+      .schema(schema)
+      .csv(path)
 }

@@ -69,6 +69,28 @@ object StreamingPipeline {
         ExactAgg.moneySum(col("value")).as("total_value"))
   }
 
+  /** Stream–stream event-time join: attribute each purchase to the same
+    * user's preceding click within `horizonMinutes`. Both sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * state for either side is droppable once the watermark passes the
+    * horizon — the join state is O(horizon), not O(stream).
+    */
+  def attributionStream(events: DataFrame, horizonMinutes: Int = 60,
+                        watermarkMinutes: Int = 120): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").cast("timestamp").as("click_ts"))
+      .withWatermark("click_ts", s"$watermarkMinutes minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").cast("timestamp").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", s"$watermarkMinutes minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming replay dedup: exactly-once rows out of an at-least-once
     * feed, the streaming twin of `operators.Events.dedupEvents`. State is
     * keyed by (user_id, ts) and expired by the watermark — bounded by the

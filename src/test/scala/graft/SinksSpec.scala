@@ -58,4 +58,18 @@ class SinksSpec extends SparkTestBase {
     bad.count() shouldBe 1
     bad.select("_corrupt_record").as[String].head() shouldBe "2,notanumber"
   }
+
+  test("CsvSource mode matrix: DROPMALFORMED removes, FAILFAST aborts") {
+    val dir = Files.createTempDirectory("csvmodes").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,val\n1,10\n2,notanumber\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("val", LongType)))
+    val dropped = CsvSource.readDropMalformed(spark, s"$dir/in.csv", schema)
+      .collect().map(_.getLong(0)).sorted
+    dropped shouldBe Array(1L, 3L)
+    intercept[Exception] {
+      CsvSource.readFailFast(spark, s"$dir/in.csv", schema).collect()
+    }
+  }
 }

@@ -58,6 +58,30 @@ class StreamingPipelineSpec extends SparkTestBase {
     spark.table("sdedup").count() shouldBe 2 // one of the dup pair dropped
   }
 
+  test("attributionStream joins purchases to preceding clicks within the horizon") {
+    val dir = Files.createTempDirectory("sattr").toString
+    val input = s"$dir/in"
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "purchase", 50.0), // within 1h of click
+      (3L, Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "click", 0.0),
+      (4L, Timestamp.valueOf("2024-01-01 11:30:00"), 2L, "purchase", 70.0), // 2.5h later -> out
+      (5L, Timestamp.valueOf("2024-01-01 10:30:00"), 3L, "purchase", 90.0)  // no click at all
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.parquet(input)
+
+    val stream = spark.readStream.schema(schema).parquet(input)
+    val q = graft.streaming.StreamingPipeline.attributionStream(stream, 60, 120)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("sattr")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("sattr").select("user_id", "value")
+      .as[(Long, Double)].collect()
+    rows shouldBe Array((1L, 50.0))
+  }
+
   test("file-source stream processes each input exactly once via checkpoint") {
     KeyValueSink.KVStore.clear()
     val dir = Files.createTempDirectory("stream").toString
