@@ -314,7 +314,21 @@ object SparkEntry {
     // §2.2 — one-pass multi-constraint quality report
     "q33_quality_report" -> ((s, dir) =>
       Quality.report(events(s, dir), "event_id",
-        Seq("user_id", "event_type", "value", "props"), "value"))
+        Seq("user_id", "event_type", "value", "props"), "value")),
+
+    // §2.9 — content-hash sampling (reproducible, dedup-consistent)
+    "q34_content_sample" -> ((s, dir) =>
+      Curation.contentSample(t(s, dir, "documents"), Seq("0", "1", "2", "3"))
+        .select(col("doc_id"), col("fp"))),
+
+    // §2.9 — composed curation: length window → punct cap → exact dedup →
+    // content-hash sample
+    "q35_curation_pipeline" -> ((s, dir) =>
+      Curation.curate(t(s, dir, "documents"), 10, 200, 0.10,
+        Seq("0", "1", "2", "3", "4", "5", "6", "7"))),
+
+    // §2.9 — corpus vocabulary top-k
+    "q36_vocab_topk" -> ((s, dir) => Curation.vocabTopK(t(s, dir, "documents"), 100))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -592,6 +606,33 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN value      IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_ratio_value,
         |       CAST(sum(CASE WHEN props      IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_ratio_props
         |FROM events""".stripMargin,
+
+    "q34_content_sample" ->
+      s"""SELECT doc_id, fp FROM (
+         |  SELECT doc_id, md5($NormSql) AS fp FROM documents)
+         |WHERE substr(fp, 1, 1) IN ('0', '1', '2', '3')""".stripMargin,
+
+    "q35_curation_pipeline" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |         md5($NormSql) AS fp
+         |  FROM documents
+         |  WHERE CAST(len($ToksSql) AS BIGINT) BETWEEN 10 AND 200
+         |    AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |          / length(text) < 0.10),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |      FROM f)
+         |SELECT doc_id, lang, n_tokens, fp
+         |FROM d
+         |WHERE rn = 1 AND substr(fp, 1, 1) IN ('0','1','2','3','4','5','6','7')""".stripMargin,
+
+    "q36_vocab_topk" ->
+      s"""SELECT token, count(*) AS n_occurrences
+         |FROM (SELECT unnest($ToksSql) AS token FROM documents)
+         |GROUP BY 1
+         |ORDER BY n_occurrences DESC, token ASC
+         |LIMIT 100""".stripMargin,
 
     // gap-merge sessions: cumulative new-session flags form session ids;
     // session_window's end = last event + gap

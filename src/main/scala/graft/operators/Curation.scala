@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: the composed filter→dedup→sample shape of a
+  * training-data preparation job.
+  *
+  * Sampling is CONTENT-hash based (a prefix of the normalized-text md5),
+  * not row-random: the decision is a pure function of content, so it is
+  * reproducible across runs/clusters, survives repartitioning, and agrees
+  * with dedup (all copies of a document sample identically). This is the
+  * standard way to cut train/val splits that stay disjoint under re-runs.
+  */
+object Curation {
+
+  /** Keep documents whose normalized-content md5 starts with one of the
+    * given hex characters (each hex char ≈ 1/16 of the corpus).
+    */
+  def contentSample(docs: DataFrame, hexPrefixes: Seq[String]): DataFrame =
+    docs.withColumn("fp", fingerprint(col("text")))
+      .filter(substring(col("fp"), 1, 1).isInCollection(hexPrefixes))
+
+  /** The composed curation pipeline:
+    *  1. length window (whitespace-token count in [minTokens, maxTokens]);
+    *  2. punctuation cap (non-alphanumeric ratio < maxPunct);
+    *  3. exact dedup on normalized content (keep min doc_id);
+    *  4. content-hash sampling into the final corpus.
+    * One shuffle total (the dedup window); filters all evaluate scan-side.
+    */
+  def curate(docs: DataFrame, minTokens: Int, maxTokens: Int,
+             maxPunct: Double, sampleHex: Seq[String]): DataFrame = {
+    val nTok = size(tokensWs(col("text")))
+    val punct = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+      .cast("double") / length(col("text"))
+    val filtered = docs
+      .withColumn("n_tokens", nTok.cast("long"))
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .filter(punct < maxPunct)
+      .withColumn("fp", fingerprint(col("text")))
+    val deduped = filtered
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    deduped
+      .filter(substring(col("fp"), 1, 1).isInCollection(sampleHex))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("fp"))
+  }
+
+  /** Corpus vocabulary: top-k whitespace tokens by frequency with a
+    * total-order tie-break. The explode is map-side; one shuffle on the
+    * token; the top-k cut runs on the aggregated counts.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokensWs(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+}
