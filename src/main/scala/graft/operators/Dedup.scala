@@ -166,21 +166,27 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
-    * token-hash bit value; sign of the sum becomes the bit. Computed with 64
-    * declarative aggregates after an explode — one shuffle on doc_id.
+    * token-hash bit value; sign of the sum becomes the bit.
+    *
+    * Computed entirely PER ROW with higher-order functions (a fold over the
+    * token array carrying a 64-slot counter array) — no explode, no token
+    * shuffle, no aggregation: at 100 TB this is a pure map over documents
+    * where the explode+groupBy formulation shuffles one row per token.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-        explode(tokensWs(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), sh.as("simhash"))
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    val bitSums = aggregate(
+      tokensWs(col("text")),
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, masks, (a, m) =>
+          a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))
+      })
+    val packed = aggregate(
+      zip_with(bitSums, masks, (b, m) => when(b > 0, m).otherwise(lit(0L))),
+      lit(0L), (s, x) => s + x)
+    docs.select(col("doc_id"), packed.as("simhash"))
   }
 
   /** SimHash near-dup pairs within (lang) blocks: hamming distance
