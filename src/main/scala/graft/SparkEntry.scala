@@ -328,7 +328,46 @@ object SparkEntry {
         Seq("0", "1", "2", "3", "4", "5", "6", "7"))),
 
     // §2.9 — corpus vocabulary top-k
-    "q36_vocab_topk" -> ((s, dir) => Curation.vocabTopK(t(s, dir, "documents"), 100))
+    "q36_vocab_topk" -> ((s, dir) => Curation.vocabTopK(t(s, dir, "documents"), 100)),
+
+    // §2.6 — exact interpolated percentiles per group
+    "q37_percentiles" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.9)).as("p90"),
+          percentile(col("value"), lit(0.99)).as("p99"))),
+
+    // §2.6 — left-outer enrichment keeping unmatched rows (sparse dim)
+    "q38_left_join_sparse" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      events(s, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "left_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          ExactAgg.moneySum(col("value")).as("total_value"))
+    }),
+
+    // §2.6 — set operations (INTERSECT / EXCEPT / UNION on key sets)
+    "q39_setops" -> ((s, dir) => {
+      val active = events(s, dir).select(col("user_id").as("k")).distinct()
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k")).distinct()
+      val i = active.intersect(rich).agg(count(lit(1)).as("n_active_rich"))
+      val e = rich.except(active).agg(count(lit(1)).as("n_rich_inactive"))
+      val u = active.union(rich).distinct().agg(count(lit(1)).as("n_union"))
+      i.crossJoin(e).crossJoin(u)
+    }),
+
+    // §2.6 — fixed-width histogram (integer bucketing, exact)
+    "q40_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          ExactAgg.moneySum(col("value")).as("total_value")))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -633,6 +672,36 @@ object SparkEntry {
          |GROUP BY 1
          |ORDER BY n_occurrences DESC, token ASC
          |LIMIT 100""".stripMargin,
+
+    "q37_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5)  AS p50,
+        |       quantile_cont(value, 0.9)  AS p90,
+        |       quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q38_left_join_sparse" ->
+      s"""SELECT coalesce(c_mktsegment, 'UNMATCHED') AS segment,
+         |       count(*) AS n_events,
+         |       $SumCents AS total_value
+         |FROM events LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+         |                       WHERE c_mktsegment = 'BUILDING') c
+         |  ON user_id = c.c_custkey
+         |GROUP BY 1""".stripMargin,
+
+    "q39_setops" ->
+      """WITH active AS (SELECT DISTINCT user_id AS k FROM events),
+        |rich AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT k FROM active INTERSECT SELECT k FROM rich)) AS n_active_rich,
+        |  (SELECT count(*) FROM (SELECT k FROM rich EXCEPT SELECT k FROM active)) AS n_rich_inactive,
+        |  (SELECT count(*) FROM (SELECT k FROM active UNION SELECT k FROM rich)) AS n_union""".stripMargin,
+
+    "q40_histogram" ->
+      s"""SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+         |       count(*) AS n_events,
+         |       $SumCents AS total_value
+         |FROM events GROUP BY 1""".stripMargin,
 
     // gap-merge sessions: cumulative new-session flags form session ids;
     // session_window's end = last event + gap
