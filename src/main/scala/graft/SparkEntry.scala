@@ -367,7 +367,11 @@ object SparkEntry {
       events(s, dir)
         .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_events"),
-          ExactAgg.moneySum(col("value")).as("total_value")))
+          ExactAgg.moneySum(col("value")).as("total_value"))),
+
+    // §2.6 — sketch summary (HLL distinct + approx quantiles next to the
+    // exact values; rows-only — sketch state is engine-specific)
+    "q41_sketches" -> ((s, dir) => Sketches.summary(events(s, dir)))
   )
 
   // ---- the oracle map ---------------------------------------------------

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation: the sublinear-memory path for
+  * metrics whose exact forms don't partial-aggregate cheaply at 100 TB.
+  *
+  *  - distinct counts: HyperLogLog++ (`approx_count_distinct`) — fixed-size
+  *    state per group vs the exact two-phase expand;
+  *  - quantiles: KLL/Greenwald-Khanna (`approx_percentile`) — bounded
+  *    buffers vs a full sort;
+  *  - heavy hitters: count-min-style `approx_top_k` style via frequency
+  *    cutoffs on the aggregated counts (exact here, since the aggregation
+  *    is already one shuffle).
+  *
+  * Error bounds are asserted against the exact forms in the spec; the
+  * driver records this query rows-only (sketch state is engine-specific —
+  * not SQL-oracle-comparable by design).
+  */
+object Sketches {
+
+  /** Per-group sketch summary next to the exact values it approximates. */
+  def summary(events: DataFrame, rsd: Double = 0.05,
+              percentileAccuracy: Int = 10000): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_percentile(col("value"), lit(0.5), lit(percentileAccuracy)).as("approx_p50"),
+        percentile(col("value"), lit(0.5)).as("exact_p50"),
+        count(lit(1)).as("n_events"))
+}
