@@ -371,7 +371,21 @@ object SparkEntry {
 
     // §2.6 — sketch summary (HLL distinct + approx quantiles next to the
     // exact values; rows-only — sketch state is engine-specific)
-    "q41_sketches" -> ((s, dir) => Sketches.summary(events(s, dir)))
+    "q41_sketches" -> ((s, dir) => Sketches.summary(events(s, dir))),
+
+    // §2.6 — as-of join (composed union+window; oracled against DuckDB's
+    // native ASOF JOIN): each event picks the user's latest preceding order
+    "q42_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("ts"), col("ts_us"), col("user_id"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+      AsofJoin.asofJoin(ev, ord, "user_id", "ts", "o_orderdate", Seq("o_orderkey"))
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("asof_o_orderkey"),
+          unix_micros(col("asof_o_orderdate").cast("timestamp_ltz")).as("asof_order_us"))
+    })
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -706,6 +720,15 @@ object SparkEntry {
          |       count(*) AS n_events,
          |       $SumCents AS total_value
          |FROM events GROUP BY 1""".stripMargin,
+
+    "q42_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+        |       o.o_orderkey AS asof_o_orderkey,
+        |       epoch_us(o.o_orderdate) AS asof_order_us
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
     // gap-merge sessions: cumulative new-session flags form session ids;
     // session_window's end = last event + gap
