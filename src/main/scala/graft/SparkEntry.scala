@@ -385,6 +385,41 @@ object SparkEntry {
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("asof_o_orderkey"),
           unix_micros(col("asof_o_orderdate").cast("timestamp_ltz")).as("asof_order_us"))
+    }),
+
+    // §2.5/§2.6 — keyed range join: assign events to their session interval
+    "q43_range_join_sessions" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sessions = ev
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("sess_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"))
+      RangeJoin.keyedPointInInterval(
+          ev.select(col("user_id"), col("ts_us")), sessions,
+          "user_id", "ts_us", "start_us", "end_us")
+        .groupBy(col("user_id"), col("start_us").as("session_start_us"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // §2.6 — unkeyed range join via time binning (equi-join on the bin,
+    // exact refine): lineitems falling in 45-day windows from each quarter
+    "q44_range_join_binned" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(unix_micros(col("l_shipdate").cast("timestamp_ltz")).as("ship_us"),
+          col("l_extendedprice"))
+      val iv = li.select(col("ship_us"))
+        .withColumn("q_start_us",
+          unix_micros(date_trunc("quarter",
+            timestamp_micros(col("ship_us"))).cast("timestamp_ltz")))
+        .select(col("q_start_us")).distinct()
+        .withColumn("q_end_us", col("q_start_us") + lit(45L * 86400L * 1000000L))
+      RangeJoin.binnedPointInInterval(li, iv, "ship_us", "q_start_us", "q_end_us",
+          15L * 86400L * 1000000L)
+        .groupBy(col("q_start_us"))
+        .agg(count(lit(1)).as("n_items"),
+          ExactAgg.moneySum(col("l_extendedprice")).as("total_price"))
     })
   )
 
@@ -729,6 +764,39 @@ object SparkEntry {
         |       epoch_us(o.o_orderdate) AS asof_order_us
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q43_range_join_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |y AS (SELECT user_id, us,
+        |             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM x),
+        |z AS (SELECT user_id, us,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM y),
+        |sess AS (SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us
+        |         FROM z GROUP BY user_id, sid)
+        |SELECT s.user_id, s.start_us AS session_start_us, count(*) AS n_events
+        |FROM events e JOIN sess s
+        |  ON e.user_id = s.user_id
+        | AND epoch_us(e.ts) >= s.start_us AND epoch_us(e.ts) < s.end_us
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q44_range_join_binned" ->
+      """WITH iv AS (
+        |  SELECT DISTINCT epoch_us(date_trunc('quarter', l_shipdate)) AS q_start_us
+        |  FROM lineitem)
+        |SELECT iv.q_start_us, count(*) AS n_items,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        |FROM lineitem l JOIN iv
+        |  ON epoch_us(l.l_shipdate) >= iv.q_start_us
+        | AND epoch_us(l.l_shipdate) < iv.q_start_us + 3888000000000
+        |GROUP BY 1""".stripMargin,
 
     // gap-merge sessions: cumulative new-session flags form session ids;
     // session_window's end = last event + gap
