@@ -31,7 +31,6 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  private val EventsRequired = Seq("user_id", "event_type", "ts", "value")
 
   private def corruptedEvents(s: SparkSession, dir: String): DataFrame =
     Validation.corruptEvents(events(s, dir))
