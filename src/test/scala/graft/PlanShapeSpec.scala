@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape regression guards: the properties audited in PLANS.md, locked
+  * in as assertions so later rounds can't silently regress them.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q03: the dim side is a broadcast join (no fact shuffle for the join)") {
+    plan("q03_daily_kpis") should include("BroadcastHashJoin")
+  }
+
+  test("q08: top-k cut happens map-side before the window exchange") {
+    plan("q08_top_parts_brand_month") should include("WindowGroupLimit")
+  }
+
+  test("q19: pair generation is a co-partitioned join, not a nested loop") {
+    val p = plan("q19_ngram_jaccard_pairs")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("graft_sorted_intersect_count") // the merge kernel is in the plan
+  }
+
+  test("q22: corpus streams against broadcast queries; top-k cut is partial") {
+    val p = plan("q22_knn_brute")
+    p should include("BroadcastNestedLoopJoin") // intended: tiny Q side broadcast
+    p should include("WindowGroupLimit")
+    p should include("graft_vector_dot")
+  }
+
+  test("q42: as-of join plans with no range-join node at all") {
+    val p = plan("q42_asof_join")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("Window [last(_r") // the carry-forward window
+  }
+
+  test("q44: unkeyed range join is an equi join on the bin") {
+    val p = plan("q44_range_join_binned")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q07: only the needed lineitem columns reach the scan") {
+    val scans = SparkEntry.queries("q07_pricing_summary")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    scans should not be empty
+    // 6 of lineitem's 11 columns are needed
+    scans.head.requiredSchema.fieldNames.length shouldBe 6
+  }
+}

@@ -39,6 +39,34 @@ class StreamingPipelineSpec extends SparkTestBase {
     rows shouldBe Array(("SEG_A", 1L, 10.0), ("SEG_B", 1L, 20.0))
   }
 
+  test("late data beyond the watermark is dropped from closed windows") {
+    KeyValueSink.KVStore.clear()
+    val dir = Files.createTempDirectory("slate").toString
+    val input = s"$dir/in"
+    val ckpt = s"$dir/ckpt"
+    // batch 1 advances the watermark far past 10:00 (watermark = max - 30min)
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 15:00:00"), 2L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.parquet(input)
+    def run(): Unit = StreamingPipeline.runOnce(StreamingPipeline.toKvSink(
+      StreamingPipeline.kpiStream(spark, input, schema, 60, 30), "LateKpis", ckpt))
+    run()
+    val v1 = KeyValueSink.KVStore.scan("LateKpis")
+      .find(_._1._3 == "click").map(_._2("event_count"))
+
+    // batch 2: an event for the long-closed 10:00 window arrives late
+    Seq((3L, Timestamp.valueOf("2024-01-01 10:10:00"), 3L, "click", 99.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.mode("append").parquet(input)
+    KeyValueSink.KVStore.clear()
+    run()
+    // the late row updated NO window: nothing re-emitted in update mode
+    KeyValueSink.KVStore.scan("LateKpis") shouldBe empty
+    v1 shouldBe Some(1L)
+  }
+
   test("dedupStream drops at-least-once replays within the watermark") {
     val dir = Files.createTempDirectory("sdedup").toString
     val input = s"$dir/in"
