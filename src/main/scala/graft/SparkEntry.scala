@@ -419,6 +419,12 @@ object SparkEntry {
         .groupBy(col("q_start_us"))
         .agg(count(lit(1)).as("n_items"),
           ExactAgg.moneySum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // §2.7 — duplicate clustering: pairs → connected components → canonical
+    "q45_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateClusters(docs, Dedup.ngramJaccardPairs(docs, 0.6))
     })
   )
 
@@ -796,6 +802,32 @@ object SparkEntry {
         |  ON epoch_us(l.l_shipdate) >= iv.q_start_us
         | AND epoch_us(l.l_shipdate) < iv.q_start_us + 3888000000000
         |GROUP BY 1""".stripMargin,
+
+    // transitive closure over the (undirected) near-dup pair graph; the
+    // component id is the min reachable doc_id
+    "q45_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach
+         |         FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |       least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component,
+         |       d.doc_id = least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
 
     // gap-merge sessions: cumulative new-session flags form session ids;
     // session_window's end = last event + gap

@@ -205,6 +205,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate clustering: connected components over a near-dup pair graph,
+    * assigning every document the MINIMUM doc_id reachable from it — the
+    * canonical representative of its duplicate cluster (`is_canonical`
+    * marks the keeper; everything else is droppable).
+    *
+    * Iterative min-label propagation on DataFrames: each round, a node's
+    * component becomes the min of its own and its neighbors' components;
+    * convergence in O(cluster diameter) rounds — duplicate clusters are
+    * shallow (near-dup relations are close to transitive), so this is 2–4
+    * distributed joins, each a plain shuffle on the edge key. Deterministic
+    * by construction (min is order-independent).
+    */
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame,
+                        maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).cache()
+    var comp = docs.select(col("doc_id"), col("doc_id").as("component")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(comp, edges("b") === comp("doc_id"))
+        .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      val next = comp.join(nbrMin, comp("doc_id") === nbrMin("a"), "left_outer")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .cache()
+      val changed = next.as("n").join(comp.as("c"), "doc_id")
+        .filter(col("n.component") =!= col("c.component")).limit(1).count()
+      comp.unpersist()
+      comp = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    comp.withColumn("is_canonical", col("doc_id") === col("component"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by the `label` column (stand-in
     * for a cluster/bucket id — at scale the block key comes from coarse
     * quantization, e.g. the IVF cell). Norms precomputed pre-join.

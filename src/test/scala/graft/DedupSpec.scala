@@ -71,6 +71,18 @@ class DedupSpec extends SparkTestBase {
     pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
   }
 
+  test("duplicateClusters: transitive closure to the min doc_id, singletons canonical") {
+    val nodes = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // chain 1-2-3 (one cluster via transitivity), pair 5-6, singletons 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_id_1", "doc_id_2")
+    val r = Dedup.duplicateClusters(nodes, pairs)
+      .select("doc_id", "component", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false), (7L, 7L, true))
+  }
+
   test("embeddingNearDupPairs finds same-label near-identical vectors") {
     val emb = Seq(
       (1L, 0, Array(1.0f, 0.0f, 0.0f)),
