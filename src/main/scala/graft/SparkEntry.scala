@@ -425,7 +425,19 @@ object SparkEntry {
     "q45_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.duplicateClusters(docs, Dedup.ngramJaccardPairs(docs, 0.6))
-    })
+    }),
+
+    // §2.6 — TPC-H Q6 shape: every range predicate reaches the parquet scan
+    // (PushedFilters), asserted in PlanShapeSpec
+    "q46_filtered_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(ExactAgg.scaledSum(col("l_extendedprice") * col("l_discount"), 10000)
+          .as("revenue"),
+          count(lit(1)).as("n_items")))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -802,6 +814,15 @@ object SparkEntry {
         |  ON epoch_us(l.l_shipdate) >= iv.q_start_us
         | AND epoch_us(l.l_shipdate) < iv.q_start_us + 3888000000000
         |GROUP BY 1""".stripMargin,
+
+    "q46_filtered_revenue" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     // transitive closure over the (undirected) near-dup pair graph; the
     // component id is the min reachable doc_id

@@ -44,6 +44,17 @@ class PlanShapeSpec extends SparkTestBase {
     p should not include "CartesianProduct"
   }
 
+  test("q46: every range predicate is pushed to the parquet scan") {
+    val scans = SparkEntry.queries("q46_filtered_revenue")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val pushed = scans.head.metadata("PushedFilters")
+    pushed should include("GreaterThanOrEqual(l_shipdate")
+    pushed should include("LessThan(l_shipdate")
+    pushed should include("GreaterThanOrEqual(l_discount,0.05)")
+    pushed should include("LessThan(l_quantity,24.0)")
+  }
+
   test("q07: only the needed lineitem columns reach the scan") {
     val scans = SparkEntry.queries("q07_pricing_summary")(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan.collect {
