@@ -437,7 +437,27 @@ object SparkEntry {
           col("l_quantity") < 24)
         .agg(ExactAgg.scaledSum(col("l_extendedprice") * col("l_discount"), 10000)
           .as("revenue"),
-          count(lit(1)).as("n_items")))
+          count(lit(1)).as("n_items"))),
+
+    // §2.7/§2.9 — fuzzy (edit-distance) matching within brand blocks
+    "q47_fuzzy_part_names" -> ((s, dir) =>
+      TextAnalysis.fuzzyPairs(t(s, dir, "part"),
+        "p_partkey", "p_name", "p_brand", 2)),
+
+    // §2.9 — stratified content-hash sampling: per-language fractions from
+    // hash-bucket thresholds (reproducible, no shuffling, no randomness)
+    "q48_stratified_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+        .withColumn("bucket",
+          (expr("instr('0123456789abcdef', substring(fp, 1, 1))") - 1) * 16 +
+            expr("instr('0123456789abcdef', substring(fp, 2, 1))") - 1)
+        .filter(
+          (col("lang") === "en" && col("bucket") < 128) ||  // 50% of en
+          (col("lang") =!= "en" && col("bucket") < 32))     // 12.5% elsewhere
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+    })
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -814,6 +834,24 @@ object SparkEntry {
         |  ON epoch_us(l.l_shipdate) >= iv.q_start_us
         | AND epoch_us(l.l_shipdate) < iv.q_start_us + 3888000000000
         |GROUP BY 1""".stripMargin,
+
+    "q47_fuzzy_part_names" ->
+      """SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,
+        |       levenshtein(a.p_name, b.p_name) AS distance
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    "q48_stratified_sample" ->
+      s"""WITH x AS (
+         |  SELECT lang,
+         |         (strpos('0123456789abcdef', substr(md5($NormSql), 1, 1)) - 1) * 16
+         |           + strpos('0123456789abcdef', substr(md5($NormSql), 2, 1)) - 1 AS bucket
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_sampled
+         |FROM x
+         |WHERE (lang = 'en' AND bucket < 128) OR (lang <> 'en' AND bucket < 32)
+         |GROUP BY 1""".stripMargin,
 
     "q46_filtered_revenue" ->
       """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,

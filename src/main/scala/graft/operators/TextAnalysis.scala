@@ -83,4 +83,21 @@ object TextAnalysis {
   /** Order-sensitive rolling-hash fingerprint (Karp–Rabin over tokens). */
   def rollingFingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), rollingHash(col("text")).as("rolling_fp"))
+
+  /** Fuzzy string matching: same-block pairs within `maxDistance` edit
+    * distance. Blocking is mandatory — levenshtein is O(|s|²) per pair, so
+    * the block key (brand, lang, length band, …) must bound pair counts;
+    * this is the short-string complement to the shingle-Jaccard family
+    * (which wins on long documents).
+    */
+  def fuzzyPairs(items: DataFrame, idCol: String, textCol: String,
+                 blockCol: String, maxDistance: Int): DataFrame = {
+    val a = items.select(col(idCol).as("id_1"), col(textCol).as("t1"), col(blockCol).as("blk"))
+    val b = items.select(col(idCol).as("id_2"), col(textCol).as("t2"), col(blockCol).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("distance", levenshtein(col("t1"), col("t2")).cast("long"))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_1"), col("id_2"), col("distance"))
+  }
 }
