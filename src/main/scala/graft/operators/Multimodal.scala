@@ -57,6 +57,22 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: normalize decoded media to a target (width, height),
+    * rescaling the feature vector deterministically — the post-decode
+    * normalization stage every vision pipeline has. Swap the arithmetic for
+    * a real resampler; the Dataset-in/Dataset-out shape stays.
+    */
+  def resize(features: Dataset[MediaFeature], targetW: Int,
+             targetH: Int): Dataset[MediaFeature] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val sx = targetW.toFloat / f.width
+      val sy = targetH.toFloat / f.height
+      f.copy(width = targetW, height = targetH,
+        feature = f.feature.map(v => v * sx * sy))
+    }
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** STUB frame sampler: `nFrames` evenly spaced "frames" (byte slices) per

@@ -18,6 +18,15 @@ class MultimodalSpec extends SparkTestBase {
     r(0)._3 should fullyMatch regex "[0-9a-f]{64}"
   }
 
+  test("resize normalizes every row to the target dimensions") {
+    val r = Multimodal.resize(Multimodal.decodeFeatures(spark, docs), 32, 32).collect()
+    r.foreach { f =>
+      f.width shouldBe 32
+      f.height shouldBe 32
+      f.feature.length shouldBe 8
+    }
+  }
+
   test("frameSample: 1 payload row fans out to n typed frame rows") {
     val frames = Multimodal.frameSample(spark, docs, 4).collect()
     frames.count(_.doc_id == 1L) shouldBe 4
