@@ -72,15 +72,15 @@ class Pipeline(spark: SparkSession, workDir: String) {
     KeyValueSink.write(
       Kpi.kvItems(top3, "event_date", ("segment", "event_type"), "cnt"),
       "TopTypesPerSegment", "pk", "sk")
-    // mark processed + archive (music_etl_pipeline.py:47-63)
+    // mark processed + archive (music_etl_pipeline.py:47-63). Every Spark
+    // action above has completed, so the input is no longer being read;
+    // the move is an atomic same-filesystem rename for files AND parquet
+    // directories.
     markProcessed(name)
     val target = archiveDir.resolve(name)
     val src = Paths.get(eventsFile)
-    if (Files.exists(src)) {
-      if (Files.isDirectory(src)) { // parquet dirs: record the move via ledger only
-        ()
-      } else Files.move(src, target, StandardCopyOption.REPLACE_EXISTING)
-    }
+    if (Files.exists(src))
+      Files.move(src, target, StandardCopyOption.REPLACE_EXISTING)
     true
   }
 }

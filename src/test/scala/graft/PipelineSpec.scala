@@ -28,7 +28,10 @@ class PipelineSpec extends SparkTestBase {
     spark.read.parquet(s"$work/bad-records/batch1").count() shouldBe 1
     // KV sink received the top-k items
     KeyValueSink.KVStore.scan("TopTypesPerSegment").size should be > 0
-    // idempotency: second run is a no-op
+    // archive: the input moved out of the landing zone (raw/ -> archive/)
+    new java.io.File(input).exists() shouldBe false
+    new java.io.File(s"$work/archive/batch1").exists() shouldBe true
+    // idempotency: second run is a no-op (ledger, not file presence)
     p.processFile(input, customer) shouldBe false
     p.processedFiles() shouldBe Set("batch1")
   }
