@@ -20,12 +20,19 @@ object VectorFunctions {
   def vdot(a: Column, b: Column): Column =
     call_function("graft_vector_dot", a, b)
 
-  /** Dot product as a pure built-in fold — same semantics as `vdot`. */
-  def vdotFold(a: Column, b: Column): Column =
+  /** Dot product as a pure built-in fold — same semantics as `vdot`,
+    * including on length-mismatched input: both forms clamp to the shorter
+    * array (the slice below; `zip_with` alone would null-pad the short side
+    * and poison the fold, diverging from the kernel exactly on bad rows).
+    */
+  def vdotFold(a: Column, b: Column): Column = {
+    val n = least(size(a), size(b))
     aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      zip_with(slice(a, lit(1), n), slice(b, lit(1), n),
+        (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, x) => acc + x)
+  }
 
   /** L2 norm. */
   def vnorm(a: Column): Column = sqrt(vdot(a, a))

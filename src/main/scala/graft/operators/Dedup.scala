@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB contract): nothing here is ever all-pairs over the
   * corpus. Exact dedup is one shuffle on the content hash. Near-dup
   * candidate generation is always *blocked* — explicit (lang, length-band)
-  * blocks for Jaccard, LSH band-buckets for MinHash, same-signature blocks
-  * for SimHash, label/cluster blocks for embeddings — so pair counts are
+  * blocks for Jaccard, LSH band-buckets for MinHash, pigeonhole segment
+  * buckets for SimHash, label/cluster blocks for embeddings — so pair counts
+  * are
   * bounded by block sizes, and each block join is an ordinary shuffle join
   * on the block key (skew bounded by the banding parameters).
   */
@@ -189,20 +190,50 @@ object Dedup {
     docs.select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within (lang) blocks: hamming distance
-    * (bit_count of xor) <= maxHamming.
+  /** SimHash near-dup pairs via pigeonhole band blocking: hamming distance
+    * (bit_count of xor) <= maxHamming, restricted to same-`lang` documents.
+    *
+    * Candidate generation splits the 64-bit signature into `maxHamming + 1`
+    * segments. Two signatures within the hamming bound differ in at most
+    * `maxHamming` bit positions, so by pigeonhole at least one segment is
+    * bit-identical on both — an equi-join on (lang, segment index, segment
+    * value) finds every qualifying pair, and only same-segment collisions
+    * are ever compared. Exact `bit_count(xor)` refines candidates, and
+    * `distinct` collapses pairs that collide in several segments. No
+    * all-pairs stage exists at any scale: the shuffle key is the segment
+    * bucket, the same shape as the MinHash LSH band join above.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nSeg = maxHamming + 1
     val sh = simhash(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+    // segment i covers bits [i*64/nSeg, (i+1)*64/nSeg) — widths differ by at
+    // most one bit when 64 % nSeg != 0, which pigeonhole doesn't care about
+    val segs = (0 until nSeg).map { i =>
+      val lo = i * 64 / nSeg
+      val hi = (i + 1) * 64 / nSeg
+      val width = hi - lo
+      val segval =
+        if (width == 64) col("simhash")
+        else shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1L))
+      struct(lit(i).as("seg"), segval.as("segval"))
+    }
+    val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(array(segs: _*)).as("s"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("s.seg").as("seg"), col("s.segval").as("segval"))
+    banded.as("a").join(banded.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.seg") === col("b.seg") &&
+        col("a.segval") === col("b.segval") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_id_1"),
         col("b.doc_id").as("doc_id_2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Duplicate clustering: connected components over a near-dup pair graph,
@@ -215,13 +246,19 @@ object Dedup {
     * convergence in O(cluster diameter) rounds — duplicate clusters are
     * shallow (near-dup relations are close to transitive), so this is 2–4
     * distributed joins, each a plain shuffle on the edge key. Deterministic
-    * by construction (min is order-independent).
+    * by construction (min is order-independent). Each round's frame is
+    * `localCheckpoint`ed, truncating lineage so deep graphs don't compound
+    * the plan (a cache alone keeps the whole join chain in the plan and
+    * re-analysis cost grows per round). Throws if `maxIter` rounds pass
+    * without convergence — partial components are silently-wrong output.
     */
   def duplicateClusters(docs: DataFrame, pairs: DataFrame,
                         maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
-    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).cache()
-    var comp = docs.select(col("doc_id"), col("doc_id").as("component")).cache()
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var comp = docs.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -231,7 +268,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .cache()
+        .localCheckpoint()
       val changed = next.as("n").join(comp.as("c"), "doc_id")
         .filter(col("n.component") =!= col("c.component")).limit(1).count()
       comp.unpersist()
@@ -240,6 +277,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter iterations; " +
+          "raise maxIter (components need O(cluster diameter) rounds)")
     comp.withColumn("is_canonical", col("doc_id") === col("component"))
   }
 

@@ -83,17 +83,25 @@ object Similarity {
     * corpus into cells; a query probes only its `nProbe` nearest cells and
     * re-ranks those candidates exactly.
     *
-    * The 100 TB shape: the index build is one KMeans fit (sampled) plus one
-    * cell-assignment pass; search shuffles nothing corpus-sized — centroids
-    * are a tiny broadcast table, candidate fetch is an equi-join on cell id,
-    * and the exact re-rank touches ~nProbe/nCells of the corpus.
+    * The 100 TB shape: the index build is one KMeans fit over a
+    * `fitFraction` sample (centroids don't need the full corpus — the
+    * iterative fit must not scan 100 TB per iteration) plus one
+    * cell-assignment pass over the full corpus; search shuffles nothing
+    * corpus-sized — centroids are a tiny broadcast table, candidate fetch is
+    * an equi-join on cell id, and the exact re-rank touches ~nProbe/nCells
+    * of the corpus.
     */
   def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
-             nProbe: Int = 3): DataFrame = {
+             nProbe: Int = 3, fitFraction: Double = 0.1): DataFrame = {
     val vecs = emb.withColumn("fvec", array_to_vector(col("embedding")))
+    // sampled quantizer fit; the limit() union is a tiny-corpus floor
+    // guaranteeing >= 20*nCells fit rows regardless of fraction (cheap at
+    // scale: limit short-circuits; duplicate rows only re-weight KMeans)
+    val fitSet = vecs.sample(withReplacement = false, fitFraction, seed = 42L)
+      .union(vecs.limit(nCells * 20))
     val model = new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("fvec").setPredictionCol("cell")
-      .fit(vecs)
+      .fit(fitSet)
     val indexed = model.transform(vecs)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         vnorm(col("embedding")).as("c_nrm"), col("cell"))

@@ -71,6 +71,43 @@ class DedupSpec extends SparkTestBase {
     pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
   }
 
+  test("simhashPairs pigeonhole banding agrees with the all-pairs baseline") {
+    // varied corpus: exact dups, one-token edits, and unrelated docs in two langs
+    val words = Array("spark", "data", "cluster", "shuffle", "join", "scan",
+      "parquet", "column", "row", "partition", "stage", "task")
+    val corpus = (0 until 40).map { i =>
+      val base = (0 until 8).map(j => words((i / 4 + j) % words.length))
+      val text =
+        if (i % 4 == 1) base.mkString(" ")                       // dup of i-1
+        else if (i % 4 == 2) base.updated(3, "edited").mkString(" ") // near-dup
+        else base.mkString(" ")
+      (i.toLong, if (i % 2 == 0) "en" else "fr", text)
+    }.toDF("doc_id", "lang", "text")
+    val maxH = 8
+    val banded = Dedup.simhashPairs(corpus, maxH)
+      .select("doc_id_1", "doc_id_2", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // all-pairs baseline straight off the signatures
+    val sh = Dedup.simhash(corpus)
+      .join(corpus.select(col("doc_id"), col("lang")), "doc_id")
+      .select("doc_id", "lang", "simhash").as[(Long, String, Long)].collect()
+    val baseline = (for {
+      a <- sh; b <- sh
+      if a._2 == b._2 && a._1 < b._1
+      h = java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= maxH
+    } yield (a._1, b._1, h.toLong)).toSet
+    baseline should not be empty // the corpus must actually exercise the bound
+    banded shouldBe baseline
+  }
+
+  test("simhashPairs plan is a segment-bucket equi-join, not an intra-lang cross product") {
+    val plan = Dedup.simhashPairs(docs, 3).queryExecution.executedPlan.toString
+    plan should include("segval") // join key carries the pigeonhole segment
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("duplicateClusters: transitive closure to the min doc_id, singletons canonical") {
     val nodes = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     // chain 1-2-3 (one cluster via transitivity), pair 5-6, singletons 4 and 7
@@ -81,6 +118,22 @@ class DedupSpec extends SparkTestBase {
     r shouldBe Array(
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (4L, 4L, true), (5L, 5L, true), (6L, 5L, false), (7L, 7L, true))
+  }
+
+  test("duplicateClusters handles a deep path graph (diameter > 5) without plan blowup") {
+    val n = 12L // path 1-2-...-12: needs ~11 propagation rounds
+    val nodes = (1L to n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
+    val r = Dedup.duplicateClusters(nodes, pairs, maxIter = 20)
+      .select("doc_id", "component").as[(Long, Long)].collect()
+    r.map(_._2).distinct shouldBe Array(1L)
+  }
+
+  test("duplicateClusters throws instead of returning partial components at maxIter") {
+    val nodes = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
+    an[IllegalStateException] should be thrownBy
+      Dedup.duplicateClusters(nodes, pairs, maxIter = 2)
   }
 
   test("embeddingNearDupPairs finds same-label near-identical vectors") {

@@ -25,6 +25,18 @@ class KernelPropertySpec extends SparkTestBase {
     rows.foreach { case (fast, fold) => assert(fast == fold) }
   }
 
+  test("property: vdot == fold on length-mismatched arrays (both clamp to shorter)") {
+    val pairs = (1 to 50).map { _ =>
+      val (na, nb) = (rng.nextInt(65), rng.nextInt(65)) // usually unequal
+      (Array.fill(na)(rng.nextFloat() * 10f), Array.fill(nb)(rng.nextFloat() * 10f))
+    }
+    val rows = pairs.toDF("a", "b").select(
+      VectorFunctions.vdot(col("a"), col("b")).as("fast"),
+      VectorFunctions.vdotFold(col("a"), col("b")).as("fold"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (fast, fold) => assert(fast == fold) } // never null/NaN
+  }
+
   test("property: sorted_intersect_count == size(array_intersect)") {
     def sortedSet() = Array.fill(rng.nextInt(201))(
       rng.nextLong() % 1000L).distinct.sorted

@@ -38,4 +38,48 @@ class QualitySpec extends SparkTestBase {
     back.count() shouldBe 1000
     back.select("id").as[Long].collect().sorted shouldBe (1L to 1000L).toArray
   }
+
+  test("compaction swap is crash-safe: every interruption point leaves readable data") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def freshDataset(): String = {
+      val dir = Files.createTempDirectory("crash").toString + "/t"
+      (1 to 100).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+        .repartition(4).write.parquet(dir)
+      dir
+    }
+    def assertIntact(dir: String): Unit =
+      spark.read.parquet(dir).count() shouldBe 100
+
+    // crash after step 1 (tmp written, canonical untouched): recover drops tmp
+    val d1 = freshDataset()
+    spark.read.parquet(d1).repartition(1).write.parquet(d1 + "_compacting")
+    Compaction.recover(fs, new Path(d1))
+    fs.exists(new Path(d1 + "_compacting")) shouldBe false
+    assertIntact(d1)
+
+    // crash between steps 2 and 3 (canonical renamed away, new copy complete):
+    // recover promotes the compacted copy
+    val d2 = freshDataset()
+    spark.read.parquet(d2).repartition(1).write.parquet(d2 + "_compacting")
+    fs.rename(new Path(d2), new Path(d2 + "_old"))
+    Compaction.recover(fs, new Path(d2))
+    assertIntact(d2)
+    fs.exists(new Path(d2 + "_old")) shouldBe false
+
+    // crash between steps 3 and 4 (swap done, old copy not yet deleted)
+    val d3 = freshDataset()
+    spark.read.parquet(d3).repartition(1).write.parquet(d3 + "_old")
+    Compaction.recover(fs, new Path(d3))
+    assertIntact(d3)
+    fs.exists(new Path(d3 + "_old")) shouldBe false
+
+    // and compact() itself runs recovery first: interrupted state, then compact
+    val d4 = freshDataset()
+    spark.read.parquet(d4).repartition(1).write.parquet(d4 + "_compacting")
+    fs.rename(new Path(d4), new Path(d4 + "_old"))
+    val (_, after) = Compaction.compact(spark, d4, targetBytes = 1024L * 1024 * 1024)
+    after shouldBe 1
+    assertIntact(d4)
+  }
 }
