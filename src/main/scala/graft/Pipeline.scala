@@ -45,33 +45,72 @@ class Pipeline(spark: SparkSession, workDir: String) {
     * processed (music_etl_pipeline.py:34-45). Returns true if processed.
     * A file whose schema fails validation branches to the rejected ledger
     * (no partial outputs) and returns false.
+    *
+    * Full reference surface per file:
+    *  - validate BOTH inputs (validate.py:59-61 validates users, songs AND
+    *    streams): bad rows of each land in bad-records/, good rows in
+    *    validated/ — downstream stages read only validated data;
+    *  - transform writes THREE processed outputs (transform.py:53-55 —
+    *    avg_metrics, top_songs, top_genres analogs), each date-partitioned;
+    *  - load provisions THREE KV tables with declared hash+range key
+    *    schemas (load_dynamo.py:83-117) and loads each from its transform
+    *    output (load_dynamo.py:157-173).
+    *
+    * The enriched fact⋈dim frame feeds all three outputs: it is persisted
+    * for the span of the three write actions (one scan + one broadcast join
+    * total, three aggregations off the cached frame), then released.
     */
   def processFile(eventsFile: String, customer: DataFrame,
-                  requiredCols: Seq[String] = Seq("user_id", "event_type", "ts")): Boolean = {
+                  requiredCols: Seq[String] = Seq("user_id", "event_type", "ts"),
+                  dimRequiredCols: Seq[String] = Seq("c_custkey", "c_mktsegment")): Boolean = {
     val name = Paths.get(eventsFile).getFileName.toString
     if (processedFiles().contains(name)) return false
     if (rejectedFiles().exists(_.startsWith(name + "\t")) ||
         rejectedFiles().contains(name)) return false
 
     val raw = spark.read.parquet(eventsFile)
-    // validate (glue_jobs/validate.py); schema failure -> rejected branch
-    val (good, bad) =
-      try Validation.splitGoodBad(raw, requiredCols, "events")
+    // validate (glue_jobs/validate.py:34-47), both datasets; schema failure
+    // on either input -> rejected branch, no partial outputs
+    val ((good, bad), (dimGood, dimBad)) =
+      try (Validation.splitGoodBad(raw, requiredCols, "events"),
+        Validation.splitGoodBad(customer, dimRequiredCols, "customer"))
       catch {
         case e: Validation.MissingColumnsException =>
           markRejected(name, e.missing.mkString(","))
           return false
       }
-    bad.write.mode("overwrite").parquet(s"$workDir/bad-records/$name")
-    // transform (glue_jobs/transform.py)
-    val kpis = Kpi.dailyKpis(good, customer)
-    PartitionedSink.writeDaily(kpis, "event_date", s"$workDir/processed/daily_kpis")
-    val top3 = Kpi.topKPerGroup(
-      Kpi.enrich(good, customer), Seq("event_date", "segment"), "event_type", 3)
-    // load (glue_jobs/load_dynamo.py)
-    KeyValueSink.write(
-      Kpi.kvItems(top3, "event_date", ("segment", "event_type"), "cnt"),
-      "TopTypesPerSegment", "pk", "sk")
+    bad.write.mode("overwrite").parquet(s"$workDir/bad-records/events/$name")
+    dimBad.write.mode("overwrite").parquet(s"$workDir/bad-records/customer/$name")
+    good.write.mode("overwrite").parquet(s"$workDir/validated/events/$name")
+    dimGood.write.mode("overwrite").parquet(s"$workDir/validated/customer/$name")
+    val vGood = spark.read.parquet(s"$workDir/validated/events/$name")
+    val vDim = spark.read.parquet(s"$workDir/validated/customer/$name")
+
+    // transform (glue_jobs/transform.py:26-55): three processed outputs
+    val enriched = Kpi.enrich(vGood, vDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kpis = Kpi.kpisFromEnriched(enriched)
+      PartitionedSink.writeDaily(kpis, "event_date", s"$workDir/processed/daily_kpis")
+      val top3 = Kpi.topKPerGroup(enriched, Seq("event_date", "segment"), "event_type", 3)
+      PartitionedSink.writeDaily(top3, "event_date", s"$workDir/processed/top_types")
+      val top5 = Kpi.topKPerGroup(enriched, Seq("event_date"), "segment", 5)
+      PartitionedSink.writeDaily(top5, "event_date", s"$workDir/processed/top_segments")
+
+      // load (glue_jobs/load_dynamo.py:83-175): provision with declared key
+      // schemas, then load all three tables from the processed outputs
+      KeyValueSink.createTableIfNotExists("DailyKpis",
+        KeyValueSink.KeySchema("date", "segment"))
+      KeyValueSink.createTableIfNotExists("TopTypesPerSegment",
+        KeyValueSink.KeySchema("pk", "sk"))
+      KeyValueSink.createTableIfNotExists("TopSegmentsPerDay",
+        KeyValueSink.KeySchema("date", "segment"))
+      KeyValueSink.write(Kpi.kvDailyKpis(kpis), "DailyKpis", "date", "segment")
+      KeyValueSink.write(
+        Kpi.kvItems(top3, "event_date", ("segment", "event_type"), "cnt"),
+        "TopTypesPerSegment", "pk", "sk")
+      KeyValueSink.write(Kpi.kvTopSegments(top5), "TopSegmentsPerDay", "date", "segment")
+    } finally enriched.unpersist()
     // mark processed + archive (music_etl_pipeline.py:47-63). Every Spark
     // action above has completed, so the input is no longer being read;
     // the move is an atomic same-filesystem rename for files AND parquet

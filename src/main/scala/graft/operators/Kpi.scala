@@ -41,7 +41,13 @@ object Kpi {
     * total value, event count, and the derived avg-per-user ratio.
     */
   def dailyKpis(events: DataFrame, customer: DataFrame): DataFrame =
-    enrich(events, customer)
+    kpisFromEnriched(enrich(events, customer))
+
+  /** KPI aggregation over an already-enriched frame — lets an orchestrator
+    * compute `enrich` once and feed several aggregations off it.
+    */
+  def kpisFromEnriched(enriched: DataFrame): DataFrame =
+    enriched
       .groupBy(col("event_date"), col("segment"))
       .agg(
         countDistinct(col("user_id")).as("unique_users"),
@@ -76,4 +82,30 @@ object Kpi {
         col(countCol).cast("long").as("play_count"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Daily-KPI items for the DailyKpis table (load_dynamo.py:121-131's
+    * build_genre_kpi: null-key skip, string date, numeric coercions).
+    */
+  def kvDailyKpis(kpis: DataFrame): DataFrame =
+    kpis
+      .filter(col("event_date").isNotNull && col("segment").isNotNull)
+      .select(
+        col("event_date").cast("string").as("date"),
+        col("segment"),
+        col("unique_users").cast("long").as("unique_users"),
+        col("total_value").cast("double").as("total_value"),
+        col("event_count").cast("long").as("event_count"),
+        col("avg_value_per_user").cast("double").as("avg_value_per_user"))
+
+  /** Top-segments-per-day items for the TopSegmentsPerDay table
+    * (load_dynamo.py:145-153's build_top_genre).
+    */
+  def kvTopSegments(top: DataFrame): DataFrame =
+    top
+      .filter(col("event_date").isNotNull && col("segment").isNotNull)
+      .select(
+        col("event_date").cast("string").as("date"),
+        col("segment"),
+        col("cnt").cast("long").as("cnt"),
+        col("rank").cast("long").as("rank"))
 }

@@ -17,23 +17,48 @@ class PipelineSpec extends SparkTestBase {
       (3L, null.asInstanceOf[Timestamp], 1L, "bad", 5.0) // null ts -> bad record
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.parquet(input)
-    val customer = Seq((1L, "SEG_A"), (2L, "SEG_B")).toDF("c_custkey", "c_mktsegment")
+    val customer = Seq((1L, Some("SEG_A")), (2L, Some("SEG_B")),
+      (3L, None) // null segment -> dim bad record
+    ).toDF("c_custkey", "c_mktsegment")
 
     val p = new Pipeline(spark, work)
     p.processFile(input, customer) shouldBe true
-    // KPIs written per date partition
+    // THREE processed outputs, each date-partitioned (transform.py:53-55)
     val kpis = spark.read.parquet(s"$work/processed/daily_kpis")
     kpis.count() shouldBe 2 // one row per (date, segment)
-    // bad record captured
-    spark.read.parquet(s"$work/bad-records/batch1").count() shouldBe 1
-    // KV sink received the top-k items
-    KeyValueSink.KVStore.scan("TopTypesPerSegment").size should be > 0
+    spark.read.parquet(s"$work/processed/top_types").count() shouldBe 2
+    spark.read.parquet(s"$work/processed/top_segments").count() shouldBe 2
+    // BOTH inputs validated: bad rows captured, good rows in validated/
+    spark.read.parquet(s"$work/bad-records/events/batch1").count() shouldBe 1
+    spark.read.parquet(s"$work/bad-records/customer/batch1").count() shouldBe 1
+    spark.read.parquet(s"$work/validated/events/batch1").count() shouldBe 2
+    spark.read.parquet(s"$work/validated/customer/batch1").count() shouldBe 2
+    // THREE KV tables provisioned with key schemas and populated
+    KeyValueSink.KVStore.describeTable("DailyKpis") shouldBe
+      Some(KeyValueSink.KeySchema("date", "segment"))
+    KeyValueSink.KVStore.scan("DailyKpis").size shouldBe 2
+    KeyValueSink.KVStore.scan("TopTypesPerSegment").size shouldBe 2
+    KeyValueSink.KVStore.scan("TopSegmentsPerDay").size shouldBe 2
+    val kpiItem = KeyValueSink.KVStore.get("DailyKpis", "2024-01-01", "SEG_A").get
+    kpiItem("unique_users") shouldBe 1L
+    kpiItem("event_count") shouldBe 1L
+    kpiItem("total_value") shouldBe 10.0
     // archive: the input moved out of the landing zone (raw/ -> archive/)
     new java.io.File(input).exists() shouldBe false
     new java.io.File(s"$work/archive/batch1").exists() shouldBe true
     // idempotency: second run is a no-op (ledger, not file presence)
     p.processFile(input, customer) shouldBe false
     p.processedFiles() shouldBe Set("batch1")
+  }
+
+  test("KV write against a provisioned table rejects mismatched key columns") {
+    KeyValueSink.KVStore.clear()
+    KeyValueSink.createTableIfNotExists("Strict", KeyValueSink.KeySchema("date", "genre"))
+    val df = Seq(("2024-01-01", "rock")).toDF("pk", "sk")
+    an[IllegalArgumentException] should be thrownBy
+      KeyValueSink.write(df, "Strict", "pk", "sk")
+    an[IllegalArgumentException] should be thrownBy
+      KeyValueSink.createTableIfNotExists("Strict", KeyValueSink.KeySchema("a", "b"))
   }
 
   test("a file failing schema validation branches to rejected, no outputs") {
