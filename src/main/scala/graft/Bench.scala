@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val Headline: Seq[String] = Seq(
     "q03_daily_kpis", "q07_pricing_summary", "q08_top_parts_brand_month",
-    "q09_revenue_by_nation", "q19_ngram_jaccard_pairs", "q22_knn_brute")
+    "q09_revenue_by_nation", "q19_ngram_jaccard_pairs", "q22_knn_brute",
+    // dedup family, tracked from round 2 (baseline rows in BASELINE.md)
+    "q20_minhash_lsh_pairs", "q45_dedup_clusters", "q47_fuzzy_part_names",
+    "q49_neardup_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

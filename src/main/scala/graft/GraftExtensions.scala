@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{SortedIntersectCount, VectorDot}
+import graft.expressions.{ArrayAgreeCount, FirstAgreeIndex, SortedIntersectCount, VectorDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -28,7 +28,15 @@ object GraftFunctions {
     (FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    (FunctionIdentifier("graft_array_agree_count"),
+      new ExpressionInfo(classOf[ArrayAgreeCount].getName,
+        "graft_array_agree_count"),
+      (args: Seq[Expression]) => ArrayAgreeCount(args(0), args(1))),
+    (FunctionIdentifier("graft_first_agree_index"),
+      new ExpressionInfo(classOf[FirstAgreeIndex].getName,
+        "graft_first_agree_index"),
+      (args: Seq[Expression]) => FirstAgreeIndex(args(0), args(1))))
 
   private val registered =
     java.util.Collections.synchronizedMap(

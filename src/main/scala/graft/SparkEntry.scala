@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.ExactAgg
 import graft.operators._
+import graft.sources.CsvSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -74,6 +75,10 @@ object SparkEntry {
        |  SELECT vec_id, label, embedding,
        |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings)""".stripMargin
+
+  // static dirty CSV committed with the repo (absolute: the driver's DuckDB
+  // oracle runs from an unknown cwd)
+  private val DirtyCsvPath = "/root/repo/testdata-ext/dirty_events.csv"
 
   // DuckDB twin of functions.TextFunctions
   private val ToksSql = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -443,6 +448,23 @@ object SparkEntry {
     "q47_fuzzy_part_names" -> ((s, dir) =>
       TextAnalysis.fuzzyPairs(t(s, dir, "part"),
         "p_partkey", "p_name", "p_brand", 2)),
+
+    // §2.1/§2.2 — CSV dirty-data path: PERMISSIVE parse, corrupt rows
+    // split off, good rows compared against DuckDB read_csv(ignore_errors).
+    // The input is a static, committed dirty CSV (type errors, arity
+    // errors, quoted delimiters, null fields) in testdata-ext/.
+    "q50_csv_dirty_split" -> ((s, _) =>
+      CsvSource.readSplit(s, DirtyCsvPath,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"))._1),
+
+    // §2.7 — the composed 100 TB dedup pipeline: LSH candidates → exact
+    // Jaccard verify → connected components, one operator end-to-end.
+    // Oracled: the DuckDB closure over ALL exact-Jaccard pairs matches
+    // because every candidate is exactly verified and LSH recall at the
+    // (threshold, bands, rows) point is 1 - ~5e-8 per pair on this corpus.
+    "q49_neardup_corpus" -> ((s, dir) =>
+      Dedup.nearDupCorpus(t(s, dir, "documents"))),
 
     // §2.9 — stratified content-hash sampling: per-language fractions from
     // hash-bucket thresholds (reproducible, no shuffling, no randomness)
@@ -876,6 +898,39 @@ object SparkEntry {
          |    FROM sh x JOIN sh y
          |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
          |  WHERE jaccard >= 0.6),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach
+         |         FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |       least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component,
+         |       d.doc_id = least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+
+    "q50_csv_dirty_split" ->
+      s"""SELECT event_id, user_id, event_type, value
+         |FROM read_csv('$DirtyCsvPath', header=true,
+         |  columns={'event_id':'BIGINT','user_id':'BIGINT',
+         |           'event_type':'VARCHAR','value':'DOUBLE'},
+         |  ignore_errors=true)""".stripMargin,
+
+    // the composed pipeline: the oracle closures over ALL normalized-text
+    // jaccard >= 0.8 pairs (no blocking) — the Spark side's LSH candidates
+    // are exactly verified, so the sets agree whenever LSH recall is total
+    "q49_neardup_corpus" ->
+      s"""WITH RECURSIVE nd AS (
+         |  SELECT doc_id, $NormSql AS text FROM documents),
+         |sh AS (SELECT doc_id, $ShinglesSql AS s FROM nd),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.8),
          |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
          |reach(src, dst) AS (
          |  SELECT a, b FROM und

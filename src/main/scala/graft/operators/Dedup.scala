@@ -139,31 +139,113 @@ object Dedup {
     * The shuffle key is the (band, bucket) pair — this IS the blocking/
     * salting scheme; bucket sizes (hence pair blowup) are tuned by
     * bands × rows, not by corpus size.
+    *
+    * Plan engineering (a corpus with big duplicate clusters makes the
+    * candidate stream quadratic in cluster size, so per-candidate cost must
+    * be minimal and nothing candidate-sized may shuffle twice):
+    *  - ONE projection computes the shingle pass, the signature, and the
+    *    per-band bucket hashes; both self-join sides repartition on
+    *    (band, sig) with identical plans, so the expensive projection is
+    *    computed and shuffled ONCE (ReusedExchange);
+    *  - verification runs INLINE in the bucket join (the sorted shingle
+    *    arrays ride the banded exchange) — no join-back of candidate pairs
+    *    to a shingle table, which would shuffle the quadratic pair stream
+    *    again, twice, carrying arrays;
+    *  - a pair sharing several bands is emitted only at its FIRST shared
+    *    band (an O(bands) predicate on the bucket-hash arrays) — exactly-
+    *    once by construction, no `distinct` barrier over the pair stream;
+    *  - the lossless size-ratio prune skips the merge kernel for pairs
+    *    whose set sizes already bound jaccard below the threshold.
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes)
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"), hash(slice(col("mh"), j * rows + 1, rows)).as("sig"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.sig"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
-      .distinct()
-    val sh = docs.select(col("doc_id"), normText(col("text")).as("text"))
-    val hs = hashedShingles(sh)
-    cand
-      .join(hs.as("s1"), col("doc_id_1") === col("s1.doc_id"))
-      .join(hs.as("s2"), col("doc_id_2") === col("s2.doc_id"))
-      .select(col("doc_id_1"), col("doc_id_2"),
-        jaccard(col("s1.sh"), col("s2.sh"),
-          col("s1.n_sh") + col("s2.n_sh")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val params = hashParams(numHashes)
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val mh = array(params.map { case (a, b) =>
+      array_min(transform(col("hs"), h => pmod(h * a + b, lit(MersennePrime))))
+    }: _*)
+    val sigArr = array((0 until bands).map { j =>
+      hash(slice(col("mh"), j * rows + 1, rows))
+    }: _*)
+    // Each stacked select materializes its expensive column exactly once:
+    // the consumer references it >1 time, so CollapseProject keeps the
+    // boundary (its cheap-expression guard) and nothing is recomputed.
+    // `coalesce(text, '')` is load-bearing: it makes every derived column
+    // statically non-nullable, so InferFiltersFromConstraints has no
+    // isnotnull(n_sh)-style constraint to infer from the join condition —
+    // such a filter would be pushed below the repartition and inline the
+    // whole shingle pipeline into the scan stage, serializing it into the
+    // (few) input-split tasks instead of the `parts`-way repartition.
+    val pre = docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .repartition(parts, col("doc_id")) // spread the shingle/minhash CPU
+      .select(col("doc_id"), shingles3(normText(col("text"))).as("strs"))
+      .select(col("doc_id"),
+        array_sort(transform(col("strs"), s => xxhash64(s))).as("sh"),
+        transform(col("strs"), s => hash(s).cast("long")).as("hs"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"), mh.as("mh"))
+    // CRITICAL plan-shape detail: the generator input must stay a COMPLEX
+    // expression (the inline array(...)), never a projected attribute. For
+    // an attribute input, InferFiltersFromGenerate adds `size(sigs) > 0`
+    // above the Generate (the SPARK-36715 guard only skips non-cheap
+    // children); predicate pushdown then substitutes that filter through
+    // every projection below, inlining bands × numHashes copies of the
+    // whole minhash pipeline into one per-input-row predicate at the scan
+    // (measured: 98 s for 500 docs). With the inline expression the rule
+    // skips inference entirely. `sigs` is also kept as a column (for the
+    // first-shared-band predicate); recomputing the 2×bands hash-slices
+    // per row is noise next to one minhash pass.
+    val banded = pre.select(col("doc_id"), col("sh"), col("n_sh"), col("mh"),
+        sigArr.as("sigs"), posexplode(sigArr).as(Seq("band", "sig")))
+      .repartition(parts, col("band"), col("sig"))
+    // Exactly-once emission: a pair sharing several bands survives only at
+    // its FIRST shared band — one codegen'd loop over the bucket-hash
+    // arrays (graft_first_agree_index == current band), no `distinct`
+    // barrier over the quadratic candidate stream. A flat `bands-1`-term
+    // conjunction here (and the numHashes-term agreement sum below) would
+    // push the generated join-condition method past the JIT's huge-method
+    // bytecode limit, dropping the whole condition into the JVM bytecode
+    // interpreter — measured 8x wall-clock on this join.
+    val firstSharedBand =
+      call_function("graft_first_agree_index",
+        col("a.sigs"), col("b.sigs")) === col("a.band")
+    val sizeCond =
+      col("a.n_sh") * threshold <= col("b.n_sh") &&
+        col("b.n_sh") * threshold <= col("a.n_sh")
+    // Cheap minhash-agreement pre-screen before the exact kernel: the
+    // fraction of agreeing signature positions is an unbiased jaccard
+    // estimator, so requiring `agree >= mean - 4.75 sigma` of
+    // Binomial(numHashes, threshold) rejects pairs whose jaccard is far
+    // below the threshold while missing a true threshold-level pair with
+    // probability < 1e-6 (same order as the LSH band-recall loss this
+    // operator already accepts). On a dup-heavy corpus this screens out
+    // the bulk of mid-similarity candidates that would otherwise each pay
+    // the O(|sh|) merge.
+    val minAgree = {
+      val mean = numHashes * threshold
+      val sd = math.sqrt(numHashes * threshold * (1 - threshold))
+      math.floor(mean - 4.75 * sd).toInt
+    }
+    val agreeScreen =
+      if (minAgree <= 0) lit(true)
+      else call_function("graft_array_agree_count",
+        col("a.mh"), col("b.mh")) >= minAgree
+    // The threshold check is written INTO the join condition as the LAST
+    // conjunct (conjunct order is preserved into codegen): a trailing
+    // .filter on the projected jaccard would be pushed into the condition
+    // PREPENDED, running the O(|sh|) merge kernel on every raw bucket pair
+    // before the cheap rejects. This order runs it once per surviving
+    // candidate (equi-match -> doc_id -> size prune -> first-band ->
+    // agreement screen) and a second time only to project the value for
+    // threshold survivors.
+    val jac = jaccard(col("a.sh"), col("b.sh"), col("a.n_sh") + col("b.n_sh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id") && sizeCond && firstSharedBand &&
+        agreeScreen && jac >= threshold)
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        jac.as("jaccard"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
@@ -283,6 +365,29 @@ object Dedup {
           "raise maxIter (components need O(cluster diameter) rounds)")
     comp.withColumn("is_canonical", col("doc_id") === col("component"))
   }
+
+  /** The composed corpus-scale dedup pipeline, shipped as ONE operator:
+    * MinHash+LSH candidate generation → exact-Jaccard verification →
+    * connected-component clustering. Returns (doc_id, component,
+    * is_canonical): every document labeled with its duplicate cluster's
+    * canonical (min) doc_id; filter `is_canonical` to materialize the
+    * deduplicated corpus.
+    *
+    * This is the 100 TB path that retires the (lang, length-band) blocked
+    * all-pairs variant above: candidates come from LSH band buckets (bucket
+    * sizes tuned by bands × rows, independent of corpus size), every
+    * candidate is verified with the exact sorted-merge Jaccard kernel (no
+    * false positives — the threshold is checked, not inferred from bucket
+    * membership), and clustering is O(cluster diameter) label propagation.
+    * Recall is the LSH recall: with rows = numHashes/bands hash rows per
+    * band, a pair at jaccard j is missed with probability (1-j^rows)^bands
+    * — at the defaults (rows 4, bands 32), ~5e-8 at j = 0.8 and falling
+    * steeply above; size numHashes/bands to the target threshold.
+    */
+  def nearDupCorpus(docs: DataFrame, numHashes: Int = 128, bands: Int = 32,
+                    threshold: Double = 0.8, maxIter: Int = 20): DataFrame =
+    duplicateClusters(docs, minhashLshPairs(docs, numHashes, bands, threshold),
+      maxIter)
 
   /** Embedding-cosine near-dup pairs, blocked by the `label` column (stand-in
     * for a cluster/bucket id — at scale the block key comes from coarse

@@ -136,6 +136,22 @@ class DedupSpec extends SparkTestBase {
       Dedup.duplicateClusters(nodes, pairs, maxIter = 2)
   }
 
+  test("nearDupCorpus composes LSH -> exact verify -> clusters end to end") {
+    val corpus = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "en", "The  Quick Brown Fox jumps over the lazy dog and runs away"), // dup of 1
+      (3L, "en", "completely different content about spark engines and shuffles"),
+      (4L, "en", "the quick brown fox jumps over the lazy dog and runs home"), // near-dup of 1
+      (5L, "en", "unrelated fifth document mentioning parquet column pruning")
+    ).toDF("doc_id", "lang", "text").withColumn("n_chars", expr("length(text)"))
+    val r = Dedup.nearDupCorpus(corpus, numHashes = 128, bands = 32, threshold = 0.8)
+      .select("doc_id", "component", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    r.filter(_._1 <= 2L).map(_._2).distinct shouldBe Array(1L) // {1,2} clustered
+    r.find(_._1 == 3L).get._2 shouldBe 3L // singleton
+    r.count(_._3) shouldBe (r.map(_._2).distinct.length) // one canonical per cluster
+  }
+
   test("embeddingNearDupPairs finds same-label near-identical vectors") {
     val emb = Seq(
       (1L, 0, Array(1.0f, 0.0f, 0.0f)),

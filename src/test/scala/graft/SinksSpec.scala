@@ -59,6 +59,23 @@ class SinksSpec extends SparkTestBase {
     bad.select("_corrupt_record").as[String].head() shouldBe "2,notanumber"
   }
 
+  test("committed dirty CSV splits 25 good / 7 corrupt (q50's input)") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    val (good, bad) = CsvSource.readSplit(spark,
+      "/root/repo/testdata-ext/dirty_events.csv", schema)
+    good.count() shouldBe 25
+    bad.count() shouldBe 7
+    // type error, over-arity, and text-in-double all captured
+    val badIds = bad.select("_corrupt_record").as[String].collect()
+    badIds.count(_.startsWith("3,xxx")) shouldBe 1
+    badIds.count(_.startsWith("6,106")) shouldBe 1
+    badIds.count(_.startsWith("27,127")) shouldBe 1
+    // quoted-delimiter and null-field rows are NOT corrupt
+    good.filter($"event_id" === 11L).select("event_type").as[String].head() shouldBe "pause,resume"
+    good.filter($"event_id" === 30L).select("value").isEmpty shouldBe false
+  }
+
   test("CsvSource mode matrix: DROPMALFORMED removes, FAILFAST aborts") {
     val dir = Files.createTempDirectory("csvmodes").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
