@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ArrayAgreeCount, FirstAgreeIndex, SortedIntersectCount, VectorDot}
+import graft.expressions.{ArrayAgreeCount, FirstAgreeIndex, MinHashSignature, SortedIntersectCount, VectorDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,7 +36,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_first_agree_index"),
       new ExpressionInfo(classOf[FirstAgreeIndex].getName,
         "graft_first_agree_index"),
-      (args: Seq[Expression]) => FirstAgreeIndex(args(0), args(1))))
+      (args: Seq[Expression]) => FirstAgreeIndex(args(0), args(1))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      // second arg must be a foldable int literal (the signature width)
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Int])))
 
   private val registered =
     java.util.Collections.synchronizedMap(

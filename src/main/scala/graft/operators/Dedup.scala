@@ -111,25 +111,22 @@ object Dedup {
   /** MinHash signatures: numHashes permutations h_i(x) = (a_i*x + b_i) mod p
     * over murmur3-hashed shingles. Returns (doc_id, mh: array<bigint>).
     */
-  private val MersennePrime = 2147483647L // 2^31 - 1
-  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(numHashes)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
-                         rng.nextInt(Int.MaxValue).toLong))
-  }
+  /** All numHashes MinHash components in ONE codegen'd pass over the
+    * shingle-hash array (graft.expressions.MinHashSignature) — the built-in
+    * `array_min(transform(...))` per component re-traverses the array
+    * numHashes times through interpreted higher-order lambdas.
+    */
+  private def minhashExpr(hs: Column, numHashes: Int): Column =
+    call_function("graft_minhash", hs, lit(numHashes))
 
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val params = hashParams(numHashes)
     val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val hs = docs.select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .repartition(parts, col("doc_id")) // parallelize the shingle+minhash CPU
       .select(
         col("doc_id"),
         transform(shingles3(normText(col("text"))), s => hash(s).cast("long")).as("hs"))
-    val mh = array(params.map { case (a, b) =>
-      array_min(transform(col("hs"), h => pmod(h * a + b, lit(MersennePrime))))
-    }: _*)
-    hs.select(col("doc_id"), mh.as("mh"))
+      .select(col("doc_id"), minhashExpr(col("hs"), numHashes).as("mh"))
   }
 
   /** MinHash + LSH near-dup pairs: split the signature into `bands` bands,
@@ -161,11 +158,8 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val params = hashParams(numHashes)
     val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val mh = array(params.map { case (a, b) =>
-      array_min(transform(col("hs"), h => pmod(h * a + b, lit(MersennePrime))))
-    }: _*)
+    val mh = minhashExpr(col("hs"), numHashes)
     val sigArr = array((0 until bands).map { j =>
       hash(slice(col("mh"), j * rows + 1, rows))
     }: _*)
