@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ArrayAgreeCount, FirstAgreeIndex, MinHashSignature, SortedIntersectCount, VectorDot}
+import graft.expressions.{ArrayAgreeCount, FirstAgreeIndex, MinHashSignature, OccurrenceMix, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -41,7 +41,19 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       // second arg must be a foldable int literal (the signature width)
       (args: Seq[Expression]) => MinHashSignature(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        args(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_sorted_first_common"),
+      new ExpressionInfo(classOf[SortedFirstCommon].getName,
+        "graft_sorted_first_common"),
+      (args: Seq[Expression]) => SortedFirstCommon(args(0), args(1))),
+    (FunctionIdentifier("graft_occurrence_mix"),
+      new ExpressionInfo(classOf[OccurrenceMix].getName,
+        "graft_occurrence_mix"),
+      (args: Seq[Expression]) => OccurrenceMix(args(0))),
+    (FunctionIdentifier("graft_sorted_collect"),
+      new ExpressionInfo(classOf[SortedCollect].getName,
+        "graft_sorted_collect"),
+      (args: Seq[Expression]) => SortedCollect(args(0))))
 
   private val registered =
     java.util.Collections.synchronizedMap(

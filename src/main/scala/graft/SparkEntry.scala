@@ -466,6 +466,21 @@ object SparkEntry {
     "q49_neardup_corpus" -> ((s, dir) =>
       Dedup.nearDupCorpus(t(s, dir, "documents"))),
 
+    // §2.7 — GLOBAL exact Jaccard pairs, no blocking: prefix-filtered
+    // (PPJoin/All-Pairs) inverted-index self-join
+    "q51_ppjoin_pairs" -> ((s, dir) =>
+      Dedup.ppjoinJaccardPairs(t(s, dir, "documents"), 0.6)),
+
+    // §2.7 — exact term-frequency-WEIGHTED Jaccard pairs (occurrence
+    // expansion + the same PPJoin machinery)
+    "q52_weighted_jaccard_pairs" -> ((s, dir) =>
+      Dedup.weightedJaccardPairs(t(s, dir, "documents"), 0.6)),
+
+    // §2.7 — weighted MinHash + LSH (rows-only: LSH recall is probabilistic;
+    // DedupSpec asserts exact agreement with q52 at these parameters)
+    "q53_weighted_lsh_pairs" -> ((s, dir) =>
+      Dedup.weightedMinhashLshPairs(t(s, dir, "documents"), 128, 32, 0.6)),
+
     // §2.9 — stratified content-hash sampling: per-language fractions from
     // hash-bucket thresholds (reproducible, no shuffling, no randomness)
     "q48_stratified_sample" -> ((s, dir) => {
@@ -909,6 +924,49 @@ object SparkEntry {
          |       least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component,
          |       d.doc_id = least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS is_canonical
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+
+    // global exact jaccard (5-gram shingles, the operator default) — the
+    // filters on the Spark side (prefix, positional, length) are lossless,
+    // so the oracle is plain all-pairs
+    "q51_ppjoin_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         list_distinct([substr(text, CAST(x AS INT), 5)
+         |           for x in range(1, CAST(length(text) AS BIGINT) - 3)]) AS s
+         |  FROM documents)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.6""".stripMargin,
+
+    // weighted jaccard Σmin/Σmax over trigram term frequencies == set
+    // jaccard of occurrence-expanded multisets: tag the k-th occurrence of
+    // each gram (the tag ORDER within a (doc, gram) group is irrelevant —
+    // any order yields the same {g#1..g#tf} set, so row_number needs no
+    // ORDER BY) and intersect the expanded string sets
+    "q52_weighted_jaccard_pairs" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, $NormSql AS ntext FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         [substr(ntext, CAST(x AS INT), 5)
+         |          for x in range(1, CAST(length(ntext) AS BIGINT) - 3)] AS s
+         |  FROM nrm),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM m),
+         |occ AS (
+         |  SELECT doc_id,
+         |         g || '#' || CAST(row_number() OVER (PARTITION BY doc_id, g)
+         |                          AS VARCHAR) AS e
+         |  FROM ex),
+         |sh AS (SELECT doc_id, list(e) AS s FROM occ GROUP BY doc_id)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.s, b.s))) AS wjaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE wjaccard >= 0.6""".stripMargin,
 
     "q50_csv_dirty_split" ->
       s"""SELECT event_id, user_id, event_type, value

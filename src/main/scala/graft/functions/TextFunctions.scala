@@ -25,13 +25,32 @@ object TextFunctions {
   /** Content fingerprint = md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normText(text).cast("binary"))
 
-  /** Distinct character 3-gram shingles (empty below 3 chars). */
-  def shingles3(text: Column): Column =
-    when(length(text) >= 3,
+  /** Distinct character w-gram shingles (empty below w chars). Wider
+    * shingles trade a larger vocabulary for lower collision rates — on
+    * templated corpora whose character-trigram vocabulary is tiny relative
+    * to the document count, prefix-filtered similarity joins need w ≥ 5 for
+    * rarest-first ordering to mean anything.
+    */
+  def shinglesW(text: Column, w: Int): Column =
+    when(length(text) >= w,
       array_distinct(
-        transform(sequence(lit(1), length(text) - 2),
-          i => text.substr(i, lit(3)))))
+        transform(sequence(lit(1), length(text) - (w - 1)),
+          i => text.substr(i, lit(w)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Character w-gram multiset — `shinglesW` without the distinct: every
+    * occurrence kept, in text order. The term-frequency-weighted twin
+    * (occurrence expansion makes the multiset a plain set — see
+    * `graft.expressions.OccurrenceMix`).
+    */
+  def shinglesMultiW(text: Column, w: Int): Column =
+    when(length(text) >= w,
+      transform(sequence(lit(1), length(text) - (w - 1)),
+        i => text.substr(i, lit(w))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct character 3-gram shingles (empty below 3 chars). */
+  def shingles3(text: Column): Column = shinglesW(text, 3)
 
   /** Karp–Rabin rolling hash of the token stream (base/mod fixed). A cheap
     * order-sensitive document fingerprint; complements the order-insensitive

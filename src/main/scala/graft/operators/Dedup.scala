@@ -108,6 +108,165 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** GLOBAL (unblocked) n-gram Jaccard self-join via frequency-ordered
+    * prefix filtering — the All-Pairs/PPJoin family (Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08) in the MapReduce arrangement of Vernica et al.
+    * (SIGMOD'10), Spark-first. Unlike `ngramJaccardPairs` this needs no
+    * block key at all: EXACT over the whole corpus, candidates bounded by
+    * the prefix inverted index instead of block sizes.
+    *
+    * Three stages, three bounded shuffles:
+    *  1. token df: one map-side-combined count over the shingle stream.
+    *     Output is the VOCABULARY — char w-gram vocab is bounded by
+    *     |charset|^w, corpus-size-independent, so ranking it rarest-first
+    *     with one single-partition window (and broadcasting the rank map)
+    *     stays O(vocab) forever.
+    *  2. per-doc sorted rank arrays: the token stream is already hash-
+    *     partitioned by doc_id (the repartition both this and stage 1 reuse
+    *     — ReusedExchange), the rank map joins in broadcast, and the
+    *     groupBy(doc_id) aggregates exchange-free on that partitioning.
+    *  3. prefix inverted-index self-join: each doc posts only its
+    *     p = n - ceil(t·n) + 1 RAREST tokens (prefix filter: two sets with
+    *     jaccard ≥ t must share a prefix token — rarest-first ordering makes
+    *     posting lists short). Both sides repartition on the token →
+    *     identical exchanges, ReusedExchange, and the join key bounds
+    *     candidates by posting-list sizes, never all-pairs. Duplicate
+    *     instances are collapsed inside the join condition (integer length
+    *     + positional filters, then an O(p) first-common-prefix check) —
+    *     the instance stream is never shuffled — and each surviving pair
+    *     is verified ONCE by exact sorted-merge Jaccard after an array
+    *     join-back (Vernica's record-join stage).
+    *
+    * All pruning is lossless: length filter (t·|A| ≤ |B| ≤ |A|/t), prefix
+    * filter, and positional filter each only discard pairs provably below
+    * threshold, and the ceil() bounds get a -1e-9 slack so double rounding
+    * can only ADMIT a spurious candidate (later rejected by the exact
+    * verify), never drop a true threshold-boundary pair.
+    *
+    * `shingleWidth` (default 5): prefix filtering is only as good as the
+    * vocabulary is large — rarest-first ordering needs tokens that are
+    * actually rare. Character trigrams of heavily templated text can
+    * collapse to a few hundred distinct grams across millions of docs
+    * (this corpus: 377 at sf0.1), making every posting list corpus-sized;
+    * wider shingles restore a usable df distribution at slightly coarser
+    * similarity granularity (standard w-shingling practice).
+    */
+  def ppjoinJaccardPairs(docs: DataFrame, threshold: Double,
+                         shingleWidth: Int = 5): DataFrame =
+    ppjoin(docs, threshold, shingleWidth, verify = true, weighted = false)
+
+  /** EXACT term-frequency-weighted Jaccard pairs over the whole corpus:
+    * the PPJoin machinery above run on occurrence-EXPANDED normalized
+    * 3-gram multisets (see [[weightedMinhashLshPairs]] for the reduction).
+    * The prefix/positional/length filters are plain set theory on the
+    * expanded sets, so they stay lossless; the expanded vocabulary is
+    * bounded by |charset|³ × max per-doc term frequency — still
+    * corpus-size-independent. The exact ground truth the weighted LSH
+    * operator is verified against.
+    */
+  def weightedJaccardPairs(docs: DataFrame, threshold: Double,
+                           shingleWidth: Int = 5): DataFrame =
+    ppjoin(docs, threshold, shingleWidth, verify = true, weighted = true)
+
+  /** The candidate stream of [[ppjoinJaccardPairs]] BEFORE exact
+    * verification — exposed so specs can measure how hard the prefix +
+    * positional filters prune relative to all-pairs.
+    */
+  private[graft] def ppjoinCandidates(docs: DataFrame, threshold: Double,
+                                      shingleWidth: Int = 5): DataFrame =
+    ppjoin(docs, threshold, shingleWidth, verify = false, weighted = false)
+
+  private def ppjoin(docs: DataFrame, threshold: Double, shingleWidth: Int,
+                     verify: Boolean, weighted: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // distinct-shingle hash stream; repartition FIRST (shingle CPU spread +
+    // shared exchange for stages 1 and 2). coalesce → non-nullable chain
+    // (the isnotnull-inference trap, see minhashLshPairs).
+    val tokExpr =
+      if (weighted)
+        explode(call_function("graft_occurrence_mix",
+          array_sort(transform(shinglesMultiW(normText(col("text")), shingleWidth),
+            s => xxhash64(s)))))
+      else
+        explode(transform(shinglesW(col("text"), shingleWidth), s => xxhash64(s)))
+    val toks = docs
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"), tokExpr.as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = dfreq.select(col("tok"),
+      row_number().over(Window.orderBy(col("df"), col("tok")))
+        .cast("long").as("rk"))
+    // graft_sorted_collect, NOT sort_array(collect_list(...)): collect_list
+    // is marked non-deterministic (array order = row order), and one
+    // non-deterministic expression anywhere below the self-join makes
+    // sameResult constant-false — no ReusedExchange, the whole
+    // shingle+df+rank pipeline computed twice. The sorted custom aggregate
+    // is honestly deterministic, so the self-join reuses one exchange.
+    val ranks = toks.join(broadcast(ranked), "tok")
+      .groupBy(col("doc_id"))
+      .agg(call_function("graft_sorted_collect", col("rk")).as("rks"))
+      .select(col("doc_id"), col("rks"), size(col("rks")).as("n"))
+    val pLen = (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .cast("int")
+    // posting rows carry the PREFIX array (~(1-t)·n ranks) but never the
+    // full rank arrays: the prefix is what the exactly-once check below
+    // needs, and full arrays would multiply corpus bytes by p through the
+    // exchange. (generator input stays a complex expression —
+    // InferFiltersFromGenerate trap, see minhashLshPairs; pos is 0-based.)
+    val banded = ranks
+      .select(col("doc_id"), col("n"),
+        slice(col("rks"), lit(1), pLen).as("pref"),
+        posexplode(slice(col("rks"), lit(1), pLen)).as(Seq("pos", "tok")))
+      .repartition(parts, col("tok"))
+    // A near-dup pair shares ~all of its ~p prefix tokens → ~p duplicate
+    // candidate instances. They are collapsed INSIDE the join condition,
+    // cheapest check first, so the instance stream is never shuffled or
+    // aggregated:
+    //  - length filter + positional bound: integer arithmetic. The
+    //    positional bound (overlap ≤ 1 + min(remaining suffixes) must reach
+    //    α = ceil(t/(1+t)·(|A|+|B|)), Xiao et al.) is VALID only at the
+    //    pair's first shared token — at other instances it may wrongly
+    //    pass, but those die at the next check anyway, so filtering early
+    //    is safe and prunes most instances for free;
+    //  - exactly-once: this instance's token must BE the pair's first
+    //    common prefix element (O(p) sorted merge over the two prefixes,
+    //    reached only by instances that survived the integer checks).
+    val sizeCond =
+      col("a.n") * threshold <= col("b.n") &&
+        col("b.n") * threshold <= col("a.n")
+    val alpha = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n")) - lit(1e-9))
+    val positional =
+      lit(1) + least(col("a.n") - col("a.pos") - 1,
+        col("b.n") - col("b.pos") - 1) >= alpha
+    val firstCommon = call_function("graft_sorted_first_common",
+      col("a.pref"), col("b.pref")) === col("a.tok")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") && sizeCond && positional &&
+        firstCommon)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+    if (!verify) return cand.select(col("d1").as("doc_id_1"),
+      col("d2").as("doc_id_2"))
+    // Verify ONCE per surviving pair: fetch both rank arrays back from the
+    // (already doc_id-partitioned) ranks frame — the Vernica record-join.
+    // The candidate stream is post-prune (output-bounded, not the raw
+    // instance stream), so the array bytes shuffled here are
+    // candidates × |doc|, the same corpus-linear class as the build side.
+    val inter = call_function("graft_sorted_intersect_count",
+      col("rks1"), col("rks2"))
+    val jac = inter.cast("double") / (col("na") + col("nb") - inter)
+    cand
+      .join(ranks.select(col("doc_id").as("d1"), col("rks").as("rks1")), "d1")
+      .join(ranks.select(col("doc_id").as("d2"), col("rks").as("rks2")), "d2")
+      .filter(jac >= threshold)
+      .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
+        jac.as(if (weighted) "wjaccard" else "jaccard"))
+  }
+
   /** MinHash signatures: numHashes permutations h_i(x) = (a_i*x + b_i) mod p
     * over murmur3-hashed shingles. Returns (doc_id, mh: array<bigint>).
     */
@@ -156,13 +315,7 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val mh = minhashExpr(col("hs"), numHashes)
-    val sigArr = array((0 until bands).map { j =>
-      hash(slice(col("mh"), j * rows + 1, rows))
-    }: _*)
     // Each stacked select materializes its expensive column exactly once:
     // the consumer references it >1 time, so CollapseProject keeps the
     // boundary (its cheap-expression guard) and nothing is recomputed.
@@ -178,6 +331,51 @@ object Dedup {
       .select(col("doc_id"),
         array_sort(transform(col("strs"), s => xxhash64(s))).as("sh"),
         transform(col("strs"), s => hash(s).cast("long")).as("hs"))
+    lshPairsOnPrepared(pre, numHashes, bands, threshold, "jaccard")
+  }
+
+  /** Term-frequency-WEIGHTED MinHash + LSH near-dup pairs: weighted Jaccard
+    * Σ_g min(tf_A(g), tf_B(g)) / Σ_g max(tf_A(g), tf_B(g)) over character
+    * 3-gram multisets, reduced exactly to plain set Jaccard by occurrence
+    * expansion (`graft_occurrence_mix`: the k-th occurrence of a shingle
+    * becomes a distinct element). After the reduction the signature, band
+    * join, pruning, and exact verification are the SAME code path as the
+    * unweighted operator — one per-row expansion pass is the entire cost
+    * delta, so the 100 TB story is unchanged.
+    */
+  def weightedMinhashLshPairs(docs: DataFrame, numHashes: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.5,
+                              shingleWidth: Int = 5): DataFrame = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pre = docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_occurrence_mix",
+          array_sort(transform(shinglesMultiW(normText(col("text")), shingleWidth),
+            s => xxhash64(s)))).as("sh"))
+    lshPairsOnPrepared(pre, numHashes, bands, threshold, "wjaccard")
+  }
+
+  /** Shared LSH band-join core over a prepared frame of
+    * (doc_id, sh: sorted array<bigint> — the exact-verify set, and
+    * optionally hs: array<bigint> — the signature element stream; `sh`
+    * doubles as `hs` when absent, e.g. for occurrence-expanded multisets).
+    * All plan-shape constraints documented inline are load-bearing.
+    */
+  private def lshPairsOnPrepared(prepared: DataFrame, numHashes: Int,
+                                 bands: Int, threshold: Double,
+                                 simName: String): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val parts =
+      prepared.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val hsCol =
+      if (prepared.columns.contains("hs")) col("hs") else col("sh")
+    val mh = minhashExpr(hsCol, numHashes)
+    val sigArr = array((0 until bands).map { j =>
+      hash(slice(col("mh"), j * rows + 1, rows))
+    }: _*)
+    val pre = prepared
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"), mh.as("mh"))
     // CRITICAL plan-shape detail: the generator input must stay a COMPLEX
     // expression (the inline array(...)), never a projected attribute. For
@@ -239,7 +437,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id") && sizeCond && firstSharedBand &&
         agreeScreen && jac >= threshold)
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
-        jac.as("jaccard"))
+        jac.as(simName))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by

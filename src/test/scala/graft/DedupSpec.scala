@@ -152,6 +152,147 @@ class DedupSpec extends SparkTestBase {
     r.count(_._3) shouldBe (r.map(_._2).distinct.length) // one canonical per cluster
   }
 
+  // ---- PPJoin (prefix-filtered global jaccard) + weighted family ----------
+
+  /** Scala-side shingle reference, mirroring shinglesW (distinct char
+    * 5-grams of the RAW text — the ppjoin default width).
+    */
+  private def triSet(text: String): Set[String] =
+    if (text.length < 5) Set.empty
+    else (0 to text.length - 5).map(i => text.substring(i, i + 5)).toSet
+
+  private def bruteJaccard(rows: Seq[(Long, String)], t: Double) =
+    (for {
+      (d1, t1) <- rows; (d2, t2) <- rows
+      if d1 < d2
+      a = triSet(t1); b = triSet(t2)
+      inter = (a intersect b).size
+      denom = a.size + b.size - inter
+      if denom > 0
+      j = inter.toDouble / denom
+      if j >= t
+    } yield ((d1, d2), j)).toMap
+
+  private def ppCorpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and then runs away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and then runs away hom!"), // near-dup of 1
+    (3L, "completely different content talking about spark catalyst optimizers"),
+    (4L, "the quick brown fox jumps over the lazy cat and then runs away home"), // near-dup of 1
+    (5L, "short doc"),
+    (6L, "yet another unrelated document about parquet column chunk statistics"),
+    (7L, ""), // empty: never pairs
+    (8L, "completely different content talking about spark catalyst optimizer!") // near-dup of 3
+  )
+
+  test("ppjoinJaccardPairs equals the brute-force global jaccard, values exact") {
+    val df = ppCorpus.toDF("doc_id", "text")
+    val got = Dedup.ppjoinJaccardPairs(df, 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => ((r._1, r._2), r._3)).toMap
+    val want = bruteJaccard(ppCorpus, 0.5)
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, j) => j shouldBe want(k) }
+    want should not be empty
+  }
+
+  test("ppjoin prefix+positional pruning collapses a skewed corpus's candidate space") {
+    // every doc shares one hot template; only id pairs (2k, 2k+1) are
+    // near-dups (same random tail, one-char edit). rarest-first prefixes are
+    // filled by the per-doc random-tail trigrams and exclude the hot
+    // template's, so candidates stay near the true-pair count, not all-pairs.
+    val hot = "shared boilerplate header that every single document carries along "
+    val n = 60
+    val corpus = (0 until n).map { i =>
+      val rng = new scala.util.Random(i / 2) // tail shared within a dup pair
+      val tail = Array.fill(40)(('a' + rng.nextInt(26)).toChar).mkString
+      (i.toLong, hot + tail + (if (i % 2 == 1) "!" else ""))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val cands = Dedup.ppjoinCandidates(df, 0.8).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    cands should be < (allPairs / 4)
+    // and the pruned join still returns exactly the brute-force answer
+    val got = Dedup.ppjoinJaccardPairs(df, 0.8)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    got shouldBe bruteJaccard(corpus, 0.8).keySet
+    got should not be empty
+  }
+
+  /** Scala-side weighted reference: multiset trigrams of NORMALIZED text,
+    * weighted jaccard = Σmin / Σmax, computed with the operator's
+    * inter / (na + nb - inter) arithmetic for bit-identical doubles.
+    */
+  private def bruteWeighted(rows: Seq[(Long, String)], t: Double) = {
+    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+    def multi(text: String): Map[String, Int] = {
+      val nt = norm(text)
+      if (nt.length < 5) Map.empty
+      else (0 to nt.length - 5).map(i => nt.substring(i, i + 5))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    }
+    (for {
+      (d1, t1) <- rows; (d2, t2) <- rows
+      if d1 < d2
+      a = multi(t1); b = multi(t2)
+      inter = a.map { case (g, c) => math.min(c, b.getOrElse(g, 0)) }.sum
+      na = a.values.sum; nb = b.values.sum
+      denom = na + nb - inter
+      if denom > 0
+      j = inter.toDouble / denom
+      if j >= t
+    } yield ((d1, d2), j)).toMap
+  }
+
+  test("weightedJaccardPairs: tf multiplicity changes the answer and matches Σmin/Σmax") {
+    // "aaaaaa" = {aaaaa×2}, "aaaaaaa" = {aaaaa×3}: weighted 2/3,
+    // unweighted would be 1.0
+    val tiny = Seq((1L, "aaaaaa"), (2L, "aaaaaaa")).toDF("doc_id", "text")
+    val j = Dedup.weightedJaccardPairs(tiny, 0.5)
+      .select("wjaccard").as[Double].head()
+    j shouldBe 2.0 / 3.0
+  }
+
+  test("weightedJaccardPairs equals the brute-force weighted jaccard") {
+    val got = Dedup.weightedJaccardPairs(ppCorpus.toDF("doc_id", "text"), 0.5)
+      .select("doc_id_1", "doc_id_2", "wjaccard").as[(Long, Long, Double)]
+      .collect().map(r => ((r._1, r._2), r._3)).toMap
+    val want = bruteWeighted(ppCorpus, 0.5)
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, j) => j shouldBe want(k) }
+    want should not be empty
+  }
+
+  test("weightedMinhashLshPairs at (128, 32) recovers the exact weighted pairs") {
+    val df = ppCorpus.toDF("doc_id", "text")
+    val exact = Dedup.weightedJaccardPairs(df, 0.5)
+      .select("doc_id_1", "doc_id_2", "wjaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val lsh = Dedup.weightedMinhashLshPairs(df, 128, 32, 0.5)
+      .select("doc_id_1", "doc_id_2", "wjaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    lsh shouldBe exact
+    exact should not be empty
+  }
+
+  test("ppjoin plan: token equi-join with reused exchange, no cross product") {
+    // at test scale AQE would broadcast the self-join (also fine); disable
+    // auto-broadcast to see the real-scale shape: one exchange, reused.
+    // AQE materializes reuse only in the EXECUTED QueryExecution (collect
+    // uses this one; count()/write re-plan), so execute before asserting.
+    // the reuse depends on graft_sorted_collect being deterministic — with
+    // collect_list (non-deterministic) the preprocessing would run twice.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Dedup.ppjoinJaccardPairs(ppCorpus.toDF("doc_id", "text"), 0.6)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      plan should include("ReusedExchange")
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("embeddingNearDupPairs finds same-label near-identical vectors") {
     val emb = Seq(
       (1L, 0, Array(1.0f, 0.0f, 0.0f)),

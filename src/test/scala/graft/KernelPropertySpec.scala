@@ -59,4 +59,47 @@ class KernelPropertySpec extends SparkTestBase {
       assert(results.distinct.size == 1)
     }
   }
+
+  test("property: sorted_collect == sort_array(collect_list) under any partitioning") {
+    val rows = (1L to 500L).map(i => (i % 7, i * 31 % 97))
+    Seq(1, 3, 16).foreach { n =>
+      val df = rows.toDF("k", "v").repartition(n)
+      val got = df.groupBy("k")
+        .agg(call_function("graft_sorted_collect", col("v")).as("s"))
+        .as[(Long, Array[Long])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).sorted.toArray }
+      got.keySet shouldBe want.keySet
+      got.foreach { case (k, s) => assert(s.toSeq == want(k).toSeq) }
+    }
+  }
+
+  test("property: occurrence_mix preserves multiset intersection = sum of min counts") {
+    // small value domain forces real multiplicities and real overlaps
+    def multiset() = Array.fill(rng.nextInt(151))(rng.nextInt(30).toLong).sorted
+    val pairs = (1 to 200).map(_ => (multiset(), multiset()))
+    val rows = pairs.toDF("a", "b").select(
+      call_function("graft_sorted_intersect_count",
+        call_function("graft_occurrence_mix", col("a")),
+        call_function("graft_occurrence_mix", col("b"))).as("fast"),
+      col("a"), col("b")).as[(Int, Array[Long], Array[Long])].collect()
+    rows.foreach { case (fast, a, b) =>
+      val ca = a.groupBy(identity).view.mapValues(_.length)
+      val cb = b.groupBy(identity).view.mapValues(_.length).toMap
+      val sumMin = ca.map { case (v, n) => math.min(n, cb.getOrElse(v, 0)) }.sum
+      assert(fast == sumMin)
+    }
+  }
+
+  test("property: occurrence_mix output is sorted, distinct, and size-preserving") {
+    def multiset() = Array.fill(rng.nextInt(151))(rng.nextInt(20).toLong).sorted
+    val rows = (1 to 100).map(_ => Tuple1(multiset())).toDF("a")
+      .select(call_function("graft_occurrence_mix", col("a")).as("ex"), col("a"))
+      .as[(Array[Long], Array[Long])].collect()
+    rows.foreach { case (ex, a) =>
+      assert(ex.length == a.length)
+      assert(ex.toSeq == ex.sorted.toSeq)
+      assert(ex.distinct.length == ex.length)
+    }
+  }
 }
