@@ -538,15 +538,19 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(comp, edges("b") === comp("doc_id"))
         .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      // the changed flag rides the checkpointed frame, so the convergence
+      // probe below reads materialized blocks — no join-back against the
+      // previous round's frame, no recompute
       val next = comp.join(nbrMin, comp("doc_id") === nbrMin("a"), "left_outer")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component"))
+            .as("chg"))
         .localCheckpoint()
-      val changed = next.as("n").join(comp.as("c"), "doc_id")
-        .filter(col("n.component") =!= col("c.component")).limit(1).count()
+      val changed = next.filter(col("chg")).limit(1).count()
       comp.unpersist()
-      comp = next
+      comp = next.select(col("doc_id"), col("component"))
       converged = changed == 0
       i += 1
     }

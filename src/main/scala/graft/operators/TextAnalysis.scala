@@ -94,10 +94,17 @@ object TextAnalysis {
                  blockCol: String, maxDistance: Int): DataFrame = {
     val a = items.select(col(idCol).as("id_1"), col(textCol).as("t1"), col(blockCol).as("blk"))
     val b = items.select(col(idCol).as("id_2"), col(textCol).as("t2"), col(blockCol).as("blk"))
+    // two lossless prunes before the quadratic-cost edit distance:
+    //  - |len(a) - len(b)| > k implies distance > k (integer check);
+    //  - the THRESHOLDED levenshtein overload (Spark 3.5+) runs the banded
+    //    O(n·k) algorithm with early exit and returns -1 past the bound,
+    //    instead of filling the full O(n²) matrix per pair.
     a.join(b, Seq("blk"))
-      .filter(col("id_1") < col("id_2"))
-      .withColumn("distance", levenshtein(col("t1"), col("t2")).cast("long"))
-      .filter(col("distance") <= maxDistance)
+      .filter(col("id_1") < col("id_2") &&
+        abs(length(col("t1")) - length(col("t2"))) <= maxDistance)
+      .withColumn("distance",
+        levenshtein(col("t1"), col("t2"), maxDistance).cast("long"))
+      .filter(col("distance") >= 0)
       .select(col("id_1"), col("id_2"), col("distance"))
   }
 }
