@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ArrayAgreeCount, FirstAgreeIndex, MinHashSignature, OccurrenceMix, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot}
+import graft.expressions.{ArrayAgreeCount, FirstAgreeIndex, MinHashSignature, NormTextAscii, OccurrenceMix, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -50,6 +50,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[OccurrenceMix].getName,
         "graft_occurrence_mix"),
       (args: Seq[Expression]) => OccurrenceMix(args(0))),
+    (FunctionIdentifier("graft_norm_ascii"),
+      new ExpressionInfo(classOf[NormTextAscii].getName,
+        "graft_norm_ascii"),
+      (args: Seq[Expression]) => NormTextAscii(args(0))),
     (FunctionIdentifier("graft_sorted_collect"),
       new ExpressionInfo(classOf[SortedCollect].getName,
         "graft_sorted_collect"),

@@ -18,9 +18,17 @@ object TextFunctions {
   def tokensBpe(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
-  /** Canonical form for content hashing: lowercase, collapsed whitespace. */
+  /** Canonical form for content hashing: lowercase, collapsed whitespace.
+    * The fused ASCII kernel handles the common case in one byte scan; rows
+    * with any non-ASCII byte fall back (kernel returns null → coalesce) to
+    * the exact built-in chain, so semantics are identical everywhere. The
+    * built-in arm also keeps this column statically non-nullable for
+    * non-null input — load-bearing for the isnotnull-inference plan trap
+    * (see Dedup.minhashLshPairs).
+    */
   def normText(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    coalesce(call_function("graft_norm_ascii", text),
+      trim(regexp_replace(lower(text), "\\s+", " ")))
 
   /** Content fingerprint = md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normText(text).cast("binary"))

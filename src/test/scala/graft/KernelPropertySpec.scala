@@ -74,6 +74,21 @@ class KernelPropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: normText kernel+fallback == built-in lower/regex/trim chain") {
+    val pieces = Array("Hello", "WORLD", "tab\there", "nl\nthere", "  ",
+      "\t\t", "\r\n", "x", "ÜBER", "naïve", " nbsp", "émigré", "123",
+      "MiXeD CaSe", "vtab", "\f", "ünïcode WS line")
+    val texts = (1 to 300).map { _ =>
+      (0 to rng.nextInt(8)).map(_ => pieces(rng.nextInt(pieces.length)))
+        .mkString(" ")
+    } :+ "" :+ "   " :+ "\t\n\r"
+    val rows = texts.toDF("t").select(
+      graft.functions.TextFunctions.normText(col("t")).as("fused"),
+      trim(regexp_replace(lower(col("t")), "\\s+", " ")).as("builtin"))
+      .as[(String, String)].collect()
+    rows.foreach { case (fused, builtin) => assert(fused == builtin) }
+  }
+
   test("property: occurrence_mix preserves multiset intersection = sum of min counts") {
     // small value domain forces real multiplicities and real overlaps
     def multiset() = Array.fill(rng.nextInt(151))(rng.nextInt(30).toLong).sorted
