@@ -361,59 +361,76 @@ object Dedup {
     * optionally hs: array<bigint> — the signature element stream; `sh`
     * doubles as `hs` when absent, e.g. for occurrence-expanded multisets).
     * All plan-shape constraints documented inline are load-bearing.
+    *
+    * Shape (measured at sf0.1, rationale inline):
+    *  1. `pre` = (doc_id, sh, n_sh, mh), lazily localCheckpoint'ed — the
+    *     per-doc record store. ONE compute of the shingle+minhash pipeline
+    *     no matter how many times the frame is consumed below (bucket join
+    *     sides + two verify record-joins).
+    *  2. `banded` explodes NARROW rows (doc_id, n_sh, band, sig) — ~24
+    *     bytes. Exploding the payload arrays instead (sh ≈ 1.6 KB + mh ≈
+    *     1 KB per row, × bands) copies ~0.4 GB of arrays through the
+    *     Generate at sf0.1 and was the single hottest stage in the whole
+    *     bench (3.9 s of the old 8 s q49); payload stays in `pre`.
+    *  3. Bucket self-join on (band, sig) emits candidate ID pairs only,
+    *     with the size-ratio prune (n_sh rides the narrow row) killing
+    *     most cross-template pairs before they exist. No explicit
+    *     repartition — an explicit repartition's REPARTITION_BY_COL
+    *     exchange is off-limits to AQE, which (a) pins the giant
+    *     template-cluster bucket to ONE task (measured: a 7 s straggler on
+    *     a 1923-doc bucket) and (b) blocks the broadcast-hash plan
+    *     Catalyst prefers while the banded side fits (the probe side then
+    *     keeps its balanced partitioning — no single-key hotspot). At
+    *     cluster scale the same plan degrades gracefully to a sort-merge
+    *     join whose ENSURE_REQUIREMENTS exchanges AQE's skew rule IS
+    *     allowed to split.
+    *  4. `.distinct()` collapses multi-band duplicates of a pair — a
+    *     shuffle of 16-byte rows. (The previous design avoided this
+    *     barrier with a first-shared-band predicate over per-row sig
+    *     arrays; that predicate is what forced the payload onto the
+    *     banded rows — the narrow-row + distinct trade wins by >3×.)
+    *  5. Verify once per unique pair via two record-joins against `pre`
+    *     (the Vernica et al. record-join, same as ppjoinJaccardPairs):
+    *     the cheap codegen'd minhash-agreement screen
+    *     (`graft_array_agree_count` ≥ mean − 4.75σ of Binomial(k, t):
+    *     misses a true threshold pair with p < 1e-6, same order as LSH
+    *     band-recall loss) rejects mid-similarity candidates before the
+    *     O(|sh|) exact merge kernel; conjunct order in the filter is
+    *     preserved into codegen, so the merge runs only for screen
+    *     survivors.
     */
   private def lshPairsOnPrepared(prepared: DataFrame, numHashes: Int,
                                  bands: Int, threshold: Double,
                                  simName: String): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val parts =
-      prepared.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val hsCol =
       if (prepared.columns.contains("hs")) col("hs") else col("sh")
     val mh = minhashExpr(hsCol, numHashes)
+    val pre = prepared
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"), mh.as("mh"))
+      .localCheckpoint(false)
     val sigArr = array((0 until bands).map { j =>
       hash(slice(col("mh"), j * rows + 1, rows))
     }: _*)
-    val pre = prepared
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"), mh.as("mh"))
-    // CRITICAL plan-shape detail: the generator input must stay a COMPLEX
-    // expression (the inline array(...)), never a projected attribute. For
-    // an attribute input, InferFiltersFromGenerate adds `size(sigs) > 0`
-    // above the Generate (the SPARK-36715 guard only skips non-cheap
-    // children); predicate pushdown then substitutes that filter through
-    // every projection below, inlining bands × numHashes copies of the
-    // whole minhash pipeline into one per-input-row predicate at the scan
-    // (measured: 98 s for 500 docs). With the inline expression the rule
-    // skips inference entirely. `sigs` is also kept as a column (for the
-    // first-shared-band predicate); recomputing the 2×bands hash-slices
-    // per row is noise next to one minhash pass.
-    val banded = pre.select(col("doc_id"), col("sh"), col("n_sh"), col("mh"),
-        sigArr.as("sigs"), posexplode(sigArr).as(Seq("band", "sig")))
-      .repartition(parts, col("band"), col("sig"))
-    // Exactly-once emission: a pair sharing several bands survives only at
-    // its FIRST shared band — one codegen'd loop over the bucket-hash
-    // arrays (graft_first_agree_index == current band), no `distinct`
-    // barrier over the quadratic candidate stream. A flat `bands-1`-term
-    // conjunction here (and the numHashes-term agreement sum below) would
-    // push the generated join-condition method past the JIT's huge-method
-    // bytecode limit, dropping the whole condition into the JVM bytecode
-    // interpreter — measured 8x wall-clock on this join.
-    val firstSharedBand =
-      call_function("graft_first_agree_index",
-        col("a.sigs"), col("b.sigs")) === col("a.band")
-    val sizeCond =
+    // The generator input must stay a COMPLEX expression (the inline
+    // array(...)), never a projected attribute: for an attribute input,
+    // InferFiltersFromGenerate adds `size(sigs) > 0` above the Generate
+    // (the SPARK-36715 guard only skips non-cheap children) and predicate
+    // pushdown then substitutes it through every projection below,
+    // inlining bands copies of the pipeline into the scan stage (measured:
+    // 98 s for 500 docs). Here the pipeline below is a checkpoint read, so
+    // the trap is cheap now — but keep the shape so it stays cheap.
+    val banded = pre.select(col("doc_id"), col("n_sh"),
+      posexplode(sigArr).as(Seq("band", "sig")))
+    val sizeCondNarrow =
       col("a.n_sh") * threshold <= col("b.n_sh") &&
         col("b.n_sh") * threshold <= col("a.n_sh")
-    // Cheap minhash-agreement pre-screen before the exact kernel: the
-    // fraction of agreeing signature positions is an unbiased jaccard
-    // estimator, so requiring `agree >= mean - 4.75 sigma` of
-    // Binomial(numHashes, threshold) rejects pairs whose jaccard is far
-    // below the threshold while missing a true threshold-level pair with
-    // probability < 1e-6 (same order as the LSH band-recall loss this
-    // operator already accepts). On a dup-heavy corpus this screens out
-    // the bulk of mid-similarity candidates that would otherwise each pay
-    // the O(|sh|) merge.
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id") && sizeCondNarrow)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
     val minAgree = {
       val mean = numHashes * threshold
       val sd = math.sqrt(numHashes * threshold * (1 - threshold))
@@ -422,21 +439,18 @@ object Dedup {
     val agreeScreen =
       if (minAgree <= 0) lit(true)
       else call_function("graft_array_agree_count",
-        col("a.mh"), col("b.mh")) >= minAgree
-    // The threshold check is written INTO the join condition as the LAST
-    // conjunct (conjunct order is preserved into codegen): a trailing
-    // .filter on the projected jaccard would be pushed into the condition
-    // PREPENDED, running the O(|sh|) merge kernel on every raw bucket pair
-    // before the cheap rejects. This order runs it once per surviving
-    // candidate (equi-match -> doc_id -> size prune -> first-band ->
-    // agreement screen) and a second time only to project the value for
-    // threshold survivors.
-    val jac = jaccard(col("a.sh"), col("b.sh"), col("a.n_sh") + col("b.n_sh"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id") && sizeCond && firstSharedBand &&
-        agreeScreen && jac >= threshold)
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("mh1"), col("mh2")) >= minAgree
+    val inter = call_function("graft_sorted_intersect_count",
+      col("sh1"), col("sh2"))
+    val jac = inter.cast("double") /
+      ((col("n1") + col("n2")) - inter).cast("double")
+    cand
+      .join(pre.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+        col("n_sh").as("n1"), col("mh").as("mh1")), "d1")
+      .join(pre.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+        col("n_sh").as("n2"), col("mh").as("mh2")), "d2")
+      .filter(agreeScreen && jac >= threshold)
+      .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
         jac.as(simName))
   }
 
@@ -531,24 +545,37 @@ object Dedup {
     val fwd = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var comp = docs.select(col("doc_id"), col("doc_id").as("component"))
+    // Iterate ONLY over documents that appear in an edge: every untouched
+    // document is trivially its own singleton component and is re-attached
+    // with one left join at the end. The near-dup subgraph is normally a
+    // small fraction of the corpus, so each round's joins run over edge
+    // endpoints, not corpus rows — at 100 TB this is the difference
+    // between iterating on a few hundred GB and on the whole corpus.
+    // (`edges` holds both directions, so distinct source endpoints = all
+    // touched nodes.)
+    var comp = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(comp, edges("b") === comp("doc_id"))
         .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
-      // the changed flag rides the checkpointed frame, so the convergence
-      // probe below reads materialized blocks — no join-back against the
-      // previous round's frame, no recompute
+      // Lazy checkpoint + the changed flag riding the frame: the count
+      // below is the ONE job per round — it materializes this round's
+      // blocks and probes convergence in the same pass (an eager
+      // checkpoint would run a second, redundant job per round). The
+      // probe must be a FULL count: an early-stopping limit(1) probe
+      // would leave later partitions unmaterialized, and the next round
+      // would recompute them from the (unpersisted) lineage.
       val next = comp.join(nbrMin, comp("doc_id") === nbrMin("a"), "left_outer")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
           (coalesce(col("nbr_min"), col("component")) < col("component"))
             .as("chg"))
-        .localCheckpoint()
-      val changed = next.filter(col("chg")).limit(1).count()
+        .localCheckpoint(false)
+      val changed = next.filter(col("chg")).count()
       comp.unpersist()
       comp = next.select(col("doc_id"), col("component"))
       converged = changed == 0
@@ -559,7 +586,11 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter iterations; " +
           "raise maxIter (components need O(cluster diameter) rounds)")
-    comp.withColumn("is_canonical", col("doc_id") === col("component"))
+    docs.select(col("doc_id")).join(comp.select(col("doc_id"),
+        col("component").as("nbr_component")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("nbr_component"), col("doc_id")).as("component"))
+      .withColumn("is_canonical", col("doc_id") === col("component"))
   }
 
   /** The composed corpus-scale dedup pipeline, shipped as ONE operator:
