@@ -128,14 +128,13 @@ object Dedup {
     *  3. prefix inverted-index self-join: each doc posts only its
     *     p = n - ceil(t·n) + 1 RAREST tokens (prefix filter: two sets with
     *     jaccard ≥ t must share a prefix token — rarest-first ordering makes
-    *     posting lists short). Both sides repartition on the token →
-    *     identical exchanges, ReusedExchange, and the join key bounds
-    *     candidates by posting-list sizes, never all-pairs. Duplicate
-    *     instances are collapsed inside the join condition (integer length
-    *     + positional filters, then an O(p) first-common-prefix check) —
-    *     the instance stream is never shuffled — and each surviving pair
-    *     is verified ONCE by exact sorted-merge Jaccard after an array
-    *     join-back (Vernica's record-join stage).
+    *     posting lists short). Posting rows are narrow integer tuples; the
+    *     join key bounds candidates by posting-list sizes, never all-pairs.
+    *     Duplicate instances are pruned by integer length + positional
+    *     filters inside the join condition, collapsed to one row per pair
+    *     by a 16-byte distinct, and each unique pair is verified ONCE by
+    *     exact sorted-merge Jaccard after an array join-back against the
+    *     checkpointed record frame (Vernica's record-join stage).
     *
     * All pruning is lossless: length filter (t·|A| ≤ |B| ≤ |A|/t), prefix
     * filter, and positional filter each only discard pairs provably below
@@ -204,35 +203,37 @@ object Dedup {
     // sameResult constant-false — no ReusedExchange, the whole
     // shingle+df+rank pipeline computed twice. The sorted custom aggregate
     // is honestly deterministic, so the self-join reuses one exchange.
+    // The per-doc record store: lazily checkpointed once, read by the two
+    // posting sides and the two verify record-joins below — the
+    // shingle+df+rank pipeline runs exactly once however the joins plan.
     val ranks = toks.join(broadcast(ranked), "tok")
       .groupBy(col("doc_id"))
       .agg(call_function("graft_sorted_collect", col("rk")).as("rks"))
       .select(col("doc_id"), col("rks"), size(col("rks")).as("n"))
+      .localCheckpoint(false)
     val pLen = (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .cast("int")
-    // posting rows carry the PREFIX array (~(1-t)·n ranks) but never the
-    // full rank arrays: the prefix is what the exactly-once check below
-    // needs, and full arrays would multiply corpus bytes by p through the
-    // exchange. (generator input stays a complex expression —
-    // InferFiltersFromGenerate trap, see minhashLshPairs; pos is 0-based.)
-    val banded = ranks
+    // Posting rows are NARROW: (doc_id, n, pos, tok) — ~28 bytes. Neither
+    // the prefix nor the full rank array rides the explode or the join
+    // (carrying the ~(1-t)·n-element prefix per posting row multiplies
+    // corpus bytes by the prefix length through the exchange — the same
+    // payload-amplification trap measured at 0.4 GB/run in the LSH
+    // operator). No explicit repartition on the token: REPARTITION_BY_COL
+    // exchanges are off-limits to AQE's skew rule, and the hottest posting
+    // list (most-frequent prefix token) is exactly the key AQE must be
+    // free to split at scale.
+    val posting = ranks
       .select(col("doc_id"), col("n"),
-        slice(col("rks"), lit(1), pLen).as("pref"),
         posexplode(slice(col("rks"), lit(1), pLen)).as(Seq("pos", "tok")))
-      .repartition(parts, col("tok"))
-    // A near-dup pair shares ~all of its ~p prefix tokens → ~p duplicate
-    // candidate instances. They are collapsed INSIDE the join condition,
-    // cheapest check first, so the instance stream is never shuffled or
-    // aggregated:
-    //  - length filter + positional bound: integer arithmetic. The
-    //    positional bound (overlap ≤ 1 + min(remaining suffixes) must reach
-    //    α = ceil(t/(1+t)·(|A|+|B|)), Xiao et al.) is VALID only at the
-    //    pair's first shared token — at other instances it may wrongly
-    //    pass, but those die at the next check anyway, so filtering early
-    //    is safe and prunes most instances for free;
-    //  - exactly-once: this instance's token must BE the pair's first
-    //    common prefix element (O(p) sorted merge over the two prefixes,
-    //    reached only by instances that survived the integer checks).
+    // Candidate instances are pruned by integer arithmetic only:
+    //  - length filter (t·|A| ≤ |B| ≤ |A|/t);
+    //  - positional bound (overlap ≤ 1 + min(remaining suffixes) must
+    //    reach α = ceil(t/(1+t)·(|A|+|B|)), Xiao et al.) — VALID at the
+    //    pair's first shared prefix token; later instances use a weaker
+    //    bound and may wrongly pass, which only ADMITS extra candidates
+    //    (killed by the exact verify), never drops a true pair.
+    // A near-dup pair then survives as ~p instances; the 16-byte distinct
+    // collapses them to one row per pair before any array is fetched.
     val sizeCond =
       col("a.n") * threshold <= col("b.n") &&
         col("b.n") * threshold <= col("a.n")
@@ -241,27 +242,26 @@ object Dedup {
     val positional =
       lit(1) + least(col("a.n") - col("a.pos") - 1,
         col("b.n") - col("b.pos") - 1) >= alpha
-    val firstCommon = call_function("graft_sorted_first_common",
-      col("a.pref"), col("b.pref")) === col("a.tok")
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand = posting.as("a").join(posting.as("b"),
         col("a.tok") === col("b.tok") &&
-        col("a.doc_id") < col("b.doc_id") && sizeCond && positional &&
-        firstCommon)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+        col("a.doc_id") < col("b.doc_id") && sizeCond && positional)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
     if (!verify) return cand.select(col("d1").as("doc_id_1"),
       col("d2").as("doc_id_2"))
-    // Verify ONCE per surviving pair: fetch both rank arrays back from the
-    // (already doc_id-partitioned) ranks frame — the Vernica record-join.
-    // The candidate stream is post-prune (output-bounded, not the raw
-    // instance stream), so the array bytes shuffled here are
-    // candidates × |doc|, the same corpus-linear class as the build side.
+    // Verify ONCE per unique pair: fetch both rank arrays back from the
+    // checkpointed ranks frame — the Vernica record-join. The candidate
+    // stream is post-prune (output-bounded, not the raw instance stream),
+    // so the array bytes shuffled here are candidates × |doc|, the same
+    // corpus-linear class as the build side.
     val inter = call_function("graft_sorted_intersect_count",
       col("rks1"), col("rks2"))
-    val jac = inter.cast("double") / (col("na") + col("nb") - inter)
+    val jac = inter.cast("double") / ((col("n1") + col("n2")) - inter)
     cand
-      .join(ranks.select(col("doc_id").as("d1"), col("rks").as("rks1")), "d1")
-      .join(ranks.select(col("doc_id").as("d2"), col("rks").as("rks2")), "d2")
+      .join(ranks.select(col("doc_id").as("d1"), col("rks").as("rks1"),
+        col("n").as("n1")), "d1")
+      .join(ranks.select(col("doc_id").as("d2"), col("rks").as("rks2"),
+        col("n").as("n2")), "d2")
       .filter(jac >= threshold)
       .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
         jac.as(if (weighted) "wjaccard" else "jaccard"))

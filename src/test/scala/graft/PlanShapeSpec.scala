@@ -63,4 +63,20 @@ class PlanShapeSpec extends SparkTestBase {
     // 6 of lineitem's 11 columns are needed
     scans.head.requiredSchema.fieldNames.length shouldBe 6
   }
+
+  test("q20: one checkpointed record frame feeds all consumers; no AQE-opaque repartition") {
+    val p = plan("q20_minhash_lsh_pairs")
+    // The shingle+minhash pipeline lives under ONE lazy localCheckpoint:
+    // every consumer (bucket-join sides + the two verify record-joins)
+    // must read the stored blocks, never recompute the pipeline.
+    "Scan ExistingRDD".r.findAllIn(p).length should be >= 3
+    // The bucket join must stay AQE-eligible: an explicit repartition on
+    // (band, sig) would plan a REPARTITION_BY_COL exchange that pins the
+    // largest LSH bucket to one task and blocks both the broadcast-hash
+    // plan and AQE's skew-join split.
+    p should not include "REPARTITION_BY_COL"
+    p should not include "CartesianProduct"
+    // the exact-verify merge kernel survives in the final plan
+    p should include("graft_sorted_intersect_count")
+  }
 }
