@@ -92,16 +92,31 @@ object TextAnalysis {
     */
   def fuzzyPairs(items: DataFrame, idCol: String, textCol: String,
                  blockCol: String, maxDistance: Int): DataFrame = {
-    val a = items.select(col(idCol).as("id_1"), col(textCol).as("t1"), col(blockCol).as("blk"))
-    val b = items.select(col(idCol).as("id_2"), col(textCol).as("t2"), col(blockCol).as("blk"))
-    // two lossless prunes before the quadratic-cost edit distance:
+    // Sorted character-code multiset, computed ONCE per row (never per
+    // pair): one edit operation changes the character multiset of a string
+    // by at most one element per side, so
+    //   levenshtein(A, B) >= max(|A|, |B|) - |multiset_intersect(A, B)|
+    // — a lossless per-pair screen evaluated by the codegen'd two-pointer
+    // merge kernel (~2·len integer ops) instead of the banded DP.
+    val charSig = (t: Column) => array_sort(
+      transform(filter(split(t, ""), c => c =!= ""), c => ascii(c).cast("long")))
+    val a = items.select(col(idCol).as("id_1"), col(textCol).as("t1"),
+      col(blockCol).as("blk"), charSig(col(textCol)).as("sig1"))
+    val b = items.select(col(idCol).as("id_2"), col(textCol).as("t2"),
+      col(blockCol).as("blk"), charSig(col(textCol)).as("sig2"))
+    // three lossless prunes before the quadratic-cost edit distance,
+    // cheapest first:
     //  - |len(a) - len(b)| > k implies distance > k (integer check);
+    //  - the character-multiset bound above (merge kernel);
     //  - the THRESHOLDED levenshtein overload (Spark 3.5+) runs the banded
     //    O(n·k) algorithm with early exit and returns -1 past the bound,
     //    instead of filling the full O(n²) matrix per pair.
     a.join(b, Seq("blk"))
       .filter(col("id_1") < col("id_2") &&
-        abs(length(col("t1")) - length(col("t2"))) <= maxDistance)
+        abs(length(col("t1")) - length(col("t2"))) <= maxDistance &&
+        greatest(length(col("t1")), length(col("t2"))) -
+          call_function("graft_sorted_intersect_count",
+            col("sig1"), col("sig2")) <= maxDistance)
       .withColumn("distance",
         levenshtein(col("t1"), col("t2"), maxDistance).cast("long"))
       .filter(col("distance") >= 0)
