@@ -486,6 +486,33 @@ object SparkEntry {
     "q54_token_corpus_stats" -> ((s, dir) =>
       Curation.tokenCorpusStats(t(s, dir, "documents"), 100)),
 
+    // §2.7 — benchmark decontamination: the corpus split by content-hash
+    // bucket into a 1/16 "eval set" (needles) vs the rest (training
+    // haystack); word-trigram containment >= 0.5 flags contaminated pairs
+    "q55_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = substring(graft.functions.TextFunctions.fingerprint(col("text")), 1, 1)
+      Dedup.containmentJoin(
+        docs.filter(bucket === "0"), docs.filter(bucket =!= "0"), 3, 0.5)
+    }),
+
+    // §2.9 — PII redaction with audit counts; PII is injected
+    // deterministically (doc_id-keyed) so the scrub is genuinely exercised
+    // on this synthetic corpus and the oracle can replicate the injection
+    "q56_pii_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.piiScrub(docs.withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or +1-555-123-4567")))
+            .otherwise(lit("")))))
+    }),
+
+    // §2.9 — Gopher-style repetition quality signals
+    "q57_repetition_score" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(t(s, dir, "documents"))),
+
     // §2.9 — stratified content-hash sampling: per-language fractions from
     // hash-bucket thresholds (reproducible, no shuffling, no randomness)
     "q48_stratified_sample" -> ((s, dir) => {
@@ -983,6 +1010,81 @@ object SparkEntry {
          |GROUP BY 1
          |ORDER BY tf DESC, token ASC
          |LIMIT 100""".stripMargin,
+
+    "q55_decontaminate" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, $NormSql AS ntext, md5($NormSql) AS fp
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, fp,
+         |         list_filter(string_split(ntext, ' '), x -> x != '') AS tk
+         |  FROM nrm),
+         |gr AS (
+         |  SELECT doc_id, fp,
+         |         CASE WHEN len(tk) >= 3 THEN list_distinct(
+         |           [array_to_string(tk[i:i+2], ' ')
+         |            for i in range(1, CAST(len(tk) AS BIGINT) - 1)])
+         |         ELSE [] END AS gs
+         |  FROM tok),
+         |ng AS (SELECT doc_id AS needle_id, unnest(gs) AS g FROM gr
+         |       WHERE fp LIKE '0%'),
+         |ns AS (SELECT needle_id, CAST(count(*) AS BIGINT) AS n_grams
+         |       FROM ng GROUP BY 1),
+         |hg AS (SELECT doc_id AS hay_id, unnest(gs) AS g FROM gr
+         |       WHERE fp NOT LIKE '0%'),
+         |m AS (SELECT needle_id, hay_id, CAST(count(*) AS BIGINT) AS matches
+         |      FROM ng JOIN hg USING (g) GROUP BY 1, 2)
+         |SELECT needle_id, hay_id,
+         |       CAST(matches AS DOUBLE) / n_grams AS containment
+         |FROM m JOIN ns USING (needle_id)
+         |WHERE CAST(matches AS DOUBLE) / n_grams >= 0.5""".stripMargin,
+
+    "q56_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || CASE WHEN doc_id % 7 = 0
+         |           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |                || '@example.com or +1-555-123-4567'
+         |           ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(regexp_replace(text,
+         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |         '<EMAIL>', 'g'),
+         |         '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}',
+         |         '<PHONE>', 'g') AS scrubbed,
+         |       CAST(len(regexp_extract_all(text,
+         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |         AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text,
+         |         '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}'))
+         |         AS BIGINT) AS n_phones
+         |FROM aug""".stripMargin,
+
+    "q57_repetition_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(text, chr(10)), x -> x != '') AS lns,
+         |         $ToksSql AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, lns, tk,
+         |         CASE WHEN len(tk) >= 3 THEN
+         |           [array_to_string(tk[i:i+2], ' ')
+         |            for i in range(1, CAST(len(tk) AS BIGINT) - 1)]
+         |         ELSE [] END AS tris
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN len(lns) > 0 THEN
+         |    CAST(len(lns) - len(list_distinct(lns)) AS DOUBLE) / len(lns)
+         |  ELSE 0.0 END AS dup_line_frac,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk)
+         |  ELSE 0.0 END AS dup_token_frac,
+         |  CASE WHEN len(tris) > 0 THEN
+         |    CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) / len(tris)
+         |  ELSE 0.0 END AS dup_trigram_frac
+         |FROM g""".stripMargin,
 
     "q50_csv_dirty_split" ->
       s"""SELECT event_id, user_id, event_type, value

@@ -60,6 +60,20 @@ object TextFunctions {
   /** Distinct character 3-gram shingles (empty below 3 chars). */
   def shingles3(text: Column): Column = shinglesW(text, 3)
 
+  /** Distinct word n-gram shingles over whitespace tokens of the normalized
+    * text (empty below n tokens) — the decontamination-standard unit:
+    * word-level grams survive whitespace/case noise that character grams
+    * don't, and n bounds the false-positive rate of cross-corpus overlap.
+    */
+  def wordShinglesN(text: Column, n: Int): Column = {
+    val toks = tokensWs(normText(text))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Karp–Rabin rolling hash of the token stream (base/mod fixed). A cheap
     * order-sensitive document fingerprint; complements the order-insensitive
     * md5 form above. Left fold => deterministic.

@@ -616,6 +616,44 @@ object Dedup {
     duplicateClusters(docs, minhashLshPairs(docs, numHashes, bands, threshold),
       maxIter)
 
+  /** Benchmark decontamination: for every needle document (an eval/test
+    * set), every haystack document (the training corpus) that contains it
+    * at word n-gram level — containment C(e, h) = |S(e) ∩ S(h)| / |S(e)|
+    * over distinct word n-gram shingles, the standard train/test overlap
+    * check run before an LLM training job.
+    *
+    * Inverted-index join, NOT a pair join: needle grams and haystack grams
+    * meet on the gram hash (one shuffle, AQE-splittable — no explicit
+    * repartition), matches count per (needle, haystack) pair with map-side
+    * partial aggregation, and the needle's gram count joins back for the
+    * ratio. Candidates are bounded by shared-gram posting lists; disjoint
+    * documents never form a row. Containment is asymmetric by design —
+    * a benchmark quoted inside a much larger training document still hits
+    * 1.0 where symmetric Jaccard would vanish.
+    *
+    * Needles below n tokens have no grams and produce no rows (containment
+    * over an empty set is undefined — they cannot be contaminated at this
+    * gram width).
+    */
+  def containmentJoin(needles: DataFrame, haystack: DataFrame,
+                      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    def grams(df: DataFrame, id: String, gid: String) = df
+      .select(col("doc_id").as(id),
+        explode(transform(wordShinglesN(coalesce(col("text"), lit("")), n),
+          g => xxhash64(g))).as(gid))
+    val nGrams = grams(needles, "needle_id", "g")
+    val nSizes = nGrams.groupBy(col("needle_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+    val hGrams = grams(haystack, "hay_id", "g")
+    nGrams.join(hGrams, "g")
+      .groupBy(col("needle_id"), col("hay_id"))
+      .agg(count(lit(1)).cast("long").as("matches"))
+      .join(nSizes, "needle_id")
+      .filter(col("matches").cast("double") / col("n_grams") >= threshold)
+      .select(col("needle_id"), col("hay_id"),
+        (col("matches").cast("double") / col("n_grams")).as("containment"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by the `label` column (stand-in
     * for a cluster/bucket id — at scale the block key comes from coarse
     * quantization, e.g. the IVF cell). Norms precomputed pre-join.

@@ -84,6 +84,54 @@ object TextAnalysis {
   def rollingFingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), rollingHash(col("text")).as("rolling_fp"))
 
+  /** PII redaction: replace email addresses and phone-shaped digit runs
+    * with typed placeholder tags, and report per-document match counts (the
+    * audit trail a scrubbing pass must emit). Pure per-row regex work —
+    * codegen'd built-ins, scan-bound at any scale. Patterns deliberately
+    * use only portable regex constructs (character classes, bounded
+    * repetition — no lookaround), so an external auditor can reproduce the
+    * pass byte-for-byte in any RE dialect.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"))
+
+  /** Repetition quality signals (the Gopher-style within-document
+    * repetition rules): fraction of duplicate lines, fraction of duplicate
+    * whitespace tokens, and the fraction of the document's word trigrams
+    * that are repeats of an earlier trigram. All per-row array arithmetic
+    * over codegen'd built-ins — no shuffle, scan-bound; the standard cheap
+    * screen for boilerplate/SEO-spam documents before training.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    val lines = filter(split(col("text"), "\n"), l => l =!= lit(""))
+    val toks = tokensWs(col("text"))
+    // sequence(1, k) with k < 1 would generate a DESCENDING range, so the
+    // below-3-token case must short-circuit to an empty array
+    val tris = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    def dupFrac(arr: Column) = when(size(arr) > 0,
+      (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
+      .otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      dupFrac(lines).as("dup_line_frac"),
+      dupFrac(toks).as("dup_token_frac"),
+      dupFrac(tris).as("dup_trigram_frac"))
+  }
+
   /** Fuzzy string matching: same-block pairs within `maxDistance` edit
     * distance. Blocking is mandatory — levenshtein is O(|s|²) per pair, so
     * the block key (brand, lang, length band, …) must bound pair counts;

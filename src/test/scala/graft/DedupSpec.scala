@@ -293,6 +293,25 @@ class DedupSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("containmentJoin flags asymmetric n-gram containment") {
+    val needles = Seq(
+      (100L, "alpha beta gamma delta"),       // 2 trigrams, both in doc 1
+      (101L, "zeta eta theta iota"),          // disjoint from the haystack
+      (102L, "one two")                       // below n tokens: no grams
+    ).toDF("doc_id", "text")
+    val hay = Seq(
+      (1L, "intro words alpha beta gamma delta outro trailing text"),
+      (2L, "alpha beta unrelated gamma delta") // shares NO trigram
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentJoin(needles, hay, 3, 0.8)
+      .as[(Long, Long, Double)].collect()
+    // only (100, 1): both of needle 100's trigrams appear in doc 1;
+    // containment is asymmetric (doc 1 is much larger — jaccard would be
+    // far below 0.8); needle 102 has no trigrams and must emit nothing
+    r.map(t => (t._1, t._2)).toSet shouldBe Set((100L, 1L))
+    r.head._3 shouldBe 1.0
+  }
+
   test("embeddingNearDupPairs finds same-label near-identical vectors") {
     val emb = Seq(
       (1L, 0, Array(1.0f, 0.0f, 0.0f)),

@@ -64,4 +64,38 @@ class TextAnalysisSpec extends SparkTestBase {
     r(0).sorted shouldBe Seq("abc", "bca", "cab") // "abcab": abc,bca,cab (distinct)
     r(1) shouldBe Seq.empty
   }
+
+  test("piiScrub redacts emails and phones and counts matches") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or call +1-555-123-4567 now"),
+      (2L, "two mails a@b.co c@d.io, no phone"),
+      (3L, "clean text, nothing to redact")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(docs).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    r(0)._2 shouldBe "mail me at <EMAIL> or call <PHONE> now"
+    r(0)._3 shouldBe 1; r(0)._4 shouldBe 1
+    r(1)._2 shouldBe "two mails <EMAIL> <EMAIL>, no phone"
+    r(1)._3 shouldBe 2; r(1)._4 shouldBe 0
+    r(2)._2 shouldBe "clean text, nothing to redact"
+    r(2)._3 shouldBe 0; r(2)._4 shouldBe 0
+  }
+
+  test("repetitionScore computes duplicate line/token/trigram fractions") {
+    val docs = Seq(
+      (1L, "l1\nl1\nl2"),          // 3 lines, 1 duplicate; a single token
+      (2L, "x y x y x y x y z"),   // 9 tokens / 3 distinct; 7 trigrams
+      (3L, "a b c")                // no repeats at all
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScore(docs).orderBy("doc_id")
+      .as[(Long, Double, Double, Double)].collect()
+    r(0)._2 shouldBe (1.0 / 3.0) // one duplicate line of three
+    r(0)._3 shouldBe 0.0         // the whole text is one (unique) ws-token
+    r(0)._4 shouldBe 0.0
+    r(1)._2 shouldBe 0.0
+    r(1)._3 shouldBe (6.0 / 9.0) // 9 tokens, 3 distinct
+    // trigrams: xyx,yxy,xyx,yxy,xyx,yxy,xyz -> 7 total, 3 distinct -> 4/7
+    r(1)._4 shouldBe (4.0 / 7.0)
+    r(2)._2 shouldBe 0.0; r(2)._3 shouldBe 0.0; r(2)._4 shouldBe 0.0
+  }
 }
