@@ -76,9 +76,10 @@ object SparkEntry {
        |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings)""".stripMargin
 
-  // static dirty CSV committed with the repo (absolute: the driver's DuckDB
-  // oracle runs from an unknown cwd)
+  // static dirty CSV / JSONL committed with the repo (absolute: the
+  // driver's DuckDB oracle runs from an unknown cwd)
   private val DirtyCsvPath = "/root/repo/testdata-ext/dirty_events.csv"
+  private val JsonlPath = "/root/repo/testdata-ext/docs.jsonl"
 
   // DuckDB twin of functions.TextFunctions
   private val ToksSql = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -512,6 +513,23 @@ object SparkEntry {
     // §2.9 — Gopher-style repetition quality signals
     "q57_repetition_score" -> ((s, dir) =>
       TextAnalysis.repetitionScore(t(s, dir, "documents"))),
+
+    // §2.1 — JSONL ingest (schema-first, PERMISSIVE corrupt-line split)
+    // over a static committed file with nulls/unicode/nested-struct/broken
+    // lines; oracled against DuckDB read_json(ignore_errors)
+    "q58_jsonl_read" -> ((s, _) => {
+      val (good, _) = graft.sources.JsonSource.readSplit(s, JsonlPath,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, text STRING, " +
+            "meta STRUCT<source: STRING, quality: DOUBLE>"))
+      good.select(col("doc_id"), col("lang"), col("text"),
+        col("meta.source").as("source"), col("meta.quality").as("quality"))
+    }),
+
+    // §2.9 — sequence packing: offset-binned training-batch layout,
+    // windowed per language (parallel, deterministic)
+    "q59_sequence_pack" -> ((s, dir) =>
+      Curation.sequencePack(t(s, dir, "documents"), 256)),
 
     // §2.9 — stratified content-hash sampling: per-language fractions from
     // hash-bucket thresholds (reproducible, no shuffling, no randomness)
@@ -1085,6 +1103,27 @@ object SparkEntry {
          |    CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) / len(tris)
          |  ELSE 0.0 END AS dup_trigram_frac
          |FROM g""".stripMargin,
+
+    "q58_jsonl_read" ->
+      s"""SELECT doc_id, lang, text, meta.source AS source,
+         |       meta.quality AS quality
+         |FROM read_json('$JsonlPath', format='newline_delimited',
+         |  columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+         |           'text': 'VARCHAR',
+         |           'meta': 'STRUCT(source VARCHAR, quality DOUBLE)'},
+         |  ignore_errors=true)
+         |WHERE doc_id IS NOT NULL""".stripMargin,
+
+    "q59_sequence_pack" ->
+      s"""SELECT doc_id, lang,
+         |       CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |       CAST((SUM(CAST(len($ToksSql) AS BIGINT))
+         |          OVER (PARTITION BY lang ORDER BY doc_id)
+         |        - CAST(len($ToksSql) AS BIGINT)) // 256 AS BIGINT) AS pack_id,
+         |       CAST((SUM(CAST(len($ToksSql) AS BIGINT))
+         |          OVER (PARTITION BY lang ORDER BY doc_id)
+         |        - CAST(len($ToksSql) AS BIGINT)) % 256 AS BIGINT) AS pack_offset
+         |FROM documents""".stripMargin,
 
     "q50_csv_dirty_split" ->
       s"""SELECT event_id, user_id, event_type, value

@@ -72,6 +72,34 @@ object Curation {
     * produces both tf = sum(n) and df = count(*) in one pass. Top-k by tf
     * (token tie-break) keeps the result bounded and deterministic.
     */
+  /** Sequence packing for training-batch preparation: assign every document
+    * a (pack_id, pack_offset) so concatenating documents in order fills
+    * fixed-capacity token bins — the layout step before writing training
+    * shards. Offset binning (a document belongs to the bin where its first
+    * token lands), which is the deterministic, shuffle-free form of greedy
+    * packing: pack boundaries are pure functions of the running token
+    * offset.
+    *
+    * The running offset is a window sum PARTITIONED BY lang (documents are
+    * packed within their language, the usual curriculum constraint) and
+    * ordered by doc_id — so the window parallelizes across languages and
+    * never funnels the corpus through one partition. At 100 TB the
+    * partition key must remain a bounded-cardinality, high-frequency
+    * column (language, shard, date); a single global pack sequence would
+    * serialize and is deliberately not offered.
+    */
+  def sequencePack(docs: DataFrame, maxTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+        size(tokensWs(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        // integer `div`, not `/`: double division loses exactness past 2^53
+        // cumulative tokens — real at corpus scale
+        expr(s"(cum - n_tokens) div $maxTokens").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % maxTokens).as("pack_offset"))
+  }
+
   def tokenCorpusStats(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), explode(tokensWs(col("text"))).as("token"))
       .groupBy(col("token"), col("doc_id"))

@@ -37,6 +37,21 @@ class CurationSpec extends SparkTestBase {
     r shouldBe Array(("c", 3L), ("b", 2L))
   }
 
+  test("sequencePack bins by running token offset within each language") {
+    val tiny = Seq(
+      (1L, "en", "a b c"),          // en offsets: 0
+      (2L, "en", "d e f g"),        // 3 -> still pack 0
+      (3L, "en", "h i j"),          // 7 -> crosses into pack 1 at cap 8
+      (4L, "de", "x y")             // independent de sequence
+    ).toDF("doc_id", "lang", "text")
+    val r = Curation.sequencePack(tiny, 8).orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    r(0) shouldBe ((1L, "en", 3L, 0L, 0L))
+    r(1) shouldBe ((2L, "en", 4L, 0L, 3L))
+    r(2) shouldBe ((3L, "en", 3L, 0L, 7L)) // starts at offset 7 of pack 0
+    r(3) shouldBe ((4L, "de", 2L, 0L, 0L))
+  }
+
   test("tokenCorpusStats computes exact tf and df per token") {
     val tiny = Seq(
       (1L, "a a b"),   // a: tf 2 here

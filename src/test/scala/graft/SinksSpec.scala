@@ -76,6 +76,22 @@ class SinksSpec extends SparkTestBase {
     good.filter($"event_id" === 30L).select("value").isEmpty shouldBe false
   }
 
+  test("JsonSource: committed JSONL splits 7 good / 1 corrupt, nested struct typed") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, text STRING, " +
+        "meta STRUCT<source: STRING, quality: DOUBLE>")
+    val (good, bad) = graft.sources.JsonSource.readSplit(spark,
+      "/root/repo/testdata-ext/docs.jsonl", schema)
+    good.count() shouldBe 7
+    bad.count() shouldBe 1
+    bad.select("_corrupt_record").as[String].head() shouldBe "this line is not json at all"
+    // null field, JSON escapes, unicode, and nested struct all survive
+    good.filter($"doc_id" === 4L).select("lang").head().isNullAt(0) shouldBe true
+    good.filter($"doc_id" === 5L).select("text").as[String].head() should include("\"quotes\"")
+    good.filter($"doc_id" === 3L).select("text").as[String].head() should include("naïve café")
+    good.filter($"doc_id" === 7L).select("meta.quality").as[Double].head() shouldBe 1.0
+  }
+
   test("CsvSource mode matrix: DROPMALFORMED removes, FAILFAST aborts") {
     val dir = Files.createTempDirectory("csvmodes").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
