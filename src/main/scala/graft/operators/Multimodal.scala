@@ -1,18 +1,22 @@
 package graft.operators
 
+import graft.operators.PpmCodec.PpmImage
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat media payloads as opaque `binary`
-  * columns plus a typed metadata struct, with decode/feature-extraction as a
-  * partition-parallel stage.
+  * columns plus a typed metadata struct, with decode/feature-extraction as
+  * a partition-parallel stage.
   *
-  * The Spark-side plumbing (schema, batching via mapPartitions, metadata
-  * derivation, content addressing) is real and tested; the actual
-  * image/audio decode is STUBBED (`fakeDecode`) — codec libraries are not in
-  * this container. Swap `fakeDecode` for a real decoder (or a Pandas-UDF
+  * Decode is REAL for the PPM (P6) raster format — parsed, featurized,
+  * resampled and frame-sampled by the dependency-free [[PpmCodec]] (this
+  * container ships no JPEG/PNG/audio codecs, so Netpbm is the honest way
+  * to run actual pixels through the pipeline). Payloads that are not valid
+  * PPM fall back to a deterministic byte-level pseudo-decode, clearly
+  * marked below — swap that arm for a real codec (or a Pandas-UDF
   * `mapInPandas` stage on a PySpark cluster) without touching the plan
-  * shape.
+  * shape: the schema, batching (`mapPartitions`, per-partition codec init
+  * amortized), and typed Dataset outputs stay identical.
   */
 object Multimodal {
 
@@ -27,21 +31,25 @@ object Multimodal {
       .withColumn("content_id", sha2(col("payload"), 256))
 
   final case class MediaFeature(doc_id: Long, n_bytes: Int, width: Int,
-                                height: Int, feature: Array[Float])
+                                height: Int, decoded: Boolean,
+                                feature: Array[Float])
 
-  /** STUB decoder: deterministic fake "decode" of a binary payload into
-    * (width, height, feature vector). Real decode goes here.
+  /** FALLBACK pseudo-decode for payloads in formats whose codecs are not in
+    * this container (JPEG/PNG/audio): deterministic byte arithmetic with
+    * the same output shape. `decoded = false` marks these rows.
     */
-  private def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+  private def fallbackDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val w = 16 + (payload.length % 32)
     val h = 16 + ((payload.length / 32) % 32)
-    val feat = Array.tabulate(8)(i => payload((i * 7) % payload.length).toFloat)
+    val feat =
+      if (payload.isEmpty) new Array[Float](8)
+      else Array.tabulate(8)(i => payload((i * 7) % payload.length).toFloat)
     (w, h, feat)
   }
 
-  /** Partition-parallel decode/feature-extract stage. Runs once per payload
-    * inside executors (mapPartitions => per-partition codec init amortized);
-    * output is a typed Dataset with a columnar-friendly schema.
+  /** Partition-parallel decode/feature-extract stage. PPM payloads decode
+    * for real (true dimensions, pixel-derived features); anything else
+    * takes the marked fallback arm.
     */
   def decodeFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
@@ -49,51 +57,86 @@ object Multimodal {
       .select(col("doc_id"), col("payload"), col("n_bytes"))
       .as[(Long, Array[Byte], Int)]
       .mapPartitions { it =>
-        // per-partition decoder init would go here
+        // per-partition codec init would go here for stateful codecs
         it.map { case (id, payload, n) =>
-          val (w, h, f) = fakeDecode(payload)
-          MediaFeature(id, n, w, h, f)
+          PpmCodec.decodeOne(payload) match {
+            case Some((img, _)) =>
+              MediaFeature(id, n, img.width, img.height, decoded = true,
+                PpmCodec.features(img))
+            case None =>
+              val (w, h, f) = fallbackDecode(payload)
+              MediaFeature(id, n, w, h, decoded = false, f)
+          }
         }
       }
   }
 
-  /** STUB resize: normalize decoded media to a target (width, height),
-    * rescaling the feature vector deterministically — the post-decode
-    * normalization stage every vision pipeline has. Swap the arithmetic for
-    * a real resampler; the Dataset-in/Dataset-out shape stays.
+  final case class DecodedImage(doc_id: Long, width: Int, height: Int,
+                                pixels: Array[Byte])
+
+  /** Real pixel decode: PPM payloads only (others dropped — a production
+    * run routes undecodable payloads to a bad-records zone exactly like
+    * [[graft.operators.Validation]] does for rows).
     */
-  def resize(features: Dataset[MediaFeature], targetW: Int,
-             targetH: Int): Dataset[MediaFeature] = {
-    import features.sparkSession.implicits._
-    features.map { f =>
-      val sx = targetW.toFloat / f.width
-      val sy = targetH.toFloat / f.height
-      f.copy(width = targetW, height = targetH,
-        feature = f.feature.map(v => v * sx * sy))
+  def decodeImages(spark: SparkSession, docs: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    withBinaryMeta(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        PpmCodec.decodeOne(payload).map { case (img, _) =>
+          DecodedImage(id, img.width, img.height, img.pixels)
+        }
+      })
+  }
+
+  /** REAL resize: nearest-neighbor resample of decoded pixel data to a
+    * target (width, height) — the post-decode normalization stage every
+    * vision pipeline has. Dataset-in/Dataset-out, partition-parallel.
+    */
+  def resize(images: Dataset[DecodedImage], targetW: Int,
+             targetH: Int): Dataset[DecodedImage] = {
+    import images.sparkSession.implicits._
+    images.map { d =>
+      val out = PpmCodec.resizeNearest(
+        PpmImage(d.width, d.height, d.pixels), targetW, targetH)
+      DecodedImage(d.doc_id, out.width, out.height, out.pixels)
     }
   }
 
-  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+  final case class Frame(doc_id: Long, frame_idx: Int, width: Int,
+                         height: Int, frame_bytes: Array[Byte])
 
-  /** STUB frame sampler: `nFrames` evenly spaced "frames" (byte slices) per
-    * payload — the video-decode batch shape (1 payload row → N frame rows)
-    * with the real plumbing: partition-parallel decode, typed flatMap
-    * output, columnar-friendly schema. A real build swaps the slicer for a
-    * codec (or runs the equivalent `mapInPandas` stage under PySpark).
+  /** REAL frame sampling for raw PPM streams (concatenated P6 frames — the
+    * no-container video form): parse every frame boundary from its header,
+    * keep `nFrames` evenly spaced frames, emit one typed row each (the
+    * 1-payload-row → N-frame-rows batch shape). Payloads that don't parse
+    * as a PPM stream fall back to evenly spaced byte slices with the same
+    * output shape (width = height = 0 marks the fallback arm).
     */
   def frameSample(spark: SparkSession, docs: DataFrame, nFrames: Int): Dataset[Frame] = {
     import spark.implicits._
     withBinaryMeta(docs)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, payload) =>
-          val stride = math.max(1, payload.length / nFrames)
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val frames = PpmCodec.decodeStream(payload)
+        if (frames.nonEmpty) {
+          val take = math.min(nFrames, frames.size)
+          (0 until take).iterator.map { i =>
+            // evenly spaced: frame floor(i * size / take)
+            val idx = (i.toLong * frames.size / take).toInt
+            val f = frames(idx)
+            Frame(id, idx, f.width, f.height, f.pixels)
+          }
+        } else {
+          val stride = math.max(1, payload.length / math.max(nFrames, 1))
           (0 until math.min(nFrames, payload.length)).iterator.map { i =>
             val from = i * stride
-            Frame(id, i, payload.slice(from, math.min(from + stride, payload.length)))
+            Frame(id, i, 0, 0,
+              payload.slice(from, math.min(from + stride, payload.length)))
           }
         }
-      }
+      })
   }
 }
