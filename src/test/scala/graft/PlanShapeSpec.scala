@@ -64,6 +64,30 @@ class PlanShapeSpec extends SparkTestBase {
     scans.head.requiredSchema.fieldNames.length shouldBe 6
   }
 
+  test("q19: no derived-column work is pushed below the doc_id repartition") {
+    // The trap: nullable text makes InferFiltersFromConstraints derive
+    // isnotnull(n_sh) from the join condition, and pushdown sinks it (and
+    // with it the whole shingle+hash+sort pipeline) below the repartition
+    // into the single-task parquet scan. Guard: below every repartition,
+    // no filter may reference the derived shingle columns.
+    val plan = SparkEntry.queries("q19_ngram_jaccard_pairs")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    val reparts = plan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r }
+    reparts should not be empty
+    reparts.foreach { r =>
+      r.child.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.foreach { f =>
+        val c = f.condition.toString
+        withClue(s"filter below repartition: $c") {
+          c should not include "xxhash64"
+          c should not include "n_sh"
+        }
+      }
+    }
+  }
+
   test("q20: one checkpointed record frame feeds all consumers; no AQE-opaque repartition") {
     val p = plan("q20_minhash_lsh_pairs")
     // The shingle+minhash pipeline lives under ONE lazy localCheckpoint:
