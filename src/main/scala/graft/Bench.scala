@@ -15,7 +15,9 @@ object Bench {
     "q09_revenue_by_nation", "q19_ngram_jaccard_pairs", "q22_knn_brute",
     // dedup family, tracked from round 2 (baseline rows in BASELINE.md)
     "q20_minhash_lsh_pairs", "q45_dedup_clusters", "q47_fuzzy_part_names",
-    "q49_neardup_corpus")
+    "q49_neardup_corpus",
+    // global set-similarity + decontamination, tracked late round 2
+    "q51_ppjoin_pairs", "q55_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

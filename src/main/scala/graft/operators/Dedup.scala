@@ -642,9 +642,16 @@ object Dedup {
     */
   def containmentJoin(needles: DataFrame, haystack: DataFrame,
                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val parts =
+      needles.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // repartition BEFORE the gram explode: a small parquet input is one
+    // scan task, and normalization+gram building is the per-doc CPU hot
+    // spot (measured: a 2.1 s single-task stage at sf0.1 without this)
     def grams(df: DataFrame, id: String, gid: String) = df
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .repartition(parts, col("doc_id"))
       .select(col("doc_id").as(id),
-        explode(transform(wordShinglesN(coalesce(col("text"), lit("")), n),
+        explode(transform(wordShinglesN(col("text"), n),
           g => xxhash64(g))).as(gid))
     val nGrams = grams(needles, "needle_id", "g")
     val nSizes = nGrams.groupBy(col("needle_id"))
