@@ -544,6 +544,50 @@ object SparkEntry {
           (col("lang") =!= "en" && col("bucket") < 32))     // 12.5% elsewhere
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"))
+    }),
+
+    // §2.9 — deterministic train/val/test split by content hash (test ≈
+    // 13/256, val ≈ 25/256): duplicates land in the same split, re-runs
+    // reproduce it exactly
+    "q60_train_split" -> ((s, dir) =>
+      Curation.trainValTestSplit(t(s, dir, "documents"), 13, 25)),
+
+    // §2.9 — fixed-width overlapping character chunks (width 128, stride
+    // 96): the context-window split before embedding; map-side fan-out
+    "q61_doc_chunks" -> ((s, dir) =>
+      Curation.chunkFixed(t(s, dir, "documents"), 128, 96)),
+
+    // §2.9 — per-language length-outlier trim at the discrete 5th/95th
+    // percentiles (tiny threshold frame broadcast back over the corpus)
+    "q62_length_trim" -> ((s, dir) =>
+      Curation.lengthTrim(t(s, dir, "documents"), 0.05, 0.95)),
+
+    // §2.6 — CUBE over (event_type, iso weekday): all four grouping-set
+    // levels in one pass, partial-agg friendly (null placeholders labeled)
+    "q63_cube_kpis" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("wd", expr("weekday(ts) + 1"))
+        .cube(col("event_type"), col("wd"))
+        .agg(count(lit(1)).as("n_events"),
+          ExactAgg.moneySum(col("value")).as("total_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("wd"), lit(-1)).cast("long").as("wd"),
+          col("n_events"), col("total_value"))),
+
+    // §2.6 — gaps-and-islands: per-user runs of consecutive active days
+    // via the date-minus-row_number anchor; one shuffle (user_id), the
+    // window and both aggregations reuse its partitioning
+    "q64_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      days
+        .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+          count(lit(1)).as("streak_len"))
+        .drop("anchor")
     })
   )
 
@@ -1180,6 +1224,54 @@ object SparkEntry {
         |       max(us) + 1800000000 AS session_end_us,
         |       user_id, count(*) AS n_events,
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
-        |FROM z GROUP BY user_id, sid""".stripMargin
+        |FROM z GROUP BY user_id, sid""".stripMargin,
+
+    "q60_train_split" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, lang,
+         |         (strpos('0123456789abcdef', substr(md5($NormSql), 1, 1)) - 1) * 16
+         |           + strpos('0123456789abcdef', substr(md5($NormSql), 2, 1)) - 1 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |       CASE WHEN bucket < 13 THEN 'test'
+         |            WHEN bucket < 38 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM x""".stripMargin,
+
+    "q61_doc_chunks" ->
+      """WITH offs AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, greatest(length(text) - 1, 0), 96)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i // 96 AS BIGINT) AS chunk_id,
+        |       substr(text, CAST(i AS INT) + 1, 128) AS chunk,
+        |       length(substr(text, CAST(i AS INT) + 1, 128)) AS chunk_len
+        |FROM offs""".stripMargin,
+
+    "q62_length_trim" ->
+      """WITH th AS (
+        |  SELECT lang,
+        |         percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+        |         percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE d.n_chars BETWEEN th.lo AND th.hi""".stripMargin,
+
+    "q63_cube_kpis" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS event_type,
+         |       CAST(coalesce(isodow(ts), -1) AS BIGINT) AS wd,
+         |       count(*) AS n_events, $SumCents AS total_value
+         |FROM events
+         |GROUP BY CUBE(event_type, isodow(ts))""".stripMargin,
+
+    "q64_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |r AS (SELECT user_id, d,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        |      FROM d)
+        |SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+        |       count(*) AS streak_len
+        |FROM r GROUP BY user_id, d - CAST(rn AS INT)""".stripMargin
   )
 }

@@ -100,6 +100,77 @@ object Curation {
         ((col("cum") - col("n_tokens")) % maxTokens).as("pack_offset"))
   }
 
+  /** Hash bucket in [0, 256) from the first two hex chars of the content
+    * fingerprint — the shared primitive behind stratified sampling,
+    * split assignment, and language resampling. A pure per-row function of
+    * content: no shuffle, reproducible on any partitioning.
+    */
+  private def fpBucket256 =
+    (expr("instr('0123456789abcdef', substring(fp, 1, 1))") - 1) * 16 +
+      expr("instr('0123456789abcdef', substring(fp, 2, 1))") - 1
+
+  /** Deterministic train/val/test split assignment by content hash
+    * (buckets out of 256: `[0, testBuckets)` → test,
+    * `[testBuckets, testBuckets+valBuckets)` → val, rest → train).
+    *
+    * Content-addressed rather than row-random, so (a) re-runs and
+    * repartitions produce the identical split, (b) exact duplicates land
+    * in the SAME split — the property that keeps eval sets uncontaminated
+    * when dedup is imperfect. Mirrors the reference's reproducibility
+    * stance (transform.py derives everything from data, never from RNG).
+    * Narrow map over the scan; scales linearly.
+    */
+  def trainValTestSplit(docs: DataFrame, testBuckets: Int,
+                        valBuckets: Int): DataFrame =
+    docs.withColumn("fp", fingerprint(col("text")))
+      .withColumn("bucket", fpBucket256)
+      .select(col("doc_id"), col("lang"),
+        when(col("bucket") < testBuckets, "test")
+          .when(col("bucket") < testBuckets + valBuckets, "val")
+          .otherwise("train").as("split"))
+
+  /** Fixed-width overlapping character chunking: one row per
+    * `[i*stride, i*stride+width)` window — the context-window splitting
+    * step before embedding or tokenizing long documents.
+    *
+    * The offset list is generated per row (`sequence` + `posexplode`), so
+    * the fan-out happens map-side inside the scan stage: no shuffle, and
+    * output partitioning follows input partitioning (a doc's chunks stay
+    * in one partition — what a downstream per-chunk embed stage wants).
+    * At 100 TB the only knob that matters is output row width; chunks are
+    * bounded at `width` chars so partition sizes stay predictable.
+    */
+  def chunkFixed(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(stride > 0 && width > 0, "width and stride must be positive")
+    docs.select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        expr(s"substring(text, col + 1, $width)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
+  /** Length-outlier trim: keep documents whose `n_chars` lies within the
+    * per-language `[percentile_disc(lo), percentile_disc(hi)]` window.
+    * Discrete percentiles (an actual corpus value, not an interpolation)
+    * keep the thresholds exact and engine-portable.
+    *
+    * Two passes by construction — thresholds are a global property of the
+    * corpus — but the first pass reduces to one tiny row per language
+    * (broadcast back), so the cost is one extra scan, not an extra
+    * shuffle of the corpus. At 100 TB replace the exact percentile with
+    * `approx_percentile` if the per-group sort memory ever bites; the
+    * operator shape is unchanged.
+    */
+  def lengthTrim(docs: DataFrame, lo: Double, hi: Double): DataFrame = {
+    val th = docs.groupBy(col("lang")).agg(
+      expr(s"percentile_disc($lo) WITHIN GROUP (ORDER BY n_chars)").as("th_lo"),
+      expr(s"percentile_disc($hi) WITHIN GROUP (ORDER BY n_chars)").as("th_hi"))
+    docs.join(broadcast(th), Seq("lang"))
+      .filter(col("n_chars").between(col("th_lo"), col("th_hi")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   def tokenCorpusStats(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), explode(tokensWs(col("text"))).as("token"))
       .groupBy(col("token"), col("doc_id"))

@@ -52,6 +52,54 @@ class CurationSpec extends SparkTestBase {
     r(3) shouldBe ((4L, "de", 2L, 0L, 0L))
   }
 
+  test("trainValTestSplit sends exact duplicates to the same split") {
+    val r = Curation.trainValTestSplit(docs, 85, 85)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // docs 1 and 2 normalize identically -> identical split
+    r(1L) shouldBe r(2L)
+    // re-run reproduces the assignment exactly
+    val r2 = Curation.trainValTestSplit(docs, 85, 85)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    r2 shouldBe r
+    // full-range buckets cover every doc
+    r.size shouldBe 4
+    // 256 test buckets -> everything is 'test'; 0 -> nothing is
+    Curation.trainValTestSplit(docs, 256, 0)
+      .filter(col("split") =!= "test").count() shouldBe 0L
+    Curation.trainValTestSplit(docs, 0, 0)
+      .filter(col("split") =!= "train").count() shouldBe 0L
+  }
+
+  test("chunkFixed covers the text with overlapping windows") {
+    val tiny = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 chars
+    val r = Curation.chunkFixed(tiny, 4, 3)
+      .select("chunk_id", "chunk").as[(Long, String)].collect().sortBy(_._1)
+    r shouldBe Array((0L, "abcd"), (1L, "defg"), (2L, "ghij"), (3L, "j"))
+    // stride == width -> exact partition, no overlap
+    val part = Curation.chunkFixed(tiny, 5, 5)
+      .select("chunk").as[String].collect().sorted
+    part.mkString shouldBe "abcdefghij"
+    // empty text still yields one (empty) chunk row, never zero rows
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    Curation.chunkFixed(empty, 4, 3).count() shouldBe 1L
+  }
+
+  test("lengthTrim keeps rows inside the per-language percentile window") {
+    val tiny = (1 to 100).map(i => (i.toLong, "en", i.toLong)) :+
+      (101L, "de", 7L)
+    val df = tiny.toDF("doc_id", "lang", "n_chars")
+    val r = Curation.lengthTrim(df, 0.05, 0.95)
+      .filter(col("lang") === "en").agg(
+        org.apache.spark.sql.functions.min("n_chars"),
+        org.apache.spark.sql.functions.max("n_chars"))
+      .as[(Long, Long)].head()
+    // percentile_disc picks actual corpus values: 5 and 95
+    r shouldBe ((5L, 95L))
+    // a single-row language is its own 5th and 95th percentile -> kept
+    Curation.lengthTrim(df, 0.05, 0.95)
+      .filter(col("lang") === "de").count() shouldBe 1L
+  }
+
   test("tokenCorpusStats computes exact tf and df per token") {
     val tiny = Seq(
       (1L, "a a b"),   // a: tf 2 here
