@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ArrayAgreeCount, FirstAgreeIndex, MinHashSignature, NormTextAscii, OccurrenceMix, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot}
+import graft.expressions.{ArrayAgreeCount, BloomMightContain, FirstAgreeIndex, MinHashSignature, NormTextAscii, OccurrenceMix, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -54,6 +54,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NormTextAscii].getName,
         "graft_norm_ascii"),
       (args: Seq[Expression]) => NormTextAscii(args(0))),
+    (FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_might_contain"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))),
     (FunctionIdentifier("graft_sorted_collect"),
       new ExpressionInfo(classOf[SortedCollect].getName,
         "graft_sorted_collect"),

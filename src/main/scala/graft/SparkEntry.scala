@@ -588,6 +588,22 @@ object SparkEntry {
         .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
           count(lit(1)).as("streak_len"))
         .drop("anchor")
+    }),
+
+    // §2.6 — Bloom-prefiltered join: urgent orders' key set as a Bloom
+    // filter probes the lineitem scan before the join shuffle; result is
+    // exactly the plain inner join (false positives die in the real join)
+    "q65_bloom_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      BloomJoin.bloomPrefilteredJoin(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
     })
   )
 
@@ -1272,6 +1288,14 @@ object SparkEntry {
         |      FROM d)
         |SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
         |       count(*) AS streak_len
-        |FROM r GROUP BY user_id, d - CAST(rn AS INT)""".stripMargin
+        |FROM r GROUP BY user_id, d - CAST(rn AS INT)""".stripMargin,
+
+    // the Bloom prefilter is exact-join-equivalent by construction
+    "q65_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefiltered join: build a Bloom filter of the build side's keys
+  * (distributed `treeAggregate` via `DataFrameStatFunctions.bloomFilter`,
+  * only the ~MB bit array returns to the driver — the same driver
+  * footprint as a broadcast, without needing the full rows to fit), then
+  * drop probe rows whose key cannot match BEFORE the join shuffle.
+  *
+  * The follow-up equi-join makes the result exactly equal to the plain
+  * join — Bloom false positives merely travel through the shuffle and
+  * fail the real match. The win at 100 TB: when the build side filters to
+  * 1% of the fact's keys, ~99% of the fact never shuffles; this is what
+  * Spark's AQE `InjectRuntimeFilter` does for semi-join-able shapes,
+  * exposed here as an explicit operator for when the optimizer's
+  * size/selectivity heuristics won't fire (or the filter must cross a
+  * stage boundary the optimizer can't see).
+  *
+  * Reference analog: none — the reference joins whole tables
+  * (transform.py:37-40); this is the scale path for those same joins.
+  */
+object BloomJoin {
+
+  /** Serialized Bloom filter of `df(key)` sized for `expectedItems` at
+    * false-positive rate `fpp`.
+    */
+  def buildBloom(df: DataFrame, key: String, expectedItems: Long,
+                 fpp: Double): Array[Byte] = {
+    val bloom = df.stat.bloomFilter(key, expectedItems, fpp)
+    val bos = new ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** `probe ⋈ build` on `probeKey = buildKey`, with the probe side
+    * Bloom-prefiltered at the scan. Result is exactly the inner join.
+    */
+  def bloomPrefilteredJoin(probe: DataFrame, build: DataFrame,
+                           probeKey: String, buildKey: String,
+                           expectedItems: Long = 1000000L,
+                           fpp: Double = 0.01): DataFrame = {
+    val bytes = buildBloom(build, buildKey, expectedItems, fpp)
+    probe
+      .filter(call_function("graft_bloom_might_contain",
+        col(probeKey), lit(bytes)))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+}
