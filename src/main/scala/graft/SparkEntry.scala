@@ -604,6 +604,54 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+
+    // §2.6 — strict-order funnel (view → click → purchase): each stage is
+    // first-event-after-previous-stage; all three aggs shuffle on user_id
+    // so the stage joins reuse one partitioning; 1-row stage counts at
+    // the end combine with cross joins (driver-free)
+    "q66_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+      val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts_us") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("ts_us") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view_users"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+    }),
+
+    // §2.6 — cohort retention: users bucketed by first-active day, distinct
+    // actives per (cohort, day offset); the classic triangle matrix
+    "q67_retention" -> ((s, dir) => {
+      val days = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val first = days.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+      days.join(first, Seq("user_id"))
+        .groupBy(col("cohort"),
+          datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // §2.5 — rate-limit dedup: first event per (user, type) per 10-minute
+    // tumbling window; one shuffle, WindowGroupLimit cuts map-side
+    "q68_event_rate_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // integer `div`, not `/`: double division of epoch-µs longs rounds
+      val win = expr("ts_us div 600000000")
+      events(s, dir)
+        .withColumn("w", win)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("event_type"), col("w"))
+            .orderBy(col("ts_us"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"))
     })
   )
 
@@ -1296,6 +1344,40 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q66_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+        |      GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view_users,
+        |       (SELECT count(*) FROM c) AS n_click_users,
+        |       (SELECT count(*) FROM p) AS n_purchase_users""".stripMargin,
+
+    "q67_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM d GROUP BY 1)
+        |SELECT f.cohort, CAST(d.d - f.cohort AS BIGINT) AS day_offset,
+        |       count(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN f ON d.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q68_event_rate_dedup" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |         epoch_us(ts) // 600000000 AS w
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type, w
+        |        ORDER BY ts_us, event_id) AS rn
+        |      FROM x)
+        |SELECT event_id, user_id, event_type, ts_us FROM r WHERE rn = 1""".stripMargin
   )
 }
