@@ -652,7 +652,16 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts_us"))
-    })
+    }),
+
+    // §2.6 — Morton z-value arithmetic (the sort key behind the
+    // two-dimensional data-skipping layout in PartitionedSink
+    // .writeZOrdered); pure codegen'd bitwise ladder, exact in any engine
+    "q69_zorder_values" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        graft.functions.ZOrder.zValue(
+          col("user_id").bitwiseAND(lit(65535L)),
+          expr("ts_us div 86400000000")).as("zval")))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -1378,6 +1387,12 @@ object SparkEntry {
         |        PARTITION BY user_id, event_type, w
         |        ORDER BY ts_us, event_id) AS rn
         |      FROM x)
-        |SELECT event_id, user_id, event_type, ts_us FROM r WHERE rn = 1""".stripMargin
+        |SELECT event_id, user_id, event_type, ts_us FROM r WHERE rn = 1""".stripMargin,
+
+    "q69_zorder_values" ->
+      s"""SELECT event_id,
+         |       ${graft.functions.ZOrder.zValueSql(
+                    "(user_id & 65535)", "(epoch_us(ts) // 86400000000)")} AS zval
+         |FROM events""".stripMargin
   )
 }

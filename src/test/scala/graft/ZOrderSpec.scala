@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.ZOrder
+import graft.sinks.PartitionedSink
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference bit-interleave, the textbook loop. */
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zValue matches the textbook interleave across the 16-bit domain") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (0xABCDL, 0x1234L), (31L, 77L), (40000L, 3L))
+    val df = cases.toDF("x", "y")
+      .withColumn("z", ZOrder.zValue(col("x"), col("y")))
+    df.select("x", "y", "z").as[(Long, Long, Long)].collect().foreach {
+      case (x, y, z) => z shouldBe mortonRef(x, y)
+    }
+  }
+
+  test("zValue clamps inputs beyond 16 bits") {
+    val df = Seq((65536L + 5L, 2L)).toDF("x", "y")
+      .withColumn("z", ZOrder.zValue(col("x"), col("y")))
+    df.select("z").as[Long].head() shouldBe mortonRef(5L, 2L)
+  }
+
+  test("z-ordered layout keeps BOTH dimensions' per-file spans tight") {
+    // a uniform 256x256 grid; a single-column sort would give tight x
+    // spans but full-range y spans in every file
+    val grid = for { x <- 0 until 256; y <- 0 until 256 }
+      yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y").repartition(8)
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    PartitionedSink.writeZOrdered(df, "x", "y", dir, 16)
+
+    val spans = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .agg(avg("sx"), avg("sy")).as[(Double, Double)].head()
+    // 16 files over a 256-wide domain: z-clustering keeps the mean span
+    // per file well under half the domain in BOTH dims (a 1-D sort gives
+    // ~255 on the non-sorted dim)
+    assert(spans._1 < 128.0, s"x span too wide: $spans")
+    assert(spans._2 < 128.0, s"y span too wide: $spans")
+  }
+}
