@@ -579,8 +579,14 @@ object SparkEntry {
     // window and both aggregations reuse its partitioning
     "q64_streaks" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // ONE shuffle: the explicit user_id partitioning satisfies the
+      // distinct's (user_id, d) clustering, the window's user_id
+      // partitioning, AND the final (user_id, anchor) grouping — without
+      // it each step would re-exchange
       val days = events(s, dir)
-        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .repartition(col("user_id"))
+        .distinct()
       val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
       days
         .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
@@ -629,10 +635,17 @@ object SparkEntry {
     // §2.6 — cohort retention: users bucketed by first-active day, distinct
     // actives per (cohort, day offset); the classic triangle matrix
     "q67_retention" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // cohort via a window min instead of a self-join: the explicit
+      // user_id partitioning serves the distinct AND the window, so the
+      // only other shuffle is the final (cohort, offset) rollup
       val days = events(s, dir)
-        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-      val first = days.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
-      days.join(first, Seq("user_id"))
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .repartition(col("user_id"))
+        .distinct()
+      days
+        .withColumn("cohort",
+          min(col("d")).over(Window.partitionBy(col("user_id"))))
         .groupBy(col("cohort"),
           datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
