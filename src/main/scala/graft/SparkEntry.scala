@@ -674,7 +674,17 @@ object SparkEntry {
       events(s, dir).select(col("event_id"),
         graft.functions.ZOrder.zValue(
           col("user_id").bitwiseAND(lit(65535L)),
-          expr("ts_us div 86400000000")).as("zval")))
+          expr("ts_us div 86400000000")).as("zval"))),
+
+    // §2.9 — token-window chunking (64-token windows, 48-token stride):
+    // the tokenizer-aligned twin of q61; map-side fan-out, no shuffle
+    "q70_token_windows" -> ((s, dir) =>
+      Curation.chunkTokens(t(s, dir, "documents"), 64, 48)),
+
+    // §2.9 — balanced per-language sample: exactly 40 docs per language by
+    // smallest content fingerprint; WindowGroupLimit cuts map-side
+    "q71_balanced_sample" -> ((s, dir) =>
+      Curation.balancedSample(t(s, dir, "documents"), "lang", 40))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -1406,6 +1416,25 @@ object SparkEntry {
       s"""SELECT event_id,
          |       ${graft.functions.ZOrder.zValueSql(
                     "(user_id & 65535)", "(epoch_us(ts) // 86400000000)")} AS zval
-         |FROM events""".stripMargin
+         |FROM events""".stripMargin,
+
+    "q70_token_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |o AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS i
+        |      FROM t)
+        |SELECT doc_id, CAST(i // 48 AS BIGINT) AS window_id,
+        |       array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 64 AS INT)), ' ') AS window_text,
+        |       CAST(len(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 64 AS INT))) AS BIGINT) AS n_tokens
+        |FROM o""".stripMargin,
+
+    "q71_balanced_sample" ->
+      s"""WITH x AS (SELECT doc_id, lang, md5($NormSql) AS fp FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |                                   ORDER BY fp, doc_id) AS rn
+         |      FROM x)
+         |SELECT doc_id, lang, fp FROM r WHERE rn <= 40""".stripMargin
   )
 }

@@ -150,6 +150,43 @@ object Curation {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
 
+  /** Token-window chunking: overlapping windows of `winTokens` whitespace
+    * tokens at `stride`-token steps — the tokenizer-aligned twin of
+    * `chunkFixed` (what you feed an embedding model with a token budget).
+    * Same map-side fan-out shape: tokenize once per row, `sequence` +
+    * `posexplode` the window starts, `slice` each window out. No shuffle.
+    */
+  def chunkTokens(docs: DataFrame, winTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && winTokens > 0, "winTokens and stride must be positive")
+    docs.select(col("doc_id"), tokensWs(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("window_id"),
+        slice(col("toks"), col("col") + 1, lit(winTokens)).as("w"))
+      .select(col("doc_id"), col("window_id"),
+        array_join(col("w"), " ").as("window_text"),
+        size(col("w")).cast("long").as("n_tokens"))
+  }
+
+  /** Balanced per-group sample: exactly `k` documents per group, chosen as
+    * the k smallest content fingerprints — deterministic, reproducible,
+    * and uniform-in-content (md5 order is independent of every document
+    * attribute). The equal-depth counterpart of `stratifiedSample`'s
+    * equal-RATE cut, for building balanced eval sets from skewed corpora.
+    * One shuffle; Spark 4's WindowGroupLimit cuts to k per group map-side
+    * before the exchange, so the shuffle carries ~k·groups rows, not the
+    * corpus.
+    */
+  def balancedSample(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("fp"), col("doc_id"))
+    docs.withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col(groupCol), col("fp"))
+  }
+
   /** Length-outlier trim: keep documents whose `n_chars` lies within the
     * per-language `[percentile_disc(lo), percentile_disc(hi)]` window.
     * Discrete percentiles (an actual corpus value, not an interpolation)

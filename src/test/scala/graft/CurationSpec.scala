@@ -100,6 +100,33 @@ class CurationSpec extends SparkTestBase {
       .filter(col("lang") === "de").count() shouldBe 1L
   }
 
+  test("chunkTokens windows the token stream with overlap") {
+    val tiny = Seq((1L, "a b c d e f g")).toDF("doc_id", "text") // 7 tokens
+    val r = Curation.chunkTokens(tiny, 4, 3)
+      .select("window_id", "window_text", "n_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    r shouldBe Array((0L, "a b c d", 4L), (1L, "d e f g", 4L), (2L, "g", 1L))
+    // multiple spaces produce no empty tokens
+    val spaced = Seq((1L, "a  b")).toDF("doc_id", "text")
+    Curation.chunkTokens(spaced, 8, 8)
+      .select("window_text").as[String].head() shouldBe "a b"
+  }
+
+  test("balancedSample returns exactly k per group, deterministically") {
+    val many = (1 to 50).map(i => (i.toLong, if (i % 2 == 0) "en" else "de",
+      s"document number $i with some text"))
+    val df = many.toDF("doc_id", "lang", "text")
+    val r = Curation.balancedSample(df, "lang", 5)
+    r.groupBy("lang").count().as[(String, Long)].collect().toMap shouldBe
+      Map("en" -> 5L, "de" -> 5L)
+    // same pick on re-run (content-hash order, no RNG)
+    val again = Curation.balancedSample(df, "lang", 5)
+      .select("doc_id").as[Long].collect().sorted
+    again shouldBe r.select("doc_id").as[Long].collect().sorted
+    // k larger than the group keeps the whole group
+    Curation.balancedSample(df, "lang", 100).count() shouldBe 50L
+  }
+
   test("tokenCorpusStats computes exact tf and df per token") {
     val tiny = Seq(
       (1L, "a a b"),   // a: tf 2 here
