@@ -684,7 +684,34 @@ object SparkEntry {
     // §2.9 — balanced per-language sample: exactly 40 docs per language by
     // smallest content fingerprint; WindowGroupLimit cuts map-side
     "q71_balanced_sample" -> ((s, dir) =>
-      Curation.balancedSample(t(s, dir, "documents"), "lang", 40))
+      Curation.balancedSample(t(s, dir, "documents"), "lang", 40)),
+
+    // §2.6 — correlated scalar subquery through the SQL facade: Catalyst
+    // decorrelates the per-partkey average into an aggregate + join (no
+    // per-row re-execution); the threshold arithmetic is exact because
+    // integral quantities sum exactly in doubles in any order
+    "q72_below_avg_parts" -> ((s, dir) => {
+      GraftSql.register(s, dir)
+      s.sql(
+        """SELECT l_partkey, count(*) AS n_below
+          |FROM lineitem l1
+          |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+          |                    FROM lineitem l2
+          |                    WHERE l2.l_partkey = l1.l_partkey)
+          |GROUP BY l_partkey""".stripMargin)
+    }),
+
+    // §2.6 — equal-depth decile bucketing per market segment (the
+    // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
+    // windows partitioned by segment so the sort parallelizes — a GLOBAL
+    // ntile would funnel the table through one partition and is
+    // deliberately not what this query does
+    "q73_ntile_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        ntile(10).over(Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))).cast("long").as("decile"))
+    })
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -1435,6 +1462,20 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY lang
          |                                   ORDER BY fp, doc_id) AS rn
          |      FROM x)
-         |SELECT doc_id, lang, fp FROM r WHERE rn <= 40""".stripMargin
+         |SELECT doc_id, lang, fp FROM r WHERE rn <= 40""".stripMargin,
+
+    "q72_below_avg_parts" ->
+      """SELECT l_partkey, count(*) AS n_below
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey""".stripMargin,
+
+    "q73_ntile_deciles" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       ntile(10) OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal, c_custkey) AS decile
+        |FROM customer""".stripMargin
   )
 }
