@@ -1,7 +1,8 @@
 package graft
 
-import graft.operators.{Multimodal, PpmCodec}
+import graft.operators.{Multimodal, PpmCodec, WavCodec}
 import graft.operators.PpmCodec.PpmImage
+import graft.operators.WavCodec.WavAudio
 
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
@@ -98,5 +99,57 @@ class MultimodalSpec extends SparkTestBase {
     val fb = Multimodal.frameSample(spark, docs, 4).collect()
     fb.count(_.doc_id == 1L) shouldBe 4
     fb.filter(_.doc_id == 1L).foreach(_.width shouldBe 0)
+  }
+
+  test("WavCodec: encode/decode roundtrip and strict rejection") {
+    val sine = Array.tabulate(4410)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 44100.0) * 16384).toShort)
+    val a = WavAudio(44100, 1, sine)
+    val back = WavCodec.decode(WavCodec.encode(a)).get
+    back.sampleRate shouldBe 44100
+    back.channels shouldBe 1
+    back.samples shouldBe sine
+    back.nFrames shouldBe 4410
+    back.durationSec shouldBe (0.1 +- 1e-9)
+    // stereo frame count halves
+    WavCodec.decode(WavCodec.encode(WavAudio(8000, 2, sine)))
+      .get.nFrames shouldBe 2205
+    // garbage, truncation, and non-PCM are all rejected
+    WavCodec.decode("not audio".getBytes) shouldBe None
+    WavCodec.decode(WavCodec.encode(a).dropRight(10)) shouldBe None
+    val nonPcm = WavCodec.encode(a); nonPcm(20) = 3 // format tag 3 = float
+    WavCodec.decode(nonPcm) shouldBe None
+  }
+
+  test("WavCodec features match closed-form signal values") {
+    // full-scale square wave: rms 1.0, a crossing every half period
+    val square = Array.tabulate(1000)(i =>
+      if ((i / 10) % 2 == 0) (-32768).toShort else 32767.toShort)
+    val (rms, zcr, peak) = WavCodec.features(WavAudio(1000, 1, square))
+    rms shouldBe (1.0 +- 0.01)
+    peak shouldBe (1.0 +- 0.01)
+    zcr shouldBe (0.1 +- 0.01) // one crossing per 10 samples
+    // sine rms = amplitude / sqrt(2)
+    val sine = Array.tabulate(44100)(i =>
+      (math.sin(2 * math.Pi * 100 * i / 44100.0) * 16384).toShort)
+    val (srms, _, _) = WavCodec.features(WavAudio(44100, 1, sine))
+    srms shouldBe (16384.0 / 32768.0 / math.sqrt(2) +- 0.001)
+  }
+
+  test("decodeAudioFeatures: REAL decode for WAV payloads, marked fallback otherwise") {
+    val sine = Array.tabulate(800)(i =>
+      (math.sin(2 * math.Pi * 50 * i / 8000.0) * 8192).toShort)
+    val payloads = Seq(
+      (1L, WavCodec.encode(WavAudio(8000, 1, sine))),
+      (2L, "definitely not a wav".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val r = Multimodal.decodeAudioFeatures(spark, payloads)
+      .collect().sortBy(_.doc_id)
+    r(0).decoded shouldBe true
+    r(0).sample_rate shouldBe 8000
+    r(0).n_frames shouldBe 800
+    r(0).rms shouldBe (8192.0 / 32768.0 / math.sqrt(2) +- 0.001)
+    r(1).decoded shouldBe false
+    r(1).sample_rate shouldBe 0
   }
 }
