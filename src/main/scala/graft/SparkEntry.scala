@@ -701,6 +701,21 @@ object SparkEntry {
           |GROUP BY l_partkey""".stripMargin)
     }),
 
+    // §2.6 — robust dispersion stats: median + MAD per event type (the
+    // outlier-resistant sigma for quality gating); the tiny median frame
+    // broadcasts back for the deviation pass — two scans, no extra
+    // corpus shuffle
+    "q74_mad_stats" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+        .groupBy(col("event_type"), col("med"))
+        .agg(percentile(col("dev"), lit(0.5)).as("mad"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1471,6 +1486,15 @@ object SparkEntry {
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = l1.l_partkey)
         |GROUP BY l_partkey""".stripMargin,
+
+    "q74_mad_stats" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+        |      FROM events e JOIN m USING (event_type))
+        |SELECT event_type, med, quantile_cont(dev, 0.5) AS mad,
+        |       count(*) AS n_events
+        |FROM d GROUP BY 1, 2""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
