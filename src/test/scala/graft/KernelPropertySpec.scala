@@ -106,6 +106,27 @@ class KernelPropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: bloom probe agrees between codegen and interpreted paths") {
+    val keys = (1 to 300).map(_ => rng.nextLong() % 100000L)
+    val bloomBytes = graft.operators.BloomJoin.buildBloom(
+      keys.map(Tuple1(_)).toDF("k"), "k", 1000L, 0.01)
+    val probes = (1 to 500).map(_ => Tuple1(rng.nextLong() % 100000L)).toDF("k")
+    def run(codegen: String): Seq[(Long, Boolean)] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try probes.select(col("k"),
+          call_function("graft_bloom_might_contain", col("k"), lit(bloomBytes))
+            .as("hit"))
+        .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val gen = run("true")
+    val interp = run("false")
+    gen shouldBe interp
+    // and every build key hits in both paths
+    val hits = gen.toMap
+    keys.foreach(k => assert(hits.getOrElse(k, true)))
+  }
+
   test("property: occurrence_mix output is sorted, distinct, and size-preserving") {
     def multiset() = Array.fill(rng.nextInt(151))(rng.nextInt(20).toLong).sorted
     val rows = (1 to 100).map(_ => Tuple1(multiset())).toDF("a")
