@@ -716,6 +716,44 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // §2.9 — document co-occurrence pairs: per-doc sorted distinct tokens
+    // expand to ordered pairs MAP-SIDE via nested higher-order transforms
+    // (never a positional self-join — the shuffle carries pair counts,
+    // not pair rows); top-50 with a total-order tie-break
+    "q75_cooccurrence" -> ((s, dir) => {
+      val toks = array_sort(array_distinct(
+        graft.functions.TextFunctions.tokensWs(col("text"))))
+      t(s, dir, "documents").select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(toks) - 1),
+            |  i -> transform(slice(toks, i + 1, size(toks) - i),
+            |         t -> struct(element_at(toks, i) AS t1, t AS t2))))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("t1").asc, col("t2").asc)
+        .limit(50)
+    }),
+
+    // §2.6 — k-anonymity audit over a quasi-identifier: group sizes with a
+    // below-k flag (the privacy gate before publishing grouped extracts)
+    "q76_k_anonymity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("below_k", col("group_size") < 12)),
+
+    // §2.9 — temperature resampling: upsample low-resource languages by an
+    // integer factor (map-side sequence+explode, deterministic copy ids —
+    // the multilingual-mix rebalancing step before packing)
+    "q77_temperature_resample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("factor", when(col("lang") === "en", 1).otherwise(3))
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), col("factor"))).as("copy_id"))
+        .withColumn("copy_id", col("copy_id").cast("long"))),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1495,6 +1533,30 @@ object SparkEntry {
         |SELECT event_type, med, quantile_cont(dev, 0.5) AS mad,
         |       count(*) AS n_events
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    "q75_cooccurrence" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(list_filter(string_split(text, ' '),
+        |                                             x -> x <> ''))) AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_docs
+        |FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |GROUP BY 1, 2 ORDER BY n_docs DESC, t1, t2 LIMIT 50""".stripMargin,
+
+    "q76_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS group_size,
+        |       count(*) < 12 AS below_k
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "q77_temperature_resample" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |                  CASE WHEN lang = 'en' THEN 1 ELSE 3 END AS factor
+        |           FROM documents)
+        |SELECT doc_id, lang,
+        |       CAST(unnest(generate_series(1, factor)) AS BIGINT) AS copy_id
+        |FROM f""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
