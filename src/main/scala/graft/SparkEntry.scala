@@ -754,6 +754,31 @@ object SparkEntry {
           explode(sequence(lit(1), col("factor"))).as("copy_id"))
         .withColumn("copy_id", col("copy_id").cast("long"))),
 
+    // §2.6 — full-outer reconciliation: daily counts from two independent
+    // feeds, unmatched days surfaced from either side with zero fills
+    "q78_reconcile_feeds" -> ((s, dir) => {
+      val e = events(s, dir).groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"))
+      val o = t(s, dir, "orders").groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      e.join(o, Seq("d"), "full_outer")
+        .select(col("d"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
+    // §2.1 — semi-structured extraction: typed from_json over the props
+    // JSON column, then bucketed aggregation on the extracted field
+    "q79_props_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"),
+          col("value"))
+        .groupBy(expr("k div 10").as("k_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          ExactAgg.moneySum(col("value")).as("total_value"))),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1557,6 +1582,21 @@ object SparkEntry {
         |SELECT doc_id, lang,
         |       CAST(unnest(generate_series(1, factor)) AS BIGINT) AS copy_id
         |FROM f""".stripMargin,
+
+    "q78_reconcile_feeds" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+        |           FROM events GROUP BY 1),
+        |o AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+        |      FROM orders GROUP BY 1)
+        |SELECT coalesce(e.d, o.d) AS d,
+        |       coalesce(e.n_events, 0) AS n_events,
+        |       coalesce(o.n_orders, 0) AS n_orders
+        |FROM e FULL OUTER JOIN o ON e.d = o.d""".stripMargin,
+
+    "q79_props_extract" ->
+      s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) // 10 AS k_bucket,
+         |       count(*) AS n_events, $SumCents AS total_value
+         |FROM events GROUP BY 1""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
