@@ -101,6 +101,31 @@ class MultimodalSpec extends SparkTestBase {
     fb.filter(_.doc_id == 1L).foreach(_.width shouldBe 0)
   }
 
+  test("codecs never throw on corrupt payloads (fuzz)") {
+    // at corpus scale corrupt payloads are routine input, not exceptions:
+    // decode must return None/empty, never blow up the task
+    val rng = new scala.util.Random(20260812L)
+    val sine = Array.tabulate(500)(i => (math.sin(i * 0.1) * 9000).toShort)
+    val validWav = WavCodec.encode(WavAudio(8000, 1, sine))
+    val validPpm = PpmCodec.encode(redBlue)
+    val payloads =
+      (1 to 200).map(_ => Array.fill(rng.nextInt(200))(rng.nextInt().toByte)) ++
+      (1 to 100).map { _ => // bit-flipped valid files
+        val b = (if (rng.nextBoolean()) validWav else validPpm).clone()
+        b(rng.nextInt(b.length)) = rng.nextInt().toByte
+        b
+      } ++
+      (1 to 50).map { _ => // truncations
+        val src = if (rng.nextBoolean()) validWav else validPpm
+        src.take(rng.nextInt(src.length))
+      } :+ Array.emptyByteArray
+    payloads.foreach { p =>
+      noException should be thrownBy WavCodec.decode(p)
+      noException should be thrownBy PpmCodec.decodeOne(p)
+      noException should be thrownBy PpmCodec.decodeStream(p)
+    }
+  }
+
   test("WavCodec: encode/decode roundtrip and strict rejection") {
     val sine = Array.tabulate(4410)(i =>
       (math.sin(2 * math.Pi * 440 * i / 44100.0) * 16384).toShort)
