@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ArrayAgreeCount, BloomMightContain, FirstAgreeIndex, MinHashSignature, NormTextAscii, OccurrenceMix, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot}
+import graft.expressions.{ArrayAgreeCount, BloomMightContain, BucketOf, FirstAgreeIndex, MinHashSignature, NormTextAscii, OccurrenceMix, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -54,6 +54,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NormTextAscii].getName,
         "graft_norm_ascii"),
       (args: Seq[Expression]) => NormTextAscii(args(0))),
+    (FunctionIdentifier("graft_bucket_of"),
+      new ExpressionInfo(classOf[BucketOf].getName, "graft_bucket_of"),
+      (args: Seq[Expression]) => BucketOf(args(0), args(1))),
     (FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "graft_bloom_might_contain"),

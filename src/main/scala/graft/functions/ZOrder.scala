@@ -36,6 +36,20 @@ object ZOrder {
   def zValue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Equal-depth bucket index for a skewed dimension: `approxQuantile`
+    * thresholds (one tiny driver-side array, like a broadcast) fed to the
+    * codegen'd `graft_bucket_of` binary search. Rank-bucketing is what
+    * makes the Morton curve skew-proof — interleaving RAW values of a
+    * hot-keyed dimension would pile most rows onto a few z-ranges (and
+    * therefore a few files), defeating the layout.
+    */
+  def quantileBucket(df: org.apache.spark.sql.DataFrame, column: String,
+                     nBuckets: Int): Column = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val th = df.stat.approxQuantile(column, probs, 0.001)
+    call_function("graft_bucket_of", col(column), lit(th))
+  }
+
   /** The same ladder in ANSI SQL, for oracle queries. */
   def zValueSql(x: String, y: String): String = {
     def spread(v: String): String = {

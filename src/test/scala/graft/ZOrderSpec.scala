@@ -53,4 +53,45 @@ class ZOrderSpec extends SparkTestBase {
     assert(spans._1 < 128.0, s"x span too wide: $spans")
     assert(spans._2 < 128.0, s"y span too wide: $spans")
   }
+
+  test("graft_bucket_of matches a reference binary search, both eval paths") {
+    val th = Array(10.0, 20.0, 30.0, 40.0)
+    def ref(v: Double): Long = th.count(_ <= v).toLong
+    val vals = Seq(-5.0, 10.0, 15.0, 20.0, 39.9, 40.0, 99.0)
+    def run(codegen: String): Seq[(Double, Long)] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try vals.toDF("v")
+        .select(col("v"), call_function("graft_bucket_of", col("v"), lit(th))
+          .as("b")).as[(Double, Long)].collect().toSeq.sortBy(_._1)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val gen = run("true")
+    gen shouldBe run("false")
+    gen.foreach { case (v, b) => b shouldBe ref(v) }
+  }
+
+  test("quantile-bucketed z-order stays balanced on a skewed dimension") {
+    // x: zipf-ish hot head (80% of rows in the lowest 1% of the range);
+    // raw interleave would pack most rows into a few files
+    val rng = new scala.util.Random(7L)
+    val rows = (1 to 20000).map { _ =>
+      val x = if (rng.nextInt(5) < 4) rng.nextInt(100).toDouble
+              else rng.nextInt(10000).toDouble
+      (x, rng.nextInt(256).toLong)
+    }
+    val df = rows.toDF("x", "y").repartition(8)
+    val xb = ZOrder.quantileBucket(df, "x", 256)
+    val bucketed = df.withColumn("xb", xb)
+    // equal-depth: every bucket holds roughly rows/nBuckets
+    val sizes = bucketed.groupBy("xb").count().as[(Long, Long)].collect()
+    val maxShare = sizes.map(_._2).max.toDouble / rows.size
+    assert(maxShare < 0.05, f"hot bucket holds $maxShare%.2f of rows")
+    // and the z-layout over (xb, y) keeps file row counts balanced
+    val dir = java.nio.file.Files.createTempDirectory("zskew").toString
+    PartitionedSink.writeZOrdered(bucketed, "xb", "y", dir, 16)
+    val fileCounts = spark.read.parquet(dir)
+      .groupBy(input_file_name()).count().as[(String, Long)].collect()
+    val biggest = fileCounts.map(_._2).max.toDouble / rows.size
+    assert(biggest < 0.15, f"hot file holds $biggest%.2f of rows")
+  }
 }
