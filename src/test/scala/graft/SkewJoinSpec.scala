@@ -29,4 +29,35 @@ class SkewJoinSpec extends SparkTestBase {
     val nSalts = SkewJoin.saltedJoin(big, small, "k", 8).count()
     nSalts shouldBe 100 // correctness; the spread itself is the plan's shape
   }
+
+  test("AQE splits a skewed sort-merge join partition automatically") {
+    // the automatic complement of saltedJoin: with broadcast off and the
+    // skew thresholds lowered, AQE's OptimizeSkewedJoin splits the hot
+    // partition at runtime — assert both the marker and the result
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.shuffle.partitions" -> "4")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = ((1 to 20000).map(i => (1L, s"payload_$i")) ++
+        (1 to 200).map(i => ((i % 37) + 2L, s"cold_$i"))).toDF("k", "payload")
+      val small = (1L to 40L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = big.join(small, Seq("k"))
+      // run THIS query execution (count() would plan a separate one and
+      // leave this AQE plan un-finalized)
+      joined.queryExecution.toRdd.count() shouldBe 20200L
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)") &&
+        plan.contains("AQEShuffleRead coalesced and skewed"),
+        s"no AQE skew handling in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
