@@ -147,4 +147,41 @@ class StreamingPipelineSpec extends SparkTestBase {
     val after = KeyValueSink.KVStore.scan("StreamKpis")
     after.size shouldBe 1 // only the 12:00 window from the new file
   }
+
+  test("micro-batched streaming aggregation equals the one-shot batch result") {
+    // the exactly-once equivalence contract: an aggregation fed one file
+    // per micro-batch must converge to the same totals as a single batch
+    // pass over all the data — state survives every batch boundary
+    val rng = new scala.util.Random(42)
+    val dir = Files.createTempDirectory("sbatcheq").toString
+    val input = s"$dir/in"
+    val rows = (1 to 300).map { i =>
+      (i.toLong, new Timestamp(1704100000000L + i * 60000L),
+        (i % 17).toLong, s"type_${i % 5}", rng.nextInt(10000) / 100.0)
+    }
+    rows.grouped(100).zipWithIndex.foreach { case (chunk, _) =>
+      chunk.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(1).write.mode("append").parquet(input)
+    }
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one parquet file per micro-batch
+      .parquet(input)
+      .withColumn("cents",
+        org.apache.spark.sql.functions.expr("CAST(floor(value * 100) AS BIGINT)"))
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"cents").as("total_cents"))
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("sbatcheq")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sbatcheq")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val batch = rows.groupBy(_._4).map { case (t, rs) =>
+      (t, rs.size.toLong, rs.map(r => math.floor(r._5 * 100).toLong).sum)
+    }.toArray.sortBy(_._1)
+    streamed shouldBe batch
+  }
 }
