@@ -779,6 +779,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           ExactAgg.moneySum(col("value")).as("total_value"))),
 
+    // §2.6 — co-purchase pairs ("bought X, also bought Y"): bipartite
+    // 2-hop via a self-join on the user side, per-user item cap bounding
+    // the quadratic fan-out (cap 100 does not bind on this data, so the
+    // uncapped oracle applies; the binding case is spec-tested)
+    "q80_copurchase" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      Recommend.coPairs(edges, capPerUser = 100, k = 50)
+    }),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1597,6 +1609,14 @@ object SparkEntry {
       s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) // 10 AS k_bucket,
          |       count(*) AS n_events, $SumCents AS total_value
          |FROM events GROUP BY 1""".stripMargin,
+
+    "q80_copurchase" ->
+      """WITH up AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT a.p AS part_1, b.p AS part_2, count(*) AS n_users
+        |FROM up a JOIN up b ON a.u = b.u AND a.p < b.p
+        |GROUP BY 1, 2 ORDER BY n_users DESC, part_1, part_2 LIMIT 50""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
