@@ -791,6 +791,46 @@ object SparkEntry {
       Recommend.coPairs(edges, capPerUser = 100, k = 50)
     }),
 
+    // §2.9 — conjunctive term search over the inverted posting list:
+    // docs containing ALL query terms = per-doc distinct-match count
+    // equal to the term count; the IN filter prunes the posting explode
+    // scan-side so only query-term postings ever shuffle
+    "q81_terms_search" -> ((s, dir) => {
+      val terms = Seq("table", "row", "value")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.functions.TextFunctions.tokensWs(col("text")))).as("tok"))
+        .filter(col("tok").isInCollection(terms))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matched"))
+        .filter(col("n_matched") === terms.size)
+    }),
+
+    // §2.6 — ratio-to-report: national revenue share of the global total;
+    // the unpartitioned window runs over the 25-row AGGREGATED frame (a
+    // global window over the fact table would single-partition — this
+    // shape never does), and the share divides two exact cent integers
+    "q82_revenue_share" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = sum(expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(cents.as("cents"))
+      rev.select(col("n_name"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        (col("cents").cast("double") /
+          sum(col("cents")).over(Window.partitionBy())).as("share"))
+    }),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1617,6 +1657,27 @@ object SparkEntry {
         |SELECT a.p AS part_1, b.p AS part_2, count(*) AS n_users
         |FROM up a JOIN up b ON a.u = b.u AND a.p < b.p
         |GROUP BY 1, 2 ORDER BY n_users DESC, part_1, part_2 LIMIT 50""".stripMargin,
+
+    "q81_terms_search" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_matched
+        |FROM toks WHERE tok IN ('table', 'row', 'value')
+        |GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
+
+    "q82_revenue_share" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(cents AS DOUBLE) / sum(cents) OVER () AS share
+        |FROM rev""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
