@@ -103,4 +103,33 @@ class PlanShapeSpec extends SparkTestBase {
     // the exact-verify merge kernel survives in the final plan
     p should include("graft_sorted_intersect_count")
   }
+
+  test("q61/q70/q77: map-side fan-outs plan with Generate and no Exchange") {
+    Seq("q61_doc_chunks", "q70_token_windows", "q77_temperature_resample")
+      .foreach { q =>
+        val p = plan(q)
+        p should include("Generate")
+        p should not include "Exchange"
+      }
+  }
+
+  test("q60/q69: split assignment and z-values are pure zero-shuffle maps") {
+    Seq("q60_train_split", "q69_zorder_values").foreach { q =>
+      plan(q) should not include "Exchange"
+    }
+  }
+
+  test("q65: the bloom probe filters the scan below the join") {
+    val p = plan("q65_bloom_join")
+    p should include("graft_bloom_might_contain")
+    p.indexOf("graft_bloom_might_contain") should be > p.indexOf("Join")
+  }
+
+  test("q71: the balanced-sample cut happens map-side (WindowGroupLimit)") {
+    plan("q71_balanced_sample") should include("WindowGroupLimit")
+  }
+
+  test("q64: streaks reuse ONE user_id exchange end to end") {
+    "Exchange".r.findAllIn(plan("q64_streaks")).length shouldBe 1
+  }
 }
