@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ArrayAgreeCount, BloomMightContain, BucketOf, FirstAgreeIndex, MinHashSignature, NormTextAscii, OccurrenceMix, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot}
+import graft.expressions.{ArrayAgreeCount, BloomMightContain, BucketOf, FirstAgreeIndex, MinHashSignature, NormTextAscii, OccurrenceMix, PairMerge, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -57,6 +57,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bucket_of"),
       new ExpressionInfo(classOf[BucketOf].getName, "graft_bucket_of"),
       (args: Seq[Expression]) => BucketOf(args(0), args(1))),
+    (FunctionIdentifier("graft_pair_merge"),
+      new ExpressionInfo(classOf[PairMerge].getName, "graft_pair_merge"),
+      (args: Seq[Expression]) => PairMerge(args(0), args(1), args(2))),
     (FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "graft_bloom_might_contain"),

@@ -831,6 +831,13 @@ object SparkEntry {
           sum(col("cents")).over(Window.partitionBy())).as("share"))
     }),
 
+    // §2.9 — BPE tokenizer training (8 merges): one corpus pass builds
+    // the word vocab; rounds run on that bounded frame. Rows-only — the
+    // k-round recursion is not SQL-expressible; the merge sequence is
+    // pinned exactly on the textbook corpus in BpeTrainerSpec
+    "q83_bpe_merges" -> ((s, dir) =>
+      BpeTrainer.merges(t(s, dir, "documents"), 8)),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
