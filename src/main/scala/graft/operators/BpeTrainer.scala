@@ -71,6 +71,26 @@ object BpeTrainer {
     merges.result()
   }
 
+  /** Apply a trained merge table: tokenize `text` into words, split words
+    * to characters, then fold the merges IN RANK ORDER into one composed
+    * projection — a single corpus pass whose expression depth is the
+    * merge count (fine for the demo-scale tables; a production encoder
+    * compiles the merge table into a longest-match trie for O(word)
+    * encoding — same output, same single-pass structure).
+    * Output: (word, bpe_tokens).
+    */
+  def encode(docs: DataFrame,
+             merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    val encoded = merges.sortBy(_._1).foldLeft(chars) { case (acc, (_, l, r, _)) =>
+      call_function("graft_pair_merge", acc, lit(l), lit(r))
+    }
+    docs.select(explode(tokensWs(col("text"))).as("word"))
+      .distinct()
+      .select(col("word"), encoded.as("bpe_tokens"))
+  }
+
   /** The merge table as a DataFrame (for the query catalog). */
   def merges(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession

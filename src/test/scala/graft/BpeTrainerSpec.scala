@@ -35,6 +35,16 @@ class BpeTrainerSpec extends SparkTestBase {
     r shouldBe Array("aa", "a", "b") // left-to-right, non-overlapping
   }
 
+  test("encode applies trained merges in rank order") {
+    val merges = BpeTrainer.trainMerges(corpus, 5)
+    val enc = BpeTrainer.encode(corpus, merges)
+      .as[(String, Array[String])].collect().toMap
+    enc("low") shouldBe Array("low")              // l+o then lo+w
+    enc("newest") shouldBe Array("n", "ew", "est") // es, es+t, e+w
+    enc("widest") shouldBe Array("w", "i", "d", "est")
+    enc("lower") shouldBe Array("low", "e", "r")
+  }
+
   test("merges is deterministic across re-runs") {
     BpeTrainer.trainMerges(corpus, 3) shouldBe BpeTrainer.trainMerges(corpus, 3)
   }
