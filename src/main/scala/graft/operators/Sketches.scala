@@ -30,4 +30,17 @@ object Sketches {
         approx_percentile(col("value"), lit(0.5), lit(percentileAccuracy)).as("approx_p50"),
         percentile(col("value"), lit(0.5)).as("exact_p50"),
         count(lit(1)).as("n_events"))
+
+  /** Count-min frequency estimates (`DataFrameStatFunctions.countMinSketch`
+    * — a distributed build, only the eps×delta-sized table returns to the
+    * driver): point-lookup frequencies in fixed memory, the primitive for
+    * frequency capping and hot-key detection when the key domain is too
+    * large to aggregate exactly. Guarantees (asserted in the spec):
+    * estimate ≥ true count, and ≤ true + eps·N with the given confidence.
+    */
+  def cmsEstimates(df: DataFrame, column: String, eps: Double,
+                   confidence: Double, probes: Seq[Long]): Seq[(Long, Long)] = {
+    val cms = df.stat.countMinSketch(col(column), eps, confidence, seed = 42)
+    probes.map(p => (p, cms.estimateCount(p)))
+  }
 }

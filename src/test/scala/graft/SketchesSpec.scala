@@ -20,4 +20,22 @@ class SketchesSpec extends SparkTestBase {
       math.abs(approxP - exactP) / math.max(exactP, 1.0) should be <= 0.10
     }
   }
+
+  test("count-min estimates are one-sided and within eps*N") {
+    import spark.implicits._
+    // skewed stream: key 1 is hot, a long tail of cold keys
+    val rows = ((1 to 5000).map(_ => 1L) ++
+      (1 to 5000).map(i => (i % 500 + 2).toLong)).map(Tuple1(_))
+    val df = rows.toDF("k")
+    val exact = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val eps = 0.001
+    val n = rows.size
+    val probes = Seq(1L, 2L, 100L, 999999L) // incl. an absent key
+    val est = graft.operators.Sketches.cmsEstimates(df, "k", eps, 0.99, probes)
+    est.foreach { case (k, e) =>
+      val truth = exact.getOrElse(k, 0L)
+      e should be >= truth                      // never undercounts
+      e should be <= truth + (eps * n).toLong + 1 // eps*N overcount bound
+    }
+  }
 }
