@@ -44,9 +44,10 @@ object BloomJoin {
                            expectedItems: Long = 1000000L,
                            fpp: Double = 0.01): DataFrame = {
     val bytes = buildBloom(build, buildKey, expectedItems, fpp)
-    probe
-      .filter(call_function("graft_bloom_might_contain",
-        col(probeKey), lit(bytes)))
-      .join(build, col(probeKey) === col(buildKey))
+    val filtered = probe.filter(call_function("graft_bloom_might_contain",
+      col(probeKey), lit(bytes)))
+    // frame-qualified keys: stays unambiguous when both sides name the
+    // key column identically
+    filtered.join(build, filtered(probeKey) === build(buildKey))
   }
 }

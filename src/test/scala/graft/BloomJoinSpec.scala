@@ -24,6 +24,14 @@ class BloomJoinSpec extends SparkTestBase {
     viaBloom.map(_._1).toSeq shouldBe Seq(1L, 1L, 3L)
   }
 
+  test("bloomPrefilteredJoin works when both sides name the key identically") {
+    val b = Seq((1L, "x")).toDF("k", "tag")
+    val r = BloomJoin.bloomPrefilteredJoin(
+        probe.select(col("k"), col("payload")), b, "k", "k", 100L, 0.03)
+      .select("payload", "tag").as[(String, String)].collect().sorted
+    r shouldBe Array(("a", "x"), ("f", "x"))
+  }
+
   test("bloom probe never false-negatives on build keys") {
     val keys = (1L to 5000L).map(k => Tuple1(k)).toDF("bk")
     val bytes = BloomJoin.buildBloom(keys, "bk", 5000L, 0.01)
