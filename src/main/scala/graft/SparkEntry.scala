@@ -838,6 +838,11 @@ object SparkEntry {
     "q83_bpe_merges" -> ((s, dir) =>
       BpeTrainer.merges(t(s, dir, "documents"), 8)),
 
+    // §2.5 — within-session ordered funnel: purchase counts only when a
+    // click precedes it INSIDE the same 30-minute gap-session
+    "q84_session_funnel" -> ((s, dir) =>
+      Events.sessionFunnel(events(s, dir), 30, "click", "purchase")),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1685,6 +1690,29 @@ object SparkEntry {
         |SELECT n_name, CAST(cents AS DOUBLE) / 100.0 AS revenue,
         |       CAST(cents AS DOUBLE) / sum(cents) OVER () AS share
         |FROM rev""".stripMargin,
+
+    "q84_session_funnel" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_s FROM x),
+        |z AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |                                 ORDER BY us, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM y),
+        |f AS (SELECT *, min(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |        PARTITION BY user_id, sid ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS from_before
+        |      FROM z)
+        |SELECT count(DISTINCT (user_id, sid)) AS n_sessions,
+        |       count(DISTINCT CASE WHEN event_type = 'click'
+        |                           THEN (user_id, sid) END) AS n_with_from,
+        |       count(DISTINCT CASE WHEN event_type = 'purchase'
+        |                            AND from_before IS NOT NULL
+        |                           THEN (user_id, sid) END) AS n_converted
+        |FROM f""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,

@@ -18,6 +18,40 @@ object Events {
     * user's timeline; skew is bounded by the busiest user, not data size.
     * Returns per-user (n_events, n_sessions).
     */
+  /** Within-session ordered funnel: sessions where a `to` event follows a
+    * `from` event INSIDE the same gap-session (strictly later by event
+    * order). One shuffle on user_id feeds the session-id window; the
+    * running-min-of-`from` window rides the same partitioning (its keys
+    * are a superset), so conversion detection adds sorts but no exchange.
+    * Output: one row of session counts — total, with `from`, converted.
+    */
+  def sessionFunnel(events: DataFrame, gapMinutes: Int,
+                    from: String, to: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val sessions = events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_session")).over(w))
+    val wSess = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = sessions
+      .withColumn("from_before",
+        min(when(col("event_type") === from, col("us"))).over(wSess))
+      .withColumn("is_conv",
+        col("event_type") === to && col("from_before").isNotNull)
+    flagged.agg(
+      countDistinct(col("user_id"), col("sid")).as("n_sessions"),
+      countDistinct(when(col("event_type") === from,
+        struct(col("user_id"), col("sid")))).as("n_with_from"),
+      countDistinct(when(col("is_conv"),
+        struct(col("user_id"), col("sid")))).as("n_converted"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes.toLong * 60L * 1000000L
