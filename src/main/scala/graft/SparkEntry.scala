@@ -843,6 +843,46 @@ object SparkEntry {
     "q84_session_funnel" -> ((s, dir) =>
       Events.sessionFunnel(events(s, dir), 30, "click", "purchase")),
 
+    // §2.2 — ingest volume anomaly detection: days whose event count
+    // deviates more than 5% from the previous day (the pipeline guard
+    // that catches a half-delivered feed before it poisons downstream);
+    // the window runs over the tiny per-day aggregate
+    "q85_volume_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"))
+      daily
+        .withColumn("prev_n",
+          lag(col("n_events"), 1).over(Window.orderBy(col("d"))))
+        .filter(col("prev_n").isNotNull)
+        .withColumn("ratio",
+          col("n_events").cast("double") / col("prev_n").cast("double"))
+        .filter(col("ratio") > 1.05 || col("ratio") < 0.95)
+        .select(col("d"), col("n_events"), col("prev_n"), col("ratio"))
+    }),
+
+    // §2.2 — snapshot diff (CDC-style reconciliation): full outer on the
+    // key, rows classified added/removed/changed by null-sides and value
+    // inequality — the validation primitive for a migration cutover
+    "q86_snapshot_diff" -> ((s, dir) => {
+      val before = events(s, dir)
+        .select(col("event_id").as("k"), col("value").as("v"))
+      val after = corruptedEvents(s, dir)
+        .filter(col("event_id") % 101 =!= 0) // drop some rows
+        .select(col("event_id").as("k"), col("value").as("v"))
+      before.as("b").join(after.as("a"), col("b.k") === col("a.k"),
+          "full_outer")
+        .select(
+          when(col("b.k").isNull, "added")
+            .when(col("a.k").isNull, "removed")
+            .when(col("b.v") =!= col("a.v") ||
+              (col("b.v").isNull =!= col("a.v").isNull), "changed")
+            .otherwise("same").as("diff_kind"))
+        .groupBy(col("diff_kind"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1713,6 +1753,32 @@ object SparkEntry {
         |                            AND from_before IS NOT NULL
         |                           THEN (user_id, sid) END) AS n_converted
         |FROM f""".stripMargin,
+
+    "q85_volume_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+        |               FROM events GROUP BY 1),
+        |w AS (SELECT d, n_events, lag(n_events) OVER (ORDER BY d) AS prev_n
+        |      FROM daily)
+        |SELECT d, n_events, prev_n,
+        |       CAST(n_events AS DOUBLE) / prev_n AS ratio
+        |FROM w
+        |WHERE prev_n IS NOT NULL
+        |  AND (CAST(n_events AS DOUBLE) / prev_n > 1.05
+        |       OR CAST(n_events AS DOUBLE) / prev_n < 0.95)""".stripMargin,
+
+    "q86_snapshot_diff" ->
+      s"""$CorruptedCte,
+         |b AS (SELECT event_id AS k, value AS v FROM events),
+         |a AS (SELECT event_id AS k, value AS v FROM corrupted
+         |      WHERE event_id % 101 <> 0)
+         |SELECT CASE WHEN b.k IS NULL THEN 'added'
+         |            WHEN a.k IS NULL THEN 'removed'
+         |            WHEN b.v <> a.v OR ((b.v IS NULL) <> (a.v IS NULL))
+         |            THEN 'changed'
+         |            ELSE 'same' END AS diff_kind,
+         |       count(*) AS n_rows
+         |FROM b FULL OUTER JOIN a ON b.k = a.k
+         |GROUP BY 1""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
