@@ -883,6 +883,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"))
     }),
 
+    // §2.6 — supplier league table: suppliers beating their nation's
+    // average revenue; the nation-average window runs over the per-
+    // supplier AGGREGATE (bounded by supplier count), dims broadcast
+    "q87_supplier_league" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = sum(expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(cents.as("cents"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey").cast("long") === col("n_nationkey"))
+        .withColumn("nation_avg_cents",
+          avg(col("cents")).over(Window.partitionBy(col("n_name"))))
+        .filter(col("cents") > col("nation_avg_cents"))
+        .select(col("s_name"), col("n_name"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          (col("nation_avg_cents") / 100.0).as("nation_avg_revenue"))
+    }),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1779,6 +1802,19 @@ object SparkEntry {
          |       count(*) AS n_rows
          |FROM b FULL OUTER JOIN a ON b.k = a.k
          |GROUP BY 1""".stripMargin,
+
+    "q87_supplier_league" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT s_name, n_name, cents,
+        |             avg(cents) OVER (PARTITION BY n_name) AS nation_avg_cents
+        |      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation ON CAST(s_nationkey AS BIGINT) = n_nationkey)
+        |SELECT s_name, n_name, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       nation_avg_cents / 100.0 AS nation_avg_revenue
+        |FROM j WHERE cents > nation_avg_cents""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
