@@ -906,6 +906,25 @@ object SparkEntry {
           (col("nation_avg_cents") / 100.0).as("nation_avg_revenue"))
     }),
 
+    // §2.8 — int8 vector quantization (per-vector absmax scale): the 4×
+    // memory cut that lets ANN indexes hold 4× more vectors per executor;
+    // pure per-row arithmetic, summarized to scalars (sum/min/max) because
+    // the hash compare is row-oriented. greatest() guards zero vectors
+    // identically on both engines
+    "q88_vec_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("greatest(array_max(transform(embedding, " +
+            "x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30)").as("scale"),
+          col("embedding"))
+        .select(col("vec_id"), col("scale"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "/ scale + 0.5d) AS BIGINT))").as("qv"))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(qv, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(qv)").as("q_min"),
+          expr("array_max(qv)").as("q_max"))),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1815,6 +1834,22 @@ object SparkEntry {
         |SELECT s_name, n_name, CAST(cents AS DOUBLE) / 100.0 AS revenue,
         |       nation_avg_cents / 100.0 AS nation_avg_revenue
         |FROM j WHERE cents > nation_avg_cents""".stripMargin,
+
+    "q88_vec_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         greatest(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+        |  FROM embeddings),
+        |q AS (SELECT e.vec_id, s.scale,
+        |        list_transform(e.embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT)) AS qv
+        |      FROM embeddings e JOIN s ON e.vec_id = s.vec_id)
+        |SELECT vec_id, scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS BIGINT) AS q_min,
+        |       CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
