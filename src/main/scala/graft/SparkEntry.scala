@@ -925,6 +925,39 @@ object SparkEntry {
           expr("array_min(qv)").as("q_min"),
           expr("array_max(qv)").as("q_max"))),
 
+    // §2.6 — per-type daily-volume trend: closed-form least-squares slope
+    // from exact integer sums (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — no
+    // engine-dependent float accumulation, unlike regr_slope
+    "q89_volume_trend" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts_us div 86400000000").as("x"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope"),
+          col("n").as("n_days"))
+    }),
+
+    // §2.6 — trailing-7-day rolling totals: a RANGE frame over the
+    // integer day ordinal (handles gapped days correctly, unlike a
+    // 7-ROW frame), windowing the tiny per-day aggregate
+    "q90_rolling_7d" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(expr("ts_us div 86400000000").as("day_num"))
+        .agg(count(lit(1)).as("n_events"))
+      daily.withColumn("n_7d",
+          sum(col("n_events")).over(Window.orderBy(col("day_num"))
+            .rangeBetween(-6, 0)))
+        .select(col("day_num"), col("n_events"), col("n_7d"))
+    }),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1850,6 +1883,28 @@ object SparkEntry {
         |       CAST(list_min(qv) AS BIGINT) AS q_min,
         |       CAST(list_max(qv) AS BIGINT) AS q_max
         |FROM q""".stripMargin,
+
+    "q89_volume_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS x, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM daily GROUP BY 1)
+        |SELECT event_type,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |       n AS n_days
+        |FROM m""".stripMargin,
+
+    "q90_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_num, count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT day_num, n_events,
+        |       CAST(sum(n_events) OVER (ORDER BY day_num
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM daily""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
