@@ -70,6 +70,27 @@ class ZOrderSpec extends SparkTestBase {
     gen.foreach { case (v, b) => b shouldBe ref(v) }
   }
 
+  test("sorted layout compresses materially better than shuffled layout") {
+    // the other half of the layout story: clustering doesn't just skip
+    // row groups, it makes RLE/dictionary encoding bite — same rows,
+    // same codec, different order
+    val rng = new scala.util.Random(11L)
+    val rows = (1 to 50000).map(_ => (rng.nextInt(50).toLong,
+      s"group_payload_${rng.nextInt(50)}"))
+    val df = rows.toDF("k", "tag").repartition(4)
+    def bytesOf(path: String): Long = {
+      val dir = new java.io.File(path)
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val base = java.nio.file.Files.createTempDirectory("cmp").toString
+    df.write.parquet(s"$base/shuffled")
+    df.repartitionByRange(4, col("k")).sortWithinPartitions("k", "tag")
+      .write.parquet(s"$base/sorted")
+    val (shuffled, sorted) = (bytesOf(s"$base/shuffled"), bytesOf(s"$base/sorted"))
+    assert(sorted < shuffled / 2,
+      s"sorted=$sorted shuffled=$shuffled — expected >2x compression win")
+  }
+
   test("quantile-bucketed z-order stays balanced on a skewed dimension") {
     // x: zipf-ish hot head (80% of rows in the lowest 1% of the range);
     // raw interleave would pack most rows into a few files
