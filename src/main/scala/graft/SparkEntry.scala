@@ -958,6 +958,25 @@ object SparkEntry {
         .select(col("day_num"), col("n_events"), col("n_7d"))
     }),
 
+    // §2.7 — split-leakage audit: near-dup pairs whose members landed in
+    // DIFFERENT train/val/test splits (the eval-integrity check; with
+    // content-hash splits only near-dups can leak — exact dups can't).
+    // At scale the tiny pair frame broadcasts against the split column
+    "q91_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, 0.6)
+        .select(col("doc_id_1"), col("doc_id_2"))
+      val splits = Curation.trainValTestSplit(docs, 13, 25)
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("doc_id_1"),
+          col("split").as("split_1")), Seq("doc_id_1"))
+        .join(splits.select(col("doc_id").as("doc_id_2"),
+          col("split").as("split_2")), Seq("doc_id_2"))
+        .select(col("doc_id_1"), col("doc_id_2"), col("split_1"),
+          col("split_2"), (col("split_1") =!= col("split_2")).as("leaky"))
+    }),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1905,6 +1924,33 @@ object SparkEntry {
         |       CAST(sum(n_events) OVER (ORDER BY day_num
         |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
         |FROM daily""".stripMargin,
+
+    "q91_split_leakage" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT doc_id_1, doc_id_2 FROM (
+         |    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |    FROM sh a JOIN sh b
+         |      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bucket < 13 THEN 'test'
+         |              WHEN bucket < 38 THEN 'val'
+         |              ELSE 'train' END AS split
+         |  FROM (SELECT doc_id,
+         |          (strpos('0123456789abcdef', substr(md5($NormSql), 1, 1)) - 1) * 16
+         |            + strpos('0123456789abcdef', substr(md5($NormSql), 2, 1)) - 1 AS bucket
+         |        FROM documents))
+         |SELECT p.doc_id_1, p.doc_id_2, s1.split AS split_1, s2.split AS split_2,
+         |       s1.split <> s2.split AS leaky
+         |FROM pairs p
+         |JOIN sp s1 ON p.doc_id_1 = s1.doc_id
+         |JOIN sp s2 ON p.doc_id_2 = s2.doc_id""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
