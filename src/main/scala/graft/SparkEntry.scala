@@ -977,6 +977,22 @@ object SparkEntry {
           col("split_2"), (col("split_1") =!= col("split_2")).as("leaky"))
     }),
 
+    // §2.9 — source-mix report: per-source doc and token counts, token
+    // share of the corpus, and drift vs the uniform target — what a
+    // data-mixture dashboard reads; the share window runs over the
+    // 20-row per-source aggregate
+    "q92_source_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.functions.TextFunctions.tokensWs(col("text")))
+            .cast("long")).as("n_tokens"))
+        .withColumn("token_share", col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()))
+        .withColumn("drift", col("token_share") - lit(0.05))
+    }),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1951,6 +1967,17 @@ object SparkEntry {
          |FROM pairs p
          |JOIN sp s1 ON p.doc_id_1 = s1.doc_id
          |JOIN sp s2 ON p.doc_id_2 = s2.doc_id""".stripMargin,
+
+    "q92_source_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(list_filter(string_split(text, ' '),
+        |                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
+        |       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () - 0.05 AS drift
+        |FROM per""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
