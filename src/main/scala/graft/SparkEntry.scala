@@ -536,9 +536,7 @@ object SparkEntry {
     "q48_stratified_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
-        .withColumn("bucket",
-          (expr("instr('0123456789abcdef', substring(fp, 1, 1))") - 1) * 16 +
-            expr("instr('0123456789abcdef', substring(fp, 2, 1))") - 1)
+        .withColumn("bucket", Curation.fpBucket256)
         .filter(
           (col("lang") === "en" && col("bucket") < 128) ||  // 50% of en
           (col("lang") =!= "en" && col("bucket") < 32))     // 12.5% elsewhere

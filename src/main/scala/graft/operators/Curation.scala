@@ -105,7 +105,7 @@ object Curation {
     * split assignment, and language resampling. A pure per-row function of
     * content: no shuffle, reproducible on any partitioning.
     */
-  private def fpBucket256 =
+  private[graft] def fpBucket256 =
     (expr("instr('0123456789abcdef', substring(fp, 1, 1))") - 1) * 16 +
       expr("instr('0123456789abcdef', substring(fp, 2, 1))") - 1
 
