@@ -62,7 +62,7 @@ object SparkEntry {
       |  FROM events JOIN customer ON user_id = c_custkey)""".stripMargin
 
   // exact money sum: sum of integer cents, then one conversion to double
-  private val SumCents = "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100.0"
+  private val SumCents = "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
 
   // DuckDB twin of functions.VectorFunctions.vdot: sequential left fold of
   // per-element double products (0.0 + x1 ≡ x1, so no-init list_reduce is
@@ -812,7 +812,7 @@ object SparkEntry {
     "q82_revenue_share" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cents = sum(expr(
-        "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"))
       val rev = t(s, dir, "lineitem")
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
@@ -887,7 +887,7 @@ object SparkEntry {
     "q87_supplier_league" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cents = sum(expr(
-        "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"))
       t(s, dir, "lineitem")
         .groupBy(col("l_suppkey")).agg(cents.as("cents"))
         .join(broadcast(t(s, dir, "supplier")
@@ -1066,14 +1066,14 @@ object SparkEntry {
     "q07_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
-        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
-        |       CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+        |       CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc,
         |       count(*) AS count_order,
         |       sum(l_quantity) / count(*) AS avg_qty,
-        |       (CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*) AS avg_price,
-        |       (CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*) AS avg_disc
+        |       (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) / count(*) AS avg_price,
+        |       (CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) / count(*) AS avg_disc
         |FROM lineitem
         |GROUP BY 1, 2""".stripMargin,
 
@@ -1091,7 +1091,7 @@ object SparkEntry {
 
     "q09_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |  JOIN orders   ON l_orderkey = o_orderkey
@@ -1231,7 +1231,7 @@ object SparkEntry {
 
     "q29_rollup_revenue" ->
       """SELECT r_name, n_name,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |  JOIN orders   ON l_orderkey = o_orderkey
@@ -1243,7 +1243,7 @@ object SparkEntry {
     "q30_running_revenue" ->
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents,
         |         count(*) AS n_orders
         |  FROM orders GROUP BY 1)
         |SELECT month, n_orders,
@@ -1373,7 +1373,7 @@ object SparkEntry {
         |  SELECT DISTINCT epoch_us(date_trunc('quarter', l_shipdate)) AS q_start_us
         |  FROM lineitem)
         |SELECT iv.q_start_us, count(*) AS n_items,
-        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
         |FROM lineitem l JOIN iv
         |  ON epoch_us(l.l_shipdate) >= iv.q_start_us
         | AND epoch_us(l.l_shipdate) < iv.q_start_us + 3888000000000
@@ -1398,7 +1398,7 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
 
     "q46_filtered_revenue" ->
-      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1636,7 +1636,7 @@ object SparkEntry {
         |SELECT min(us) AS session_start_us,
         |       max(us) + 1800000000 AS session_end_us,
         |       user_id, count(*) AS n_events,
-        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
         |FROM z GROUP BY user_id, sid""".stripMargin,
 
     "q60_train_split" ->
@@ -1830,7 +1830,7 @@ object SparkEntry {
     "q82_revenue_share" ->
       """WITH rev AS (
         |  SELECT n_name,
-        |         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+        |         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS cents
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
@@ -1891,7 +1891,7 @@ object SparkEntry {
     "q87_supplier_league" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+        |         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS cents
         |  FROM lineitem GROUP BY 1),
         |j AS (SELECT s_name, n_name, cents,
         |             avg(cents) OVER (PARTITION BY n_name) AS nation_avg_cents

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * Plain `sum(double)` is not reproducible across partitionings: IEEE-754
   * addition is not associative, so the same query on 32 vs 32,000 partitions
   * yields different last-ulp results. For money-like measures we sum exact
-  * fixed-point cents (`floor(x*100)` as BIGINT — deterministic per row, exact
+  * fixed-point cents (`floor(x*100 + 0.5)` as BIGINT — half-up rounding, so
+  * 19.99 (whose double*100 is 1998.9999…) maps to 1999, not 1998; exact
   * and order-independent as an integer sum), then convert once to double.
   * This makes results bit-identical on any cluster size AND bit-identical to
   * the DuckDB oracle, which evaluates the same scalar expressions.
@@ -19,13 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object ExactAgg {
   /** Exact integer cents of a double money value (deterministic per row). */
-  def cents(c: Column): Column = floor(c * lit(100.0)).cast("long")
+  def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5)).cast("long")
 
   /** Order-independent sum of `c` at fixed-point `scale` (e.g. 10000 for a
     * 4-decimal measure), returned as double.
     */
   def scaledSum(c: Column, scale: Long): Column =
-    sum(floor(c * lit(scale.toDouble)).cast("long")).cast("double") / lit(scale.toDouble)
+    sum(floor(c * lit(scale.toDouble) + lit(0.5)).cast("long")).cast("double") / lit(scale.toDouble)
 
   /** Order-independent sum of a money column, returned as double. */
   def moneySum(c: Column): Column = sum(cents(c)).cast("double") / lit(100.0)

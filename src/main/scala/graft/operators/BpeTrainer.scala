@@ -62,12 +62,12 @@ object BpeTrainer {
           call_function("graft_pair_merge", col("syms"), lit(l), lit(r))
             .as("syms"), col("n"))
           .localCheckpoint()
-        vocab.unpersist()
+        // checkpoint blocks free via ContextCleaner once the previous
+        // round's RDD is unreachable; unpersist() would be a no-op here
         vocab = next
         rank += 1
       }
     }
-    vocab.unpersist()
     merges.result()
   }
 

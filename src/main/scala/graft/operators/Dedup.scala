@@ -44,7 +44,16 @@ object Dedup {
     // pushdown inlines the whole shingle pipeline below this repartition
     // into that single scan task (measured: 2.2 s single-task stage at
     // sf0.1, 60% of the query's wall clock).
+    //
+    // The length prefilter cuts empty/short docs (< the 3-gram width):
+    // they produce NO shingles yet share the degenerate empty set, so
+    // they'd land in one block with n_sh = 0, pass the size-ratio prune
+    // trivially (0·t ≤ 0), and pair QUADRATICALLY before the null jaccard
+    // finally drops them. Raw length is scan-cheap; a filter on the
+    // derived n_sh instead would substitute the shingle expression and
+    // sink it below the repartition — the inline trap the plan guard pins.
     docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .filter(length(col("text")) >= 3)
       .repartition(parts, col("doc_id"))
       .select(
         col("doc_id"),
@@ -415,6 +424,14 @@ object Dedup {
     val pre = prepared
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"), mh.as("mh"))
       .localCheckpoint(false)
+      // empty shingle sets share the identical sentinel signature
+      // (Long.MaxValue everywhere), so every band would funnel ALL such
+      // docs into one bucket — an O(E²) candidate blowup the verify step
+      // only cleans up after the fact. They can never pass any positive
+      // threshold; drop them before banding. The filter sits ABOVE the
+      // checkpoint barrier, so it reads the materialized n_sh column and
+      // can never substitute-and-sink the signature pipeline.
+      .filter(col("n_sh") > 0)
     val sigArr = array((0 until bands).map { j =>
       hash(slice(col("mh"), j * rows + 1, rows))
     }: _*)
@@ -603,12 +620,13 @@ object Dedup {
             .as("chg"))
         .localCheckpoint(false)
       val changed = next.filter(col("chg")).count()
-      comp.unpersist()
+      // no unpersist(): it only clears CacheManager entries and is a no-op
+      // for localCheckpoint blocks — those free when the previous round's
+      // RDD becomes unreachable and the ContextCleaner collects it
       comp = next.select(col("doc_id"), col("component"))
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter iterations; " +

@@ -57,9 +57,12 @@ object PpmCodec {
     if (i >= bytes.length || !(bytes(i) == ' ' || bytes(i) == '\n' ||
       bytes(i) == '\r' || bytes(i) == '\t')) return None
     i += 1
-    val n = w * h * 3
-    if (i + n > bytes.length) return None
-    Some((PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, i, i + n)), i + n))
+    // Long arithmetic: 7-digit dims pass readInt, and w*h*3 in Int can
+    // overflow NEGATIVE, sneaking past the bounds check into copyOfRange
+    val n = w.toLong * h.toLong * 3L
+    if (i.toLong + n > bytes.length) return None
+    val ni = n.toInt
+    Some((PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, i, i + ni)), i + ni))
   }
 
   /** All concatenated frames in a raw PPM stream (the no-container video

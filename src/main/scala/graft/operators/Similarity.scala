@@ -59,6 +59,13 @@ object Similarity {
     */
   def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
              dim: Int = 64): DataFrame = {
+    // the dot-product kernel clamps to the shorter array, so an
+    // undersized `dim` would SILENTLY bucket on a prefix of each vector —
+    // recall degrades with no error. One tiny head() job guards it.
+    val actualDim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(actualDim == dim,
+      s"lshKnn: embedding dim $actualDim != configured dim $dim " +
+        "(hyperplanes must cover every component)")
     val cand = lshSignature(emb, nBits, dim)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         vnorm(col("embedding")).as("c_nrm"), col("sig").as("c_sig"))
@@ -94,11 +101,17 @@ object Similarity {
   def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
              nProbe: Int = 3, fitFraction: Double = 0.1): DataFrame = {
     val vecs = emb.withColumn("fvec", array_to_vector(col("embedding")))
-    // sampled quantizer fit; the limit() union is a tiny-corpus floor
-    // guaranteeing >= 20*nCells fit rows regardless of fraction (cheap at
-    // scale: limit short-circuits; duplicate rows only re-weight KMeans)
-    val fitSet = vecs.sample(withReplacement = false, fitFraction, seed = 42L)
-      .union(vecs.limit(nCells * 20))
+    // sampled quantizer fit. BOTH legs are pure functions of vec_id, never
+    // of partitioning: sample(seed) is per-partition Bernoulli and a bare
+    // limit() takes whichever rows arrive first — either would change the
+    // fit set (and so the centroids and query results) across layouts,
+    // breaking the repo determinism contract. The ordered-limit union is a
+    // tiny-corpus floor guaranteeing >= 20*nCells fit rows regardless of
+    // fraction (duplicate rows only re-weight KMeans).
+    val keepPerMille = math.max(1L, (fitFraction * 1000).toLong)
+    val fitSet = vecs
+      .filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < lit(keepPerMille))
+      .union(vecs.orderBy(col("vec_id")).limit(nCells * 20))
     val model = new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("fvec").setPredictionCol("cell")
       .fit(fitSet)

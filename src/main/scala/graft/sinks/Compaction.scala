@@ -63,8 +63,18 @@ object Compaction {
     spark.read.parquet(path)
       .repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(p, old)
-    fs.rename(tmp, p)
+    // Hadoop rename signals failure by RETURNING false, not throwing —
+    // an unchecked false would fall through to delete(old) and leave the
+    // canonical path missing. On any failed step, recover() restores a
+    // readable dataset and the compaction aborts loudly.
+    if (!fs.rename(p, old)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compact: rename $p -> $old failed")
+    }
+    if (!fs.rename(tmp, p)) {
+      recover(fs, p) // puts the original back at the canonical path
+      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    }
     fs.delete(old, true)
 
     val after = fs.listStatus(p).count(f => f.isFile && !f.getPath.getName.startsWith("_"))

@@ -55,7 +55,7 @@ object StatefulSessions {
           val prev = state.getOption.getOrElse(UserState(0L, 0L))
           var n = prev.n
           var cents = prev.cents
-          rows.foreach { case (_, v) => n += 1; cents += math.floor(v * 100.0).toLong }
+          rows.foreach { case (_, v) => n += 1; cents += math.floor(v * 100.0 + 0.5).toLong }
           state.update(UserState(n, cents))
           Iterator.single(UserTotal(user, n, cents.toDouble / 100.0))
       }
