@@ -811,8 +811,8 @@ object SparkEntry {
     // shape never does), and the share divides two exact cent integers
     "q82_revenue_share" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cents = sum(expr(
-        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"))
+      val cents = sum(ExactAgg.cents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
       val rev = t(s, dir, "lineitem")
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
@@ -886,8 +886,8 @@ object SparkEntry {
     // supplier AGGREGATE (bounded by supplier count), dims broadcast
     "q87_supplier_league" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cents = sum(expr(
-        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"))
+      val cents = sum(ExactAgg.cents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
       t(s, dir, "lineitem")
         .groupBy(col("l_suppkey")).agg(cents.as("cents"))
         .join(broadcast(t(s, dir, "supplier")

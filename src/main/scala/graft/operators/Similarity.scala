@@ -61,11 +61,18 @@ object Similarity {
              dim: Int = 64): DataFrame = {
     // the dot-product kernel clamps to the shorter array, so an
     // undersized `dim` would SILENTLY bucket on a prefix of each vector —
-    // recall degrades with no error. One tiny head() job guards it.
-    val actualDim = emb.select(size(col("embedding"))).head().getInt(0)
-    require(actualDim == dim,
-      s"lshKnn: embedding dim $actualDim != configured dim $dim " +
-        "(hyperplanes must cover every component)")
+    // recall degrades with no error. One tiny take(1) job per frame
+    // guards BOTH sides (queries hash with the same hyperplanes); empty
+    // frames skip the check and flow through to an empty result. Ragged
+    // arrays within a frame remain the caller's schema contract.
+    def checkDim(df: DataFrame, what: String): Unit =
+      df.select(size(col("embedding"))).take(1).foreach { r =>
+        require(r.getInt(0) == dim,
+          s"lshKnn: $what dim ${r.getInt(0)} != configured dim $dim " +
+            "(hyperplanes must cover every component)")
+      }
+    checkDim(emb, "corpus embedding")
+    checkDim(queries, "query embedding")
     val cand = lshSignature(emb, nBits, dim)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         vnorm(col("embedding")).as("c_nrm"), col("sig").as("c_sig"))
@@ -101,13 +108,16 @@ object Similarity {
   def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
              nProbe: Int = 3, fitFraction: Double = 0.1): DataFrame = {
     val vecs = emb.withColumn("fvec", array_to_vector(col("embedding")))
-    // sampled quantizer fit. BOTH legs are pure functions of vec_id, never
-    // of partitioning: sample(seed) is per-partition Bernoulli and a bare
-    // limit() takes whichever rows arrive first — either would change the
-    // fit set (and so the centroids and query results) across layouts,
-    // breaking the repo determinism contract. The ordered-limit union is a
-    // tiny-corpus floor guaranteeing >= 20*nCells fit rows regardless of
-    // fraction (duplicate rows only re-weight KMeans).
+    // sampled quantizer fit. Fit-set MEMBERSHIP is a pure function of
+    // vec_id, never of partitioning: sample(seed) is per-partition
+    // Bernoulli and a bare limit() takes whichever rows arrive first —
+    // either would change which rows train the model across layouts. The
+    // ordered-limit union is a tiny-corpus floor guaranteeing >=
+    // 20*nCells fit rows regardless of fraction (duplicate rows only
+    // re-weight KMeans). Residual caveat: Spark's k-means|| INITIALIZATION
+    // draws per-partition randoms, so centroids (not membership) can still
+    // vary with physical layout — inherent to distributed KMeans, and the
+    // reason q26 is rows-only with a recall spec rather than hash-compared.
     val keepPerMille = math.max(1L, (fitFraction * 1000).toLong)
     val fitSet = vecs
       .filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < lit(keepPerMille))

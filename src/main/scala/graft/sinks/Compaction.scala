@@ -36,10 +36,12 @@ object Compaction {
     val old = oldPath(p)
     if (!fs.exists(p)) {
       // crashed between step 2 and 3: the new copy is complete (it was
-      // written and closed before step 2 began) — promote it
-      if (fs.exists(tmp)) fs.rename(tmp, p)
-      // no tmp either: fall back to the original
-      else if (fs.exists(old)) fs.rename(old, p)
+      // written and closed before step 2 began) — promote it. rename
+      // reports failure by RETURNING false, so a failed promotion must
+      // still fall through to the original (an `else if` on existence
+      // alone would strand a readable copy in _old behind a bad _tmp)
+      val promoted = fs.exists(tmp) && fs.rename(tmp, p)
+      if (!promoted && fs.exists(old)) fs.rename(old, p)
     }
     // canonical path exists: anything left over is garbage from step 1 or 4
     if (fs.exists(p)) {
@@ -72,8 +74,14 @@ object Compaction {
       throw new java.io.IOException(s"compact: rename $p -> $old failed")
     }
     if (!fs.rename(tmp, p)) {
-      recover(fs, p) // puts the original back at the canonical path
-      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+      // promotion failed: discard the compacted copy FIRST so the restore
+      // cannot race a half-working tmp, then put the original back
+      fs.delete(tmp, true)
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(
+          s"compact: promotion AND restore failed; original preserved at $old")
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $p failed; original restored")
     }
     fs.delete(old, true)
 

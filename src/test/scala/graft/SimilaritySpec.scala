@@ -55,6 +55,21 @@ class SimilaritySpec extends SparkTestBase {
     lsh shouldBe brute
   }
 
+  test("lshKnn rejects mismatched dims on either side; empty frames pass through") {
+    val emb = clustered
+    val queries = emb.filter(col("vec_id") === 0L)
+    // wrong configured dim fails loudly on the corpus side
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lshKnn(emb, queries, 2, nBits = 6, dim = 8)
+    // wrong-dim queries fail loudly too (same hyperplanes hash both sides)
+    val q2 = Seq((99L, 99, Array(1f, 0f))).toDF("vec_id", "label", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lshKnn(emb, q2, 2, nBits = 6, dim = 4)
+    // an empty corpus yields an empty result, not a crash
+    Similarity.lshKnn(emb.filter(col("vec_id") < 0), queries, 2,
+      nBits = 6, dim = 4).count() shouldBe 0L
+  }
+
   test("ivfKnn achieves full recall on well-separated clusters") {
     val emb = clustered
     val queries = emb.filter(col("vec_id").isin(0L, 5L))
