@@ -991,6 +991,23 @@ object SparkEntry {
         .withColumn("drift", col("token_share") - lit(0.05))
     }),
 
+    // §2.9 — curation funnel report: per-stage survivor counts for the
+    // q35 pipeline (the observability twin every production filter
+    // cascade ships with); conditional aggregation in ONE corpus pass —
+    // stages are cumulative predicates, so no per-stage re-scan
+    "q93_curation_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nTok = size(graft.functions.TextFunctions.tokensWs(col("text")))
+      val punct = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+        .cast("double") / length(col("text"))
+      val lenOk = nTok >= 5 && nTok <= 1000
+      val punctOk = punct < lit(0.10)
+      docs.agg(
+        count(lit(1)).as("n_total"),
+        count(when(lenOk, 1)).as("n_len_ok"),
+        count(when(lenOk && punctOk, 1)).as("n_punct_ok"))
+    }),
+
     // §2.6 — equal-depth decile bucketing per market segment (the
     // rank-bucketing primitive writeZOrdered's doc calls for): NTILE
     // windows partitioned by segment so the sort parallelizes — a GLOBAL
@@ -1976,6 +1993,18 @@ object SparkEntry {
         |       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
         |       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () - 0.05 AS drift
         |FROM per""".stripMargin,
+
+    "q93_curation_funnel" ->
+      """WITH x AS (
+        |  SELECT len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+        |         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |           / length(text) AS punct
+        |  FROM documents)
+        |SELECT count(*) AS n_total,
+        |       count(CASE WHEN n_tok BETWEEN 5 AND 1000 THEN 1 END) AS n_len_ok,
+        |       count(CASE WHEN n_tok BETWEEN 5 AND 1000 AND punct < 0.10
+        |             THEN 1 END) AS n_punct_ok
+        |FROM x""".stripMargin,
 
     "q73_ntile_deciles" ->
       """SELECT c_custkey, c_mktsegment,
