@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
   * columns plus a typed metadata struct, with decode/feature-extraction as
   * a partition-parallel stage.
   *
-  * Decode is REAL for the PPM (P6) raster format — parsed, featurized,
-  * resampled and frame-sampled by the dependency-free [[PpmCodec]] (this
-  * container ships no JPEG/PNG/audio codecs, so Netpbm is the honest way
-  * to run actual pixels through the pipeline). Payloads that are not valid
-  * PPM fall back to a deterministic byte-level pseudo-decode, clearly
-  * marked below — swap that arm for a real codec (or a Pandas-UDF
-  * `mapInPandas` stage on a PySpark cluster) without touching the plan
-  * shape: the schema, batching (`mapPartitions`, per-partition codec init
-  * amortized), and typed Dataset outputs stay identical.
+  * Decode is REAL for two raster formats: PPM (P6) via the dependency-free
+  * [[PpmCodec]], and PNG (8-bit gray/RGB/RGBA, non-interlaced) via
+  * [[PngCodec]] built on the JDK's `Inflater` — actual deflate + scanline
+  * unfiltering, the format a real multimodal corpus contains. Payloads in
+  * neither format (JPEG, palette PNG, compressed audio) fall back to a
+  * deterministic byte-level pseudo-decode, clearly marked below — swap
+  * that arm for a real codec (or a Pandas-UDF `mapInPandas` stage on a
+  * PySpark cluster) without touching the plan shape: the schema, batching
+  * (`mapPartitions`, per-partition codec init amortized), and typed
+  * Dataset outputs stay identical.
   */
 object Multimodal {
 
@@ -34,9 +35,16 @@ object Multimodal {
                                 height: Int, decoded: Boolean,
                                 feature: Array[Float])
 
+  /** Try the real decoders in order: PPM (cheap header probe) then PNG
+    * (signature probe + full inflate). One normalized RGB output type so
+    * everything downstream is format-agnostic.
+    */
+  private[operators] def decodeAny(payload: Array[Byte]): Option[PpmImage] =
+    PpmCodec.decodeOne(payload).map(_._1).orElse(PngCodec.decode(payload))
+
   /** FALLBACK pseudo-decode for payloads in formats whose codecs are not in
-    * this container (JPEG/PNG/audio): deterministic byte arithmetic with
-    * the same output shape. `decoded = false` marks these rows.
+    * this container (JPEG/compressed audio): deterministic byte arithmetic
+    * with the same output shape. `decoded = false` marks these rows.
     */
   private def fallbackDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val w = 16 + (payload.length % 32)
@@ -47,9 +55,9 @@ object Multimodal {
     (w, h, feat)
   }
 
-  /** Partition-parallel decode/feature-extract stage. PPM payloads decode
-    * for real (true dimensions, pixel-derived features); anything else
-    * takes the marked fallback arm.
+  /** Partition-parallel decode/feature-extract stage. PPM and PNG payloads
+    * decode for real (true dimensions, pixel-derived features); anything
+    * else takes the marked fallback arm.
     */
   def decodeFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
@@ -59,8 +67,8 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would go here for stateful codecs
         it.map { case (id, payload, n) =>
-          PpmCodec.decodeOne(payload) match {
-            case Some((img, _)) =>
+          decodeAny(payload) match {
+            case Some(img) =>
               MediaFeature(id, n, img.width, img.height, decoded = true,
                 PpmCodec.features(img))
             case None =>
@@ -74,9 +82,9 @@ object Multimodal {
   final case class DecodedImage(doc_id: Long, width: Int, height: Int,
                                 pixels: Array[Byte])
 
-  /** Real pixel decode: PPM payloads only (others dropped — a production
-    * run routes undecodable payloads to a bad-records zone exactly like
-    * [[graft.operators.Validation]] does for rows).
+  /** Real pixel decode: PPM and PNG payloads (others dropped — a
+    * production run routes undecodable payloads to a bad-records zone
+    * exactly like [[graft.operators.Validation]] does for rows).
     */
   def decodeImages(spark: SparkSession, docs: DataFrame): Dataset[DecodedImage] = {
     import spark.implicits._
@@ -84,7 +92,7 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        PpmCodec.decodeOne(payload).map { case (img, _) =>
+        decodeAny(payload).map { img =>
           DecodedImage(id, img.width, img.height, img.pixels)
         }
       })

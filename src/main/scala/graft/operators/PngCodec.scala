@@ -1,0 +1,220 @@
+package graft.operators
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import graft.operators.PpmCodec.PpmImage
+
+/** Dependency-free PNG decoder (and a minimal encoder for round-trip
+  * specs), built only on the JDK: `java.util.zip.Inflater` for the zlib
+  * IDAT stream and plain byte arithmetic for scanline unfiltering. This
+  * retires the "pseudo-decode" fallback for PNG payloads in
+  * [[Multimodal.decodeFeatures]] — a deflate-based real-world raster
+  * format now decodes to actual pixels inside the container.
+  *
+  * Scope (the common training-corpus shape): 8-bit-per-sample, color
+  * types 0 (grayscale), 2 (truecolor RGB) and 6 (RGBA), non-interlaced.
+  * Palette/16-bit/Adam7 payloads return None and take the documented
+  * fallback arm exactly like JPEG. Output is normalized to the same
+  * 3-byte-RGB [[PpmImage]] the PPM path produces, so features / resize /
+  * frame ops downstream are format-agnostic (gray replicates into RGB,
+  * alpha is dropped — feature extraction, not compositing).
+  *
+  * PNG spec: RFC 2083 / W3C PNG (public). Filters: None/Sub/Up/Average/
+  * Paeth, applied per scanline over a 1-filter-byte + width*bpp layout.
+  */
+object PngCodec {
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == Signature(i))
+
+  /** Decode one PNG payload to RGB pixels, or None if the payload is not a
+    * PNG in the supported subset (bad signature/CRC, palette, 16-bit,
+    * interlaced, truncated, or corrupt deflate stream).
+    */
+  def decode(bytes: Array[Byte]): Option[PpmImage] = {
+    if (!isPng(bytes)) return None
+    var off = 8
+    var width = 0; var height = 0; var colorType = -1; var bitDepth = -1
+    var interlace = -1
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new CRC32()
+    while (!sawIend && off + 8 <= bytes.length) {
+      val len = beInt(bytes, off)
+      if (len < 0 || off + 12L + len > bytes.length) return None
+      val typeOff = off + 4
+      crc.reset()
+      crc.update(bytes, typeOff, 4 + len)
+      if (crc.getValue.toInt != beInt(bytes, typeOff + 4 + len)) return None
+      val chunkType = new String(bytes, typeOff, 4, "US-ASCII")
+      chunkType match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = beInt(bytes, typeOff + 4)
+          height = beInt(bytes, typeOff + 8)
+          bitDepth = bytes(typeOff + 12) & 0xFF
+          colorType = bytes(typeOff + 13) & 0xFF
+          // +14 compression (must be 0), +15 filter method (must be 0)
+          if (bytes(typeOff + 16) != 0 && bytes(typeOff + 16) != 1) return None
+          interlace = bytes(typeOff + 16) & 0xFF
+          sawIhdr = true
+        case "IDAT" => idat.write(bytes, typeOff + 4, len)
+        case "IEND" => sawIend = true
+        case _ => // ancillary chunks (tEXt, gAMA, ...) are skippable
+      }
+      off += 12 + len
+    }
+    if (!sawIhdr || !sawIend || width <= 0 || height <= 0) return None
+    if (bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // RGB
+      case 6 => 4 // RGBA
+      case _ => return None // palette (3) and gray+alpha (4) unsupported
+    }
+    // 7-digit-ish dims can overflow Int in the raw buffer size
+    val rawLen = (1L + width.toLong * channels) * height.toLong
+    if (rawLen > Int.MaxValue - 8) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inflater = new Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var filled = 0
+      while (filled < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, filled, raw.length - filled)
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None // truncated or preset-dictionary stream
+        filled += n
+      }
+      if (filled < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    unfilterToRgb(raw, width, height, channels)
+  }
+
+  /** Reverse the per-scanline filters in place over `raw` (layout:
+    * height rows of [filterByte, width*channels sample bytes]) and project
+    * to packed RGB. Filter math is the spec's: bytes are unsigned, the
+    * "left" neighbor is `bpp` bytes back, out-of-row neighbors are 0.
+    */
+  private def unfilterToRgb(raw: Array[Byte], width: Int, height: Int,
+                            channels: Int): Option[PpmImage] = {
+    val stride = width * channels
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (stride + 1)
+      val filter = raw(rowOff) & 0xFF
+      val cur = rowOff + 1
+      val prev = cur - (stride + 1) // previous row's samples (after its filter byte)
+      var x = 0
+      filter match {
+        case 0 => // None
+        case 1 => // Sub
+          x = channels
+          while (x < stride) {
+            raw(cur + x) = (raw(cur + x) + raw(cur + x - channels)).toByte
+            x += 1
+          }
+        case 2 => // Up
+          if (y > 0) {
+            x = 0
+            while (x < stride) {
+              raw(cur + x) = (raw(cur + x) + raw(prev + x)).toByte
+              x += 1
+            }
+          }
+        case 3 => // Average
+          x = 0
+          while (x < stride) {
+            val left = if (x >= channels) raw(cur + x - channels) & 0xFF else 0
+            val up = if (y > 0) raw(prev + x) & 0xFF else 0
+            raw(cur + x) = (raw(cur + x) + ((left + up) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          x = 0
+          while (x < stride) {
+            val a = if (x >= channels) raw(cur + x - channels) & 0xFF else 0
+            val b = if (y > 0) raw(prev + x) & 0xFF else 0
+            val c = if (y > 0 && x >= channels) raw(prev + x - channels) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            raw(cur + x) = (raw(cur + x) + pred).toByte
+            x += 1
+          }
+        case _ => return None
+      }
+      // project this unfiltered scanline into packed RGB
+      var px = 0
+      while (px < width) {
+        val s = cur + px * channels
+        val d = (y * width + px) * 3
+        channels match {
+          case 1 =>
+            val g = raw(s)
+            out(d) = g; out(d + 1) = g; out(d + 2) = g
+          case _ =>
+            out(d) = raw(s); out(d + 1) = raw(s + 1); out(d + 2) = raw(s + 2)
+        }
+        px += 1
+      }
+      y += 1
+    }
+    Some(PpmImage(width, height, out))
+  }
+
+  /** Minimal encoder (truecolor RGB, filter 0 on every scanline) so specs
+    * can round-trip pixel-exactly against the PPM path without any
+    * external fixture; also exercises the CRC/zlib framing the decoder
+    * checks.
+    */
+  def encode(img: PpmImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, Signature.length)
+    def writeChunk(chunkType: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(len >>> 24); out.write(len >>> 16); out.write(len >>> 8); out.write(len)
+      val t = chunkType.getBytes("US-ASCII")
+      val crc = new CRC32()
+      crc.update(t); crc.update(data)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val c = crc.getValue.toInt
+      out.write(c >>> 24); out.write(c >>> 16); out.write(c >>> 8); out.write(c)
+    }
+    val ihdr = new Array[Byte](13)
+    def putBe(arr: Array[Byte], off: Int, v: Int): Unit = {
+      arr(off) = (v >>> 24).toByte; arr(off + 1) = (v >>> 16).toByte
+      arr(off + 2) = (v >>> 8).toByte; arr(off + 3) = v.toByte
+    }
+    putBe(ihdr, 0, img.width); putBe(ihdr, 4, img.height)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type RGB
+    writeChunk("IHDR", ihdr)
+    val stride = img.width * 3
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      System.arraycopy(img.pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val deflater = new Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    writeChunk("IDAT", z.toByteArray)
+    writeChunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}

@@ -1,0 +1,183 @@
+package graft
+
+import java.util.zip.{CRC32, Deflater}
+
+import graft.operators.{Multimodal, PngCodec, PpmCodec}
+import graft.operators.PpmCodec.PpmImage
+
+class PngCodecSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rgb(w: Int, h: Int)(f: (Int, Int) => (Int, Int, Int)): PpmImage = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      px((y * w + x) * 3) = r.toByte
+      px((y * w + x) * 3 + 1) = g.toByte
+      px((y * w + x) * 3 + 2) = b.toByte
+    }
+    PpmImage(w, h, px)
+  }
+
+  // a gradient exercises every filter's prediction arithmetic non-trivially
+  private val gradient = rgb(7, 5)((x, y) => (x * 36, y * 50, (x + y) * 20))
+
+  /** Build a PNG from already-filtered raw scanline data — lets the spec
+    * drive every filter type through the decoder, which the filter-0-only
+    * encoder can't.
+    */
+  private def buildPng(w: Int, h: Int, colorType: Int,
+                       raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(len >>> 24); out.write(len >>> 16); out.write(len >>> 8); out.write(len)
+      val tb = t.getBytes("US-ASCII")
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data)
+      val c = crc.getValue.toInt
+      out.write(c >>> 24); out.write(c >>> 16); out.write(c >>> 8); out.write(c)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    chunk("IHDR", ihdr)
+    val d = new Deflater(); d.setInput(raw); d.finish()
+    val buf = new Array[Byte](8192)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Forward-apply a PNG filter to packed sample rows (the spec's filter
+    * definitions, run in the encoding direction) — decode must invert it.
+    */
+  private def forwardFilter(filter: Int, samples: Array[Byte], w: Int, h: Int,
+                            ch: Int): Array[Byte] = {
+    val stride = w * ch
+    val out = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      out(y * (stride + 1)) = filter.toByte
+      for (x <- 0 until stride) {
+        val cur = samples(y * stride + x) & 0xFF
+        val a = if (x >= ch) samples(y * stride + x - ch) & 0xFF else 0
+        val b = if (y > 0) samples((y - 1) * stride + x) & 0xFF else 0
+        val c = if (y > 0 && x >= ch) samples((y - 1) * stride + x - ch) & 0xFF else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        out(y * (stride + 1) + 1 + x) = (cur - pred).toByte
+      }
+    }
+    out
+  }
+
+  test("encode/decode roundtrip is pixel-exact and matches the PPM path") {
+    val png = PngCodec.encode(gradient)
+    PngCodec.isPng(png) shouldBe true
+    val back = PngCodec.decode(png).get
+    back.width shouldBe 7; back.height shouldBe 5
+    back.pixels.toSeq shouldBe gradient.pixels.toSeq
+    // same image through the other real codec: identical pixels
+    val viaPpm = PpmCodec.decodeOne(PpmCodec.encode(gradient)).get._1
+    back.pixels.toSeq shouldBe viaPpm.pixels.toSeq
+  }
+
+  test("all five filter types unfilter back to the same pixels") {
+    for (filter <- 0 to 4) {
+      val raw = forwardFilter(filter, gradient.pixels, 7, 5, 3)
+      val png = buildPng(7, 5, colorType = 2, raw)
+      val img = PngCodec.decode(png)
+      withClue(s"filter $filter: ") {
+        img.map(_.pixels.toSeq) shouldBe Some(gradient.pixels.toSeq)
+      }
+    }
+    // mixed per-row filters (the realistic encoder output shape)
+    val stride = 7 * 3
+    val mixed = new Array[Byte]((stride + 1) * 5)
+    for (y <- 0 until 5) {
+      val f = y % 5
+      val one = forwardFilter(f, gradient.pixels, 7, 5, 3)
+      System.arraycopy(one, y * (stride + 1), mixed, y * (stride + 1), stride + 1)
+    }
+    PngCodec.decode(buildPng(7, 5, 2, mixed))
+      .map(_.pixels.toSeq) shouldBe Some(gradient.pixels.toSeq)
+  }
+
+  test("grayscale replicates to RGB; RGBA drops alpha") {
+    // gray ramp 0,10,..: out pixel (g,g,g)
+    val w = 4; val h = 2
+    val gray = Array.tabulate(w * h)(i => (i * 10).toByte)
+    val grayRaw = forwardFilter(0, gray, w, h, 1)
+    val g = PngCodec.decode(buildPng(w, h, colorType = 0, grayRaw)).get
+    g.pixels.toSeq shouldBe gray.flatMap(v => Seq(v, v, v)).toSeq
+    // RGBA with varying alpha: RGB carried through, alpha ignored
+    val rgba = Array.tabulate(w * h * 4) { i =>
+      (if (i % 4 == 3) 7 * i else i * 3).toByte
+    }
+    val r = PngCodec.decode(buildPng(w, h, colorType = 6,
+      forwardFilter(4, rgba, w, h, 4))).get
+    val expected = (0 until w * h).flatMap(p =>
+      Seq(rgba(p * 4), rgba(p * 4 + 1), rgba(p * 4 + 2)))
+    r.pixels.toSeq shouldBe expected
+  }
+
+  test("corrupt and out-of-scope payloads are rejected, never thrown") {
+    val good = PngCodec.encode(gradient)
+    PngCodec.decode("not a png".getBytes) shouldBe None
+    PngCodec.decode(good.dropRight(20)) shouldBe None // truncated
+    val badCrc = good.clone(); badCrc(good.length - 5) = 0x55
+    PngCodec.decode(badCrc) shouldBe None
+    // palette (3) and 16-bit payloads take the documented fallback
+    val raw = forwardFilter(0, gradient.pixels, 7, 5, 3)
+    PngCodec.decode(buildPng(7, 5, colorType = 3, raw)) shouldBe None
+    val deep = PngCodec.encode(gradient).clone()
+    // flip IHDR bit depth byte 8->16 (offset 8+8+8 = 24), CRC now wrong -> None
+    deep(24) = 16
+    PngCodec.decode(deep) shouldBe None
+    // fuzz: random bytes and bit-flipped valid files never throw
+    val rng = new scala.util.Random(20260813L)
+    val payloads =
+      (1 to 200).map(_ => Array.fill(rng.nextInt(300))(rng.nextInt().toByte)) ++
+      (1 to 100).map { _ =>
+        val b = good.clone(); b(rng.nextInt(b.length)) = rng.nextInt().toByte; b
+      } ++
+      (1 to 50).map(_ => good.take(rng.nextInt(good.length)))
+    payloads.foreach(p => noException should be thrownBy PngCodec.decode(p))
+  }
+
+  test("decodeFeatures marks PNG payloads decoded=true with real pixel features") {
+    val redBlue = rgb(4, 2)((x, _) => if (x < 2) (255, 0, 0) else (0, 0, 255))
+    val payloads = Seq(
+      (1L, PngCodec.encode(redBlue)),
+      (2L, PpmCodec.encode(redBlue)),
+      (3L, "jpeg-ish ÿØ not decodable".getBytes("UTF-8"))
+    ).toDF("doc_id", "text")
+    val r = Multimodal.decodeFeatures(spark, payloads).collect().sortBy(_.doc_id)
+    r(0).decoded shouldBe true
+    r(0).width shouldBe 4; r(0).height shouldBe 2
+    // identical pixels => identical features across the two real codecs
+    r(0).feature.toSeq shouldBe r(1).feature.toSeq
+    r(0).feature(0) shouldBe 127.5f
+    r(2).decoded shouldBe false
+    // decodeImages + resize run on PNG pixels like PPM ones
+    val imgs = Multimodal.decodeImages(spark, payloads)
+    imgs.count() shouldBe 2
+    val resized = Multimodal.resize(imgs, 8, 4).collect()
+    resized.foreach { d => d.width shouldBe 8; d.pixels.length shouldBe 8 * 4 * 3 }
+  }
+}
