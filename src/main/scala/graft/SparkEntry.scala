@@ -1018,13 +1018,22 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
         ntile(10).over(Window.partitionBy(col("c_mktsegment"))
           .orderBy(col("c_acctbal"), col("c_custkey"))).cast("long").as("decile"))
-    })
+    }),
+
+    // §2.7 — embedding near-dup blocked by IVF quantizer cells (the scale
+    // path: no label/block key needed). Rows-only (KMeans cells aren't
+    // SQL-expressible); recall >= spec'd bound vs all-pairs is asserted in
+    // DedupSpec, and q24 keeps the hash-compared explicit-block variant.
+    "q94_embedding_neardup_ivf" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35,
+        nCells = 8, nProbe = 2))
   )
 
   // ---- the oracle map ---------------------------------------------------
-  // q20/q21/q23 are intentionally omitted (hash/LSH internals are not
-  // SQL-expressible 1:1) → driver records the weaker rows-only check; their
-  // semantics are verified against exact baselines in the test suite.
+  // q20/q21/q23 (and q94's KMeans cells) are intentionally omitted
+  // (hash/LSH/quantizer internals are not SQL-expressible 1:1) → driver
+  // records the weaker rows-only check; their semantics are verified
+  // against exact baselines in the test suite.
 
   def oracleSql: Map[String, String] = Map(
     "q01_validate_good" ->

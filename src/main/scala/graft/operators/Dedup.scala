@@ -706,9 +706,47 @@ object Dedup {
         (col("matches").cast("double") / col("n_grams")).as("containment"))
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by the `label` column (stand-in
-    * for a cluster/bucket id — at scale the block key comes from coarse
-    * quantization, e.g. the IVF cell). Norms precomputed pre-join.
+  /** Embedding-cosine near-dup pairs, blocked by the IVF coarse-quantizer
+    * cell — the scale path. Each vector is multi-assigned to its `nProbe`
+    * nearest KMeans cells ([[Similarity.assignCells]]), so boundary pairs
+    * whose primary cells differ are still caught when any probed cell is
+    * shared; pairs are generated by an EQUI-join on cell (never all-pairs
+    * across the corpus), scored exactly, thresholded, and deduped (a pair
+    * can meet in up to nProbe shared cells; cos_sim is deterministic per
+    * pair so row-level distinct collapses the copies).
+    *
+    * The 100 TB shape: quantizer fit is one KMeans over a deterministic
+    * sample; assignment is a map over narrow rows; the only corpus-sized
+    * shuffles are the vec_id join replicating vectors to their cells and
+    * the cell equi-join — per-cell work is (n/nCells)² with nCells sized
+    * to the cluster, and AQE can split hot cells. Recall vs the all-pairs
+    * baseline is asserted in the spec suite (well-separated duplicates
+    * land in the same nearest cell with probability -> 1).
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double, nCells: Int = 16,
+                       nProbe: Int = 2, fitFraction: Double = 0.1): DataFrame = {
+    val cells = Similarity.assignCells(emb, nCells, nProbe, fitFraction)
+    val withNorm = emb
+      .select(col("vec_id"), col("embedding"), vnorm(col("embedding")).as("nrm"))
+      .join(cells, "vec_id") // replicate each vector to its nProbe cells
+    val a = withNorm.as("a")
+    val b = withNorm.as("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id_1"),
+        col("b.vec_id").as("vec_id_2"),
+        cosineWithNorms(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a caller-provided `label`
+    * column — the explicit-block variant for corpora that already carry a
+    * trusted partition key (shard, source, dedup bucket). With few/coarse
+    * labels the within-block join is quadratic: when no such key exists,
+    * [[embeddingNearDup]] (IVF-cell blocking) is the default scale path.
+    * Norms precomputed pre-join.
     */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("label"), col("embedding"),

@@ -67,6 +67,9 @@ object Similarity {
     // arrays within a frame remain the caller's schema contract.
     def checkDim(df: DataFrame, what: String): Unit =
       df.select(size(col("embedding"))).take(1).foreach { r =>
+        // size(null) is null: surface a schema-contract message, not an NPE
+        require(!r.isNullAt(0),
+          s"lshKnn: $what is null (embedding column must be non-null)")
         require(r.getInt(0) == dim,
           s"lshKnn: $what dim ${r.getInt(0)} != configured dim $dim " +
             "(hyperplanes must cover every component)")
@@ -105,37 +108,73 @@ object Similarity {
     * an equi-join on cell id, and the exact re-rank touches ~nProbe/nCells
     * of the corpus.
     */
-  def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
-             nProbe: Int = 3, fitFraction: Double = 0.1): DataFrame = {
+  /** Fit the coarse quantizer over a deterministic sample. Fit-set
+    * MEMBERSHIP is a pure function of vec_id, never of partitioning:
+    * sample(seed) is per-partition Bernoulli and a bare limit() takes
+    * whichever rows arrive first — either would change which rows train
+    * the model across layouts. The ordered-limit union is a tiny-corpus
+    * floor guaranteeing >= 20*nCells fit rows regardless of fraction
+    * (duplicate rows only re-weight KMeans). Residual caveat: Spark's
+    * k-means|| INITIALIZATION draws per-partition randoms, so centroids
+    * (not membership) can still vary with physical layout — inherent to
+    * distributed KMeans, and the reason the IVF paths are rows-only with
+    * recall specs rather than hash-compared.
+    */
+  private[operators] def fitQuantizer(emb: DataFrame, nCells: Int,
+                                      fitFraction: Double) = {
     val vecs = emb.withColumn("fvec", array_to_vector(col("embedding")))
-    // sampled quantizer fit. Fit-set MEMBERSHIP is a pure function of
-    // vec_id, never of partitioning: sample(seed) is per-partition
-    // Bernoulli and a bare limit() takes whichever rows arrive first —
-    // either would change which rows train the model across layouts. The
-    // ordered-limit union is a tiny-corpus floor guaranteeing >=
-    // 20*nCells fit rows regardless of fraction (duplicate rows only
-    // re-weight KMeans). Residual caveat: Spark's k-means|| INITIALIZATION
-    // draws per-partition randoms, so centroids (not membership) can still
-    // vary with physical layout — inherent to distributed KMeans, and the
-    // reason q26 is rows-only with a recall spec rather than hash-compared.
     val keepPerMille = math.max(1L, (fitFraction * 1000).toLong)
     val fitSet = vecs
       .filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < lit(keepPerMille))
       .union(vecs.orderBy(col("vec_id")).limit(nCells * 20))
-    val model = new KMeans().setK(nCells).setSeed(42L)
+    new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("fvec").setPredictionCol("cell")
       .fit(fitSet)
+  }
+
+  /** Centroid table: tiny (nCells × dim), meant to be broadcast. */
+  private[operators] def centroidFrame(
+      emb: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
+  /** Assign each corpus vector to its `nProbe` nearest quantizer cells —
+    * the multi-assignment ("cell spill") that lets cell-blocked pair
+    * generation catch boundary pairs whose primary cells differ. One
+    * broadcast nested-loop over the nCells-row centroid table (bounded,
+    * intended), then a top-nProbe window over NARROW (vec_id, cell, dist)
+    * rows — the corpus embedding column is dropped before the shuffle.
+    * Output: (vec_id, cell), nProbe rows per vector.
+    */
+  def assignCells(emb: DataFrame, nCells: Int, nProbe: Int,
+                  fitFraction: Double = 0.1): DataFrame = {
+    val model = fitQuantizer(emb, nCells, fitFraction)
+    val centDf = centroidFrame(emb, model)
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"), col("cell"),
+        (vdot(col("embedding"), col("embedding"))
+          - lit(2.0) * vdot(col("embedding"), col("centroid"))
+          + vdot(col("centroid"), col("centroid"))).as("cdist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdist").asc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+             nProbe: Int = 3, fitFraction: Double = 0.1): DataFrame = {
+    val vecs = emb.withColumn("fvec", array_to_vector(col("embedding")))
+    val model = fitQuantizer(emb, nCells, fitFraction)
     val indexed = model.transform(vecs)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         vnorm(col("embedding")).as("c_nrm"), col("cell"))
-
-    // centroid table: tiny (nCells × dim), broadcast into the probe join
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }
-    val spark0 = emb.sparkSession
-    import spark0.implicits._
-    val centDf = centroids.toSeq.toDF("cell", "centroid")
+    val centDf = centroidFrame(emb, model)
 
     // per query: rank cells by exact distance to centroid, keep nProbe
     val q = queries.select(col("vec_id").as("query_id"),

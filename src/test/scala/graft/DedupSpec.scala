@@ -323,4 +323,44 @@ class DedupSpec extends SparkTestBase {
       .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
     pairs shouldBe Set((1L, 2L))
   }
+
+  // 40 base directions in dim 8, each with a near-identical twin: the 40
+  // twin pairs are the ground truth; cross-pair cosines sit far below the
+  // threshold with this seed. No label/block key anywhere — the blocking
+  // must come from the quantizer.
+  private def twinCorpus = {
+    val rng = new scala.util.Random(20260813L)
+    (0 until 40).flatMap { c =>
+      val base = Array.fill(8)(rng.nextGaussian().toFloat)
+      Seq((c * 2L, base),
+        (c * 2L + 1, base.map(v => v + 0.01f * rng.nextGaussian().toFloat)))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("embeddingNearDup (IVF-cell) recovers the all-pairs near-dups") {
+    val df = twinCorpus
+    // exact all-pairs baseline through the explicit-block variant with one
+    // global block (quadratic — fine at spec scale, it IS the definition)
+    val exact = Dedup.embeddingNearDupPairs(df.withColumn("label", lit(0)), 0.95)
+      .select(col("vec_id_1"), col("vec_id_2"))
+      .as[(Long, Long)].collect().toSet
+    val ivf = Dedup.embeddingNearDup(df, 0.95, nCells = 6, nProbe = 2)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    // precision 1.0 by construction: scoring is exact, same threshold
+    ivf.subsetOf(exact) shouldBe true
+    // recall bound (twins agree on their nearest cells; spill covers the
+    // boundary straddlers)
+    ivf.size.toDouble / exact.size should be >= 0.95
+  }
+
+  test("embeddingNearDup plan: pair generation is an equi-join on cell") {
+    val df = twinCorpus
+    val plan = Dedup.embeddingNearDup(df, 0.95, nCells = 4, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop is the bounded nCells-row centroid probe; the
+    // corpus×corpus pair join must hash/sort-merge on the cell key
+    plan should not include "CartesianProduct"
+    plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell"
+  }
 }
