@@ -122,4 +122,57 @@ class Pipeline(spark: SparkSession, workDir: String) {
       Files.move(src, target, StandardCopyOption.REPLACE_EXISTING)
     true
   }
+
+  private def alreadySeen(name: String): Boolean = {
+    val rejected = rejectedFiles()
+    processedFiles().contains(name) ||
+      rejected.exists(_.startsWith(name + "\t")) || rejected.contains(name)
+  }
+
+  /** Oldest-first inbox discovery (reference: music_etl_pipeline.py:19-25 —
+    * get_next_stream_file sorts the bucket listing by LastModified and
+    * takes the first unarchived key): list the inbox, sort by modification
+    * time with the name as a deterministic tie-break, and return the first
+    * entry in neither ledger. The listing is driver-side metadata only —
+    * no data is read until the file is actually processed.
+    */
+  def nextFile(inboxDir: String): Option[String] = {
+    val dir = Paths.get(inboxDir)
+    if (!Files.isDirectory(dir)) return None
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .map(p => (p, Files.getLastModifiedTime(p).toMillis, p.getFileName.toString))
+      .toSeq
+      .sortBy { case (_, mtime, name) => (mtime, name) }
+      .collectFirst { case (p, _, name) if !alreadySeen(name) => p.toString }
+    finally listing.close()
+  }
+
+  /** Sense → process ONE file: the DAG-trigger unit (one Airflow run picks
+    * one file). Returns the chosen file's name and whether it processed
+    * (false = validation-rejected); None when the inbox holds nothing new.
+    */
+  def processNext(inboxDir: String, customer: DataFrame,
+                  requiredCols: Seq[String] = Seq("user_id", "event_type", "ts"),
+                  dimRequiredCols: Seq[String] = Seq("c_custkey", "c_mktsegment")): Option[(String, Boolean)] =
+    nextFile(inboxDir).map { path =>
+      val name = Paths.get(path).getFileName.toString
+      (name, processFile(path, customer, requiredCols, dimRequiredCols))
+    }
+
+  /** Drain the inbox oldest-first; returns the names in processing order.
+    * Rejected files are recorded by their ledger and never retried, so the
+    * loop always terminates.
+    */
+  def processAll(inboxDir: String, customer: DataFrame,
+                 requiredCols: Seq[String] = Seq("user_id", "event_type", "ts"),
+                 dimRequiredCols: Seq[String] = Seq("c_custkey", "c_mktsegment")): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var next = processNext(inboxDir, customer, requiredCols, dimRequiredCols)
+    while (next.isDefined) {
+      out += next.get._1
+      next = processNext(inboxDir, customer, requiredCols, dimRequiredCols)
+    }
+    out.result()
+  }
 }

@@ -603,8 +603,7 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"))
       BloomJoin.bloomPrefilteredJoin(
           t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-          urgent, "l_orderkey", "o_orderkey",
-          expectedItems = 100000L, fpp = 0.01)
+          urgent, "l_orderkey", "o_orderkey", fpp = 0.01)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))

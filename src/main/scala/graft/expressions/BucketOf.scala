@@ -35,7 +35,15 @@ case class BucketOf(left: Expression, right: Expression)
     }
 
   @transient private lazy val thresholds: Array[Double] = {
-    val a = right.eval().asInstanceOf[ArrayData].toDoubleArray()
+    // a foldable-but-null literal (or null elements) would otherwise
+    // surface as an opaque NPE/CCE at codegen time — fail with a clear
+    // analysis-style message instead
+    val evaled = right.eval()
+    require(evaled != null, s"$prettyName thresholds literal must not be null")
+    val ad = evaled.asInstanceOf[ArrayData]
+    require((0 until ad.numElements()).forall(i => !ad.isNullAt(i)),
+      s"$prettyName thresholds must not contain null elements")
+    val a = ad.toDoubleArray()
     require(a.sameElements(a.sorted), s"$prettyName thresholds must be sorted")
     a
   }

@@ -21,7 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
 case class PairMerge(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // propagate the child's containsNull: null elements pass through the
+  // rewrite untouched (they match no merge pair), so the output is
+  // null-free exactly when the input is — claiming containsNull=false
+  // unconditionally would let downstream operators NPE on a null the
+  // SQL-registered function accepted
+  override def dataType: DataType = first.dataType match {
+    case ArrayType(StringType, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   override def prettyName: String = "graft_pair_merge"
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -38,12 +38,23 @@ object BloomJoin {
 
   /** `probe ⋈ build` on `probeKey = buildKey`, with the probe side
     * Bloom-prefiltered at the scan. Result is exactly the inner join.
+    *
+    * `expectedItems <= 0` (the default) derives the filter capacity from a
+    * `count()` of the build side — one extra job over the SMALL side of
+    * the join (small is the build side's contract here). A hard-coded
+    * capacity that the real cardinality outgrows keeps the join correct
+    * (false positives die in the real join) but silently saturates the
+    * filter, and the operator's entire purpose — shuffle reduction —
+    * quietly disappears; sizing from the data can't rot that way.
     */
   def bloomPrefilteredJoin(probe: DataFrame, build: DataFrame,
                            probeKey: String, buildKey: String,
-                           expectedItems: Long = 1000000L,
+                           expectedItems: Long = -1L,
                            fpp: Double = 0.01): DataFrame = {
-    val bytes = buildBloom(build, buildKey, expectedItems, fpp)
+    val capacity =
+      if (expectedItems > 0) expectedItems
+      else math.max(64L, build.count())
+    val bytes = buildBloom(build, buildKey, capacity, fpp)
     val filtered = probe.filter(call_function("graft_bloom_might_contain",
       col(probeKey), lit(bytes)))
     // frame-qualified keys: stays unambiguous when both sides name the

@@ -165,8 +165,10 @@ object Dedup {
     * similarity granularity (standard w-shingling practice).
     */
   def ppjoinJaccardPairs(docs: DataFrame, threshold: Double,
-                         shingleWidth: Int = 5): DataFrame =
-    ppjoin(docs, threshold, shingleWidth, verify = true, weighted = false)
+                         shingleWidth: Int = 5,
+                         maxVocab: Long = DefaultMaxVocab): DataFrame =
+    ppjoin(docs, threshold, shingleWidth, verify = true, weighted = false,
+      maxVocab)
 
   /** EXACT term-frequency-weighted Jaccard pairs over the whole corpus:
     * the PPJoin machinery above run on occurrence-EXPANDED normalized
@@ -178,8 +180,10 @@ object Dedup {
     * operator is verified against.
     */
   def weightedJaccardPairs(docs: DataFrame, threshold: Double,
-                           shingleWidth: Int = 5): DataFrame =
-    ppjoin(docs, threshold, shingleWidth, verify = true, weighted = true)
+                           shingleWidth: Int = 5,
+                           maxVocab: Long = DefaultMaxVocab): DataFrame =
+    ppjoin(docs, threshold, shingleWidth, verify = true, weighted = true,
+      maxVocab)
 
   /** The candidate stream of [[ppjoinJaccardPairs]] BEFORE exact
     * verification — exposed so specs can measure how hard the prefix +
@@ -187,11 +191,22 @@ object Dedup {
     */
   private[graft] def ppjoinCandidates(docs: DataFrame, threshold: Double,
                                       shingleWidth: Int = 5): DataFrame =
-    ppjoin(docs, threshold, shingleWidth, verify = false, weighted = false)
+    ppjoin(docs, threshold, shingleWidth, verify = false, weighted = false,
+      DefaultMaxVocab)
+
+  /** PPJoin's rarest-first ordering broadcasts the (tok → rank) table into
+    * the posting build, so the distinct-shingle vocabulary must stay
+    * broadcastable: bounded by |charset|^w for char-w-grams as documented,
+    * NOT corpus-sized. 64M tokens ≈ 1 GB broadcast — past that the guard
+    * fails loudly instead of letting the executor OOM look like a capacity
+    * mystery. Callers with a genuinely larger (word-token) vocabulary need
+    * a shuffle-join rank variant, not a bigger budget.
+    */
+  val DefaultMaxVocab: Long = 64L * 1000 * 1000
 
   private def ppjoin(docs: DataFrame, threshold: Double, shingleWidth: Int,
-                     verify: Boolean, weighted: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                     verify: Boolean, weighted: Boolean,
+                     maxVocab: Long): DataFrame = {
     val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // distinct-shingle hash stream; repartition FIRST (shingle CPU spread +
     // shared exchange for stages 1 and 2). coalesce → non-nullable chain
@@ -207,10 +222,44 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .repartition(parts, col("doc_id"))
       .select(col("doc_id"), tokExpr.as("tok"))
+    // Vocabulary ranking: rarest-first total order by (df, tok). A
+    // row_number window with no PARTITION BY would funnel the whole
+    // vocabulary through ONE task — tolerable for a bounded char-gram
+    // vocab, a memory wall for a corpus-sized one, and WindowExec can't
+    // tell you which you have. Two-level rank instead: range-partition
+    // the vocab on the sort key, sort within partitions, then turn local
+    // positions into global ranks with per-partition count offsets (one
+    // driver collect of `parts` longs — the same job zipWithIndex runs).
+    // Rank values equal the window's at any partition count: the range
+    // boundaries affect placement, never the total-order position. The
+    // count pass doubles as the maxVocab guard for the broadcast below;
+    // dfreq is localCheckpoint'd so its corpus-scale lineage (shingle +
+    // groupBy) computes once, not once per rank job.
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = dfreq.select(col("tok"),
-      row_number().over(Window.orderBy(col("df"), col("tok")))
-        .cast("long").as("rk"))
+      .localCheckpoint(false)
+    val ranked = {
+      val spark0 = docs.sparkSession
+      import spark0.implicits._
+      val sorted = dfreq
+        .repartitionByRange(parts, col("df"), col("tok"))
+        .sortWithinPartitions(col("df"), col("tok"))
+        .select(col("tok"))
+      val rdd = sorted.rdd
+      val counts = rdd.mapPartitions(
+        it => Iterator.single(it.size.toLong), preservesPartitioning = true)
+        .collect()
+      val vocab = counts.sum
+      require(vocab <= maxVocab,
+        s"ppjoin: $vocab distinct tokens exceeds the broadcastable-" +
+          s"vocabulary budget ($maxVocab). Char-w-gram vocabularies are " +
+          "bounded by |charset|^w; a corpus-sized (e.g. word-token) " +
+          "vocabulary needs a shuffle-join rank variant, not this operator.")
+      val offsets = counts.scanLeft(0L)(_ + _)
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var i = offsets(pid)
+        it.map { r => i += 1; (r.getLong(0), i) }
+      }.toDF("tok", "rk")
+    }
     // graft_sorted_collect, NOT sort_array(collect_list(...)): collect_list
     // is marked non-deterministic (array order = row order), and one
     // non-deterministic expression anywhere below the self-join makes

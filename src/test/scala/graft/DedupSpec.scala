@@ -293,6 +293,17 @@ class DedupSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("ppjoin refuses a vocabulary over the broadcast budget") {
+    // an over-budget vocab (budget forced tiny) must fail with the
+    // contract message, not OOM the rank broadcast at scale
+    val df = ppCorpus.toDF("doc_id", "text")
+    val e = the[IllegalArgumentException] thrownBy
+      Dedup.ppjoinJaccardPairs(df, 0.6, maxVocab = 10)
+    e.getMessage should include("vocabulary")
+    // at the real default the same corpus ranks fine
+    Dedup.ppjoinJaccardPairs(df, 0.6).count() should be > 0L
+  }
+
   test("containmentJoin flags asymmetric n-gram containment") {
     val needles = Seq(
       (100L, "alpha beta gamma delta"),       // 2 trigrams, both in doc 1

@@ -110,7 +110,10 @@ class KernelPropertySpec extends SparkTestBase {
     val keys = (1 to 300).map(_ => rng.nextLong() % 100000L)
     val bloomBytes = graft.operators.BloomJoin.buildBloom(
       keys.map(Tuple1(_)).toDF("k"), "k", 1000L, 0.01)
-    val probes = (1 to 500).map(_ => Tuple1(rng.nextLong() % 100000L)).toDF("k")
+    // probe the build keys THEMSELVES plus randoms — hits(k) below must
+    // exist for every build key, so a false negative actually fails
+    val probes = (keys ++ (1 to 500).map(_ => rng.nextLong() % 100000L))
+      .map(Tuple1(_)).toDF("k")
     def run(codegen: String): Seq[(Long, Boolean)] = {
       spark.conf.set("spark.sql.codegen.wholeStage", codegen)
       try probes.select(col("k"),
@@ -122,9 +125,9 @@ class KernelPropertySpec extends SparkTestBase {
     val gen = run("true")
     val interp = run("false")
     gen shouldBe interp
-    // and every build key hits in both paths
+    // and every build key hits in both paths (no false negatives, ever)
     val hits = gen.toMap
-    keys.foreach(k => assert(hits.getOrElse(k, true)))
+    keys.foreach(k => assert(hits(k)))
   }
 
   test("property: occurrence_mix output is sorted, distinct, and size-preserving") {

@@ -61,6 +61,47 @@ class PipelineSpec extends SparkTestBase {
       KeyValueSink.createTableIfNotExists("Strict", KeyValueSink.KeySchema("a", "b"))
   }
 
+  test("processNext senses the inbox oldest-first with ledger skips") {
+    KeyValueSink.KVStore.clear()
+    val work = Files.createTempDirectory("pipe-inbox").toString
+    val inbox = s"$work/in"
+    val customer = Seq((1L, "SEG_A")).toDF("c_custkey", "c_mktsegment")
+    def drop(name: String, mtimeSec: Long): Unit = {
+      Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(s"$inbox/$name")
+      Files.setLastModifiedTime(java.nio.file.Paths.get(inbox, name),
+        java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000))
+    }
+    // dropped out of order: newest first on disk, oldest must process first
+    drop("c_newest", 3000)
+    drop("a_oldest", 1000)
+    drop("b_middle", 2000)
+
+    val p = new Pipeline(spark, work)
+    p.nextFile(inbox).map(f => java.nio.file.Paths.get(f).getFileName.toString) shouldBe
+      Some("a_oldest")
+    // one sense->process per call, LastModified order not name/drop order
+    p.processNext(inbox, customer) shouldBe Some(("a_oldest", true))
+    p.processNext(inbox, customer) shouldBe Some(("b_middle", true))
+    // a validation-rejected file lands in its ledger and is skipped, never
+    // retried — the loop moves past it to genuinely new files
+    Seq((9L, "oops")).toDF("event_id", "not_the_schema")
+      .write.parquet(s"$inbox/bb_broken")
+    Files.setLastModifiedTime(java.nio.file.Paths.get(inbox, "bb_broken"),
+      java.nio.file.attribute.FileTime.fromMillis(2500 * 1000))
+    p.processNext(inbox, customer) shouldBe Some(("bb_broken", false))
+    p.processNext(inbox, customer) shouldBe Some(("c_newest", true))
+    // drained: both ledgers consulted, nothing reprocessed
+    p.processNext(inbox, customer) shouldBe None
+    p.processedFiles() shouldBe Set("a_oldest", "b_middle", "c_newest")
+    p.rejectedFiles().exists(_.startsWith("bb_broken")) shouldBe true
+    // processAll drains a refilled inbox in one call, in mtime order
+    drop("e_late", 5000)
+    drop("d_early", 4000)
+    p.processAll(inbox, customer) shouldBe Seq("d_early", "e_late")
+  }
+
   test("a file failing schema validation branches to rejected, no outputs") {
     val work = Files.createTempDirectory("pipe-rej").toString
     val input = s"$work/in/badschema"
