@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Bucketed-table write path: the co-located-join primitive.
   *
@@ -26,4 +26,35 @@ object BucketedSink {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Bucketed write with z-ordered file layout INSIDE each bucket: the
+    * join-key bucketing (shuffle-free joins + bucket pruning) and the
+    * Morton-curve data skipping ([[PartitionedSink.writeZOrdered]])
+    * compose instead of excluding each other.
+    *
+    * Layout: range-partition on (bucket id, z) — `pmod(hash(key), n)`
+    * reproduces the writer's bucket assignment, so each task holds one
+    * bucket's contiguous z-band and `filesPerBucket` files tile each
+    * bucket's (x, y) space into small rectangles. A filter on the join
+    * key prunes to one bucket's files; a rectangle filter on (x, y)
+    * prunes files inside surviving buckets by parquet min/max; the
+    * bucketed join still plans with zero Exchange. The z-value persists
+    * as column `z` (sortBy demands a table column, and a z-range scan
+    * predicate is useful in its own right).
+    *
+    * Dimensions must be 16-bit-ranged, exactly as in writeZOrdered
+    * (quantile-bucket or hash-fold wider domains first).
+    */
+  def writeBucketedZOrdered(df: DataFrame, table: String, key: String,
+                            nBuckets: Int, xCol: String, yCol: String,
+                            filesPerBucket: Int): Unit =
+    df.withColumn("z", graft.functions.ZOrder.zValue(col(xCol), col(yCol)))
+      .withColumn("_b", pmod(hash(col(key)), lit(nBuckets)))
+      .repartitionByRange(nBuckets * filesPerBucket, col("_b"), col("z"))
+      .drop("_b")
+      .write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key)
+      .sortBy("z")
+      .saveAsTable(table)
 }

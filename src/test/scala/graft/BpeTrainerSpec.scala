@@ -48,4 +48,38 @@ class BpeTrainerSpec extends SparkTestBase {
   test("merges is deterministic across re-runs") {
     BpeTrainer.trainMerges(corpus, 3) shouldBe BpeTrainer.trainMerges(corpus, 3)
   }
+
+  test("maxVocabWords guards the driver fetch; minCount trims the tail") {
+    val many = Seq((1 to 50).map(i => s"word$i").mkString(" ")).toDF("text")
+    an[IllegalArgumentException] should be thrownBy
+      BpeTrainer.trainMerges(many, 2, maxVocabWords = 10)
+    // minCount drops hapax words before they reach the driver: only the
+    // repeated word remains, so its pairs win every merge
+    val mixed = Seq("aaa " * 5 + "zq zr zs zt").toDF("text")
+    val m = BpeTrainer.trainMerges(mixed, 2, minCount = 2)
+    m shouldBe Seq((0, "a", "a", 10L), (1, "aa", "a", 5L))
+  }
+
+  test("a production-scale merge count (k=300) trains in one corpus pass") {
+    // 26^2 two-letter "words" with distinct counts: enough pair diversity
+    // for 300+ merges. The k-sequential-Spark-jobs structure this replaced
+    // would schedule ~300 jobs here; driver-side rounds make this a
+    // seconds-scale spec, which is itself the regression assertion.
+    val letters = 'a' to 'z'
+    val text = (for { a <- letters; b <- letters } yield
+      (s"$a$b$a$b " * ((a - 'a') + 2 * (b - 'a') + 1))).mkString(" ")
+    val merges = BpeTrainer.trainMerges(Seq(text).toDF("text"), 300)
+    merges.length shouldBe 300
+    // ranks are dense and counts non-increasing only per pair lineage —
+    // but the global argmax sequence must be non-increasing in count
+    merges.map(_._1) shouldBe (0 until 300)
+    merges.sliding(2).foreach { case Seq(x, y) => x._4 should be >= y._4 }
+    // every merge's parts are either single code points or earlier merges
+    val known = scala.collection.mutable.Set[String]() ++ text.map(_.toString)
+    merges.foreach { case (_, l, r, _) =>
+      known should contain(l)
+      known should contain(r)
+      known += (l + r)
+    }
+  }
 }
