@@ -1025,7 +1025,15 @@ object SparkEntry {
     // DedupSpec, and q24 keeps the hash-compared explicit-block variant.
     "q94_embedding_neardup_ivf" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35,
-        nCells = 8, nProbe = 2))
+        nCells = 8, nProbe = 2)),
+
+    // §2.9 — sub-document curation (round 3): duplication below document
+    // granularity, which document-level dedup can't see
+    "q95_segment_dedup" -> ((s, dir) =>
+      Curation.segmentDedup(t(s, dir, "documents"), 10)),
+
+    "q96_boilerplate_strip" -> ((s, dir) =>
+      Curation.boilerplateStrip(t(s, dir, "documents"), 10, minDocs = 3))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2018,6 +2026,56 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment,
         |       ntile(10) OVER (PARTITION BY c_mktsegment
         |                       ORDER BY c_acctbal, c_custkey) AS decile
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "q95_segment_dedup" ->
+      s"""$SegCte,
+         |kept AS (
+         |  SELECT doc_id, seg_idx, seg FROM (
+         |    SELECT doc_id, seg_idx, seg,
+         |           row_number() OVER (PARTITION BY seg
+         |                              ORDER BY doc_id, seg_idx) AS rn
+         |    FROM segs) WHERE rn = 1),
+         |re AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs
+         |  FROM segs GROUP BY doc_id)
+         |SELECT tot.doc_id, n_segs,
+         |       COALESCE(n_kept, 0) AS n_kept,
+         |       COALESCE(dedup_text, '') AS dedup_text
+         |FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id""".stripMargin,
+
+    "q96_boilerplate_strip" ->
+      s"""$SegCte,
+         |boiler AS (
+         |  SELECT seg FROM segs GROUP BY seg
+         |  HAVING count(DISTINCT doc_id) >= 3)
+         |SELECT s.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_segs,
+         |       CAST(count(CASE WHEN b.seg IS NOT NULL THEN 1 END) AS BIGINT)
+         |         AS n_boiler,
+         |       COALESCE(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+         |                           ' ' ORDER BY s.seg_idx), '') AS clean_text
+         |FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+         |GROUP BY s.doc_id""".stripMargin
   )
+
+  // 10-token non-overlapping segments of each document — the shared CTE
+  // for the sub-document curation oracles (mirrors Curation.segmented)
+  private val SegCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(0, (len(toks) + 9) // 10 - 1)) AS seg_idx,
+      |         toks
+      |  FROM t WHERE len(toks) >= 1),
+      |segs AS (
+      |  SELECT doc_id, seg_idx,
+      |         array_to_string(toks[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg
+      |  FROM s)""".stripMargin
 }

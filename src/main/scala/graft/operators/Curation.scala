@@ -208,6 +208,79 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Non-overlapping `segTokens`-token segments per document: the
+    * sub-document unit for segment-level curation (the corpora this
+    * engine targets carry duplication BELOW document granularity —
+    * shared headers, licenses, navigation chrome — that document-level
+    * dedup can't see). Map-side fan-out only, no shuffle; empty documents
+    * emit no segments (which also guards Spark's descending-`sequence`
+    * inference on the degenerate 0-token range).
+    */
+  private def segmented(docs: DataFrame, segTokens: Int): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    docs.select(col("doc_id"), tokensWs(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0),
+          expr(s"(size(toks) + ${segTokens - 1}) div $segTokens") - 1)))
+      .select(col("doc_id"), col("col").cast("long").as("seg_idx"),
+        array_join(slice(col("toks"), col("col") * segTokens + 1,
+          lit(segTokens)), " ").as("seg"))
+  }
+
+  /** Segment-level exact dedup: keep only the FIRST occurrence (global
+    * (doc_id, seg_idx) order) of every distinct segment, then reassemble
+    * each document from its surviving segments — sub-document dedup in
+    * the style of corpus-prep "remove repeated paragraphs" stages.
+    * One shuffle on the segment text for the first-occurrence window, one
+    * on doc_id for reassembly; the window's partition key is the segment
+    * itself, so hot segments are exactly the ones whose duplicates
+    * collapse. Output: (doc_id, n_segs, n_kept, dedup_text).
+    */
+  def segmentDedup(docs: DataFrame, segTokens: Int): DataFrame = {
+    val segs = segmented(docs, segTokens)
+    val kept = segs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))))
+      .filter(col("rn") === 1)
+    val re = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x("seg")), " ").as("dedup_text"))
+    // documents whose every segment was seen earlier still get a row
+    segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /** Boilerplate strip: segments occurring in at least `minDocs` DISTINCT
+    * documents are corpus chrome (headers, licenses, templates) and are
+    * removed from every document — the frequency-threshold complement of
+    * [[segmentDedup]]'s first-occurrence rule (CCNet-style line-frequency
+    * cleaning, at segment granularity). The boilerplate set is the output
+    * of an aggregation, corpus-size-independent and broadcastable.
+    * Output: (doc_id, n_segs, n_boiler, clean_text).
+    */
+  def boilerplateStrip(docs: DataFrame, segTokens: Int, minDocs: Int): DataFrame = {
+    val segs = segmented(docs, segTokens)
+    val boiler = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("seg"), lit(true).as("is_boiler"))
+    segs.join(boiler, Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("is_boiler"), 1)).as("n_boiler"),
+        // collect_list drops the nulls `when` leaves on boiler rows
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("is_boiler").isNull, struct(col("seg_idx"), col("seg"))))),
+          x => x("seg")), " ").as("clean_text"))
+  }
+
   def tokenCorpusStats(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), explode(tokensWs(col("text"))).as("token"))
       .groupBy(col("token"), col("doc_id"))

@@ -138,4 +138,45 @@ class CurationSpec extends SparkTestBase {
     // tf desc, token asc: b tf=4 df=2, c tf=3 df=2, a tf=3 df=2
     r shouldBe Array(("b", 4L, 2L), ("a", 3L, 2L), ("c", 3L, 2L))
   }
+
+  test("segmentDedup keeps only the first occurrence of each segment") {
+    // segTokens=2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d]
+    // first occurrences: (1,0) a b, (1,1) c d, (2,1) x y
+    val tiny = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d"),
+      (4L, "")               // empty: no segments, no row
+    ).toDF("doc_id", "text")
+    val r = Curation.segmentDedup(tiny, 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),    // "a b" seen first in doc 1
+      (3L, 1L, 0L, ""))       // every segment already seen
+  }
+
+  test("segmentDedup order: reassembly follows seg_idx, trailing partials kept") {
+    val tiny = Seq((1L, "p q r s t")).toDF("doc_id", "text") // [p q][r s][t]
+    val r = Curation.segmentDedup(tiny, 2)
+      .as[(Long, Long, Long, String)].collect()
+    r shouldBe Array((1L, 3L, 3L, "p q r s t"))
+  }
+
+  test("boilerplateStrip removes segments shared by >= minDocs documents") {
+    // "h h" appears in 3 docs (boilerplate at minDocs=3); "a b" in 2 (kept)
+    val tiny = Seq(
+      (1L, "h h a b"),
+      (2L, "h h a b"),
+      (3L, "h h z z"),
+      (4L, "u v")
+    ).toDF("doc_id", "text")
+    val r = Curation.boilerplateStrip(tiny, 2, minDocs = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 2L, 1L, "a b"),
+      (2L, 2L, 1L, "a b"),
+      (3L, 2L, 1L, "z z"),
+      (4L, 1L, 0L, "u v"))
+  }
 }
