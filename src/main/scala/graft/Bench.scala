@@ -27,7 +27,10 @@ object Bench {
     "q20_minhash_lsh_pairs", "q45_dedup_clusters", "q47_fuzzy_part_names",
     "q49_neardup_corpus",
     // global set-similarity + decontamination, tracked late round 2
-    "q51_ppjoin_pairs", "q55_decontaminate")
+    "q51_ppjoin_pairs", "q55_decontaminate",
+    // round 3: exact weighted-jaccard ground truth and the block-free
+    // PassJoin edit-distance join (q47's scale path)
+    "q52_weighted_jaccard_pairs", "q97_edit_distance_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,16 +65,21 @@ object Bench {
 
     // full catalog at the primary scale factor: headline 2-run-min first
     // (their numbers are the round-over-round comparison), then the rest
-    // of the catalog single-run in name order
-    val rest = SparkEntry.queries.keys.toSeq.sorted.filterNot(Headline.contains)
-    val results = Headline.map(n => n -> timed(n, sfDir, 2)) ++
+    // of the catalog single-run in name order. Positional args (builder
+    // tuning loops) restrict both rungs to the named queries.
+    val only = args.toSeq.filter(SparkEntry.queries.contains)
+    val headline = if (only.nonEmpty) Headline.filter(only.contains) else Headline
+    val rest = (if (only.nonEmpty) only else SparkEntry.queries.keys.toSeq)
+      .sorted.filterNot(Headline.contains)
+    val results = headline.map(n => n -> timed(n, sfDir, 2)) ++
       rest.map(n => n -> timed(n, sfDir, 1))
-    val headlineTotal = total(results.take(Headline.length))
+    val headlineTotal = total(results.take(headline.length))
 
-    // the 10× rung: headline set, one run each
+    // the 10× rung: headline set (or the named queries), one run each
     val sf1 =
       if (sf1Dir.nonEmpty && new java.io.File(sf1Dir, "lineitem.parquet").exists()) {
-        val r = Headline.map(n => n -> timed(n, sf1Dir, 1))
+        val names = if (only.nonEmpty) only else Headline
+        val r = names.map(n => n -> timed(n, sf1Dir, 1))
         s""","sf1":{"dir":"$sf1Dir","total":${total(r)},"queries":${json(r)}}"""
       } else ""
 

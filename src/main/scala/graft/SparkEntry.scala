@@ -1033,7 +1033,14 @@ object SparkEntry {
       Curation.segmentDedup(t(s, dir, "documents"), 10)),
 
     "q96_boilerplate_strip" -> ((s, dir) =>
-      Curation.boilerplateStrip(t(s, dir, "documents"), 10, minDocs = 3))
+      Curation.boilerplateStrip(t(s, dir, "documents"), 10, minDocs = 3)),
+
+    // §2.7 — global edit-distance join, PassJoin pigeonhole candidates:
+    // q47's block-free scale path (brand blocks grow with the corpus, so
+    // blocked pair counts grow quadratically — the sf1 rung measured it)
+    "q97_edit_distance_pairs" -> ((s, dir) =>
+      TextAnalysis.editDistancePairs(t(s, dir, "part"), "p_partkey",
+        "p_name", 2))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2060,7 +2067,15 @@ object SparkEntry {
          |       COALESCE(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
          |                           ' ' ORDER BY s.seg_idx), '') AS clean_text
          |FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
-         |GROUP BY s.doc_id""".stripMargin
+         |GROUP BY s.doc_id""".stripMargin,
+
+    "q97_edit_distance_pairs" ->
+      """SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,
+        |       levenshtein(a.p_name, b.p_name) AS distance
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

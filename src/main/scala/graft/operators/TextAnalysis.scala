@@ -114,22 +114,34 @@ object TextAnalysis {
     * screen for boilerplate/SEO-spam documents before training.
     */
   def repetitionScore(docs: DataFrame): DataFrame = {
-    val lines = filter(split(col("text"), "\n"), l => l =!= lit(""))
-    val toks = tokensWs(col("text"))
+    // STAGED projections, not one: higher-order functions (filter/
+    // transform lambdas) sit outside whole-stage codegen and get no
+    // common-subexpression elimination, so inlining `tris` into each of
+    // dupFrac's size/array_distinct references would rebuild the trigram
+    // array several times per row. Aliasing each array in its own Project
+    // computes it once; CollapseProject keeps non-cheap many-referenced
+    // aliases separate rather than re-inlining them. Measured 8x on the
+    // sf0.1 catalog bench (7.3 s -> 0.9 s).
+    val withArrays = docs.select(
+      col("doc_id"),
+      filter(split(col("text"), "\n"), l => l =!= lit("")).as("lns"),
+      tokensWs(col("text")).as("tk"))
     // sequence(1, k) with k < 1 would generate a DESCENDING range, so the
     // below-3-token case must short-circuit to an empty array
-    val tris = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
+    val withTris = withArrays.select(
+      col("doc_id"), col("lns"), col("tk"),
+      when(size(col("tk")) >= 3,
+        transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i, lit(3)))))
+        .otherwise(array().cast("array<string>")).as("tris"))
     def dupFrac(arr: Column) = when(size(arr) > 0,
       (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
       .otherwise(lit(0.0))
-    docs.select(
+    withTris.select(
       col("doc_id"),
-      dupFrac(lines).as("dup_line_frac"),
-      dupFrac(toks).as("dup_token_frac"),
-      dupFrac(tris).as("dup_trigram_frac"))
+      dupFrac(col("lns")).as("dup_line_frac"),
+      dupFrac(col("tk")).as("dup_token_frac"),
+      dupFrac(col("tris")).as("dup_trigram_frac"))
   }
 
   /** Fuzzy string matching: same-block pairs within `maxDistance` edit
@@ -169,5 +181,120 @@ object TextAnalysis {
         levenshtein(col("t1"), col("t2"), maxDistance).cast("long"))
       .filter(col("distance") >= 0)
       .select(col("id_1"), col("id_2"), col("distance"))
+  }
+
+  /** Global edit-distance self-join WITHOUT a block key — the scale path
+    * for fuzzy matching. [[fuzzyPairs]]'s blocked all-pairs is quadratic
+    * in whatever share of the corpus lands in one block (brand blocks grow
+    * linearly with the corpus, so its pair count grows quadratically — the
+    * sf1 bench rung measured exactly that); this operator's candidate
+    * count grows with the number of TRUE matches instead.
+    *
+    * PassJoin-style (Li/Deng/Wang/Feng, VLDB'11 — public) pigeonhole
+    * candidates: partition every string into k+1 canonical segments; if
+    * ed(r, s) ≤ k with |r| ≤ |s|, at least one of r's segments survives
+    * untouched and appears in s as an EXACT substring, shifted by at most
+    * the edits around it. So the candidate join is an EQUI-join:
+    *  - index side: each string emits its k+1 segments (seg, j, own len);
+    *  - probe side: each string s emits, for every candidate shorter
+    *    length l_r in [|s|-k, |s|] and segment slot j, the substrings of
+    *    s with slot-j's length at positions within a ±k..+2k window of
+    *    slot-j's canonical start — a WIDER window than PassJoin's exact
+    *    shift bound, which only admits extra candidates (killed by the
+    *    thresholded-levenshtein verify), never loses one.
+    * Emission is O((k+1)²·(3k+2)) keys per string — constant per row —
+    * and the join shuffles narrow (seg, j, l_r) keys, so the shape is
+    * linear in the corpus with AQE free to split hot segment keys.
+    *
+    * Strings shorter than k+1 chars can't donate k+1 non-empty segments;
+    * any two of them are trivially within k edits (each has ≤ k chars),
+    * and their cross pairs against strings of length ≤ 2k are the only
+    * other candidates — a bounded short-arm handled by a tiny length-
+    * filtered join. Output: (id_1, id_2, distance), id_1 < id_2, exact.
+    */
+  def editDistancePairs(items: DataFrame, idCol: String, textCol: String,
+                        maxDistance: Int): DataFrame = {
+    require(maxDistance >= 1, "maxDistance must be >= 1")
+    val k = maxDistance
+    val m = k + 1
+    // canonical segmentation of a length-l string into m parts:
+    // a = l div m base length, the last (l mod m) segments get +1;
+    // seg j (0-based): len_j = a + [j >= m - l%m], start_j (0-based)
+    //                = j*a + max(0, j - (m - l%m))
+    def segLen(lr: String, j: String) =
+      s"(($lr div $m) + IF($j >= $m - $lr % $m, 1, 0))"
+    def segStart(lr: String, j: String) =
+      s"($j*($lr div $m) + greatest(0, $j - ($m - $lr % $m)))"
+
+    // repartition on the id BEFORE the per-row fan-outs: a small parquet
+    // input is one split, and without this the emission explodes — and
+    // the join probes — run in a single task (the same inline trap the
+    // ppjoin/LSH operators guard against; at 100 TB file splits provide
+    // the parallelism, but the operator must not depend on input layout)
+    val parts = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = items.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("txt"),
+      length(col(textCol)).cast("int").as("len"))
+      .repartition(parts, col("id"))
+    val long = base.filter(col("len") >= m)
+
+    // index side: own segments, keyed by (seg, j, l_r = own length)
+    val idx = long
+      .select(col("id").as("id_r"), col("txt").as("t_r"), col("len").as("l_r"),
+        explode(expr(
+          s"""transform(sequence(0, $k), j -> named_struct(
+             |  'j', j,
+             |  'seg', substring(txt, CAST(${segStart("len", "j")} + 1 AS INT),
+             |                   CAST(${segLen("len", "j")} AS INT))))""".stripMargin))
+          .as("e"))
+      .select(col("id_r"), col("t_r"), col("l_r"),
+        col("e.j").as("j"), col("e.seg").as("seg"))
+    // probe side: for each candidate shorter length l_r and slot j, the
+    // substrings inside the shift window. sequence bounds are all
+    // ascending by construction (len >= m ensures len-k <= len; the
+    // position set is a filtered CONSTANT-bounds sequence, dodging
+    // Spark's descending-sequence inference on empty ranges).
+    val probe = long
+      .select(col("id").as("id_s"), col("txt").as("t_s"), col("len").as("l_s"),
+        explode(expr(
+          s"""flatten(transform(sequence(greatest($m, len - $k), len), lr ->
+             |  flatten(transform(sequence(0, $k), j ->
+             |    transform(
+             |      filter(sequence(0, ${3 * k}),
+             |        d -> ${segStart("lr", "j")} - $k + d >= 0
+             |         AND ${segStart("lr", "j")} - $k + d
+             |             <= len - ${segLen("lr", "j")}),
+             |      d -> named_struct(
+             |        'j', j, 'lr', lr,
+             |        'seg', substring(txt,
+             |          CAST(${segStart("lr", "j")} - $k + d + 1 AS INT),
+             |          CAST(${segLen("lr", "j")} AS INT))))))))""".stripMargin))
+          .as("e"))
+      .select(col("id_s"), col("t_s"), col("l_s"),
+        col("e.j").as("j"), col("e.lr").as("l_r"), col("e.seg").as("seg"))
+
+    val longPairs = idx.join(probe, Seq("seg", "j", "l_r"))
+      // shorter-indexes-into-longer gives each unequal-length pair ONE
+      // direction; equal lengths appear both ways -> id order picks one
+      .filter(col("l_r") < col("l_s") ||
+        (col("l_r") === col("l_s") && col("id_r") < col("id_s")))
+
+    // short arm: index strings of length <= k (any two such are within k
+    // edits by construction) against ALL strings of length <= 2k
+    val shortPairs = base.filter(col("len") < m)
+      .select(col("id").as("id_r"), col("txt").as("t_r"), col("len").as("l_r"))
+      .join(base.filter(col("len") <= 2 * k)
+          .select(col("id").as("id_s"), col("txt").as("t_s"), col("len").as("l_s")),
+        col("l_s") - col("l_r") <= k &&
+          (col("l_r") < col("l_s") ||
+            (col("l_r") === col("l_s") && col("id_r") < col("id_s"))))
+
+    longPairs.select(col("id_r"), col("id_s"), col("t_r"), col("t_s"))
+      .union(shortPairs.select(col("id_r"), col("id_s"), col("t_r"), col("t_s")))
+      .distinct() // a pair can match on several (j, position) keys
+      .withColumn("distance", levenshtein(col("t_r"), col("t_s"), k).cast("long"))
+      .filter(col("distance") >= 0)
+      .select(least(col("id_r"), col("id_s")).as("id_1"),
+        greatest(col("id_r"), col("id_s")).as("id_2"), col("distance"))
   }
 }

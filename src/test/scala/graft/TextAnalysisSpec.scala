@@ -98,4 +98,68 @@ class TextAnalysisSpec extends SparkTestBase {
     r(1)._4 shouldBe (4.0 / 7.0)
     r(2)._2 shouldBe 0.0; r(2)._3 shouldBe 0.0; r(2)._4 shouldBe 0.0
   }
+
+  // driver-side reference edit distance for the PassJoin property specs
+  private def editDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  test("editDistancePairs equals brute-force all-pairs (randomized)") {
+    // adversarial population: clusters of near-identical strings (random
+    // single-char edits), plus unrelated randoms, plus tiny strings for
+    // the short arm — over a 3-letter alphabet so collisions are common
+    val rng = new scala.util.Random(20260813L)
+    val alpha = "abc"
+    def rand(n: Int) = (1 to n).map(_ => alpha(rng.nextInt(3))).mkString
+    def mutate(s: String): String = rng.nextInt(3) match {
+      case 0 if s.nonEmpty => // substitute
+        val i = rng.nextInt(s.length)
+        s.substring(0, i) + alpha(rng.nextInt(3)) + s.substring(i + 1)
+      case 1 => // insert
+        val i = rng.nextInt(s.length + 1)
+        s.substring(0, i) + alpha(rng.nextInt(3)) + s.substring(i)
+      case _ if s.length > 1 => // delete
+        val i = rng.nextInt(s.length); s.substring(0, i) + s.substring(i + 1)
+      case _ => s
+    }
+    val strings =
+      (1 to 12).flatMap { _ =>
+        val base = rand(4 + rng.nextInt(12))
+        base +: (1 to 3).map(_ => mutate(if (rng.nextBoolean()) base
+          else mutate(base)))
+      } ++ (1 to 20).map(_ => rand(3 + rng.nextInt(10))) ++
+        Seq("", "a", "ab", "ba", "b")
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("item_id", "name")
+    for (k <- 1 to 3) {
+      val expected = (for {
+        i <- strings.indices; jj <- strings.indices if i < jj
+        d = editDist(strings(i), strings(jj)) if d <= k
+      } yield (i.toLong, jj.toLong, d.toLong)).toSet
+      val got = TextAnalysis.editDistancePairs(df, "item_id", "name", k)
+        .as[(Long, Long, Long)].collect().toSet
+      withClue(s"k=$k: ") { got shouldBe expected }
+    }
+  }
+
+  test("editDistancePairs plan: candidates come from an equi-join, no block key") {
+    val df = (1 to 50).map(i => (i.toLong, s"part name number $i"))
+      .toDF("item_id", "name")
+    val plan = TextAnalysis.editDistancePairs(df, "item_id", "name", 2)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    // the long arm joins on (seg, j, l_r); only the bounded short arm may
+    // plan a non-equi broadcast join (empty here: no strings of len <= 2)
+    plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[seg"
+  }
 }
