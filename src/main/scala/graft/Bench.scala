@@ -32,6 +32,18 @@ object Bench {
     // PassJoin edit-distance join (q47's scale path)
     "q52_weighted_jaccard_pairs", "q97_edit_distance_pairs")
 
+  /** The recurring 10×-rung set: headline MINUS the exact pair engines
+    * that are quadratic by design (q19/q47 within-block all-pairs;
+    * q51/q52 exact global similarity whose cost tracks output density).
+    * Those four are quantified once in PLANS.md's sf1 audit — re-running
+    * ~10 quadratic minutes every round would measure the documentation,
+    * not a regression. Everything that CLAIMS ~linear scaling stays here
+    * and is re-measured every round.
+    */
+  val Sf1Set: Seq[String] = Headline.filterNot(Set(
+    "q19_ngram_jaccard_pairs", "q47_fuzzy_part_names",
+    "q51_ppjoin_pairs", "q52_weighted_jaccard_pairs"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
@@ -75,10 +87,10 @@ object Bench {
       rest.map(n => n -> timed(n, sfDir, 1))
     val headlineTotal = total(results.take(headline.length))
 
-    // the 10× rung: headline set (or the named queries), one run each
+    // the 10× rung: the linear-claim set (or the named queries), one run
     val sf1 =
       if (sf1Dir.nonEmpty && new java.io.File(sf1Dir, "lineitem.parquet").exists()) {
-        val names = if (only.nonEmpty) only else Headline
+        val names = if (only.nonEmpty) only else Sf1Set
         val r = names.map(n => n -> timed(n, sf1Dir, 1))
         s""","sf1":{"dir":"$sf1Dir","total":${total(r)},"queries":${json(r)}}"""
       } else ""
