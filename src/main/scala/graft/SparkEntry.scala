@@ -1040,7 +1040,18 @@ object SparkEntry {
     // blocked pair counts grow quadratically — the sf1 rung measured it)
     "q97_edit_distance_pairs" -> ((s, dir) =>
       TextAnalysis.editDistancePairs(t(s, dir, "part"), "p_partkey",
-        "p_name", 2))
+        "p_name", 2)),
+
+    // §2.7 — incremental dedup: a new delivery (doc_id % 10 == 0 stands in
+    // for the arriving batch) deduped against the standing corpus without
+    // ever pairing corpus×corpus — the ingest-time shape
+    "q98_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDup(
+        corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        threshold = 0.6)
+    })
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2075,7 +2086,22 @@ object SparkEntry {
         |FROM part a JOIN part b
         |  ON a.p_partkey < b.p_partkey
         | AND abs(length(a.p_name) - length(b.p_name)) <= 2
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    "q98_incremental_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s,
+         |         doc_id % 10 = 0 AS is_new
+         |  FROM documents)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS dup_id,
+         |         CASE WHEN b.is_new THEN 'batch' ELSE 'corpus' END AS dup_source,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.is_new AND a.lang = b.lang AND a.band = b.band
+         |   AND (NOT b.is_new OR a.doc_id < b.doc_id))
+         |WHERE jaccard >= 0.6""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

@@ -790,6 +790,62 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup: dedup a NEW batch of documents against an
+    * EXISTING corpus — the ingest-time shape of corpus curation. A
+    * production pipeline never re-deduplicates the whole corpus when a
+    * delivery lands; it asks only "which new docs duplicate something we
+    * already have (or each other)?". Emits one row per near-dup pair
+    * `(new_id, dup_id, dup_source, jaccard)` where `new_id` is always from
+    * the batch and `dup_id` is from the corpus (`dup_source = 'corpus'`) or
+    * from the batch itself (`dup_source = 'batch'`, `new_id < dup_id`).
+    * Corpus×corpus pairs are NEVER generated or scored.
+    *
+    * Same exact semantics as [[ngramJaccardPairs]]: candidates share the
+    * (lang, n_chars/50) block, the size-ratio prune is lossless, and the
+    * score is exact sorted-merge Jaccard over char-3-gram hashes.
+    *
+    * The 100 TB shape: the corpus side is shingled and shuffled ONCE (its
+    * only appearance is the bipartite join's build of candidate blocks —
+    * in production the shingle frame would be the stored signature table,
+    * refreshed incrementally); the batch side is small by definition, its
+    * (lang, band)-partitioned exchange is computed once and REUSED by both
+    * the batch×corpus join and the batch×batch self-join, and total pair
+    * work is |batch|·(block density) + |batch|² — independent of
+    * |corpus|². Growing the corpus 100× grows only the probe side of the
+    * first join linearly.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+                         threshold: Double): DataFrame = {
+    val parts =
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def blocked(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), col("lang"), floor(col("n_chars") / 50).as("band"))
+      .join(hashedShingles(docs), "doc_id")
+      .repartition(parts, col("lang"), col("band"))
+    // one shingle pass per side; the batch frame is IDENTICAL in both
+    // joins below, so Spark reuses its exchange (ReusedExchange) rather
+    // than shingling the batch twice
+    val newSide = blocked(batch)
+    val oldSide = blocked(corpus)
+    val sizeCond =
+      col("a.n_sh") * threshold <= col("b.n_sh") &&
+        col("b.n_sh") * threshold <= col("a.n_sh")
+    def pairs(b: DataFrame, ordered: Boolean, source: String): DataFrame =
+      newSide.as("a").join(b.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.band") === col("b.band") && sizeCond &&
+          (if (ordered) col("a.doc_id") < col("b.doc_id") else lit(true)))
+        .select(
+          col("a.doc_id").as("new_id"),
+          col("b.doc_id").as("dup_id"),
+          lit(source).as("dup_source"),
+          jaccard(col("a.sh"), col("b.sh"),
+            col("a.n_sh") + col("b.n_sh")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    pairs(oldSide, ordered = false, source = "corpus")
+      .unionByName(pairs(newSide, ordered = true, source = "batch"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a caller-provided `label`
     * column — the explicit-block variant for corpora that already carry a
     * trusted partition key (shard, source, dedup bucket). With few/coarse

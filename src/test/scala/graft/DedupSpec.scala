@@ -374,4 +374,27 @@ class DedupSpec extends SparkTestBase {
     plan should not include "CartesianProduct"
     plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell"
   }
+
+  test("incrementalNearDup equals the batch-involving subset of the full join") {
+    val batchIds = Set(2L, 4L)
+    val batch = docs.filter(col("doc_id").isin(batchIds.toSeq.map(Long.box): _*))
+    val corpus = docs.filter(!col("doc_id").isin(batchIds.toSeq.map(Long.box): _*))
+    val inc = Dedup.incrementalNearDup(corpus, batch, 0.5)
+      .select("new_id", "dup_id", "dup_source", "jaccard")
+      .as[(Long, Long, String, Double)].collect().toSet
+    // baseline: the full corpus self-join, restricted to pairs that touch
+    // the batch — incremental ingest must see exactly these, no more
+    val full = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val expected = full.collect {
+      case (a, b, j) if batchIds(a) && batchIds(b) => (a, b, "batch", j)
+      case (a, b, j) if batchIds(a) => (a, b, "corpus", j)
+      case (a, b, j) if batchIds(b) => (b, a, "corpus", j)
+    }
+    expected should not be empty
+    inc shouldBe expected
+    // the new_id side is always from the batch: corpus×corpus never pairs
+    inc.foreach { case (n, _, _, _) => batchIds(n) shouldBe true }
+  }
 }
