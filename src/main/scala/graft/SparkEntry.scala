@@ -1051,7 +1051,13 @@ object SparkEntry {
         corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
         threshold = 0.6)
-    })
+    }),
+
+    // §2.9 — unigram-surprisal quality scores: integer-bit surprisal
+    // against the corpus's own unigram LM, Zipf skew handled by the
+    // broadcast-head / shuffle-tail frequency-split join
+    "q99_unigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), 200))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2101,7 +2107,25 @@ object SparkEntry {
          |  FROM sh a JOIN sh b
          |    ON a.is_new AND a.lang = b.lang AND a.band = b.band
          |   AND (NOT b.is_new OR a.doc_id < b.doc_id))
-         |WHERE jaccard >= 0.6""".stripMargin
+         |WHERE jaccard >= 0.6""".stripMargin,
+
+    "q99_unigram_surprisal" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         |v AS (SELECT token FROM c ORDER BY c DESC, token ASC LIMIT 200),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+         |SELECT t.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_toks,
+         |       CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+         |       CAST(sum(length(format('{:b}', n.n_total))
+         |                - length(format('{:b}', c.c))) AS BIGINT) AS surprisal_bits,
+         |       CAST(sum(length(format('{:b}', n.n_total))
+         |                - length(format('{:b}', c.c))) AS DOUBLE)
+         |         / count(*) AS avg_bits
+         |FROM t JOIN c USING (token) LEFT JOIN v ON t.token = v.token
+         |     CROSS JOIN n
+         |GROUP BY 1""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

@@ -297,4 +297,54 @@ object TextAnalysis {
       .select(least(col("id_r"), col("id_s")).as("id_1"),
         greatest(col("id_r"), col("id_s")).as("id_2"), col("distance"))
   }
+
+  /** Unigram-surprisal quality scores — the CCNet-style "perplexity against
+    * a reference LM" pre-filter, with the LM being the corpus's own unigram
+    * distribution and surprisal measured in INTEGER bits:
+    * `bits(t) = bitlen(N) - bitlen(c(t))` (binary digit counts, a
+    * floor-log2 that is within 1 bit of `-log2 c/N`). Every per-token value
+    * is a small exact integer, per-doc sums are exact BIGINTs, and the one
+    * double division at the end is IEEE-deterministic — hash-comparable
+    * across engines, no libm `log()` anywhere. At filter-threshold
+    * granularity ("drop docs whose mean surprisal is implausibly low =
+    * degenerate repetition, or implausibly high = lexical soup") the
+    * sub-bit precision log() would add is noise.
+    *
+    * Output: (doc_id, n_toks, n_oov, surprisal_bits, avg_bits); `n_oov`
+    * counts tokens outside the top-`vocabK` corpus vocabulary (boundary
+    * ties broken by token text). Token-less documents drop out, like every
+    * tokens-exploded operator here.
+    *
+    * The 100 TB shape: token→frequency lookup is the textbook skew join —
+    * Zipf means a handful of stopwords carry most token OCCURRENCES. The
+    * frequency-split join handles it structurally: the top-`vocabK` head of
+    * the count table (covering almost all occurrences) is broadcast, so
+    * head tokens never shuffle; only the rare tail joins by shuffle, and
+    * the tail is skew-free by construction (every tail key's count is below
+    * the head cutoff). The corpus is scanned once per frequency pass
+    * (counts, totals, probe) — in production the unigram table is the
+    * stored artifact, refreshed with the corpus, and only the probe pass
+    * runs per delivery.
+    */
+  def unigramSurprisal(docs: DataFrame, vocabK: Int): DataFrame = {
+    val toks =
+      docs.select(col("doc_id"), explode(tokensWs(col("text"))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val vocab = counts.orderBy(col("c").desc, col("token").asc).limit(vocabK)
+    val nTotal = toks.agg(count(lit(1)).as("n_total"))
+    val probed = toks.join(broadcast(vocab), Seq("token"), "left")
+    val head = probed.filter(col("c").isNotNull)
+      .withColumn("in_vocab", lit(true))
+    val tail = probed.filter(col("c").isNull).drop("c")
+      .join(counts, Seq("token")).withColumn("in_vocab", lit(false))
+    head.unionByName(tail)
+      .crossJoin(broadcast(nTotal)) // 1-row total
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        count(when(!col("in_vocab"), 1)).as("n_oov"),
+        sum((length(bin(col("n_total"))) - length(bin(col("c"))))
+          .cast("long")).as("surprisal_bits"))
+      .withColumn("avg_bits", col("surprisal_bits").cast("double") / col("n_toks"))
+  }
 }

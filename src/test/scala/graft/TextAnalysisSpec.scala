@@ -114,6 +114,28 @@ class TextAnalysisSpec extends SparkTestBase {
     d(a.length)
   }
 
+  test("unigramSurprisal: hand-computed bits, OOV vs the top-k vocab") {
+    // corpus: "a" x4, "b" x2, "c" x1, "d" x1  ->  N = 8 (bitlen 4)
+    // bits: a -> 4-3=1, b -> 4-2=2, c/d -> 4-1=3
+    val docs = Seq(
+      (1L, "a a b c"), // 1+1+2+3 = 7 bits over 4 toks
+      (2L, "a a b d"), // 7 bits
+      (3L, "")         // token-less: drops out
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramSurprisal(docs, vocabK = 2)
+      .select("doc_id", "n_toks", "n_oov", "surprisal_bits", "avg_bits")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // vocab top-2 by (count desc, token asc) = {a, b}; c and d are OOV
+    r shouldBe Array((1L, 4L, 1L, 7L, 7.0 / 4), (2L, 4L, 1L, 7L, 7.0 / 4))
+  }
+
+  test("unigramSurprisal plan: head lookup is a broadcast join") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.unigramSurprisal(docs, 1)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   test("editDistancePairs equals brute-force all-pairs (randomized)") {
     // adversarial population: clusters of near-identical strings (random
     // single-char edits), plus unrelated randoms, plus tiny strings for
