@@ -1057,7 +1057,16 @@ object SparkEntry {
     // against the corpus's own unigram LM, Zipf skew handled by the
     // broadcast-head / shuffle-tail frequency-split join
     "q99_unigram_surprisal" -> ((s, dir) =>
-      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), 200))
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), 200)),
+
+    // §2.8 — semi-hard negative mining: triplets from the exact knn frame
+    // (at scale the same call composes over ivfKnn's output)
+    "q100_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 8), 10),
+        negFrom = 4, negTo = 10, margin = 0.2)
+    })
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2125,7 +2134,26 @@ object SparkEntry {
          |         / count(*) AS avg_bits
          |FROM t JOIN c USING (token) LEFT JOIN v ON t.token = v.token
          |     CROSS JOIN n
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    "q100_hard_negatives" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT p.query_id, p.neighbor_id AS pos_id, p.cos_sim AS pos_sim,
+         |       n.neighbor_id AS neg_id, n.cos_sim AS neg_sim,
+         |       CAST(n.rnk AS BIGINT) AS neg_rank
+         |FROM ranked p JOIN ranked n
+         |  ON p.query_id = n.query_id AND p.rnk = 1
+         | AND n.rnk BETWEEN 4 AND 10
+         |WHERE p.cos_sim - n.cos_sim <= 0.2""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

@@ -196,4 +196,33 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
   }
+
+  /** Semi-hard negative mining for contrastive/embedding training: from a
+    * ranked knn frame (`query_id, neighbor_id, cos_sim, rank` — the output
+    * shape of [[bruteKnn]], [[lshKnn]], and [[ivfKnn]]), build triplet rows
+    * `(query_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank)` pairing each
+    * query's top-1 neighbor (the positive stand-in) with every neighbor
+    * ranked in `[negFrom, negTo]` whose similarity is within `margin` of
+    * the positive — the semi-hard band of FaceNet (Schroff et al., 2015):
+    * close enough to be informative, not so close it's a duplicate.
+    *
+    * Taking the knn frame AS INPUT (rather than recomputing it) keeps the
+    * op composable: the exactness oracle feeds [[bruteKnn]]; at 100 TB the
+    * same call sits on [[ivfKnn]]'s output, and the mining itself adds one
+    * self-join on `query_id` — per-query cardinality is bounded by k, so
+    * both sides of that join derive from the SAME ranked frame and Spark
+    * reuses the exchange rather than rescoring anything.
+    */
+  def hardNegatives(knn: DataFrame, negFrom: Int, negTo: Int,
+                    margin: Double): DataFrame = {
+    require(negFrom >= 2, s"hardNegatives: negFrom $negFrom overlaps the positive (rank 1)")
+    require(negTo >= negFrom, s"hardNegatives: empty band [$negFrom, $negTo]")
+    val pos = knn.filter(col("rank") === 1).select(col("query_id"),
+      col("neighbor_id").as("pos_id"), col("cos_sim").as("pos_sim"))
+    val neg = knn.filter(col("rank").between(negFrom, negTo))
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        col("cos_sim").as("neg_sim"), col("rank").cast("long").as("neg_rank"))
+    pos.join(neg, "query_id")
+      .filter(col("pos_sim") - col("neg_sim") <= margin)
+  }
 }

@@ -90,4 +90,32 @@ class SimilaritySpec extends SparkTestBase {
       .select("neighbor_id", "cos_sim").as[(Long, Double)].collect().toMap
     lsh.foreach { case (id, c) => c shouldBe brute(id) } // bit-identical
   }
+
+  test("hardNegatives picks the semi-hard band and applies the margin") {
+    val emb = clustered
+    val knn = Similarity.bruteKnn(emb, emb.filter(col("vec_id") === 0), 9)
+    val ranked = knn.select("neighbor_id", "cos_sim", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    val pos = ranked.head
+    // wide margin: every rank in [3, 5] must appear, paired with rank 1
+    val all = Similarity.hardNegatives(knn, 3, 5, margin = 2.0)
+      .select("query_id", "pos_id", "pos_sim", "neg_id", "neg_sim", "neg_rank")
+      .as[(Long, Long, Double, Long, Double, Long)].collect()
+    all.map(_._6).sorted shouldBe Array(3L, 4L, 5L)
+    all.foreach { case (q, p, ps, n, ns, r) =>
+      q shouldBe 0L
+      p shouldBe pos._1
+      ps shouldBe pos._2
+      val expect = ranked.find(_._3 == r).get
+      (n, ns) shouldBe ((expect._1, expect._2))
+    }
+    // tight margin: only negatives with pos_sim - neg_sim <= m survive
+    val m = pos._2 - ranked.find(_._3 == 4).get._2
+    val tight = Similarity.hardNegatives(knn, 3, 5, margin = m)
+      .select("neg_rank").as[Long].collect()
+    tight.sorted shouldBe Array(3L, 4L)
+    // the band may not touch rank 1 (the positive)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.hardNegatives(knn, 1, 5, margin = 1.0)
+  }
 }
