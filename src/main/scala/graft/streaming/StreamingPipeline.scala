@@ -102,6 +102,35 @@ object StreamingPipeline {
       .withWatermark("ts", s"$watermarkMinutes minutes")
       .dropDuplicatesWithinWatermark("user_id", "ts")
 
+  /** Streaming ingest-time near-dup gate: each arriving micro-batch of
+    * documents is checked against the standing corpus AND within itself via
+    * [[graft.operators.Dedup.incrementalNearDup]]; `onFlagged` receives the
+    * flagged-pair frame per batch (route it to a quarantine sink, or
+    * anti-join it off the accepted write). `foreachBatch` is the right tool
+    * here: the candidate join needs the whole delivery on hand, and the
+    * file-source checkpoint already gives exactly-once per input file —
+    * streaming contributes discovery and recovery while the dedup itself
+    * stays the batch-shaped bipartite join (corpus×corpus never pairs).
+    *
+    * Scope contract: a delivery pairs against the corpus and against
+    * itself; documents in DIFFERENT deliveries only pair once accepted docs
+    * are folded into the corpus between deliveries. `corpus` is a thunk
+    * re-evaluated per batch for exactly that cadence — a sink that appends
+    * accepted docs makes the next delivery see them.
+    */
+  def dedupIngestStream(spark: SparkSession, inputDir: String,
+                        schema: StructType, corpus: () => DataFrame,
+                        threshold: Double, checkpointDir: String)
+                       (onFlagged: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onFlagged(
+          graft.operators.Dedup.incrementalNearDup(corpus(), batch, threshold), id)
+      }
+
   /** Synchronous one-shot run for tests/backfills: process everything
     * currently in the directory, then stop (Trigger.AvailableNow — the
     * batch-like mode a scheduled MWAA DAG approximates).

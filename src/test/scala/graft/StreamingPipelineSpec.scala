@@ -148,6 +148,49 @@ class StreamingPipelineSpec extends SparkTestBase {
     after.size shouldBe 1 // only the 12:00 window from the new file
   }
 
+  test("dedupIngestStream flags stream-vs-corpus and in-batch near-dups per delivery") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("n_chars", IntegerType)))
+    def mkDocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.expr("length(text)"))
+      .select("doc_id", "lang", "text", "n_chars")
+    val corpus = mkDocs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines")))
+    val dir = Files.createTempDirectory("dedupstream").toString
+    val input = s"$dir/in"
+    // delivery 1: one corpus near-dup + one in-batch dup pair + one clean
+    mkDocs(Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"),
+      (11L, "entirely novel text with no duplicate anywhere at all"),
+      (12L, "entirely novel text with no duplicate anywhere at all")))
+      .repartition(1).write.parquet(input)
+
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    def run() = StreamingPipeline.runOnce(
+      StreamingPipeline.dedupIngestStream(spark, input, docSchema,
+        () => corpus, 0.5, s"$dir/ckpt") { (pairs, _) =>
+        flagged ++= pairs.select("new_id", "dup_id", "dup_source")
+          .as[(Long, Long, String)].collect()
+      })
+    run()
+    flagged.sorted shouldBe Seq(
+      (10L, 1L, "corpus"), (11L, 12L, "batch"))
+
+    // delivery 2 (new file, same checkpoint): only the new file is
+    // re-checked — 13 dups the corpus; 14 dups doc 11 from delivery 1,
+    // which is NOT in the corpus yet, so by the scope contract no pair
+    flagged.clear()
+    mkDocs(Seq(
+      (13L, "the quick brown fox jumps over the lazy dog too"),
+      (14L, "entirely novel text with no duplicate anywhere at all")))
+      .repartition(1).write.mode("append").parquet(input)
+    run()
+    flagged.sorted shouldBe Seq((13L, 1L, "corpus"))
+  }
+
   test("micro-batched streaming aggregation equals the one-shot batch result") {
     // the exactly-once equivalence contract: an aggregation fed one file
     // per micro-batch must converge to the same totals as a single batch
