@@ -1066,7 +1066,10 @@ object SparkEntry {
       Similarity.hardNegatives(
         Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 8), 10),
         negFrom = 4, negTo = 10, margin = 0.2)
-    })
+    }),
+
+    // §2.6 — SCD2 dimension-history build from the raw event log
+    "q101_scd2_intervals" -> ((s, dir) => Events.scd2(events(s, dir)))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2153,7 +2156,34 @@ object SparkEntry {
          |FROM ranked p JOIN ranked n
          |  ON p.query_id = n.query_id AND p.rnk = 1
          | AND n.rnk BETWEEN 4 AND 10
-         |WHERE p.cos_sim - n.cos_sim <= 0.2""".stripMargin
+         |WHERE p.cos_sim - n.cos_sim <= 0.2""".stripMargin,
+
+    "q101_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |s AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS run_id
+        |  FROM r),
+        |g AS (
+        |  SELECT user_id, run_id, min(event_type) AS event_type,
+        |         min(ts_us) AS valid_from_us,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, run_id, event_type, valid_from_us,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id
+        |                                 ORDER BY run_id) AS valid_to_us,
+        |       n_events,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id
+        |                                 ORDER BY run_id) IS NULL AS is_current
+        |FROM g""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

@@ -82,4 +82,37 @@ object Events {
     val maxd = dated.agg(max(col("event_date")).as("max_date"))
     dated.join(broadcast(maxd), col("event_date") === col("max_date")).drop("max_date")
   }
+
+  /** SCD2 history build: collapse each user's `event_type` timeline into
+    * type-2 slowly-changing-dimension rows — consecutive equal values merge
+    * into one validity interval, a change closes the prior interval and
+    * opens the next, the latest interval stays open (`valid_to_us` null,
+    * `is_current`). The standard warehouse dimension-history construction,
+    * derived from the raw change log. Output: (user_id, run_id, event_type,
+    * valid_from_us, valid_to_us, n_events, is_current).
+    *
+    * One shuffle on user_id feeds every step: the change-detection lag and
+    * the running run-id share one window sort; the per-run groupBy's keys
+    * (user_id, run_id) are a superset of the partitioning key, so it
+    * aggregates without a new exchange; and the closing `lead` rides the
+    * user_id partitioning again. Skew bound = the busiest key's timeline,
+    * the inherent floor for any ordered-history build.
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val runs = events
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(w))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("event_type"), // constant within a run
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
 }

@@ -46,4 +46,34 @@ class EventsSpec extends SparkTestBase {
     val r = Events.latestDate(ev).select("event_id").as[Long].collect().sorted
     r shouldBe Array(2L, 3L)
   }
+
+  test("scd2 collapses runs into validity intervals, latest stays open") {
+    // user 1: view,view -> click -> view; user 2: one run
+    val ev = Seq(
+      (1L, 1000L, 1L, "view"),
+      (2L, 2000L, 1L, "view"),
+      (3L, 3000L, 1L, "click"),
+      (4L, 4000L, 1L, "view"),
+      (5L, 1000L, 2L, "click")
+    ).toDF("event_id", "ts_us", "user_id", "event_type")
+    val r = Events.scd2(ev)
+      .select("user_id", "run_id", "event_type", "valid_from_us",
+        "valid_to_us", "n_events", "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().sortBy(x => (x._1, x._2))
+    r shouldBe Array(
+      (1L, 1L, "view", 1000L, Some(3000L), 2L, false),
+      (1L, 2L, "click", 3000L, Some(4000L), 1L, false),
+      (1L, 3L, "view", 4000L, None, 1L, true),
+      (2L, 1L, "click", 1000L, None, 1L, true))
+  }
+
+  test("scd2 plan: one exchange on user_id feeds windows and the run groupBy") {
+    val ev = Seq((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val plan = Events.scd2(ev).queryExecution.executedPlan.toString
+    // the lag/run-id window, the (user_id, run_id) aggregate, and the
+    // closing lead all ride the single user_id hash exchange
+    "hashpartitioning".r.findAllIn(plan.toLowerCase).size shouldBe 1
+  }
 }
