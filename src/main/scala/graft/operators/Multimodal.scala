@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * columns plus a typed metadata struct, with decode/feature-extraction as
   * a partition-parallel stage.
   *
-  * Decode is REAL for two raster formats: PPM (P6) via the dependency-free
-  * [[PpmCodec]], and PNG (8-bit gray/RGB/RGBA, non-interlaced) via
-  * [[PngCodec]] built on the JDK's `Inflater` — actual deflate + scanline
-  * unfiltering, the format a real multimodal corpus contains. Payloads in
-  * neither format (JPEG, palette PNG, compressed audio) fall back to a
+  * Decode is REAL for three raster formats: PPM (P6) via the
+  * dependency-free [[PpmCodec]]; PNG (8-bit gray/RGB/RGBA,
+  * non-interlaced) via [[PngCodec]] built on the JDK's `Inflater`; and
+  * baseline JPEG (SOF0 Huffman, gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart
+  * markers) via [[JpegCodec]] — the formats a real multimodal corpus
+  * actually contains. Payloads in none of these (progressive JPEG,
+  * palette PNG, compressed audio) fall back to a
   * deterministic byte-level pseudo-decode, clearly marked below — swap
   * that arm for a real codec (or a Pandas-UDF `mapInPandas` stage on a
   * PySpark cluster) without touching the plan shape: the schema, batching
@@ -35,16 +37,20 @@ object Multimodal {
                                 height: Int, decoded: Boolean,
                                 feature: Array[Float])
 
-  /** Try the real decoders in order: PPM (cheap header probe) then PNG
-    * (signature probe + full inflate). One normalized RGB output type so
-    * everything downstream is format-agnostic.
+  /** Try the real decoders in order: PPM (cheap header probe), then PNG
+    * (signature probe + inflate), then baseline JPEG (marker probe + full
+    * entropy decode). One normalized RGB output type so everything
+    * downstream is format-agnostic.
     */
   private[operators] def decodeAny(payload: Array[Byte]): Option[PpmImage] =
-    PpmCodec.decodeOne(payload).map(_._1).orElse(PngCodec.decode(payload))
+    PpmCodec.decodeOne(payload).map(_._1)
+      .orElse(PngCodec.decode(payload))
+      .orElse(JpegCodec.decode(payload))
 
   /** FALLBACK pseudo-decode for payloads in formats whose codecs are not in
-    * this container (JPEG/compressed audio): deterministic byte arithmetic
-    * with the same output shape. `decoded = false` marks these rows.
+    * this container (progressive JPEG / compressed audio): deterministic
+    * byte arithmetic with the same output shape. `decoded = false` marks
+    * these rows.
     */
   private def fallbackDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val w = 16 + (payload.length % 32)

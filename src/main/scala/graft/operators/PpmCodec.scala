@@ -4,8 +4,8 @@ package graft.operators
   * raster format (Netpbm) implementable without any codec library, which
   * is what upgrades the multimodal pipeline from "stubbed decode" to a
   * genuine decode → feature → resize → frame-sample path inside this
-  * container. JPEG/PNG/audio stay behind the documented fallback (their
-  * codecs aren't available here); the plumbing is format-agnostic.
+  * container. PNG ([[PngCodec]]) and baseline JPEG ([[JpegCodec]]) now
+  * decode for real too; the plumbing is format-agnostic.
   *
   * Format (Netpbm spec): ASCII header `P6 <width> <height> <maxval>`,
   * tokens separated by whitespace, `#` comments allowed between tokens,

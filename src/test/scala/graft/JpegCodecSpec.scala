@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{JpegCodec, Multimodal, PpmCodec}
+import graft.operators.PpmCodec.PpmImage
+
+class JpegCodecSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def gradient(w: Int, h: Int): PpmImage = {
+    // smooth image: flat-quant JPEG round-trips this within small error
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      px(o) = (32 + 2 * x + y).toByte
+      px(o + 1) = (64 + x + 2 * y).toByte
+      px(o + 2) = (96 + x + y).toByte
+    }
+    PpmImage(w, h, px)
+  }
+
+  private def maxErr(a: PpmImage, b: PpmImage): Int =
+    a.pixels.zip(b.pixels).map { case (x, y) => math.abs((x & 0xFF) - (y & 0xFF)) }.max
+
+  test("hand-assembled 8x8 DC-only grayscale JPEG decodes to the exact constant") {
+    // Pinned against the PUBLIC T.81 spec, independent of our encoder:
+    // flat DQT, Annex-K luma tables, one block with DC diff 16 (=8*(130-128))
+    // -> every pixel exactly 130. Entropy bits: DC cat5 '110' + '10000',
+    // EOB '1010', padded with 1s = 0xD0 0xAF.
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int) = { out.write(0xFF); out.write(b) }
+    def u16(v: Int) = { out.write(v >> 8); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xDB); u16(67); out.write(0x00); (0 until 64).foreach(_ => out.write(1))
+    m(0xC0); u16(11); out.write(8); u16(8); u16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    // Annex K luma DC: bits 0,1,5,1,1,1,1,1,1 over values 0..11
+    m(0xC4); u16(2 + 1 + 16 + 12); out.write(0x00)
+    Seq(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 to 11).foreach(out.write)
+    // minimal AC table: just the EOB symbol at length 4 code '1010' is not
+    // canonical-constructible alone, so use the Annex K prefix: two len-2
+    // codes (0x01,0x02), one len-3 (0x03), three len-4 (0x00=EOB,...)
+    m(0xC4); u16(2 + 1 + 16 + 6); out.write(0x10)
+    Seq(0, 2, 1, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    Seq(0x01, 0x02, 0x03, 0x00, 0x04, 0x11).foreach(out.write)
+    m(0xDA); u16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    out.write(0xD0); out.write(0xAF)
+    m(0xD9)
+    val img = JpegCodec.decode(out.toByteArray).get
+    img.width shouldBe 8
+    img.height shouldBe 8
+    img.pixels.foreach(p => (p & 0xFF) shouldBe 130)
+  }
+
+  test("4:4:4 round-trip with flat quant is near-lossless") {
+    val img = gradient(16, 16)
+    val dec = JpegCodec.decode(JpegCodec.encode(img)).get
+    dec.width shouldBe 16
+    dec.height shouldBe 16
+    // FDCT->IDCT in doubles is exact; error comes only from YCbCr round
+    // trips and coefficient rounding
+    maxErr(img, dec) should be <= 3
+  }
+
+  test("non-multiple-of-8 dims: padded encode, trimmed decode") {
+    val img = gradient(13, 10)
+    val dec = JpegCodec.decode(JpegCodec.encode(img)).get
+    dec.width shouldBe 13
+    dec.height shouldBe 10
+    maxErr(img, dec) should be <= 3
+  }
+
+  test("4:2:0 subsampled round-trip: constant color exact, smooth bounded") {
+    val flat = PpmImage(16, 16, Array.fill(16 * 16 * 3)(0).map { _ => 0.toByte })
+    val red = PpmImage(16, 16,
+      Array.tabulate(16 * 16 * 3)(i => if (i % 3 == 0) 200.toByte else 40.toByte))
+    val decR = JpegCodec.decode(JpegCodec.encode(red, subsample = true)).get
+    // constant chroma: subsampling loses nothing; only color-xform rounding
+    maxErr(red, decR) should be <= 2
+    val img = gradient(24, 16)
+    val dec = JpegCodec.decode(JpegCodec.encode(img, subsample = true)).get
+    dec.width shouldBe 24
+    dec.height shouldBe 16
+    // chroma is 2x2-averaged; this gradient varies chroma by <=2 per step
+    maxErr(img, dec) should be <= 6
+    assert(flat.pixels.length == 768) // fixture sanity
+  }
+
+  test("restart markers: interval resets DC prediction and realigns") {
+    val img = gradient(32, 8) // 4 MCUs at 4:4:4
+    val bytes = JpegCodec.encode(img, restartInterval = 2)
+    // the stream must actually contain an RST marker (FFD0)
+    val hasRst = bytes.sliding(2).exists(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD0)
+    hasRst shouldBe true
+    maxErr(img, JpegCodec.decode(bytes).get) should be <= 3
+  }
+
+  test("out-of-scope and corrupt payloads are rejected, never thrown") {
+    JpegCodec.decode(Array[Byte]()) shouldBe None
+    JpegCodec.decode("not a jpeg".getBytes) shouldBe None
+    val good = JpegCodec.encode(gradient(8, 8))
+    JpegCodec.decode(good.take(good.length / 2)) shouldBe None // truncated
+    // flip SOF0 -> SOF2 (progressive): politely refused
+    val prog = good.clone()
+    val sof = prog.indices.find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sof + 1) = 0xC2.toByte
+    JpegCodec.decode(prog) shouldBe None
+  }
+
+  test("decodeFeatures marks JPEG payloads decoded=true with real dimensions") {
+    val jpeg = JpegCodec.encode(gradient(16, 8))
+    val ppmEq = PpmCodec.encode(gradient(16, 8))
+    val docs = Seq(
+      (1L, jpeg),
+      (2L, ppmEq),
+      (3L, "utterly not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "text") // BinaryType column, same payload path
+    val r = Multimodal.decodeFeatures(spark, docs).collect().sortBy(_.doc_id)
+    r(0).decoded shouldBe true
+    r(0).width shouldBe 16
+    r(0).height shouldBe 8
+    r(1).decoded shouldBe true
+    r(2).decoded shouldBe false
+    // JPEG features approximate the lossless PPM features of the same image
+    r(0).feature.zip(r(1).feature).foreach { case (a, b) =>
+      math.abs(a - b) should be <= 4.0f
+    }
+  }
+}

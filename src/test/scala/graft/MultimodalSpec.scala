@@ -108,21 +108,24 @@ class MultimodalSpec extends SparkTestBase {
     val sine = Array.tabulate(500)(i => (math.sin(i * 0.1) * 9000).toShort)
     val validWav = WavCodec.encode(WavAudio(8000, 1, sine))
     val validPpm = PpmCodec.encode(redBlue)
+    val validJpeg = graft.operators.JpegCodec.encode(redBlue)
+    val sources = Seq(validWav, validPpm, validJpeg)
     val payloads =
       (1 to 200).map(_ => Array.fill(rng.nextInt(200))(rng.nextInt().toByte)) ++
-      (1 to 100).map { _ => // bit-flipped valid files
-        val b = (if (rng.nextBoolean()) validWav else validPpm).clone()
+      (1 to 150).map { _ => // bit-flipped valid files
+        val b = sources(rng.nextInt(sources.length)).clone()
         b(rng.nextInt(b.length)) = rng.nextInt().toByte
         b
       } ++
-      (1 to 50).map { _ => // truncations
-        val src = if (rng.nextBoolean()) validWav else validPpm
+      (1 to 75).map { _ => // truncations
+        val src = sources(rng.nextInt(sources.length))
         src.take(rng.nextInt(src.length))
       } :+ Array.emptyByteArray
     payloads.foreach { p =>
       noException should be thrownBy WavCodec.decode(p)
       noException should be thrownBy PpmCodec.decodeOne(p)
       noException should be thrownBy PpmCodec.decodeStream(p)
+      noException should be thrownBy graft.operators.JpegCodec.decode(p)
     }
   }
 
