@@ -1069,7 +1069,13 @@ object SparkEntry {
     }),
 
     // §2.6 — SCD2 dimension-history build from the raw event log
-    "q101_scd2_intervals" -> ((s, dir) => Events.scd2(events(s, dir)))
+    "q101_scd2_intervals" -> ((s, dir) => Events.scd2(events(s, dir))),
+
+    // §2.9 — per-doc n-gram novelty: the memorization-risk audit
+    // (fraction of each doc's distinct word trigrams shared with any
+    // other document)
+    "q102_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), 3))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2183,7 +2189,29 @@ object SparkEntry {
         |       n_events,
         |       lead(valid_from_us) OVER (PARTITION BY user_id
         |                                 ORDER BY run_id) IS NULL AS is_current
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q102_ngram_novelty" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, $NormSql AS ntext FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(ntext, ' '), x -> x != '') AS tk
+         |  FROM nrm),
+         |g AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(tk) >= 3 THEN list_distinct(
+         |      [array_to_string(tk[i:i+2], ' ')
+         |       for i in range(1, CAST(len(tk) AS BIGINT) - 1)])
+         |    ELSE [] END) AS gram
+         |  FROM tok),
+         |df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(count(*) FILTER (WHERE df.df >= 2) AS BIGINT) AS n_shared,
+         |       CAST(count(*) FILTER (WHERE df.df >= 2) AS DOUBLE)
+         |         / count(*) AS shared_frac
+         |FROM g JOIN df USING (gram)
+         |GROUP BY 1""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

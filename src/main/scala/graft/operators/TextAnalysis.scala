@@ -326,6 +326,42 @@ object TextAnalysis {
     * stored artifact, refreshed with the corpus, and only the probe pass
     * runs per delivery.
     */
+  /** Per-document n-gram novelty — the memorization-risk audit: for each
+    * document, the fraction of its distinct word n-grams that also appear
+    * in at least one OTHER document. `shared_frac` near 1 marks heavily
+    * duplicated or templated text, where verbatim-memorization risk
+    * concentrates; near 0 marks genuinely novel text. Output:
+    * (doc_id, n_grams, n_shared, shared_frac); documents with fewer than
+    * `n` tokens drop out like every grams-exploded operator here.
+    *
+    * Shape: distinct (doc, gram-hash) pairs → gram document frequencies
+    * (map-side-combining aggregate on the hash — never a pair join) → join
+    * back → per-doc aggregate. The gram→df lookup is Zipf-skewed like
+    * every token join, and the same frequency-split as
+    * [[unigramSurprisal]] applies: the top-`hotK` df head (boilerplate
+    * grams — most of the join volume) is broadcast, only the skew-free
+    * rare tail shuffles.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int, hotK: Int = 1024): DataFrame = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val grams = docs
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .repartition(parts, col("doc_id")) // per-doc CPU before the explode
+      .select(col("doc_id"),
+        explode(transform(wordShinglesN(col("text"), n), g => xxhash64(g)))
+          .as("gram")) // distinct within doc by construction
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val hot = df.orderBy(col("df").desc, col("gram").asc).limit(hotK)
+    val probed = grams.join(broadcast(hot), Seq("gram"), "left")
+    val head = probed.filter(col("df").isNotNull)
+    val tail = probed.filter(col("df").isNull).drop("df").join(df, Seq("gram"))
+    head.unionByName(tail)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, 1)).as("n_shared"))
+      .withColumn("shared_frac", col("n_shared").cast("double") / col("n_grams"))
+  }
+
   def unigramSurprisal(docs: DataFrame, vocabK: Int): DataFrame = {
     val toks =
       docs.select(col("doc_id"), explode(tokensWs(col("text"))).as("token"))

@@ -136,6 +136,38 @@ class TextAnalysisSpec extends SparkTestBase {
     plan should include("BroadcastHashJoin")
   }
 
+  test("ngramNovelty: shared trigram fractions, hand-counted") {
+    val docs = Seq(
+      (1L, "a b c d"),   // trigrams: "a b c", "b c d"
+      (2L, "a b c x"),   // trigrams: "a b c", "b c x"
+      (3L, "p q r s t"), // trigrams all unique to doc 3
+      (4L, "a b")        // too short -> drops out
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(docs, 3)
+      .select("doc_id", "n_grams", "n_shared", "shared_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 2L, 1L, 0.5), // "a b c" shared with doc 2
+      (2L, 2L, 1L, 0.5),
+      (3L, 3L, 0L, 0.0))
+  }
+
+  test("ngramNovelty: the hot-gram head is honored via the broadcast split") {
+    // hotK = 1 puts only the most frequent gram in the broadcast head;
+    // results must be identical to a large-head run (split is invisible)
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y z v"), (3L, "x y z u")
+    ).toDF("doc_id", "text")
+    val small = TextAnalysis.ngramNovelty(docs, 3, hotK = 1)
+      .select("doc_id", "n_grams", "n_shared").as[(Long, Long, Long)]
+      .collect().toSet
+    val big = TextAnalysis.ngramNovelty(docs, 3, hotK = 1024)
+      .select("doc_id", "n_grams", "n_shared").as[(Long, Long, Long)]
+      .collect().toSet
+    small shouldBe big
+    small shouldBe Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L))
+  }
+
   test("editDistancePairs equals brute-force all-pairs (randomized)") {
     // adversarial population: clusters of near-identical strings (random
     // single-char edits), plus unrelated randoms, plus tiny strings for
