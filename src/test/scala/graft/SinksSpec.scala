@@ -106,6 +106,32 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("BinarySource: media files land as payload rows, glob prunes the listing") {
+    import graft.operators.{JpegCodec, Multimodal, PngCodec, PpmCodec}
+    import graft.operators.PpmCodec.PpmImage
+    import graft.sources.BinarySource
+    val dir = Files.createTempDirectory("binsrc").toString
+    val img = PpmImage(4, 4, Array.tabulate(48)(i => (i * 5).toByte))
+    Files.write(java.nio.file.Paths.get(dir, "a.png"), PngCodec.encode(img))
+    Files.write(java.nio.file.Paths.get(dir, "b.jpg"), JpegCodec.encode(img))
+    Files.write(java.nio.file.Paths.get(dir, "c.txt"), "not media".getBytes)
+    val all = BinarySource.readDir(spark, dir)
+    all.count() shouldBe 3
+    // stable ids, payload bytes intact end-to-end through the decode stage
+    val feats = Multimodal.decodeFeatures(spark, all.select("doc_id", "text"))
+      .collect()
+    feats.count(_.decoded) shouldBe 2
+    feats.filter(_.decoded).foreach { f =>
+      f.width shouldBe 4
+      f.height shouldBe 4
+    }
+    // the glob prunes at listing time: only the png row is ever read
+    val pngOnly = BinarySource.readDir(spark, dir, glob = "*.png")
+    pngOnly.count() shouldBe 1
+    pngOnly.select("path").as[String].head() should endWith("a.png")
+    assert(PpmCodec.decodeOne(PpmCodec.encode(img)).isDefined) // fixture sanity
+  }
+
   test("OrcSource: roundtrip is exact and filters push into the ORC scan") {
     val dir = Files.createTempDirectory("orcsrc").toString
     val rows = (1L to 100L).map(i => (i, s"name_$i", i % 7))
