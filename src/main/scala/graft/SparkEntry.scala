@@ -1075,7 +1075,18 @@ object SparkEntry {
     // (fraction of each doc's distinct word trigrams shared with any
     // other document)
     "q102_ngram_novelty" -> ((s, dir) =>
-      TextAnalysis.ngramNovelty(t(s, dir, "documents"), 3))
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), 3)),
+
+    // §2.2 — incremental aggregate maintenance: the standing KPI table
+    // (events with event_id % 10 != 0, pre-aggregated) merged with a new
+    // delivery (the rest) by partial re-aggregation; the oracle asserts
+    // merged == full recompute, bit for bit
+    "q103_incremental_agg" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Kpi.mergeDailyAgg(
+        Kpi.dailyAggPartial(ev.filter(pmod(col("event_id"), lit(10)) =!= 0)),
+        ev.filter(pmod(col("event_id"), lit(10)) === 0))
+    })
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2211,7 +2222,18 @@ object SparkEntry {
          |       CAST(count(*) FILTER (WHERE df.df >= 2) AS DOUBLE)
          |         / count(*) AS shared_frac
          |FROM g JOIN df USING (gram)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // merged == full recompute: the oracle IS the from-scratch aggregate
+    "q103_incremental_agg" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / 100.0 AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

@@ -55,6 +55,39 @@ object Kpi {
         count(lit(1)).as("event_count"))
       .withColumn("avg_value_per_user", col("total_value") / col("unique_users"))
 
+  /** Mergeable daily aggregate — the PARTIAL form of a KPI table: integer
+    * cent sums and row counts keyed by (event_date, event_type).
+    * Commutative-monoid columns only, which is what makes [[mergeDailyAgg]]
+    * exact; measures that aren't monoids under addition (distinct counts,
+    * percentiles) need mergeable sketches instead —
+    * [[graft.operators.Sketches]] is that path.
+    */
+  def dailyAggPartial(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+
+  /** Incremental aggregate maintenance: fold a new delivery into a standing
+    * aggregate table WITHOUT rescanning history — re-aggregation of
+    * partials, the delta-refresh every production KPI table runs on. The
+    * merge is exact because every measure is an integer monoid sum
+    * ([[dailyAggPartial]]); `merged == full recompute over base ∪ delta`
+    * bit-for-bit, which is precisely what the oracle asserts.
+    *
+    * The 100 TB shape: the standing aggregate is output-sized (days ×
+    * types), the delta aggregates map-side down to the same size before
+    * the union, and the merge shuffle moves only those bounded partials —
+    * history is never touched. Derived columns (here `total_value`) are
+    * computed AFTER the merge, never merged themselves.
+    */
+  def mergeDailyAgg(baseAgg: DataFrame, deltaEvents: DataFrame): DataFrame =
+    baseAgg.unionByName(dailyAggPartial(deltaEvents))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"), sum(col("cents")).as("cents"))
+      .withColumn("total_value", col("cents").cast("double") / lit(100.0))
+
   /** Generic per-group top-k (transform.py:39-50): count rows per
     * (groupCols ++ rankCol), rank within groupCols by count desc with a
     * total-order tie-break, keep rank <= k.

@@ -66,4 +66,23 @@ class KpiSpec extends SparkTestBase {
     val s32 = df32.agg(ExactAgg.moneySum(col("v")).as("s")).as[Double].head()
     s1 shouldBe s32 // bit-identical, not approx
   }
+
+  test("mergeDailyAgg: delta fold equals the full recompute, new keys appear") {
+    val delta = Seq(
+      (5L, ts("2024-01-01 15:00:00"), 3L, "click", 2.49), // updates a key
+      (6L, ts("2024-01-03 08:00:00"), 3L, "share", 1.01)  // brand-new key
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val merged = Kpi.mergeDailyAgg(Kpi.dailyAggPartial(events), delta)
+      .select("event_date", "event_type", "n_events", "cents", "total_value")
+      .as[(java.sql.Date, String, Long, Long, Double)].collect().toSet
+    val full = Kpi.dailyAggPartial(events.unionByName(delta))
+      .withColumn("total_value", col("cents").cast("double") / lit(100.0))
+      .select("event_date", "event_type", "n_events", "cents", "total_value")
+      .as[(java.sql.Date, String, Long, Long, Double)].collect().toSet
+    merged shouldBe full
+    // the updated key actually merged: 2 base clicks + 1 delta click on Jan 1
+    merged.find(r => r._1.toString == "2024-01-01" && r._2 == "click")
+      .get._3 shouldBe 3L
+    merged.find(r => r._2 == "share").get._4 shouldBe 101L
+  }
 }
