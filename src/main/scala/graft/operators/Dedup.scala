@@ -804,46 +804,41 @@ object Dedup {
     * (lang, n_chars/50) block, the size-ratio prune is lossless, and the
     * score is exact sorted-merge Jaccard over char-3-gram hashes.
     *
-    * The 100 TB shape: the corpus side is shingled and shuffled ONCE (its
-    * only appearance is the bipartite join's build of candidate blocks —
-    * in production the shingle frame would be the stored signature table,
-    * refreshed incrementally); the batch side is small by definition, its
-    * (lang, band)-partitioned exchange is computed once and REUSED by both
-    * the batch×corpus join and the batch×batch self-join, and total pair
-    * work is |batch|·(block density) + |batch|² — independent of
-    * |corpus|². Growing the corpus 100× grows only the probe side of the
-    * first join linearly.
+    * The 100 TB shape: ONE join. The probe target is the corpus tagged
+    * `corpus` unioned with the batch tagged `batch`, so batch×corpus and
+    * batch×batch pairs fall out of a single (lang, band) equi-join — the
+    * batch-internal ordering guard (`a.doc_id < b.doc_id`) rides the join
+    * condition, gated on the tag. Shuffled volume is |corpus| + 2|batch|
+    * shingle rows, pair work is |batch|·(block density) + |batch|² —
+    * independent of |corpus|²; growing the corpus 100× grows only the
+    * probe target linearly. In production the corpus arm of the union is
+    * the stored signature table, refreshed incrementally, so only the
+    * batch is ever re-shingled. No explicit repartition: the equi-join
+    * places one AQE-splittable exchange per side.
     */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
                          threshold: Double): DataFrame = {
-    val parts =
-      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     def blocked(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 50).as("band"))
       .join(hashedShingles(docs), "doc_id")
-      .repartition(parts, col("lang"), col("band"))
-    // one shingle pass per side; the batch frame is IDENTICAL in both
-    // joins below, so Spark reuses its exchange (ReusedExchange) rather
-    // than shingling the batch twice
     val newSide = blocked(batch)
-    val oldSide = blocked(corpus)
+    val target = blocked(corpus).withColumn("dup_source", lit("corpus"))
+      .unionByName(newSide.withColumn("dup_source", lit("batch")))
     val sizeCond =
       col("a.n_sh") * threshold <= col("b.n_sh") &&
         col("b.n_sh") * threshold <= col("a.n_sh")
-    def pairs(b: DataFrame, ordered: Boolean, source: String): DataFrame =
-      newSide.as("a").join(b.as("b"),
-          col("a.lang") === col("b.lang") &&
-          col("a.band") === col("b.band") && sizeCond &&
-          (if (ordered) col("a.doc_id") < col("b.doc_id") else lit(true)))
-        .select(
-          col("a.doc_id").as("new_id"),
-          col("b.doc_id").as("dup_id"),
-          lit(source).as("dup_source"),
-          jaccard(col("a.sh"), col("b.sh"),
-            col("a.n_sh") + col("b.n_sh")).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-    pairs(oldSide, ordered = false, source = "corpus")
-      .unionByName(pairs(newSide, ordered = true, source = "batch"))
+    newSide.as("a").join(target.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.band") === col("b.band") && sizeCond &&
+        (col("b.dup_source") === "corpus" ||
+          col("a.doc_id") < col("b.doc_id")))
+      .select(
+        col("a.doc_id").as("new_id"),
+        col("b.doc_id").as("dup_id"),
+        col("b.dup_source").as("dup_source"),
+        jaccard(col("a.sh"), col("b.sh"),
+          col("a.n_sh") + col("b.n_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a caller-provided `label`
