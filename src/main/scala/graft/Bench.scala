@@ -79,7 +79,13 @@ object Bench {
     // (their numbers are the round-over-round comparison), then the rest
     // of the catalog single-run in name order. Positional args (builder
     // tuning loops) restrict both rungs to the named queries.
-    val only = args.toSeq.filter(SparkEntry.queries.contains)
+    val unknown = args.toSeq.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      // a typo'd name must not silently widen the run to the full catalog
+      System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
+    val only = args.toSeq
     val headline = if (only.nonEmpty) Headline.filter(only.contains) else Headline
     val rest = (if (only.nonEmpty) only else SparkEntry.queries.keys.toSeq)
       .sorted.filterNot(Headline.contains)

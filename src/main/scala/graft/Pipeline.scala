@@ -65,8 +65,9 @@ class Pipeline(spark: SparkSession, workDir: String) {
                   dimRequiredCols: Seq[String] = Seq("c_custkey", "c_mktsegment")): Boolean = {
     val name = Paths.get(eventsFile).getFileName.toString
     if (processedFiles().contains(name)) return false
-    if (rejectedFiles().exists(_.startsWith(name + "\t")) ||
-        rejectedFiles().contains(name)) return false
+    val rejected = rejectedFiles() // one ledger read for both checks
+    if (rejected.exists(_.startsWith(name + "\t")) ||
+        rejected.contains(name)) return false
 
     val raw = spark.read.parquet(eventsFile)
     // validate (glue_jobs/validate.py:34-47), both datasets; schema failure
@@ -123,11 +124,10 @@ class Pipeline(spark: SparkSession, workDir: String) {
     true
   }
 
-  private def alreadySeen(name: String): Boolean = {
-    val rejected = rejectedFiles()
-    processedFiles().contains(name) ||
+  private def alreadySeen(processed: Set[String], rejected: Set[String])
+                         (name: String): Boolean =
+    processed.contains(name) ||
       rejected.exists(_.startsWith(name + "\t")) || rejected.contains(name)
-  }
 
   /** Oldest-first inbox discovery (reference: music_etl_pipeline.py:19-25 —
     * get_next_stream_file sorts the bucket listing by LastModified and
@@ -139,12 +139,14 @@ class Pipeline(spark: SparkSession, workDir: String) {
   def nextFile(inboxDir: String): Option[String] = {
     val dir = Paths.get(inboxDir)
     if (!Files.isDirectory(dir)) return None
+    // read each ledger ONCE per listing, not once per inbox entry
+    val seen = alreadySeen(processedFiles(), rejectedFiles()) _
     val listing = Files.list(dir)
     try listing.iterator().asScala
       .map(p => (p, Files.getLastModifiedTime(p).toMillis, p.getFileName.toString))
       .toSeq
       .sortBy { case (_, mtime, name) => (mtime, name) }
-      .collectFirst { case (p, _, name) if !alreadySeen(name) => p.toString }
+      .collectFirst { case (p, _, name) if !seen(name) => p.toString }
     finally listing.close()
   }
 

@@ -101,9 +101,12 @@ object Events {
   def scd2(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val runs = events
+      // null-safe change test (<=>): a null-typed event opens its own run
+      // instead of being silently absorbed into the previous one — the
+      // IS DISTINCT FROM semantics the oracle uses; a plain =!= evaluates
+      // to null against a null side and would fall through to "no change"
       .withColumn("chg",
-        when(lag(col("event_type"), 1).over(w).isNull ||
-          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+        when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L)
           .otherwise(0L))
       .withColumn("run_id", sum(col("chg")).over(w))
       .groupBy(col("user_id"), col("run_id"))

@@ -270,6 +270,11 @@ object JpegCodec {
             width = u16(seg + 3)
             val n = bytes(seg + 5) & 0xFF
             if (width <= 0 || height <= 0 || (n != 1 && n != 3)) return None
+            // cap pixel count BEFORE any plane allocation: a corrupt
+            // 2-byte dim (65535x65535) would otherwise overflow the Int
+            // plane sizes / RGB buffer or OOM the task — corrupt payloads
+            // must return None, never throw (PngCodec.MaxPixels shared)
+            if (width.toLong * height.toLong > PngCodec.MaxPixels) return None
             if (len < 8 + 3 * n) return None
             comps = Array.tabulate(n) { i =>
               val at = seg + 6 + 3 * i

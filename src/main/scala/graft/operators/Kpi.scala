@@ -83,7 +83,12 @@ object Kpi {
     * computed AFTER the merge, never merged themselves.
     */
   def mergeDailyAgg(baseAgg: DataFrame, deltaEvents: DataFrame): DataFrame =
-    baseAgg.unionByName(dailyAggPartial(deltaEvents))
+    // project the monoid columns only, so a prior merge's output (which
+    // carries the derived total_value) feeds straight back in as the next
+    // delivery's base — fold(fold(base, d1), d2) must just work
+    baseAgg.select(col("event_date"), col("event_type"),
+        col("n_events"), col("cents"))
+      .unionByName(dailyAggPartial(deltaEvents))
       .groupBy(col("event_date"), col("event_type"))
       .agg(sum(col("n_events")).as("n_events"), sum(col("cents")).as("cents"))
       .withColumn("total_value", col("cents").cast("double") / lit(100.0))

@@ -24,6 +24,12 @@ import graft.operators.PpmCodec.PpmImage
   */
 object PngCodec {
 
+  /** Decode-size ceiling shared with [[JpegCodec]]: 2^26 pixels (192 MB of
+    * RGB) — far above any sane training-corpus image, far below a
+    * task-killing allocation from a corrupt 4-byte dimension field.
+    */
+  private[operators] val MaxPixels: Long = 1L << 26
+
   private val Signature: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
@@ -61,7 +67,9 @@ object PngCodec {
           height = beInt(bytes, typeOff + 8)
           bitDepth = bytes(typeOff + 12) & 0xFF
           colorType = bytes(typeOff + 13) & 0xFF
-          // +14 compression (must be 0), +15 filter method (must be 0)
+          // compression and filter METHOD must be 0 per the spec (the
+          // per-scanline filter TYPE varies; the method does not)
+          if (bytes(typeOff + 14) != 0 || bytes(typeOff + 15) != 0) return None
           if (bytes(typeOff + 16) != 0 && bytes(typeOff + 16) != 1) return None
           interlace = bytes(typeOff + 16) & 0xFF
           sawIhdr = true
@@ -79,7 +87,11 @@ object PngCodec {
       case 6 => 4 // RGBA
       case _ => return None // palette (3) and gray+alpha (4) unsupported
     }
-    // 7-digit-ish dims can overflow Int in the raw buffer size
+    // corrupt headers are routine input at corpus scale: cap pixel count
+    // BEFORE any allocation so a 4-byte dim lie (or a zip-bomb IDAT behind
+    // it) returns None instead of overflowing the w*h*3 RGB buffer for
+    // 1-channel images that pass the raw-size check, or OOMing the task
+    if (width.toLong * height.toLong > MaxPixels) return None
     val rawLen = (1L + width.toLong * channels) * height.toLong
     if (rawLen > Int.MaxValue - 8) return None
     val raw = new Array[Byte](rawLen.toInt)

@@ -232,7 +232,11 @@ object TextAnalysis {
     // ppjoin/LSH operators guard against; at 100 TB file splits provide
     // the parallelism, but the operator must not depend on input layout)
     val parts = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val base = items.select(col(idCol).cast("long").as("id"),
+    // the id keeps its native type: least/greatest and the < tie-break
+    // below work on any orderable column, and a silent cast("long") would
+    // null out string ids (fuzzyPairs passes ids through untouched — the
+    // two APIs must agree)
+    val base = items.select(col(idCol).as("id"),
       col(textCol).as("txt"),
       length(col(textCol)).cast("int").as("len"))
       .repartition(parts, col("id"))

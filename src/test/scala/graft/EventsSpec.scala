@@ -68,6 +68,22 @@ class EventsSpec extends SparkTestBase {
       (2L, 1L, "click", 1000L, None, 1L, true))
   }
 
+  test("scd2: a null-typed event opens its own run (IS DISTINCT FROM semantics)") {
+    val ev = Seq(
+      (1L, 1000L, 1L, Some("view")),
+      (2L, 2000L, 1L, None),          // null type -> new run, not absorbed
+      (3L, 3000L, 1L, None),          // consecutive nulls -> same run
+      (4L, 4000L, 1L, Some("view"))
+    ).toDF("event_id", "ts_us", "user_id", "event_type")
+    val r = Events.scd2(ev)
+      .select("user_id", "run_id", "event_type", "n_events")
+      .as[(Long, Long, Option[String], Long)].collect().sortBy(_._2)
+    r shouldBe Array(
+      (1L, 1L, Some("view"), 1L),
+      (1L, 2L, None, 2L),
+      (1L, 3L, Some("view"), 1L))
+  }
+
   test("scd2 plan: one exchange on user_id feeds windows and the run groupBy") {
     val ev = Seq((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"))
       .toDF("event_id", "ts_us", "user_id", "event_type")

@@ -108,6 +108,11 @@ class JpegCodecSpec extends SparkTestBase {
       (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
     prog(sof + 1) = 0xC2.toByte
     JpegCodec.decode(prog) shouldBe None
+    // a lying SOF0 dimension field (65535 x 65535 from a tiny payload)
+    // must hit the pixel-count cap, not allocate or overflow
+    val lying = good.clone()
+    (5 to 8).foreach(o => lying(sof + o) = 0xFF.toByte) // height, width
+    JpegCodec.decode(lying) shouldBe None
   }
 
   test("decodeFeatures marks JPEG payloads decoded=true with real dimensions") {

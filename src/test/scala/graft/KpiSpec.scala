@@ -84,5 +84,18 @@ class KpiSpec extends SparkTestBase {
     merged.find(r => r._1.toString == "2024-01-01" && r._2 == "click")
       .get._3 shouldBe 3L
     merged.find(r => r._2 == "share").get._4 shouldBe 101L
+    // re-foldable: a merge's own output (derived column included) is a
+    // valid base for the next delivery
+    val d2 = Seq((7L, ts("2024-01-03 09:00:00"), 4L, "share", 0.99))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val twice = Kpi.mergeDailyAgg(
+        Kpi.mergeDailyAgg(Kpi.dailyAggPartial(events), delta), d2)
+      .select("event_date", "event_type", "n_events", "cents", "total_value")
+      .as[(java.sql.Date, String, Long, Long, Double)].collect().toSet
+    val fullTwice = Kpi.dailyAggPartial(events.unionByName(delta).unionByName(d2))
+      .withColumn("total_value", col("cents").cast("double") / lit(100.0))
+      .select("event_date", "event_type", "n_events", "cents", "total_value")
+      .as[(java.sql.Date, String, Long, Long, Double)].collect().toSet
+    twice shouldBe fullTwice
   }
 }

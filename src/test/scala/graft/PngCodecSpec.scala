@@ -149,6 +149,11 @@ class PngCodecSpec extends SparkTestBase {
     // flip IHDR bit depth byte 8->16 (offset 8+8+8 = 24), CRC now wrong -> None
     deep(24) = 16
     PngCodec.decode(deep) shouldBe None
+    // a lying IHDR dimension (40000x18000 grayscale: raw size passes the
+    // Int guard, RGB size would overflow) must hit the pixel cap with
+    // valid CRCs, before any allocation
+    PngCodec.decode(buildPng(40000, 18000, colorType = 0,
+      Array[Byte](1, 2, 3))) shouldBe None
     // fuzz: random bytes and bit-flipped valid files never throw
     val rng = new scala.util.Random(20260813L)
     val payloads =

@@ -168,6 +168,16 @@ class TextAnalysisSpec extends SparkTestBase {
     small shouldBe Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L))
   }
 
+  test("editDistancePairs keeps non-numeric ids intact (no silent cast)") {
+    val items = Seq(
+      ("doc_a", "kitten"), ("doc_b", "sitten"), ("doc_c", "kitty")
+    ).toDF("name", "txt")
+    val r = TextAnalysis.editDistancePairs(items, "name", "txt", 1)
+      .select("id_1", "id_2", "distance").as[(String, String, Long)]
+      .collect().toSet
+    r shouldBe Set(("doc_a", "doc_b", 1L)) // kitten~sitten; kitty is 2+ away
+  }
+
   test("editDistancePairs equals brute-force all-pairs (randomized)") {
     // adversarial population: clusters of near-identical strings (random
     // single-char edits), plus unrelated randoms, plus tiny strings for
