@@ -1086,7 +1086,11 @@ object SparkEntry {
       Kpi.mergeDailyAgg(
         Kpi.dailyAggPartial(ev.filter(pmod(col("event_id"), lit(10)) =!= 0)),
         ev.filter(pmod(col("event_id"), lit(10)) === 0))
-    })
+    }),
+
+    // §2.6 — calendar gap-fill with forward fill: every day in each
+    // type's observed span, zeros on quiet days, LOCF carry-forward
+    "q104_gap_fill" -> ((s, dir) => Events.gapFillDaily(events(s, dir)))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2233,7 +2237,30 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |         / 100.0 AS total_value
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q104_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT event_type,
+        |         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |           CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM spans)
+        |SELECT c.event_type, c.day,
+        |       COALESCE(d.n_events, 0) AS n_events,
+        |       COALESCE(d.cents, 0) AS cents,
+        |       last_value(d.cents IGNORE NULLS) OVER (
+        |         PARTITION BY c.event_type ORDER BY c.day
+        |         ROWS UNBOUNDED PRECEDING) AS cents_ffill
+        |FROM cal c LEFT JOIN daily d USING (event_type, day)""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

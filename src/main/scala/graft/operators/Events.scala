@@ -83,6 +83,39 @@ object Events {
     dated.join(broadcast(maxd), col("event_date") === col("max_date")).drop("max_date")
   }
 
+  /** Calendar gap-fill with forward fill — time-series alignment: per
+    * event_type, emit one row for EVERY day in that type's [min_day,
+    * max_day] span. Missing days get zero counts/sums plus `cents_ffill`,
+    * the last observed day's sum carried forward (the
+    * last-observation-carried-forward convention every downstream
+    * trend/anomaly consumer wants instead of holes). Output:
+    * (event_type, day, n_events, cents, cents_ffill).
+    *
+    * Shape: the daily aggregate is one shuffle; the calendar is generated
+    * FROM the per-type span aggregate (aggregate-output-sized — days are
+    * never materialized wider than the observed range), and the left join
+    * plus the forward-fill window both ride the event_type partitioning.
+    * Never a row per (type × global calendar) — sparse types stay sparse.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+    val calendar = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cents_ffill",
+        last(col("cents"), ignoreNulls = true).over(w))
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("cents", coalesce(col("cents"), lit(0L)))
+  }
+
   /** SCD2 history build: collapse each user's `event_type` timeline into
     * type-2 slowly-changing-dimension rows — consecutive equal values merge
     * into one validity interval, a change closes the prior interval and
