@@ -2260,7 +2260,9 @@ object SparkEntry {
         |       last_value(d.cents IGNORE NULLS) OVER (
         |         PARTITION BY c.event_type ORDER BY c.day
         |         ROWS UNBOUNDED PRECEDING) AS cents_ffill
-        |FROM cal c LEFT JOIN daily d USING (event_type, day)""".stripMargin
+        |FROM cal c LEFT JOIN daily d
+        |  ON c.event_type IS NOT DISTINCT FROM d.event_type
+        | AND c.day = d.day""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

@@ -105,15 +105,22 @@ object Events {
         sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
     val calendar = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("event_type"),
-        explode(sequence(col("d0"), col("d1"))).as("day"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .select(col("event_type").as("cal_type"),
+        explode(sequence(col("d0"), col("d1"))).as("cal_day"))
+    val w = Window.partitionBy(col("cal_type")).orderBy(col("cal_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    calendar.join(daily, Seq("event_type", "day"), "left")
+    // null-safe on the type key: groupBy keeps a NULL-typed group (like
+    // scd2's null-typed runs), and a plain equi-join would silently drop
+    // its daily rows back out of the calendar — zeros where data exists
+    calendar.join(daily,
+        col("cal_type") <=> col("event_type") && col("cal_day") === col("day"),
+        "left")
       .withColumn("cents_ffill",
         last(col("cents"), ignoreNulls = true).over(w))
-      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
-      .withColumn("cents", coalesce(col("cents"), lit(0L)))
+      .select(col("cal_type").as("event_type"), col("cal_day").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("cents"), lit(0L)).as("cents"),
+        col("cents_ffill"))
   }
 
   /** SCD2 history build: collapse each user's `event_type` timeline into

@@ -86,20 +86,22 @@ class EventsSpec extends SparkTestBase {
 
   test("gapFillDaily fills missing days with zeros and carries cents forward") {
     val ev = Seq(
-      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 10.0),
-      (2L, ts("2024-01-04 10:00:00"), 1L, "click", 2.5), // 2-day hole
-      (3L, ts("2024-01-02 10:00:00"), 2L, "view", 1.0)   // single-day span
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some("click"), 10.0),
+      (2L, ts("2024-01-04 10:00:00"), 1L, Some("click"), 2.5), // 2-day hole
+      (3L, ts("2024-01-02 10:00:00"), 2L, Some("view"), 1.0),  // 1-day span
+      (4L, ts("2024-01-03 10:00:00"), 3L, None, 5.0) // null type keeps its data
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
     val r = Events.gapFillDaily(ev)
       .select("event_type", "day", "n_events", "cents", "cents_ffill")
-      .as[(String, java.sql.Date, Long, Long, Long)].collect()
-      .sortBy(x => (x._1, x._2.toString))
+      .as[(Option[String], java.sql.Date, Long, Long, Long)].collect()
+      .sortBy(x => (x._1.getOrElse(""), x._2.toString))
     r.map(x => (x._1, x._2.toString, x._3, x._4, x._5)) shouldBe Array(
-      ("click", "2024-01-01", 1L, 1000L, 1000L),
-      ("click", "2024-01-02", 0L, 0L, 1000L), // hole: zeros, LOCF carries
-      ("click", "2024-01-03", 0L, 0L, 1000L),
-      ("click", "2024-01-04", 1L, 250L, 250L),
-      ("view", "2024-01-02", 1L, 100L, 100L))
+      (None, "2024-01-03", 1L, 500L, 500L), // null-safe join keeps the group
+      (Some("click"), "2024-01-01", 1L, 1000L, 1000L),
+      (Some("click"), "2024-01-02", 0L, 0L, 1000L), // hole: zeros, LOCF
+      (Some("click"), "2024-01-03", 0L, 0L, 1000L),
+      (Some("click"), "2024-01-04", 1L, 250L, 250L),
+      (Some("view"), "2024-01-02", 1L, 100L, 100L))
   }
 
   test("scd2 plan: one exchange on user_id feeds windows and the run groupBy") {
