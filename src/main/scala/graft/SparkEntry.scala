@@ -1090,7 +1090,24 @@ object SparkEntry {
 
     // §2.6 — calendar gap-fill with forward fill: every day in each
     // type's observed span, zeros on quiet days, LOCF carry-forward
-    "q104_gap_fill" -> ((s, dir) => Events.gapFillDaily(events(s, dir)))
+    "q104_gap_fill" -> ((s, dir) => Events.gapFillDaily(events(s, dir))),
+
+    // §2.6 — unkeyed interval-overlap join (binned, ownership emission):
+    // concurrent session pairs across the odd/even user split
+    "q105_interval_overlap" -> ((s, dir) => {
+      val sessions = events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"))
+      RangeJoin.binnedIntervalOverlap(
+          sessions.filter(pmod(col("user_id"), lit(2)) === 1),
+          sessions.filter(pmod(col("user_id"), lit(2)) === 0),
+          "start_us", "end_us", 3600L * 1000000L)
+        .select(col("a_user_id"), col("a_start_us"),
+          col("b_user_id"), col("b_start_us"), col("overlap_us"))
+    })
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2262,7 +2279,31 @@ object SparkEntry {
         |         ROWS UNBOUNDED PRECEDING) AS cents_ffill
         |FROM cal c LEFT JOIN daily d
         |  ON c.event_type IS NOT DISTINCT FROM d.event_type
-        | AND c.day = d.day""".stripMargin
+        | AND c.day = d.day""".stripMargin,
+
+    "q105_interval_overlap" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |y AS (SELECT user_id, us,
+        |             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM x),
+        |z AS (SELECT user_id, us,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM y),
+        |sess AS (SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us
+        |         FROM z GROUP BY user_id, sid)
+        |SELECT a.user_id AS a_user_id, a.start_us AS a_start_us,
+        |       b.user_id AS b_user_id, b.start_us AS b_start_us,
+        |       least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+        |         AS overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id % 2 = 1 AND b.user_id % 2 = 0
+        | AND a.start_us < b.end_us AND b.start_us < a.end_us""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

@@ -31,6 +31,44 @@ object RangeJoin {
         points(pointUs) < intervals(endUs))
       .drop(intervals(key))
 
+  /** Unkeyed interval×interval OVERLAP join — the third family member:
+    * both sides are interval sets (half-open [start, end)), matches are
+    * pairs with `a.start < b.end AND b.start < a.end`, and no equi key
+    * bounds the candidates. Binning alone is not enough here: an
+    * overlapping pair shares EVERY bin its overlap region touches, so a
+    * bin-equi-join + refine emits duplicates. The OWNERSHIP rule fixes
+    * that without the global distinct that usually dominates binned
+    * spatial joins: a pair is emitted only in the bin that contains the
+    * overlap's left edge (`greatest(a.start, b.start)`), which both
+    * intervals provably cover and which is unique per pair — so the
+    * output is exact with zero dedup shuffle. Work is Σ(span/bin)
+    * replicated rows per side plus per-bin pair counts, never |A|×|B|;
+    * a hot bin splits under AQE like any equi-join.
+    *
+    * Output: left columns prefixed `a_`, right prefixed `b_`, plus the
+    * exact `overlap_us`. Integral microseconds throughout (`div`, never
+    * floating point).
+    */
+  def binnedIntervalOverlap(left: DataFrame, right: DataFrame,
+                            startUs: String, endUs: String,
+                            binUs: Long): DataFrame = {
+    require(binUs > 0, "binUs must be positive")
+    def binned(df: DataFrame, p: String) =
+      df.toDF(df.columns.map(p + _): _*)
+        .withColumn(s"${p}bin", explode(sequence(
+          expr(s"$p$startUs div $binUs"), expr(s"($p$endUs - 1) div $binUs"))))
+    binned(left, "a_").join(binned(right, "b_"),
+        col("a_bin") === col("b_bin") && // the equi key Spark shuffles on
+        col(s"a_$startUs") < col(s"b_$endUs") &&
+        col(s"b_$startUs") < col(s"a_$endUs"))
+      // ownership: emit only in the bin holding the overlap's left edge
+      .filter(col("a_bin") === expr(s"greatest(a_$startUs, b_$startUs) div $binUs"))
+      .drop("a_bin", "b_bin")
+      .withColumn("overlap_us",
+        least(col(s"a_$endUs"), col(s"b_$endUs"))
+          - greatest(col(s"a_$startUs"), col(s"b_$startUs")))
+  }
+
   def binnedPointInInterval(points: DataFrame, intervals: DataFrame,
                             pointUs: String, startUs: String, endUs: String,
                             binUs: Long): DataFrame = {

@@ -40,4 +40,41 @@ class RangeJoinSpec extends SparkTestBase {
       .select("k").as[Long].collect()
     r shouldBe Array(1L) // user 2's point is outside its own interval
   }
+
+  test("binnedIntervalOverlap: exactly-once emission, half-open edges, exact overlap") {
+    val a = Seq(
+      (1L, 0L, 500L),   // spans bins 0..49 at width 10
+      (2L, 90L, 100L),  // touches 3's start exactly -> NO overlap (half-open)
+      (3L, 700L, 710L)
+    ).toDF("id", "start_us", "end_us")
+    val b = Seq(
+      (10L, 450L, 460L), // inside 1's span, far from its start bin
+      (11L, 100L, 200L), // overlaps 1; touches 2's end -> no match with 2
+      (12L, 705L, 800L)  // overlaps 3 by 5
+    ).toDF("id", "start_us", "end_us")
+    val r = RangeJoin.binnedIntervalOverlap(a, b, "start_us", "end_us", 10L)
+      .select("a_id", "b_id", "overlap_us").as[(Long, Long, Long)]
+      .collect().toSet
+    // each overlapping pair appears ONCE despite sharing many bins
+    r shouldBe Set((1L, 10L, 10L), (1L, 11L, 100L), (3L, 12L, 5L))
+  }
+
+  test("binnedIntervalOverlap equals the naive overlap join (randomized)") {
+    val rng = new scala.util.Random(20260813L)
+    def intervals(n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = rng.nextInt(10000).toLong
+      (idBase + i, s, s + 1 + rng.nextInt(2000))
+    }.toDF("id", "start_us", "end_us")
+    val l = intervals(60, 0L)
+    val r = intervals(60, 1000L)
+    val binned = RangeJoin.binnedIntervalOverlap(l, r, "start_us", "end_us", 128L)
+      .select("a_id", "b_id", "overlap_us").as[(Long, Long, Long)]
+      .collect().toSet
+    val naive = l.toDF("a_id", "a_s", "a_e").join(r.toDF("b_id", "b_s", "b_e"),
+        $"a_s" < $"b_e" && $"b_s" < $"a_e")
+      .selectExpr("a_id", "b_id", "least(a_e, b_e) - greatest(a_s, b_s)")
+      .as[(Long, Long, Long)].collect().toSet
+    naive should not be empty
+    binned shouldBe naive
+  }
 }
