@@ -1107,7 +1107,17 @@ object SparkEntry {
           "start_us", "end_us", 3600L * 1000000L)
         .select(col("a_user_id"), col("a_start_us"),
           col("b_user_id"), col("b_start_us"), col("overlap_us"))
-    })
+    }),
+
+    // §2.8 — per-dimension min-max normalization (quantization prep);
+    // min/max are exact aggregates, so the rescale is bit-reproducible.
+    // Dumped in exploded (vec_id, dim, x_std) form: the compare gate
+    // sorts on every output column, which arrays can't support
+    "q106_embedding_normalize" -> ((s, dir) =>
+      Similarity.minMaxNormalize(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          posexplode(col("embedding_std")).as(Seq("dim", "x_std")))
+        .withColumn("dim", col("dim").cast("long")))
   )
 
   // ---- the oracle map ---------------------------------------------------
@@ -2303,7 +2313,19 @@ object SparkEntry {
         |         AS overlap_us
         |FROM sess a JOIN sess b
         |  ON a.user_id % 2 = 1 AND b.user_id % 2 = 0
-        | AND a.start_us < b.end_us AND b.start_us < a.end_us""".stripMargin
+        | AND a.start_us < b.end_us AND b.start_us < a.end_us""".stripMargin,
+
+    "q106_embedding_normalize" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings),
+        |s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1)
+        |SELECT vec_id, dim,
+        |       CASE WHEN mx = mn THEN 0.0 ELSE (v - mn) / (mx - mn) END
+        |         AS x_std
+        |FROM x JOIN s USING (dim)""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

@@ -213,6 +213,43 @@ object Similarity {
     * both sides of that join derive from the SAME ranked frame and Spark
     * reuses the exchange rather than rescoring anything.
     */
+  /** Per-dimension min-max normalization of an embedding column — the
+    * feature-scaling pass before int8 quantization or distance-metric
+    * mixing. Deliberately min-max rather than z-score: min/max are exact
+    * order-independent aggregates and the rescale is one IEEE division, so
+    * the result is bit-reproducible on any partitioning AND across engines
+    * — a mean/std formulation would sum doubles in partition order and
+    * drag in libm sqrt, neither of which hash-compares. Constant
+    * dimensions map to 0. Output: (vec_id, embedding_std: array<double>).
+    *
+    * Shape: posexplode → per-dimension min/max (map-side combining, output
+    * is dim-sized) → the tiny stats frame collapses to ONE row of
+    * dim-indexed arrays, broadcast back, and the rescale is a map over the
+    * original rows (`transform` with the element index) — the corpus is
+    * never reassembled from exploded rows (no collect_list regroup
+    * shuffle, the trap in naive normalize-by-explode).
+    */
+  def minMaxNormalize(emb: DataFrame): DataFrame = {
+    val stats = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("s"))
+      .select(transform(col("s"), e => e("mn")).as("mns"),
+        transform(col("s"), e => e("mx")).as("mxs"))
+    emb.crossJoin(broadcast(stats)) // 1-row stats
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(element_at(col("mxs"), i + 1) === element_at(col("mns"), i + 1),
+            lit(0.0))
+            .otherwise((x.cast("double") - element_at(col("mns"), i + 1))
+              / (element_at(col("mxs"), i + 1) - element_at(col("mns"), i + 1))))
+          .as("embedding_std"))
+  }
+
   def hardNegatives(knn: DataFrame, negFrom: Int, negTo: Int,
                     margin: Double): DataFrame = {
     require(negFrom >= 2, s"hardNegatives: negFrom $negFrom overlaps the positive (rank 1)")

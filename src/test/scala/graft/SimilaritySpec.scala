@@ -91,6 +91,20 @@ class SimilaritySpec extends SparkTestBase {
     lsh.foreach { case (id, c) => c shouldBe brute(id) } // bit-identical
   }
 
+  test("minMaxNormalize rescales per dimension; constant dims map to zero") {
+    val emb = Seq(
+      (0L, Array(0f, 10f, 7f)),
+      (1L, Array(5f, 10f, 3f)),
+      (2L, Array(10f, 10f, 5f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.minMaxNormalize(emb)
+      .select("vec_id", "embedding_std").as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    r(0)._2 shouldBe Array(0.0, 0.0, 1.0)   // dim1 constant -> 0
+    r(1)._2 shouldBe Array(0.5, 0.0, 0.0)
+    r(2)._2 shouldBe Array(1.0, 0.0, 0.5)
+  }
+
   test("hardNegatives picks the semi-hard band and applies the margin") {
     val emb = clustered
     val knn = Similarity.bruteKnn(emb, emb.filter(col("vec_id") === 0), 9)
