@@ -1048,8 +1048,8 @@ object SparkEntry {
     "q98_incremental_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.incrementalNearDup(
-        corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        corpus = docs.filter(expr("doc_id % 10 <> 0")),
+        batch = docs.filter(expr("doc_id % 10 = 0")),
         threshold = 0.6)
     }),
 
@@ -1084,8 +1084,8 @@ object SparkEntry {
     "q103_incremental_agg" -> ((s, dir) => {
       val ev = events(s, dir)
       Kpi.mergeDailyAgg(
-        Kpi.dailyAggPartial(ev.filter(pmod(col("event_id"), lit(10)) =!= 0)),
-        ev.filter(pmod(col("event_id"), lit(10)) === 0))
+        Kpi.dailyAggPartial(ev.filter(expr("event_id % 10 <> 0"))),
+        ev.filter(expr("event_id % 10 = 0")))
     }),
 
     // §2.6 — calendar gap-fill with forward fill: every day in each
@@ -1095,15 +1095,19 @@ object SparkEntry {
     // §2.6 — unkeyed interval-overlap join (binned, ownership emission):
     // concurrent session pairs across the odd/even user split
     "q105_interval_overlap" -> ((s, dir) => {
+      // localCheckpoint: both parity filters read the sessionization once
+      // instead of re-scanning events + re-aggregating per side
       val sessions = events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("start_us"),
           unix_micros(col("session_window.end")).as("end_us"))
+        .localCheckpoint()
+      // expr("% 2"): Spark's % matches DuckDB's on negatives; pmod doesn't
       RangeJoin.binnedIntervalOverlap(
-          sessions.filter(pmod(col("user_id"), lit(2)) === 1),
-          sessions.filter(pmod(col("user_id"), lit(2)) === 0),
+          sessions.filter(expr("user_id % 2 = 1")),
+          sessions.filter(expr("user_id % 2 = 0")),
           "start_us", "end_us", 3600L * 1000000L)
         .select(col("a_user_id"), col("a_start_us"),
           col("b_user_id"), col("b_start_us"), col("overlap_us"))

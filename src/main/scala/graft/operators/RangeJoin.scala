@@ -53,17 +53,22 @@ object RangeJoin {
                             startUs: String, endUs: String,
                             binUs: Long): DataFrame = {
     require(binUs > 0, "binUs must be positive")
+    // degenerate intervals (end <= start) are dropped BEFORE the explode:
+    // sequence(a, b) with a > b counts DOWN (the recorded trap), so one
+    // inverted row would otherwise explode to every bin between its ends
     def binned(df: DataFrame, p: String) =
       df.toDF(df.columns.map(p + _): _*)
-        .withColumn(s"${p}bin", explode(sequence(
+        .filter(col(s"$p$endUs") > col(s"$p$startUs"))
+        .withColumn(s"__graft_${p}bin", explode(sequence(
           expr(s"$p$startUs div $binUs"), expr(s"($p$endUs - 1) div $binUs"))))
     binned(left, "a_").join(binned(right, "b_"),
-        col("a_bin") === col("b_bin") && // the equi key Spark shuffles on
+        col("__graft_a_bin") === col("__graft_b_bin") && // the equi shuffle key
         col(s"a_$startUs") < col(s"b_$endUs") &&
         col(s"b_$startUs") < col(s"a_$endUs"))
       // ownership: emit only in the bin holding the overlap's left edge
-      .filter(col("a_bin") === expr(s"greatest(a_$startUs, b_$startUs) div $binUs"))
-      .drop("a_bin", "b_bin")
+      .filter(col("__graft_a_bin") ===
+        expr(s"greatest(a_$startUs, b_$startUs) div $binUs"))
+      .drop("__graft_a_bin", "__graft_b_bin")
       .withColumn("overlap_us",
         least(col(s"a_$endUs"), col(s"b_$endUs"))
           - greatest(col(s"a_$startUs"), col(s"b_$startUs")))
@@ -73,7 +78,9 @@ object RangeJoin {
                             pointUs: String, startUs: String, endUs: String,
                             binUs: Long): DataFrame = {
     val p = points.withColumn("_bin", expr(s"$pointUs div $binUs"))
-    val iv = intervals.withColumn("_bin",
+    // same degenerate-interval guard as binnedIntervalOverlap: an inverted
+    // interval must not explode a descending bin sequence
+    val iv = intervals.filter(col(endUs) > col(startUs)).withColumn("_bin",
       explode(sequence(expr(s"$startUs div $binUs"), expr(s"($endUs - 1) div $binUs"))))
     p.join(iv, Seq("_bin"))
       .filter(col(pointUs) >= col(startUs) && col(pointUs) < col(endUs))

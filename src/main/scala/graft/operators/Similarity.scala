@@ -197,22 +197,6 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Semi-hard negative mining for contrastive/embedding training: from a
-    * ranked knn frame (`query_id, neighbor_id, cos_sim, rank` — the output
-    * shape of [[bruteKnn]], [[lshKnn]], and [[ivfKnn]]), build triplet rows
-    * `(query_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank)` pairing each
-    * query's top-1 neighbor (the positive stand-in) with every neighbor
-    * ranked in `[negFrom, negTo]` whose similarity is within `margin` of
-    * the positive — the semi-hard band of FaceNet (Schroff et al., 2015):
-    * close enough to be informative, not so close it's a duplicate.
-    *
-    * Taking the knn frame AS INPUT (rather than recomputing it) keeps the
-    * op composable: the exactness oracle feeds [[bruteKnn]]; at 100 TB the
-    * same call sits on [[ivfKnn]]'s output, and the mining itself adds one
-    * self-join on `query_id` — per-query cardinality is bounded by k, so
-    * both sides of that join derive from the SAME ranked frame and Spark
-    * reuses the exchange rather than rescoring anything.
-    */
   /** Per-dimension min-max normalization of an embedding column — the
     * feature-scaling pass before int8 quantization or distance-metric
     * mixing. Deliberately min-max rather than z-score: min/max are exact
@@ -250,6 +234,22 @@ object Similarity {
           .as("embedding_std"))
   }
 
+  /** Semi-hard negative mining for contrastive/embedding training: from a
+    * ranked knn frame (`query_id, neighbor_id, cos_sim, rank` — the output
+    * shape of [[bruteKnn]], [[lshKnn]], and [[ivfKnn]]), build triplet rows
+    * `(query_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank)` pairing each
+    * query's top-1 neighbor (the positive stand-in) with every neighbor
+    * ranked in `[negFrom, negTo]` whose similarity is within `margin` of
+    * the positive — the semi-hard band of FaceNet (Schroff et al., 2015):
+    * close enough to be informative, not so close it's a duplicate.
+    *
+    * Taking the knn frame AS INPUT (rather than recomputing it) keeps the
+    * op composable: the exactness oracle feeds [[bruteKnn]]; at 100 TB the
+    * same call sits on [[ivfKnn]]'s output, and the mining itself adds one
+    * self-join on `query_id` — per-query cardinality is bounded by k, so
+    * both sides of that join derive from the SAME ranked frame and Spark
+    * reuses the exchange rather than rescoring anything.
+    */
   def hardNegatives(knn: DataFrame, negFrom: Int, negTo: Int,
                     margin: Double): DataFrame = {
     require(negFrom >= 2, s"hardNegatives: negFrom $negFrom overlaps the positive (rank 1)")

@@ -54,9 +54,20 @@ class RangeJoinSpec extends SparkTestBase {
     ).toDF("id", "start_us", "end_us")
     val r = RangeJoin.binnedIntervalOverlap(a, b, "start_us", "end_us", 10L)
       .select("a_id", "b_id", "overlap_us").as[(Long, Long, Long)]
-      .collect().toSet
+      .collect().sorted // NOT a Set: duplicate emission must fail the spec
     // each overlapping pair appears ONCE despite sharing many bins
-    r shouldBe Set((1L, 10L, 10L), (1L, 11L, 100L), (3L, 12L, 5L))
+    r shouldBe Array((1L, 10L, 10L), (1L, 11L, 100L), (3L, 12L, 5L))
+  }
+
+  test("binnedIntervalOverlap drops degenerate intervals instead of exploding") {
+    // an inverted interval would explode a DESCENDING bin sequence (the
+    // recorded sequence(1, 0) trap); it must simply not participate
+    val bad = Seq((1L, 1000L, 0L), (2L, 50L, 50L), (3L, 10L, 30L))
+      .toDF("id", "start_us", "end_us")
+    val ok = Seq((10L, 0L, 2000L)).toDF("id", "start_us", "end_us")
+    val r = RangeJoin.binnedIntervalOverlap(bad, ok, "start_us", "end_us", 10L)
+      .select("a_id").as[Long].collect()
+    r shouldBe Array(3L) // only the well-formed interval pairs up
   }
 
   test("binnedIntervalOverlap equals the naive overlap join (randomized)") {
@@ -69,11 +80,11 @@ class RangeJoinSpec extends SparkTestBase {
     val r = intervals(60, 1000L)
     val binned = RangeJoin.binnedIntervalOverlap(l, r, "start_us", "end_us", 128L)
       .select("a_id", "b_id", "overlap_us").as[(Long, Long, Long)]
-      .collect().toSet
+      .collect().sorted // sorted seq, not Set: duplicates must fail
     val naive = l.toDF("a_id", "a_s", "a_e").join(r.toDF("b_id", "b_s", "b_e"),
         $"a_s" < $"b_e" && $"b_s" < $"a_e")
       .selectExpr("a_id", "b_id", "least(a_e, b_e) - greatest(a_s, b_s)")
-      .as[(Long, Long, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect().sorted
     naive should not be empty
     binned shouldBe naive
   }
