@@ -31,6 +31,36 @@ object Sketches {
         percentile(col("value"), lit(0.5)).as("exact_p50"),
         count(lit(1)).as("n_events"))
 
+  /** Mergeable distinct-user sketches — the non-monoid arm of incremental
+    * aggregate maintenance: [[Kpi.mergeDailyAgg]] folds deliveries into
+    * counts and sums by re-summation, but a distinct count cannot
+    * re-aggregate from per-delivery distinct counts — its SKETCH can. The
+    * standing table keeps one Datasketches HLL blob per day; a delivery's
+    * partial is the same shape; the merge is `hll_union_agg` — a
+    * register-wise max, order- and partitioning-independent — so the
+    * merged estimate equals the full-recompute estimate EXACTLY (same
+    * registers, not merely within error bounds), which the spec asserts.
+    * Estimates stay within the sketch's usual error of the true distinct.
+    */
+  def dailyUserSketch(events: DataFrame): DataFrame =
+    events.withColumn("event_date", to_date(col("ts")))
+      .groupBy(col("event_date"))
+      .agg(hll_sketch_agg(col("user_id")).as("users_hll"))
+
+  /** Fold a delivery's sketch partials into the standing sketch table;
+    * output feeds back in as the next fold's base, like mergeDailyAgg.
+    */
+  def mergeDailyUserSketch(base: DataFrame, deltaEvents: DataFrame): DataFrame =
+    base.select(col("event_date"), col("users_hll"))
+      .unionByName(dailyUserSketch(deltaEvents))
+      .groupBy(col("event_date"))
+      .agg(hll_union_agg(col("users_hll")).as("users_hll"))
+
+  /** Readout: the serving-layer projection of the sketch table. */
+  def estimateUsers(sketches: DataFrame): DataFrame =
+    sketches.select(col("event_date"),
+      hll_sketch_estimate(col("users_hll")).as("approx_users"))
+
   /** Count-min frequency estimates (`DataFrameStatFunctions.countMinSketch`
     * — a distributed build, only the eps×delta-sized table returns to the
     * driver): point-lookup frequencies in fixed memory, the primitive for

@@ -38,4 +38,40 @@ class SketchesSpec extends SparkTestBase {
       e should be <= truth + (eps * n).toLong + 1 // eps*N overcount bound
     }
   }
+
+  test("HLL sketch merge equals the full recompute exactly (non-monoid arm)") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rng = new scala.util.Random(7)
+    def mkEvents(ids: Seq[Long]) = ids.map { i =>
+      (i, ts(s"2024-01-0${1 + (i % 3)} 10:00:00"), (i % 40) + rng.nextInt(3) * 0L)
+    }.toDF("event_id", "ts", "user_id")
+    val base = mkEvents(1L to 300L)
+    val delta = mkEvents(301L to 400L) // overlapping user ids across folds
+    val merged = graft.operators.Sketches.estimateUsers(
+        graft.operators.Sketches.mergeDailyUserSketch(
+          graft.operators.Sketches.dailyUserSketch(base), delta))
+      .as[(java.sql.Date, Long)].collect().toMap
+    val full = graft.operators.Sketches.estimateUsers(
+        graft.operators.Sketches.dailyUserSketch(base.unionByName(delta)))
+      .as[(java.sql.Date, Long)].collect().toMap
+    merged shouldBe full // register-wise max union: EXACT equality, not ~
+    // and a second fold accepts the first fold's output as its base
+    val twice = graft.operators.Sketches.estimateUsers(
+        graft.operators.Sketches.mergeDailyUserSketch(
+          graft.operators.Sketches.mergeDailyUserSketch(
+            graft.operators.Sketches.dailyUserSketch(base), delta),
+          mkEvents(401L to 430L)))
+      .collect()
+    twice.length shouldBe merged.size
+    // estimates track the true distinct counts within sketch error
+    val exactUsers = base.unionByName(delta)
+      .withColumn("d", org.apache.spark.sql.functions.to_date($"ts"))
+      .groupBy("d")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    merged.foreach { case (d, est) =>
+      math.abs(est - exactUsers(d)).toDouble / exactUsers(d) should be < 0.05
+    }
+  }
 }
