@@ -1113,6 +1113,10 @@ object SparkEntry {
           col("b_user_id"), col("b_start_us"), col("overlap_us"))
     }),
 
+    // §2.6 — event-type transition matrix: the Markov-chain feed
+    "q107_type_transitions" -> ((s, dir) =>
+      Events.typeTransitions(events(s, dir))),
+
     // §2.8 — per-dimension min-max normalization (quantization prep);
     // min/max are exact aggregates, so the rescale is bit-reproducible.
     // Dumped in exploded (vec_id, dim, x_std) form: the compare gate
@@ -2318,6 +2322,20 @@ object SparkEntry {
         |FROM sess a JOIN sess b
         |  ON a.user_id % 2 = 1 AND b.user_id % 2 = 0
         | AND a.start_us < b.end_us AND b.start_us < a.end_us""".stripMargin,
+
+    "q107_type_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST(c.n AS DOUBLE) / t.n_from AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
 
     "q106_embedding_normalize" ->
       """WITH x AS (

@@ -123,6 +123,32 @@ object Events {
         col("cents_ffill"))
   }
 
+  /** Event-type transition matrix — the Markov-chain feed for
+    * next-action models and funnel diagnostics: count consecutive
+    * (from_type → to_type) pairs within each user's timeline, with the
+    * per-from transition probability as an exact ratio of BIGINT counts.
+    * Output: (from_type, to_type, n, p).
+    *
+    * One shuffle on user_id orders each timeline; the lag pair emission is
+    * a window over that partitioning; the (from, to) count is a map-side-
+    * combining aggregate over a bounded key domain (|types|²); and the
+    * per-from total rides a second aggregate over the ALREADY bounded
+    * frame — corpus-sized rows shuffle exactly once.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = events
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+  }
+
   /** SCD2 history build: collapse each user's `event_type` timeline into
     * type-2 slowly-changing-dimension rows — consecutive equal values merge
     * into one validity interval, a change closes the prior interval and

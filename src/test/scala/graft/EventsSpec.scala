@@ -104,6 +104,23 @@ class EventsSpec extends SparkTestBase {
       (Some("view"), "2024-01-02", 1L, 100L, 100L))
   }
 
+  test("typeTransitions counts consecutive pairs per user, exact probabilities") {
+    val ev = Seq(
+      (1L, 1000L, 1L, "view"),
+      (2L, 2000L, 1L, "view"),
+      (3L, 3000L, 1L, "click"),
+      (4L, 1000L, 2L, "view"),
+      (5L, 2000L, 2L, "click") // user boundary: no cross-user pair
+    ).toDF("event_id", "ts_us", "user_id", "event_type")
+    val r = Events.typeTransitions(ev)
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect()
+      .sortBy(x => (x._1, x._2))
+    r shouldBe Array(
+      ("view", "click", 2L, 2.0 / 3),
+      ("view", "view", 1L, 1.0 / 3))
+  }
+
   test("scd2 plan: one exchange on user_id feeds windows and the run groupBy") {
     val ev = Seq((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"))
       .toDF("event_id", "ts_us", "user_id", "event_type")
