@@ -1117,6 +1117,11 @@ object SparkEntry {
     "q107_type_transitions" -> ((s, dir) =>
       Events.typeTransitions(events(s, dir))),
 
+    // §2.9 — per-user ordered action sequences: the behavioral
+    // sequence-model training feed (cap bounds the collect buffer)
+    "q108_user_sequences" -> ((s, dir) =>
+      Events.userSequences(events(s, dir), 50)),
+
     // §2.8 — per-dimension min-max normalization (quantization prep);
     // min/max are exact aggregates, so the rescale is bit-reproducible.
     // Dumped in exploded (vec_id, dim, x_std) form: the compare gate
@@ -2336,6 +2341,17 @@ object SparkEntry {
         |SELECT c.from_type, c.to_type, c.n,
         |       CAST(c.n AS DOUBLE) / t.n_from AS p
         |FROM c JOIN t USING (from_type)""".stripMargin,
+
+    "q108_user_sequences" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       array_to_string(list(event_type ORDER BY rn)
+        |                       FILTER (WHERE rn <= 50), '>') AS seq_str
+        |FROM o GROUP BY 1""".stripMargin,
 
     "q106_embedding_normalize" ->
       """WITH x AS (

@@ -123,6 +123,31 @@ object Events {
         col("cents_ffill"))
   }
 
+  /** Per-user ordered action sequences — the export feed for behavioral
+    * sequence models: each user's first `cap` events by (ts, event_id)
+    * total order, joined into one `>`-separated string, plus the full
+    * timeline length. The cap is applied BEFORE the collect via a
+    * row_number on the same user window, so per-group state is bounded by
+    * `cap` even for the busiest user — collecting first and slicing after
+    * would hold whole timelines in the aggregation buffer. The row_number
+    * and the groupBy share the user_id partitioning: corpus rows shuffle
+    * once. Output: (user_id, n_events, seq_str).
+    */
+  def userSequences(events: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") <= cap,
+              struct(col("rn"), col("event_type"))))),
+            x => x("event_type")), ">").as("seq_str"))
+  }
+
   /** Event-type transition matrix — the Markov-chain feed for
     * next-action models and funnel diagnostics: count consecutive
     * (from_type → to_type) pairs within each user's timeline, with the

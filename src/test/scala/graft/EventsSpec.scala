@@ -121,6 +121,22 @@ class EventsSpec extends SparkTestBase {
       ("view", "view", 1L, 1.0 / 3))
   }
 
+  test("userSequences orders by (ts, event_id), caps the string, counts all") {
+    val ev = Seq(
+      (3L, 2000L, 1L, "click"),
+      (1L, 1000L, 1L, "view"),
+      (2L, 1000L, 1L, "play"), // same ts: event_id breaks the tie
+      (4L, 3000L, 1L, "buy"),
+      (5L, 1000L, 2L, "view")
+    ).toDF("event_id", "ts_us", "user_id", "event_type")
+    val r = Events.userSequences(ev, cap = 3)
+      .select("user_id", "n_events", "seq_str")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 4L, "view>play>click"), // capped at 3 of 4, tie-broken by id
+      (2L, 1L, "view"))
+  }
+
   test("scd2 plan: one exchange on user_id feeds windows and the run groupBy") {
     val ev = Seq((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"))
       .toDF("event_id", "ts_us", "user_id", "event_type")
