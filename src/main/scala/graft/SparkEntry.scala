@@ -87,6 +87,45 @@ object SparkEntry {
   private val ShinglesSql =
     "list_distinct([substr(text, CAST(x AS INT), 3) for x in range(1, CAST(length(text) AS BIGINT) - 1)])"
 
+  // q109: one literal term list drives BOTH the Spark query and the
+  // generated oracle SQL, so the two sides cannot drift
+  private val Bm25Terms = Seq("table", "row", "join")
+
+  /** DuckDB twin of Retrieval.bm25 (k1c=120, bc=75, topK=20): same
+    * rational idf, same cleared-fraction tf-part, same association order
+    * in the double math, same micro-rounding — see Retrieval.scala for
+    * why each of those makes the hash-compare exact.
+    */
+  private def bm25OracleSql(terms: Seq[String]): String = {
+    val tfDefs = terms.indices.map(i =>
+      s"CAST(len(list_filter($ToksSql, x -> x = '${terms(i)}')) AS BIGINT) AS tf_$i").mkString(",\n         ")
+    val dfDefs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n         ")
+    val contribs = terms.indices.map(i =>
+      s"""(CASE WHEN tf_$i > 0 THEN CAST(floor(
+         |      (CAST(2*n_docs - 2*df_$i + 1 AS DOUBLE) / (2*df_$i + 1)) *
+         |      (CAST(tf_$i * 22000 * sum_dl AS DOUBLE) /
+         |       (10000*sum_dl*tf_$i + 3000*sum_dl + 9000*dl*n_docs)) *
+         |      1000000 + 0.5) AS BIGINT) ELSE 0 END)""".stripMargin).mkString(" +\n    ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len($ToksSql) AS BIGINT) AS dl,
+       |         $tfDefs
+       |  FROM documents),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |         $dfDefs
+       |  FROM d)
+       |SELECT doc_id, dl, score_micro FROM (
+       |  SELECT doc_id, dl,
+       |    $contribs AS score_micro
+       |  FROM d, s)
+       |WHERE score_micro > 0
+       |ORDER BY score_micro DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+  }
+
   // ---- the query map ----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1121,6 +1160,11 @@ object SparkEntry {
     // sequence-model training feed (cap bounds the collect buffer)
     "q108_user_sequences" -> ((s, dir) =>
       Events.userSequences(events(s, dir), 50)),
+
+    // §2.9 — BM25 ranked retrieval (rational idf, micro-rounded integer
+    // score; map-side tf/dl, 1-row broadcast stats, TakeOrdered top-k)
+    "q109_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25(t(s, dir, "documents"), Bm25Terms)),
 
     // §2.8 — per-dimension min-max normalization (quantization prep);
     // min/max are exact aggregates, so the rescale is bit-reproducible.
@@ -2352,6 +2396,8 @@ object SparkEntry {
         |       array_to_string(list(event_type ORDER BY rn)
         |                       FILTER (WHERE rn <= 50), '>') AS seq_str
         |FROM o GROUP BY 1""".stripMargin,
+
+    "q109_bm25_topk" -> bm25OracleSql(Bm25Terms),
 
     "q106_embedding_normalize" ->
       """WITH x AS (
