@@ -126,6 +126,30 @@ object SparkEntry {
        |LIMIT 20""".stripMargin
   }
 
+  /** DuckDB twin of Graph.pageRankMicro: the same `iters` integer-micro
+    * rounds unrolled as chained CTEs. `//` equals Spark's `div` for the
+    * non-negative operands here, and integer sums are order-free, so the
+    * match is exact by construction.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS node,
+         |         150000 + (85 * CAST(sum(r${k - 1}.rank_micro // d.outdeg) AS BIGINT)) // 100
+         |           AS rank_micro
+         |  FROM e JOIN d USING (src) JOIN r${k - 1} ON r${k - 1}.node = e.src
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM d),
+       |$steps
+       |SELECT node, rank_micro FROM r$iters""".stripMargin
+  }
+
   // ---- the query map ----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1165,6 +1189,19 @@ object SparkEntry {
     // score; map-side tf/dl, 1-row broadcast stats, TakeOrdered top-k)
     "q109_bm25_topk" -> ((s, dir) =>
       Retrieval.bm25(t(s, dir, "documents"), Bm25Terms)),
+
+    // §2.6 — integer-micro PageRank over the symmetric co-purchase part
+    // graph (pair fan-out bounded by lineitems-per-order, a schema
+    // constant; the orderkey exchange is shared by both self-join sides)
+    "q110_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      Graph.pageRankMicro(edges, 3)
+    }),
 
     // §2.8 — per-dimension min-max normalization (quantization prep);
     // min/max are exact aggregates, so the rescale is bit-reproducible.
@@ -2398,6 +2435,8 @@ object SparkEntry {
         |FROM o GROUP BY 1""".stripMargin,
 
     "q109_bm25_topk" -> bm25OracleSql(Bm25Terms),
+
+    "q110_pagerank" -> pageRankOracleSql(3),
 
     "q106_embedding_normalize" ->
       """WITH x AS (

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pageRankMicro: a regular graph is a fixed point at 1.0") {
+    // symmetric triangle: every node has outdeg 2 and two in-neighbors,
+    // so rank stays 1e6: 150000 + (85 * (2 * (1e6 div 2))) div 100
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.pageRankMicro(tri, 4).as[(Long, Long)].collect().toMap
+    r shouldBe Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+  }
+
+  test("pageRankMicro: path graph matches the hand-computed rounds") {
+    // symmetric path 1-2-3: outdeg(1)=outdeg(3)=1, outdeg(2)=2
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    // round 1: ends get 150000+(85*500000)div 100 = 575000;
+    //          middle gets 150000+(85*2000000)div 100 = 1850000
+    val r1 = Graph.pageRankMicro(path, 1).as[(Long, Long)].collect().toMap
+    r1 shouldBe Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L)
+    // round 2: ends 150000+(85*(1850000 div 2))div 100 = 936250;
+    //          middle 150000+(85*(575000+575000))div 100 = 1127500
+    val r2 = Graph.pageRankMicro(path, 2).as[(Long, Long)].collect().toMap
+    r2 shouldBe Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L)
+  }
+
+  test("pageRankMicro: total mass stays near N (integer truncation only leaks down)") {
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val total = Graph.pageRankMicro(star, 5).as[(Long, Long)]
+      .collect().map(_._2).sum
+    total should be <= 4000000L
+    total should be > 3990000L
+  }
+}
