@@ -1203,6 +1203,40 @@ object SparkEntry {
       Graph.pageRankMicro(edges, 3)
     }),
 
+    // §2.6 — trailing-7-day EXACT distinct users per day: day-grain
+    // dedup first (bounded at days × users, the only pass over raw
+    // events), then a map-side 7-offset fan-out replaces the range
+    // join — every shuffle after the dedup runs on the small frame.
+    // Days with no events of their own are excluded (semi-join on the
+    // broadcast day list)
+    "q111_rolling_distinct" -> ((s, dir) => {
+      val du = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day")).distinct()
+      du.select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+        .join(broadcast(days), Seq("day"), "leftsemi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("u7"))
+    }),
+
+    // §2.9 — per-user behavioral concentration (Herfindahl index of the
+    // event-type mix): Σ(n_t/n)² as exact-integer Σn_t² with ONE final
+    // double division — order-free, so bit-reproducible on any
+    // partitioning. The polynomial form replaces entropy's oracle-
+    // hostile log. Two narrowing aggregates, nothing else
+    "q112_type_concentration" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_t")).as("n_events"),
+          sum(col("n_t") * col("n_t")).as("ssq"))
+        .select(col("user_id"), col("n_events"),
+          (col("ssq").cast("double") /
+            (col("n_events") * col("n_events"))).as("hhi"))),
+
     // §2.8 — per-dimension min-max normalization (quantization prep);
     // min/max are exact aggregates, so the rescale is bit-reproducible.
     // Dumped in exploded (vec_id, dim, x_std) form: the compare gate
@@ -2437,6 +2471,25 @@ object SparkEntry {
     "q109_bm25_topk" -> bm25OracleSql(Bm25Terms),
 
     "q110_pagerank" -> pageRankOracleSql(3),
+
+    "q111_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |x AS (
+        |  SELECT user_id, day + CAST(unnest(generate_series(0, 6)) AS INTEGER) AS day
+        |  FROM du)
+        |SELECT x.day, CAST(count(DISTINCT x.user_id) AS BIGINT) AS u7
+        |FROM x SEMI JOIN (SELECT DISTINCT day FROM du) d ON x.day = d.day
+        |GROUP BY 1""".stripMargin,
+
+    "q112_type_concentration" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_t) AS BIGINT) AS n_events,
+        |       CAST(CAST(sum(n_t * n_t) AS BIGINT) AS DOUBLE)
+        |         / (CAST(sum(n_t) AS BIGINT) * CAST(sum(n_t) AS BIGINT)) AS hhi
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q106_embedding_normalize" ->
       """WITH x AS (
