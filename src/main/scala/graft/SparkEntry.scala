@@ -1237,6 +1237,57 @@ object SparkEntry {
           (col("ssq").cast("double") /
             (col("n_events") * col("n_events"))).as("hhi"))),
 
+    // §2.6 — RFM customer scoring, quartiles WITHIN each nation: the
+    // ntile windows partition on c_nationkey, so no global single-
+    // partition sort exists at any scale (same shape as q73's per-
+    // segment NTILE). Monetary is exact integer cents; every window
+    // carries a total-order tie-break
+    "q113_rfm_scores" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rfm = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_dt"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("cents"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      def q(order: Column*) = ntile(4)
+        .over(Window.partitionBy(col("c_nationkey")).orderBy(order: _*))
+        .cast("long")
+      rfm.select(col("o_custkey").as("custkey"), col("c_nationkey").as("nationkey"),
+          q(col("last_dt"), col("o_custkey")).as("r_score"),
+          q(col("freq"), col("o_custkey")).as("f_score"),
+          q(col("cents"), col("o_custkey")).as("m_score"))
+        .withColumn("rfm_cell",
+          col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+    }),
+
+    // §2.9 — training-mix token budget by largest-remainder (Hamilton)
+    // apportionment: quotas and remainders are exact integers over the
+    // 20-row per-source aggregate; the unpartitioned rank runs on that
+    // aggregated frame only (q82's documented shape), never on docs
+    "q114_mix_allocation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1000000L
+      val bySrc = t(s, dir, "documents")
+        .select(col("source"),
+          size(graft.functions.TextFunctions.tokensWs(col("text")))
+            .cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("w"))
+      val withTot = bySrc.crossJoin(broadcast(bySrc.agg(sum(col("w")).as("tot"))))
+        .withColumn("base", expr(s"($budget * w) div tot"))
+        .withColumn("rem", expr(s"($budget * w) % tot"))
+      val withExtra = withTot.crossJoin(
+        broadcast(withTot.agg(sum(col("base")).as("given"))))
+      withExtra.select(col("source"), col("w"),
+        (col("base") + when(
+          row_number().over(Window.orderBy(col("rem").desc, col("source").asc))
+            .cast("long") <= lit(budget) - col("given"), 1L).otherwise(0L))
+          .as("alloc"))
+    }),
+
     // §2.8 — per-dimension min-max normalization (quantization prep);
     // min/max are exact aggregates, so the rescale is bit-reproducible.
     // Dumped in exploded (vec_id, dim, x_std) form: the compare gate
@@ -2490,6 +2541,44 @@ object SparkEntry {
         |       CAST(CAST(sum(n_t * n_t) AS BIGINT) AS DOUBLE)
         |         / (CAST(sum(n_t) AS BIGINT) * CAST(sum(n_t) AS BIGINT)) AS hhi
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q113_rfm_scores" ->
+      """WITH a AS (
+        |  SELECT o_custkey,
+        |         max(o_orderdate) AS last_dt,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT a.*, c_nationkey FROM a JOIN customer ON o_custkey = c_custkey)
+        |SELECT o_custkey AS custkey, c_nationkey AS nationkey,
+        |       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |                           ORDER BY last_dt, o_custkey) AS BIGINT) AS r_score,
+        |       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |                           ORDER BY freq, o_custkey) AS BIGINT) AS f_score,
+        |       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |                           ORDER BY cents, o_custkey) AS BIGINT) AS m_score,
+        |       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |                           ORDER BY last_dt, o_custkey) AS BIGINT) * 100 +
+        |       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |                           ORDER BY freq, o_custkey) AS BIGINT) * 10 +
+        |       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |                           ORDER BY cents, o_custkey) AS BIGINT) AS rfm_cell
+        |FROM j""".stripMargin,
+
+    "q114_mix_allocation" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(sum(len($ToksSql)) AS BIGINT) AS w
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM s),
+         |b AS (SELECT source, w,
+         |             (1000000 * w) // tot AS base,
+         |             (1000000 * w) % tot AS rem
+         |      FROM s, t),
+         |k AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS extra FROM b)
+         |SELECT source, w,
+         |       base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+         |                         <= extra THEN 1 ELSE 0 END) AS alloc
+         |FROM b, k""".stripMargin,
 
     "q106_embedding_normalize" ->
       """WITH x AS (
