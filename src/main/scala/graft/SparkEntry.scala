@@ -1264,6 +1264,35 @@ object SparkEntry {
           col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
     }),
 
+    // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
+    // ONE conditional-aggregate shuffle; means/variances derive from
+    // exact integer (n, Σcents, Σcents²) so the doubles appear only in
+    // the final closed-form — identical expression structure both sides,
+    // and sqrt (unlike log) is IEEE correctly-rounded, so hash-exact
+    "q115_ab_welch" -> ((s, dir) => {
+      def side(p: Int, nm: String) = Seq(
+        sum(when(col("user_id") % 2 === p, 1L)).as(s"n_$nm"),
+        sum(when(col("user_id") % 2 === p, col("cents"))).as(s"sx_$nm"),
+        sum(when(col("user_id") % 2 === p, col("cents") * col("cents")))
+          .as(s"sxx_$nm"))
+      val aggs = side(1, "a") ++ side(0, "b")
+      def mean(nm: String) = col(s"sx_$nm").cast("double") / col(s"n_$nm")
+      def vr(nm: String) =
+        (col(s"sxx_$nm").cast("double") -
+          col(s"sx_$nm").cast("double") * col(s"sx_$nm") / col(s"n_$nm")) /
+          (col(s"n_$nm") - 1)
+      events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(col("n_a") > 1 && col("n_b") > 1)
+        .withColumn("se", sqrt(vr("a") / col("n_a") + vr("b") / col("n_b")))
+        .filter(col("se") > 0)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          ((mean("a") - mean("b")) / col("se")).as("t_stat"))
+    }),
+
     // §2.9 — training-mix token budget by largest-remainder (Hamilton)
     // apportionment: quotas and remainders are exact integers over the
     // 20-row per-source aggregate; the unpartitioned rank runs on that
@@ -2564,6 +2593,28 @@ object SparkEntry {
         |       CAST(ntile(4) OVER (PARTITION BY c_nationkey
         |                           ORDER BY cents, o_custkey) AS BIGINT) AS rfm_cell
         |FROM j""".stripMargin,
+
+    "q115_ab_welch" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN cents END) AS BIGINT) AS sx_a,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN cents * cents END) AS BIGINT) AS sxx_a,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents END) AS BIGINT) AS sx_b,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents * cents END) AS BIGINT) AS sxx_b
+        |  FROM (SELECT event_type, user_id,
+        |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |        FROM events WHERE value IS NOT NULL)
+        |  GROUP BY 1),
+        |x AS (
+        |  SELECT *,
+        |         sqrt(((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * sx_a / n_a) / (n_a - 1)) / n_a
+        |            + ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * sx_b / n_b) / (n_b - 1)) / n_b) AS se
+        |  FROM g WHERE n_a > 1 AND n_b > 1)
+        |SELECT event_type, n_a, n_b,
+        |       (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b) / se AS t_stat
+        |FROM x WHERE se > 0""".stripMargin,
 
     "q114_mix_allocation" ->
       s"""WITH s AS (

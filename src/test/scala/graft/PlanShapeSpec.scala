@@ -132,4 +132,23 @@ class PlanShapeSpec extends SparkTestBase {
   test("q64: streaks reuse ONE user_id exchange end to end") {
     "Exchange".r.findAllIn(plan("q64_streaks")).length shouldBe 1
   }
+
+  test("q109: scoring never explodes the corpus; stats arrive broadcast") {
+    val p = plan("q109_bm25_topk")
+    p should not include "Generate"         // tf/dl are array ops, no explode
+    p should include("Broadcast")            // the 1-row stats side
+    p should include("TakeOrderedAndProject") // top-k, not a global sort
+  }
+
+  test("q111: the sliding window is an offset fan-out, not a range join") {
+    val p = plan("q111_rolling_distinct")
+    p should include("Generate")             // the 7-offset explode
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q113: every ntile window is nation-partitioned (no global sort)") {
+    // a global window would plan Exchange SinglePartition above the sort
+    plan("q113_rfm_scores") should not include "SinglePartition"
+  }
 }
