@@ -1210,8 +1210,12 @@ object SparkEntry {
     // Days with no events of their own are excluded (semi-join on the
     // broadcast day list)
     "q111_rolling_distinct" -> ((s, dir) => {
+      // localCheckpoint: the deduped frame feeds both the fan-out and
+      // the broadcast day list — without it each consumer re-scans and
+      // re-dedups the raw events
       val du = events(s, dir)
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint()
       val days = du.select(col("day")).distinct()
       du.select(col("user_id"), col("day"),
           explode(sequence(lit(0), lit(6))).as("off"))
@@ -1300,11 +1304,15 @@ object SparkEntry {
     "q114_mix_allocation" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 1000000L
+      // localCheckpoint: the 20-row aggregate is consumed three times
+      // (total, base/rem, given) — without it each reuse re-scans and
+      // re-tokenizes the whole corpus
       val bySrc = t(s, dir, "documents")
         .select(col("source"),
           size(graft.functions.TextFunctions.tokensWs(col("text")))
             .cast("long").as("n"))
         .groupBy(col("source")).agg(sum(col("n")).as("w"))
+        .localCheckpoint()
       val withTot = bySrc.crossJoin(broadcast(bySrc.agg(sum(col("w")).as("tot"))))
         .withColumn("base", expr(s"($budget * w) div tot"))
         .withColumn("rem", expr(s"($budget * w) % tot"))

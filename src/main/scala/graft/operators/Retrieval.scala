@@ -40,13 +40,20 @@ object Retrieval {
   def bm25(docs: DataFrame, terms: Seq[String], k1c: Long = 120,
            bc: Long = 75, topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val toks = TextFunctions.tokensWs(col("text"))
-    // one pass: dl + per-literal-term tf, all map-side array ops
+    // stage the token split ONCE: filter()/size() are higher-order ops
+    // that get neither codegen CSE nor subexpression elimination (the
+    // q57 lesson, BASELINE.md), so computing them over an aliased array
+    // column keeps the split at one-per-row instead of one-per-term.
+    // CollapseProject leaves the stage alone because the alias is
+    // consumed more than once by non-cheap expressions
+    val tokenized = docs.select(col("doc_id"),
+      TextFunctions.tokensWs(col("text")).as("toks"))
     val tfCols = terms.indices.map { i =>
-      size(filter(toks, t => t === lit(terms(i)))).cast("long").as(s"tf_$i")
+      size(filter(col("toks"), t => t === lit(terms(i))))
+        .cast("long").as(s"tf_$i")
     }
-    val withTf = docs.select(
-      col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+    val withTf = tokenized.select(
+      col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfCols: _*)
 
     // corpus stats: one row — N, Σdl, df per term
     val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
