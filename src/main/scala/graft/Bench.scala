@@ -49,7 +49,10 @@ object Bench {
     // corpus, so its pair work is quadratic-by-formulation there even
     // though the operator's claim (fixed batch, growing corpus) is linear
     "q99_unigram_surprisal", "q101_scd2_intervals", "q102_ngram_novelty",
-    "q103_incremental_agg", "q104_gap_fill")
+    "q103_incremental_agg", "q104_gap_fill",
+    // winnowing is linear-claim (map-side selection + dfCap-bounded pair
+    // join), unlike the by-design-quadratic exact pair engines above
+    "q116_winnow_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ArrayAgreeCount, BloomMightContain, BucketOf, FirstAgreeIndex, MinHashSignature, NormTextAscii, OccurrenceMix, PairMerge, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot}
+import graft.expressions.{ArrayAgreeCount, BloomMightContain, BucketOf, FirstAgreeIndex, MinHashSignature, NormTextAscii, OccurrenceMix, PairMerge, SortedCollect, SortedFirstCommon, SortedIntersectCount, VectorDot, Winnow}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -67,7 +67,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_sorted_collect"),
       new ExpressionInfo(classOf[SortedCollect].getName,
         "graft_sorted_collect"),
-      (args: Seq[Expression]) => SortedCollect(args(0))))
+      (args: Seq[Expression]) => SortedCollect(args(0))),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      // k and w must be foldable int literals
+      (args: Seq[Expression]) => Winnow(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
 
   private val registered =
     java.util.Collections.synchronizedMap(

@@ -1268,6 +1268,13 @@ object SparkEntry {
           col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
     }),
 
+    // §2.7 — winnowing-fingerprint near-dup (MOSS selector): the
+    // SUBSTRING-match arm of the dedup family — guaranteed detection of
+    // any shared w+k-1-char run, map-side selection, inverted-index
+    // pair join with the standard hot-fingerprint cut
+    "q116_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), 16, 16, 4L, 32L)),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -2601,6 +2608,33 @@ object SparkEntry {
         |       CAST(ntile(4) OVER (PARTITION BY c_nationkey
         |                           ORDER BY cents, o_custkey) AS BIGINT) AS rfm_cell
         |FROM j""".stripMargin,
+
+    "q116_winnow_pairs" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |         CAST(unnest(generate_series(1, CAST(length(text) AS BIGINT) - 15)) AS BIGINT) AS i
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, i,
+        |         list_reduce(
+        |           [CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)
+        |            for j in range(0, 16)],
+        |           (acc, c) -> (acc * 257 + c) % 1000000007) AS hash
+        |  FROM pos),
+        |wm AS (
+        |  SELECT doc_id, i,
+        |         min(hash) OVER (PARTITION BY doc_id ORDER BY i
+        |                         ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
+        |         max(i) OVER (PARTITION BY doc_id) AS npos
+        |  FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= npos - 15),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 32),
+        |kept AS (SELECT f.doc_id, f.fp FROM fps f SEMI JOIN rare r ON f.fp = r.fp)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 4""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (

@@ -861,4 +861,38 @@ object Dedup {
           col("a.nrm"), col("b.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Winnowing-fingerprint near-dup pairs (Schleimer et al. '03, the MOSS
+    * selector — see expressions/Winnow.scala): docs sharing >= `minShared`
+    * selected k-gram hashes, with the detection guarantee that any common
+    * substring of w+k-1 chars shares a fingerprint. The SUBSTRING-match
+    * arm of the near-dup family: shingle-set Jaccard (q19/q20) measures
+    * bag overlap anywhere; winnowing targets contiguous runs —
+    * boilerplate, quotations, verbatim copies.
+    *
+    * Scale shape: fingerprints are selected map-side (one codegen'd
+    * kernel call per doc, ~2n/(w+1) rows emitted), then the pair join is
+    * an inverted-index equi-join on the fingerprint value. Fingerprints
+    * appearing in more than `dfCap` docs (template boilerplate — the
+    * quadratic hot keys) are dropped BEFORE pairing, the standard MOSS
+    * noise cut; the cap is part of the operator's contract and the
+    * oracle mirrors it.
+    */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Long,
+                  dfCap: Long): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+        explode(call_function("graft_winnow", col("text"), lit(k), lit(w)))
+          .as("fp"))
+      .localCheckpoint() // feeds both the df cut and the pair join
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }
