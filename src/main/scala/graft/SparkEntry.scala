@@ -1275,6 +1275,70 @@ object SparkEntry {
     "q116_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(t(s, dir, "documents"), 16, 16, 4L, 32L)),
 
+    // §2.6 — last-touch attribution: purchases credited to the most
+    // recent preceding non-purchase event within 7 days, else
+    // unattributed; ONE user_id shuffle carries both carry-forward
+    // windows, revenue in exact half-up cents
+    "q117_attribution" -> ((s, dir) =>
+      Events.lastTouchAttribution(events(s, dir), 7, "purchase")),
+
+    // §2.6 — arbitrary GROUPING SETS (the general form of q63's CUBE /
+    // q29's ROLLUP): the three requested levels in ONE pass over the
+    // corpus, partial-agg friendly; grouping() bits disambiguate subtotal
+    // rows from genuine values, which coalesce alone cannot
+    "q118_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupingSets(
+          Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+            Seq(col("source"))),
+          col("lang"), col("source"))
+        .agg(
+          (grouping(col("lang")).cast("long") * 2L +
+            grouping(col("source")).cast("long")).as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("gid"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("total_chars"))),
+
+    // §2.6 — source×lang association lift (market-basket style): observed
+    // cell count vs the independence expectation, as an exact integer
+    // micro-ratio (no doubles, no libm). ONE corpus shuffle builds the
+    // cell frame; the margin sums are windows over that frame, which is
+    // bounded by |sources|×|langs| — a domain constant, not data scale
+    "q119_lift_cells" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("obs"))
+      cells
+        .withColumn("n_source",
+          sum(col("obs")).over(Window.partitionBy(col("source"))))
+        .withColumn("n_lang",
+          sum(col("obs")).over(Window.partitionBy(col("lang"))))
+        .withColumn("n_total",
+          sum(col("obs")).over(Window.partitionBy()))
+        .select(col("source"), col("lang"), col("obs"),
+          col("n_source"), col("n_lang"),
+          expr("(obs * n_total * 1000000L) div (n_source * n_lang)")
+            .as("lift_micro"))
+    }),
+
+    // §2.2 — CDC round trip: rebuild the after-snapshot by applying the
+    // row-level changelog to the before-snapshot. The oracle is the
+    // after-snapshot itself — the identity apply(before,
+    // changelog(before, after)) == after is the operator contract, so
+    // ANY defect in either primitive breaks the hash, on every key
+    "q120_changelog_apply" -> ((s, dir) => {
+      val before = events(s, dir)
+        .select(col("event_id").as("k"), col("value").as("v"))
+      val after = corruptedEvents(s, dir)
+        .filter(col("event_id") % 101 =!= 0)
+        .select(col("event_id").as("k"), col("value").as("v"))
+      Cdc.applyChangelog(before, Cdc.changelog(before, after))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -2635,6 +2699,56 @@ object SparkEntry {
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 4""".stripMargin,
+
+    "q117_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_us
+        |  FROM e)
+        |SELECT coalesce(CASE WHEN ts_us - lt_us <= 604800000000 THEN lt_type END,
+        |                'unattributed') AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM t
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
+    "q118_grouping_sets" ->
+      """SELECT CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+        |       coalesce(lang, 'ALL') AS lang,
+        |       coalesce(source, 'ALL') AS source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source))""".stripMargin,
+
+    "q119_lift_cells" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, obs,
+        |       CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS n_source,
+        |       CAST(sum(obs) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+        |       CAST((obs * (sum(obs) OVER ()) * 1000000)
+        |            // ((sum(obs) OVER (PARTITION BY source))
+        |               * (sum(obs) OVER (PARTITION BY lang))) AS BIGINT)
+        |         AS lift_micro
+        |FROM c""".stripMargin,
+
+    "q120_changelog_apply" ->
+      s"""$CorruptedCte
+         |SELECT event_id AS k, value AS v FROM corrupted
+         |WHERE event_id % 101 <> 0""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (

@@ -209,4 +209,41 @@ object Events {
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
       .withColumn("is_current", col("valid_to_us").isNull)
   }
+
+  /** Last-touch attribution: each `conv` event (purchase) is credited to
+    * the user's most recent PRECEDING non-`conv` event — the touch — if it
+    * happened within `lookbackDays`; otherwise the conversion is
+    * `unattributed`. Conversions never attribute to other conversions, and
+    * the lookback window makes stale touches lapse — the two rules that
+    * separate attribution from a plain lag.
+    *
+    * One shuffle on user_id; both carry-forward windows
+    * (`last(..., ignoreNulls)` over UNBOUNDED PRECEDING..1 PRECEDING)
+    * ride that partitioning with one sort. The conversion filter runs
+    * AFTER the windows by necessity (touches live on non-conversion rows),
+    * but the post-window frame narrows to conversions before the final
+    * aggregate, whose key space is the bounded touch-type set. Revenue is
+    * half-up integer cents so the sums are exact on any partitioning.
+    * Skew bound = busiest user's timeline, inherent to ordered history.
+    */
+  def lastTouchAttribution(events: DataFrame, lookbackDays: Int,
+                           conv: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lookbackUs = lookbackDays.toLong * 86400L * 1000000L
+    val touch = when(col("event_type") =!= conv, col("event_type"))
+    events
+      .withColumn("lt_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("lt_us",
+        last(when(col("event_type") =!= conv, col("ts_us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === conv)
+      .withColumn("channel",
+        coalesce(when(col("ts_us") - col("lt_us") <= lookbackUs,
+          col("lt_type")), lit("unattributed")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+  }
 }

@@ -137,6 +137,29 @@ class EventsSpec extends SparkTestBase {
       (2L, 1L, "view"))
   }
 
+  test("lastTouchAttribution: nearest touch wins, lookback lapses, conv is no touch") {
+    val day = 86400L * 1000000L
+    val ev = Seq(
+      // user 1: view then click then purchase -> credited to click (nearest)
+      (1L, 1L * day, 1L, "view", 0.0),
+      (2L, 2L * day, 1L, "click", 0.0),
+      (3L, 3L * day, 1L, "purchase", 10.0),
+      // second purchase: the preceding PURCHASE is not a touch; the click
+      // at day 2 is now 9 days back -> beyond the 7-day lookback -> unattributed
+      (4L, 11L * day, 1L, "purchase", 5.0),
+      // user 2: purchase with no prior event at all -> unattributed
+      (5L, 1L * day, 2L, "purchase", 19.99),
+      // user 3: touch AFTER the purchase must not attribute (preceding only)
+      (6L, 2L * day, 3L, "purchase", 1.0),
+      (7L, 3L * day, 3L, "click", 0.0)
+    ).toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val r = Events.lastTouchAttribution(ev, 7, "purchase")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    r shouldBe Array(
+      ("click", 1L, 1000L),
+      ("unattributed", 3L, 2599L)) // 500 + 1999 (half-up cents) + 100
+  }
+
   test("scd2 plan: one exchange on user_id feeds windows and the run groupBy") {
     val ev = Seq((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"))
       .toDF("event_id", "ts_us", "user_id", "event_type")
