@@ -52,7 +52,12 @@ object Bench {
     "q103_incremental_agg", "q104_gap_fill",
     // winnowing is linear-claim (map-side selection + dfCap-bounded pair
     // join), unlike the by-design-quadratic exact pair engines above
-    "q116_winnow_pairs")
+    "q116_winnow_pairs",
+    // q117-q120 are linear-claim: one-shuffle windows/aggregates and
+    // churn-sized full-outer joins (q119's margin windows run over the
+    // domain-bounded cell frame, not the corpus)
+    "q117_attribution", "q118_grouping_sets", "q119_lift_cells",
+    "q120_changelog_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
