@@ -57,7 +57,11 @@ object Bench {
     // churn-sized full-outer joins (q119's margin windows run over the
     // domain-bounded cell frame, not the corpus)
     "q117_attribution", "q118_grouping_sets", "q119_lift_cells",
-    "q120_changelog_apply")
+    "q120_changelog_apply",
+    // q121-q124 are linear-claim: scan-bound checksum, two-level partial
+    // aggregates, and HAVING-gated / orderkey-aggregate joins
+    "q121_table_checksum", "q122_mode_per_group", "q123_large_volume_orders",
+    "q124_sole_culprit_suppliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -91,6 +91,15 @@ object SparkEntry {
   // generated oracle SQL, so the two sides cannot drift
   private val Bm25Terms = Seq("table", "row", "join")
 
+  // q121: ONE expression string drives both the Spark side and the oracle
+  // so the checksum definitions cannot drift. Every step reduces mod
+  // 1e9+7 before the next multiply, so intermediates stay < 1.4e11 —
+  // exact BIGINT arithmetic in both engines, no overflow, no doubles.
+  private val ChecksumExpr =
+    "(((((l_orderkey % 1000000007) * 131 + l_linenumber) % 1000000007) " +
+      "* 131 + CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) " +
+      "% 1000000007) % 1000000007) * 131 % 1000000007 + ascii(l_returnflag)"
+
   /** DuckDB twin of Retrieval.bm25 (k1c=120, bc=75, topK=20): same
     * rational idf, same cleared-fraction tf-part, same association order
     * in the double math, same micro-rounding — see Retrieval.scala for
@@ -1337,6 +1346,84 @@ object SparkEntry {
         .filter(col("event_id") % 101 =!= 0)
         .select(col("event_id").as("k"), col("value").as("v"))
       Cdc.applyChangelog(before, Cdc.changelog(before, after))
+    }),
+
+    // §2.2 — order-insensitive table checksum: per-row polynomial hash
+    // over canonical column encodings (mod 1e9+7 at every step, so no
+    // intermediate exceeds ~1.3e11 — ANSI-safe in both engines), folded
+    // by bit_xor, which is commutative/associative/overflow-free — the
+    // same number on ANY partitioning, task order, or engine. The
+    // replication-audit primitive: two sides compare one row per flag
+    // instead of shipping snapshots. Scan-bound, zero joins, one
+    // 3-row aggregate
+    "q121_table_checksum" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("h", expr(ChecksumExpr))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_sum"))),
+
+    // §2.6 — deterministic mode per group (argmax pattern): most frequent
+    // event_type per user, ties broken by the larger type string so the
+    // result is a function of the data, not the plan. Two partial-agg
+    // shuffles — (user, type) counts, then max(struct(cnt, type)) per
+    // user — both map-side combining; no window, no sort, state per
+    // group is ONE struct. The oracle formulates it independently as a
+    // row_number window to catch argmax-semantics drift
+    "q122_mode_per_group" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("cnt"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("mode_type"),
+          col("m.cnt").as("cnt"))),
+
+    // §2.6 — TPC-H Q18 shape (large-volume orders): HAVING on a grouped
+    // sum gates the join, so only the tiny qualifying-order set probes
+    // orders/customer — AQE sees a sub-threshold build side and
+    // broadcasts. Quantities are integral doubles, so the sum is exact
+    // on any partitioning; the output casts it to BIGINT
+    "q123_large_volume_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big.join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("total_cents"),
+          col("total_qty"))
+    }),
+
+    // §2.6 — TPC-H Q21 shape (sole-culprit suppliers): suppliers whose
+    // line was the ONLY returned one in a multi-supplier order — the
+    // EXISTS + NOT-EXISTS double correlation, re-expressed as ONE
+    // per-order aggregate (distinct suppliers, distinct returning
+    // suppliers) joined back to the returned lines: two orderkey
+    // shuffles replace two correlated sub-scans, and the per-supplier
+    // rollup + name join ride broadcast-sized frames. The oracle keeps
+    // the classic EXISTS formulation so the rewrite is checked against
+    // the textbook semantics, not itself
+    "q124_sole_culprit_suppliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val perOrder = li.groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("nr"))
+      li.filter(col("l_returnflag") === "R")
+        .join(perOrder.filter(col("ns") > 1 && col("nr") === 1),
+          "l_orderkey")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
     }),
 
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
@@ -2749,6 +2836,52 @@ object SparkEntry {
       s"""$CorruptedCte
          |SELECT event_id AS k, value AS v FROM corrupted
          |WHERE event_id % 101 <> 0""".stripMargin,
+
+    "q121_table_checksum" ->
+      s"""SELECT l_returnflag,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(bit_xor($ChecksumExpr) AS BIGINT) AS xor_sum
+         |FROM lineitem
+         |GROUP BY 1""".stripMargin,
+
+    "q122_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |            ORDER BY cnt DESC, event_type DESC) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, cnt
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q123_large_volume_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+        |       total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q124_sole_culprit_suppliers" ->
+      """WITH culprit AS (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1
+        |  WHERE l1.l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_returnflag = 'R'))
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (
