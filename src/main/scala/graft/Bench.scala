@@ -61,7 +61,10 @@ object Bench {
     // q121-q124 are linear-claim: scan-bound checksum, two-level partial
     // aggregates, and HAVING-gated / orderkey-aggregate joins
     "q121_table_checksum", "q122_mode_per_group", "q123_large_volume_orders",
-    "q124_sole_culprit_suppliers")
+    "q124_sole_culprit_suppliers",
+    // q125-q127 are linear-claim: pivot/unpivot over the day-grain
+    // aggregate, and one-user_id-window + rollup shapes
+    "q125_unpivot_events", "q126_purchase_cadence", "q127_bounce_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1426,6 +1426,74 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
     }),
 
+    // §2.6 — UNPIVOT (melt): wide-to-long, the inverse of q32's pivot —
+    // the round trip pivot→unpivot must land back on the plain long-form
+    // groupBy, which is exactly what the oracle computes, so the identity
+    // checks both directions at once. unpivot is a zero-shuffle Expand
+    // over the already-aggregated wide frame; absent cells pivot to null
+    // and are dropped, matching the long form's absent rows
+    "q125_unpivot_events" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      events(s, dir)
+        .withColumn("event_date", col("ts").cast("date"))
+        .groupBy(col("event_date"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .unpivot(Array(col("event_date")), types.map(col).toArray,
+          "event_type", "n")
+        .filter(col("n").isNotNull)
+    }),
+
+    // §2.6 — per-user purchase cadence: inter-purchase gaps from one lag
+    // window, rolled up to (count, span, min/max gap) per repeat buyer.
+    // ONE user_id shuffle carries the lag window AND the groupBy (same
+    // key); gaps are exact integer seconds (epoch-µs div), so min/max/span
+    // are partitioning-independent. The churn-model feature feed
+    "q126_purchase_cadence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_s",
+          expr("(ts_us - lag(ts_us) OVER (PARTITION BY user_id " +
+            "ORDER BY ts_us, event_id)) div 1000000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          expr("(max(ts_us) - min(ts_us)) div 1000000").as("span_s"),
+          min(col("gap_s")).as("min_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+        .filter(col("n_purchases") >= 2)
+    }),
+
+    // §2.5 — sessionized bounce rate: share of single-event sessions per
+    // day. Session ids are the running sum of gap-break flags (the same
+    // 30-min rule as q11), the per-session rollup keys on (user, session)
+    // — a user_id-prefixed key, so AQE plans it off the window's
+    // partitioning — and the daily rate is an exact integer micro-ratio.
+    // Sessions are dated by their FIRST event (a session spanning
+    // midnight counts once, on its start day)
+    "q127_bounce_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).cast("date").as("session_date"))
+        .groupBy(col("session_date"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .withColumn("bounce_micro",
+          expr("(n_bounces * 1000000L) div n_sessions"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -2882,6 +2950,50 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM culprit JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // the long form directly — the pivot→unpivot round trip must land here
+    "q125_unpivot_events" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q126_purchase_cadence" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       (max(us) - min(us)) // 1000000 AS span_s,
+        |       min((us - prev) // 1000000) AS min_gap_s,
+        |       max((us - prev) // 1000000) AS max_gap_s
+        |FROM p GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q127_bounce_rate" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |sid AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |                           ORDER BY us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         CAST(min(ts) AS DATE) AS session_date
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT session_date, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_bounces,
+        |       (CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |        * 1000000) // CAST(count(*) AS BIGINT) AS bounce_micro
+        |FROM sess GROUP BY 1""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (
