@@ -64,7 +64,10 @@ object Bench {
     "q124_sole_culprit_suppliers",
     // q125-q127 are linear-claim: pivot/unpivot over the day-grain
     // aggregate, and one-user_id-window + rollup shapes
-    "q125_unpivot_events", "q126_purchase_cadence", "q127_bounce_rate")
+    "q125_unpivot_events", "q126_purchase_cadence", "q127_bounce_rate",
+    // q128-q130 are linear-claim: bounded map-side window fan-out,
+    // single-scan profile aggregate, nation-partitioned rank windows
+    "q128_hopping_windows", "q129_column_profile", "q130_rank_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

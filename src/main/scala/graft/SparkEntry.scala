@@ -1494,6 +1494,49 @@ object SparkEntry {
           expr("(n_bounces * 1000000L) div n_sessions"))
     }),
 
+    // §2.5 — hopping (sliding) window aggregates in BATCH: 30-min windows
+    // every 10 min via the native `window()` generator — each event
+    // explodes to exactly size/slide = 3 epoch-aligned windows map-side,
+    // then ONE groupBy on window start; the same operator Structured
+    // Streaming uses, so batch and stream windows agree by construction.
+    // The oracle rebuilds the explode with integer arithmetic
+    // (ws = us - us % slide - k·slide), checking Spark's alignment rule
+    // rather than restating its implementation
+    "q128_hopping_windows" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          col("n_events"), col("n_users"))),
+
+    // §2.2 — one-pass column profile: per-column row/null/distinct counts
+    // and string-cast bounds for a mixed-type column set; the exact
+    // countDistincts share one Expand (k× map rows, never k scans) and
+    // the wide→long melt is a zero-shuffle stack on the 1-row aggregate
+    "q129_column_profile" -> ((s, dir) =>
+      Quality.profile(
+        t(s, dir, "orders").withColumn("o_orderdate",
+          col("o_orderdate").cast("date")),
+        Seq("o_custkey", "o_orderstatus", "o_orderdate"))),
+
+    // §2.6 — rank-statistics window family (percent_rank / cume_dist /
+    // nth_value) per nation over a TOTAL order (acctbal, suppkey) — no
+    // peer rows, so the doubles are the same two integers divided on both
+    // engines (IEEE division is correctly rounded → hash-exact); nation
+    // partitioning means no global sort at any scale
+    "q130_rank_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      t(s, dir, "supplier")
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("third_name", nth_value(col("s_name"), 3).over(w))
+        .select(col("s_suppkey"), col("s_nationkey"), col("pr"), col("cd"),
+          col("third_name"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -2994,6 +3037,50 @@ object SparkEntry {
         |       (CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |        * 1000000) // CAST(count(*) AS BIGINT) AS bounce_micro
         |FROM sess GROUP BY 1""".stripMargin,
+
+    // integer rebuild of Spark's epoch-aligned hopping windows:
+    // ws = us - us % slide - k*slide, k in 0..size/slide-1
+    "q128_hopping_windows" ->
+      """WITH x AS (
+        |  SELECT epoch_us(ts) AS us, user_id,
+        |         unnest(generate_series(0, 2)) AS k
+        |  FROM events)
+        |SELECT us - us % 600000000 - k * 600000000 AS ws_us,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "q129_column_profile" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus,
+        |                  CAST(o_orderdate AS DATE) AS o_orderdate
+        |           FROM orders)
+        |SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |       CAST(min(o_custkey) AS VARCHAR) AS min_s,
+        |       CAST(max(o_custkey) AS VARCHAR) AS max_s
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |       min(o_orderstatus), max(o_orderstatus)
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |FROM o""".stripMargin,
+
+    "q130_rank_stats" ->
+      """SELECT s_suppkey, s_nationkey,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       nth_value(s_name, 3) OVER w AS third_name
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey
+        |             ORDER BY s_acctbal, s_suppkey)""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (

@@ -34,4 +34,29 @@ object Quality {
       }
     df.agg(cols.head, cols.tail: _*)
   }
+
+  /** Column-level profile, one row per profiled column: row/null/distinct
+    * counts and string-cast min/max bounds. ONE aggregation pass over the
+    * data computes every column's statistics (the exact countDistincts
+    * share a single Expand — k× map-side rows, never k scans), then a
+    * zero-shuffle stack melts the 1-row wide aggregate into the per-column
+    * report. Profile STRING/BIGINT/DATE-typed columns; double bounds
+    * would hit engine-specific decimal formatting in the string cast.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(nullCount(c).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val stackArgs = cols
+      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.length}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_s, max_s)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
 }

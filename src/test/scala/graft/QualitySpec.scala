@@ -24,6 +24,25 @@ class QualitySpec extends SparkTestBase {
     r.getAs[Double]("null_ratio_value") shouldBe 0.25
   }
 
+  test("profile: one row per column with null/distinct counts and bounds") {
+    val df = Seq(
+      (Some(5L), Some("b")), (Some(1L), None), (Some(5L), Some("a")),
+      (None, Some("a"))
+    ).toDF("k", "s")
+    val r = Quality.profile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect().sortBy(_._1)
+    r shouldBe Array(
+      ("k", 4L, 1L, 2L, "1", "5"),
+      ("s", 4L, 1L, 2L, "a", "b"))
+    // single-scan shape: the plan contains exactly one scan of the input
+    val scans = Quality.profile(df, Seq("k", "s"))
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        case s if s.getClass.getSimpleName.contains("Relation") => s
+      }
+    scans.length shouldBe 1
+  }
+
   test("compaction: many small files rewritten to the target size, data intact") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
