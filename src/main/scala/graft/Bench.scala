@@ -67,7 +67,10 @@ object Bench {
     "q125_unpivot_events", "q126_purchase_cadence", "q127_bounce_rate",
     // q128-q130 are linear-claim: bounded map-side window fan-out,
     // single-scan profile aggregate, nation-partitioned rank windows
-    "q128_hopping_windows", "q129_column_profile", "q130_rank_stats")
+    "q128_hopping_windows", "q129_column_profile", "q130_rank_stats",
+    // q131-q133 are linear-claim: partition-concat union, key-cardinality
+    // count-aggregates + top-k, and a one-scan constraint aggregate
+    "q131_union_drift", "q132_skew_report", "q133_constraint_suite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1537,6 +1537,45 @@ object SparkEntry {
           col("third_name"))
     }),
 
+    // §2.1 — schema-drift union: merge deliveries whose schemas evolved
+    // (a column added mid-stream) by NAME, missing columns null-filled —
+    // unionByName(allowMissingColumns), the ingestion-compat primitive a
+    // positional UNION silently corrupts. Zero shuffles: a union is a
+    // partition concat
+    "q131_union_drift" -> ((s, dir) => {
+      val e = events(s, dir)
+      val oldFeed = e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val newFeed = e.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+      oldFeed.unionByName(newFeed, allowMissingColumns = true)
+    }),
+
+    // §2.6 — join-skew diagnosis: top-20 keys by estimated PAIR cost
+    // (n_left × n_right) for the lineitem self-join every co-purchase /
+    // same-order analysis starts from — the number that finds the
+    // reducer that never finishes. Costs two count-aggregates plus a
+    // TakeOrdered top-k, never the join itself
+    "q132_skew_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      SkewJoin.skewReport(li, li, "k", 20)
+    }),
+
+    // §2.2 — declarative constraint suite over the corrupted feed: named
+    // row predicates evaluated in ONE scan, one report row each; a
+    // predicate that is FALSE OR NULL counts as a violation (the
+    // three-valued-logic trap that lets `value >= 0` "pass" on nulls —
+    // the oracle mirrors the same rule with explicit IS-TRUE arithmetic)
+    "q133_constraint_suite" -> ((s, dir) =>
+      Quality.constraints(corruptedEvents(s, dir), Seq(
+        "user_id_not_null" -> col("user_id").isNotNull,
+        "value_non_negative" -> (col("value") >= 0),
+        "event_type_known" -> col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"),
+        "ts_in_range" -> (col("ts_us") >= 1577836800000000L &&
+          col("ts_us") < 1893456000000000L)))),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -3081,6 +3120,42 @@ object SparkEntry {
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey
         |             ORDER BY s_acctbal, s_suppkey)""".stripMargin,
+
+    "q131_union_drift" ->
+      """SELECT event_id, user_id, value, NULL AS event_type
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, value, event_type
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
+
+    "q132_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1)
+        |SELECT k, n AS n_left, n AS n_right, n * n AS cost
+        |FROM c ORDER BY cost DESC, k LIMIT 20""".stripMargin,
+
+    "q133_constraint_suite" ->
+      s"""$CorruptedCte
+         |SELECT 'user_id_not_null' AS check_name,
+         |       CAST(sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+         |       sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) = 0 AS pass
+         |FROM corrupted
+         |UNION ALL
+         |SELECT 'value_non_negative',
+         |       CAST(sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS BIGINT),
+         |       sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) = 0
+         |FROM corrupted
+         |UNION ALL
+         |SELECT 'event_type_known',
+         |       CAST(sum(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 0 ELSE 1 END) AS BIGINT),
+         |       sum(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 0 ELSE 1 END) = 0
+         |FROM corrupted
+         |UNION ALL
+         |SELECT 'ts_in_range',
+         |       CAST(sum(CASE WHEN ts_us >= 1577836800000000 AND ts_us < 1893456000000000 THEN 0 ELSE 1 END) AS BIGINT),
+         |       sum(CASE WHEN ts_us >= 1577836800000000 AND ts_us < 1893456000000000 THEN 0 ELSE 1 END) = 0
+         |FROM corrupted""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (

@@ -59,4 +59,25 @@ object Quality {
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** Constraint suite: evaluate named row-level predicates in ONE pass,
+    * one output row per constraint — (constraint, n_violations, pass).
+    * A violation is a row where the predicate is FALSE OR NULL (a
+    * constraint that cannot be evaluated is not satisfied — the
+    * three-valued-logic trap that lets `value >= 0` "pass" on nulls).
+    * All violation counters ride a single aggregate; the melt is a
+    * zero-shuffle stack on the 1-row result, so a 50-constraint suite
+    * still costs exactly one scan.
+    */
+  def constraints(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs: Seq[Column] = checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"v_$i")
+    }
+    val stackArgs = checks.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', v_$i" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${checks.length}, $stackArgs) AS (check_name, n_violations)"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
 }

@@ -32,4 +32,27 @@ object SkewJoin {
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Skew DIAGNOSIS for a planned equi-join: the topK keys by estimated
+    * pair cost (n_left × n_right), the number a join planner actually
+    * cares about — a key can be harmless on either side alone and still
+    * be the reducer that never finishes. Both sides aggregate to
+    * key-cardinality frames BEFORE the (full-outer) match, so the report
+    * costs two count-aggregates plus a top-k — never the join itself.
+    * Null keys are excluded: an equi-join drops them, so they cannot
+    * cause join skew (their scan skew shows up in Quality.profile).
+    * Returns (key, n_left, n_right, cost) with a total-order tie-break.
+    */
+  def skewReport(left: DataFrame, right: DataFrame, key: String,
+                 topK: Int): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.filter(col(key).isNotNull).groupBy(col(key))
+        .agg(count(lit(1)).as(as))
+    counts(left, "n_left")
+      .join(counts(right, "n_right"), Seq(key), "full_outer")
+      .na.fill(0L, Seq("n_left", "n_right"))
+      .withColumn("cost", col("n_left") * col("n_right"))
+      .orderBy(col("cost").desc, col(key))
+      .limit(topK)
+  }
 }

@@ -43,6 +43,36 @@ class QualitySpec extends SparkTestBase {
     scans.length shouldBe 1
   }
 
+  test("constraints: FALSE and NULL both violate; one row per check") {
+    val df = Seq(
+      (Some(1L), Some(10.0)), (Some(2L), Some(-1.0)), (Some(3L), None),
+      (None, Some(5.0))
+    ).toDF("id", "v")
+    val r = Quality.constraints(df, Seq(
+      "id_not_null" -> $"id".isNotNull,
+      "v_non_negative" -> ($"v" >= 0)))
+      .as[(String, Long, Boolean)].collect().sortBy(_._1)
+    // v >= 0 is NULL on the None row -> violation, not a silent pass
+    r shouldBe Array(
+      ("id_not_null", 1L, false),
+      ("v_non_negative", 2L, false))
+    Quality.constraints(df.filter($"id".isNotNull && $"v".isNotNull &&
+        $"v" >= 0), Seq("id_not_null" -> $"id".isNotNull))
+      .as[(String, Long, Boolean)].collect() shouldBe
+      Array(("id_not_null", 0L, true))
+  }
+
+  test("parquet mergeSchema reads drifted deliveries as one table") {
+    val dir = Files.createTempDirectory("drift").toString
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$dir/d=1")
+    Seq((2L, "b", 9L)).toDF("id", "s", "extra").write.parquet(s"$dir/d=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    merged.columns.sorted shouldBe Array("d", "extra", "id", "s")
+    val rows = merged.select($"id", $"extra").as[(Long, Option[Long])]
+      .collect().sortBy(_._1)
+    rows shouldBe Array((1L, None), (2L, Some(9L)))
+  }
+
   test("compaction: many small files rewritten to the target size, data intact") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")

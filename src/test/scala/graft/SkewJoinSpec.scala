@@ -60,4 +60,19 @@ class SkewJoinSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("skewReport: pair cost, one-sided keys, null exclusion, tie-break") {
+    val left = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("k")
+    val right = Seq(Some(1L), Some(1L), Some(2L), Some(4L), None).toDF("k")
+    val r = SkewJoin.skewReport(left, right, "k", 10)
+      .as[(Long, Long, Long, Long)].collect()
+    // cost = n_left * n_right; keys on one side only have cost 0 and sort
+    // by key; the null key appears nowhere
+    r shouldBe Array(
+      (1L, 3L, 2L, 6L),
+      (2L, 1L, 1L, 1L),
+      (3L, 1L, 0L, 0L),
+      (4L, 0L, 1L, 0L))
+  }
 }
