@@ -95,7 +95,7 @@ object SparkEntry {
   // so the checksum definitions cannot drift. Every step reduces mod
   // 1e9+7 before the next multiply, so intermediates stay < 1.4e11 —
   // exact BIGINT arithmetic in both engines, no overflow, no doubles.
-  private val ChecksumExpr =
+  private[graft] val ChecksumExpr =
     "(((((l_orderkey % 1000000007) * 131 + l_linenumber) % 1000000007) " +
       "* 131 + CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) " +
       "% 1000000007) % 1000000007) * 131 % 1000000007 + ascii(l_returnflag)"
@@ -1330,7 +1330,12 @@ object SparkEntry {
           sum(col("obs")).over(Window.partitionBy()))
         .select(col("source"), col("lang"), col("obs"),
           col("n_source"), col("n_lang"),
-          expr("(obs * n_total * 1000000L) div (n_source * n_lang)")
+          // two-step division IS the contract: obs*1e6 first (bounded by
+          // 9.2e12 rows per cell before int64 overflow — fine at 100 TB,
+          // where the single-product form obs*n_total*1e6 would overflow
+          // past ~3M rows), per-source rate ≤ 1e6, then scale by
+          // n_total/n_lang. The oracle mirrors the same two steps
+          expr("(((obs * 1000000L) div n_source) * n_total) div n_lang")
             .as("lift_micro"))
     }),
 
@@ -1455,9 +1460,8 @@ object SparkEntry {
         .orderBy(col("ts_us"), col("event_id"))
       events(s, dir)
         .filter(col("event_type") === "purchase")
-        .withColumn("gap_s",
-          expr("(ts_us - lag(ts_us) OVER (PARTITION BY user_id " +
-            "ORDER BY ts_us, event_id)) div 1000000"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .withColumn("gap_s", expr("gap_us div 1000000"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_purchases"),
           expr("(max(ts_us) - min(ts_us)) div 1000000").as("span_s"),
@@ -2976,9 +2980,10 @@ object SparkEntry {
         |SELECT source, lang, obs,
         |       CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS n_source,
         |       CAST(sum(obs) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
-        |       CAST((obs * (sum(obs) OVER ()) * 1000000)
-        |            // ((sum(obs) OVER (PARTITION BY source))
-        |               * (sum(obs) OVER (PARTITION BY lang))) AS BIGINT)
+        |       CAST((((obs * 1000000)
+        |              // (sum(obs) OVER (PARTITION BY source)))
+        |             * (sum(obs) OVER ()))
+        |            // (sum(obs) OVER (PARTITION BY lang)) AS BIGINT)
         |         AS lift_micro
         |FROM c""".stripMargin,
 

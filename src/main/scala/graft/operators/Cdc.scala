@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `applyChangelog(before, changelog(before, after)) == after`,
   * exactly — the spec and the q120 oracle both assert this identity.
+  * PRECONDITION: snapshots are KEYED — at most one row per `k`. On a
+  * duplicate key the full-outer joins fan out n×m and the identity
+  * silently breaks; callers with at-least-once feeds must dedup first
+  * (e.g. [[Events.dedupEvents]]). Checking uniqueness here would cost a
+  * shuffle per call, so it is the caller's contract, not a runtime gate.
   *
   * Scale shape: each primitive is ONE full-outer equi-join on the key —
   * the join both sides already shuffle on, no residual state. A changelog

@@ -44,14 +44,21 @@ object Quality {
     * would hit engine-specific decimal formatting in the string cast.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      Seq(nullCount(c).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
-    }
-    val stackArgs = cols
-      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    require(cols.nonEmpty, "profile needs at least one column")
+    // internal aliases are INDEX-based and the reported name is an escaped
+    // string literal, so arbitrary column names (dots, spaces, quotes)
+    // cannot break the stack SQL; source columns resolve via df(c), which
+    // matches the exact name rather than parsing it
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(when(df(c).isNull, 1L).otherwise(0L)).as(s"nn_$i"),
+          countDistinct(df(c)).as(s"nd_$i"),
+          min(df(c)).cast("string").as(s"mn_$i"),
+          max(df(c)).cast("string").as(s"mx_$i"))
+      }
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"'${c.replace("'", "''")}', nn_$i, nd_$i, mn_$i, mx_$i" }
+      .mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .select(col("n_rows"), expr(
         s"stack(${cols.length}, $stackArgs) AS " +
@@ -70,11 +77,16 @@ object Quality {
     * still costs exactly one scan.
     */
   def constraints(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "constraints needs at least one check")
+    // coalesce(sum, 0): an EMPTY input has zero violations — every check
+    // passes vacuously, rather than reporting null/unknown
     val aggs: Seq[Column] = checks.zipWithIndex.map { case ((_, pred), i) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"v_$i")
+      coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(s"v_$i")
     }
     val stackArgs = checks.zipWithIndex
-      .map { case ((name, _), i) => s"'$name', v_$i" }.mkString(", ")
+      .map { case ((name, _), i) => s"'${name.replace("'", "''")}', v_$i" }
+      .mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(
         s"stack(${checks.length}, $stackArgs) AS (check_name, n_violations)"))

@@ -10,12 +10,9 @@ import org.apache.spark.sql.functions._
 class ChecksumModeSpec extends SparkTestBase {
   import spark.implicits._
 
-  private val checksumExpr =
-    // mirror of SparkEntry.ChecksumExpr (private there); the oracle keeps
-    // the two in lockstep — this spec only needs A row-hash + bit_xor
-    "(((((l_orderkey % 1000000007) * 131 + l_linenumber) % 1000000007) " +
-      "* 131 + CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) " +
-      "% 1000000007) % 1000000007) * 131 % 1000000007 + ascii(l_returnflag)"
+  // THE shipped expression — q121's invariance guarantee is certified on
+  // the exact string the query runs, not a copy that could drift
+  private val checksumExpr = SparkEntry.ChecksumExpr
 
   test("q121 checksum is invariant under repartitioning and row order") {
     val base = Seq(
