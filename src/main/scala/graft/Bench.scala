@@ -70,7 +70,9 @@ object Bench {
     "q128_hopping_windows", "q129_column_profile", "q130_rank_stats",
     // q131-q133 are linear-claim: partition-concat union, key-cardinality
     // count-aggregates + top-k, and a one-scan constraint aggregate
-    "q131_union_drift", "q132_skew_report", "q133_constraint_suite")
+    "q131_union_drift", "q132_skew_report", "q133_constraint_suite",
+    // q134 is linear-claim: session rollup + bounded hour fan-out
+    "q134_concurrency_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

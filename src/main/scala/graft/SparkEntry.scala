@@ -1580,6 +1580,31 @@ object SparkEntry {
         "ts_in_range" -> (col("ts_us") >= 1577836800000000L &&
           col("ts_us") < 1893456000000000L)))),
 
+    // §2.5 — session concurrency curve: active sessions per hour — the
+    // capacity-planning load profile. Sessions come from the q11/q127 gap
+    // rule; each explodes to the hours it touches (bounded by the session
+    // span, which the 30-min gap rule keeps to the user's active
+    // stretch), and ONE groupBy on the hour ordinal counts overlaps.
+    // Equal hour grain on both engines: integer div of epoch-µs
+    "q134_concurrency_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(expr("min(ts_us) div 3600000000").as("sh"),
+          expr("max(ts_us) div 3600000000").as("eh"))
+        .select(explode(expr("sequence(sh, eh)")).as("hour_ord"))
+        .groupBy(col("hour_ord"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -3161,6 +3186,29 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN ts_us >= 1577836800000000 AND ts_us < 1893456000000000 THEN 0 ELSE 1 END) AS BIGINT),
          |       sum(CASE WHEN ts_us >= 1577836800000000 AND ts_us < 1893456000000000 THEN 0 ELSE 1 END) = 0
          |FROM corrupted""".stripMargin,
+
+    "q134_concurrency_curve" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |sid AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |                           ORDER BY us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f),
+        |sess AS (
+        |  SELECT min(us) // 3600000000 AS sh, max(us) // 3600000000 AS eh
+        |  FROM sid GROUP BY user_id, session_id),
+        |hrs AS (
+        |  SELECT unnest(generate_series(sh, eh)) AS hour_ord FROM sess)
+        |SELECT hour_ord, CAST(count(*) AS BIGINT) AS n_active
+        |FROM hrs GROUP BY 1""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (

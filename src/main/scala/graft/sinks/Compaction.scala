@@ -28,6 +28,47 @@ object Compaction {
   private def tmpPath(p: Path) = new Path(p.toString + "_compacting")
   private def oldPath(p: Path) = new Path(p.toString + "_old")
 
+  /** Where a writer must stage a replacement dataset for [[promote]] —
+    * the `_compacting` sibling, so `recover()` can finish an interrupted
+    * swap no matter who initiated it.
+    */
+  def stagingDir(path: String): String = path + "_compacting"
+
+  /** Run crash recovery for `path` (public wrapper: any reader/writer of
+    * a swap-managed dataset can heal an interrupted swap up front).
+    */
+  def recoverPath(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    recover(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Steps 2–4 of the swap protocol: promote the fully-written staged
+    * copy at `stagingDir(path)` to `path`. No step deletes the only copy;
+    * on failure the original is restored and the error rethrown. Also
+    * valid when `path` does not exist yet (first materialization).
+    */
+  def promote(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = tmpPath(p)
+    val old = oldPath(p)
+    if (!fs.exists(tmp))
+      throw new java.io.IOException(s"promote: no staged copy at $tmp")
+    if (fs.exists(p) && !fs.rename(p, old)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"promote: rename $p -> $old failed")
+    }
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, true)
+      if (fs.exists(old) && !fs.rename(old, p))
+        throw new java.io.IOException(
+          s"promote: promotion AND restore failed; original preserved at $old")
+      throw new java.io.IOException(
+        s"promote: rename $tmp -> $p failed; original restored")
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
   /** Finish or roll back an interrupted swap so `path` is always readable.
     * Idempotent; called automatically at the start of `compact`.
     */
@@ -61,29 +102,13 @@ object Compaction {
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
     val tmp = tmpPath(p)
-    val old = oldPath(p)
     spark.read.parquet(path)
       .repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     // Hadoop rename signals failure by RETURNING false, not throwing —
-    // an unchecked false would fall through to delete(old) and leave the
-    // canonical path missing. On any failed step, recover() restores a
-    // readable dataset and the compaction aborts loudly.
-    if (!fs.rename(p, old)) {
-      fs.delete(tmp, true)
-      throw new java.io.IOException(s"compact: rename $p -> $old failed")
-    }
-    if (!fs.rename(tmp, p)) {
-      // promotion failed: discard the compacted copy FIRST so the restore
-      // cannot race a half-working tmp, then put the original back
-      fs.delete(tmp, true)
-      if (!fs.rename(old, p))
-        throw new java.io.IOException(
-          s"compact: promotion AND restore failed; original preserved at $old")
-      throw new java.io.IOException(
-        s"compact: rename $tmp -> $p failed; original restored")
-    }
-    fs.delete(old, true)
+    // promote() checks every step, restores the original on failure, and
+    // aborts loudly; recover() heals anything a crash leaves behind.
+    promote(spark, path)
 
     val after = fs.listStatus(p).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
     (files.length, after)

@@ -131,6 +131,49 @@ object StreamingPipeline {
           graft.operators.Dedup.incrementalNearDup(corpus(), batch, threshold), id)
       }
 
+  /** Streaming upsert materialization: each micro-batch of changelog rows
+    * (`k, v, op` — the [[graft.operators.Cdc]] shape) folds into a standing
+    * keyed parquet table via [[graft.operators.Cdc.applyChangelog]] and a
+    * crash-safe two-rename swap. This is the MERGE-INTO sink for engines
+    * without table-format transactions: the stream carries deltas, the
+    * table stays a plain parquet directory any batch reader can scan.
+    *
+    * Within one batch the changelog may carry several ops for one key;
+    * `seqCol` (arrival order) picks the LAST — the per-batch compaction a
+    * replayed upstream produces. foreachBatch + the source checkpoint give
+    * exactly-once per input file; the swap keeps readers consistent
+    * mid-write (they see old or new, never half).
+    */
+  def upsertStream(spark: SparkSession, inputDir: String, schema: StructType,
+                   tableDir: String, seqCol: String,
+                   checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        graft.sinks.Compaction.recoverPath(spark, tableDir)
+        val lastPerKey = batch
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col(seqCol).desc)))
+          .filter(col("_rn") === 1)
+          .select(col("k"), col("v"), col("op"))
+        val base = {
+          val dir = new java.io.File(tableDir)
+          if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
+            spark.read.parquet(tableDir).select(col("k"), col("v"))
+          else lastPerKey.filter(lit(false)).select(col("k"), col("v"))
+        }
+        val next = graft.operators.Cdc.applyChangelog(base, lastPerKey)
+        // write-then-promote via the compaction swap: never truncate the
+        // live table before its replacement is fully written, and a crash
+        // at any point leaves a recoverable copy
+        next.write.mode("overwrite")
+          .parquet(graft.sinks.Compaction.stagingDir(tableDir))
+        graft.sinks.Compaction.promote(spark, tableDir)
+      }
+
   /** Synchronous one-shot run for tests/backfills: process everything
     * currently in the directory, then stop (Trigger.AvailableNow — the
     * batch-like mode a scheduled MWAA DAG approximates).

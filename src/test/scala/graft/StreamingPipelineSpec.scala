@@ -227,4 +227,37 @@ class StreamingPipelineSpec extends SparkTestBase {
     }.toArray.sortBy(_._1)
     streamed shouldBe batch
   }
+
+  test("upsertStream folds changelog batches into a keyed parquet table") {
+    val dir = Files.createTempDirectory("supsert").toString
+    val input = s"$dir/in"
+    val table = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    val clSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("op", StringType), StructField("seq", LongType)))
+    def readTable() = spark.read.parquet(table)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    def run() = StreamingPipeline.runOnce(
+      StreamingPipeline.upsertStream(spark, input, clSchema, table, "seq", ckpt))
+
+    // batch 1: two keys, one of them upserted twice in-batch (seq wins)
+    Seq((1L, 0.5, "upsert", 1L), (1L, 1.0, "upsert", 2L),
+      (2L, 2.0, "upsert", 3L))
+      .toDF("k", "v", "op", "seq").repartition(1).write.parquet(input)
+    run()
+    readTable() shouldBe Array((1L, 1.0), (2L, 2.0))
+
+    // batch 2 (new file; checkpoint skips file 1): update, delete, insert
+    Seq((2L, 2.5, "upsert", 4L), (1L, 0.0, "delete", 5L),
+      (3L, 3.0, "upsert", 6L))
+      .toDF("k", "v", "op", "seq").repartition(1)
+      .write.mode("append").parquet(input)
+    run()
+    readTable() shouldBe Array((2L, 2.5), (3L, 3.0))
+
+    // replaying the same inbox is a no-op (checkpoint exactly-once)
+    run()
+    readTable() shouldBe Array((2L, 2.5), (3L, 3.0))
+  }
 }
