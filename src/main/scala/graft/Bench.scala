@@ -72,7 +72,10 @@ object Bench {
     // count-aggregates + top-k, and a one-scan constraint aggregate
     "q131_union_drift", "q132_skew_report", "q133_constraint_suite",
     // q134 is linear-claim: session rollup + bounded hour fan-out
-    "q134_concurrency_curve")
+    "q134_concurrency_curve",
+    // q135-q136 are linear-claim: key-grain aggregates + bounded-frame
+    // window, and one conditional-aggregate shuffle
+    "q135_first_seen_curve", "q136_pearson_corr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

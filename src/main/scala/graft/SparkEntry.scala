@@ -1605,6 +1605,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_active"))
     }),
 
+    // §2.9 — first-seen novelty curve: per day, how many parts ship for
+    // the FIRST time, plus the running catalog size — the corpus-growth /
+    // novelty-rate metric of a training-data feed (hash first-seen day ≡
+    // part first-ship day here). Two key-grain shuffles (part → first
+    // day, day → count); the cumulative window runs over the |days|
+    // aggregate frame, the documented bounded-frame exemption
+    "q135_first_seen_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(min(col("l_shipdate").cast("date")).as("first_day"))
+        .groupBy(col("first_day"))
+        .agg(count(lit(1)).as("n_new_parts"))
+        .withColumn("cum_parts",
+          sum(col("n_new_parts")).over(
+            Window.orderBy(col("first_day"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+    }),
+
+    // §2.6 — Pearson correlation from exact integer sums (value cents ×
+    // hour-of-day, per event type): like q115, the five sums (n, Σx, Σy,
+    // Σxy, Σx², Σy²) are exact BIGINTs from ONE conditional-aggregate
+    // shuffle; doubles appear only in the closed form, whose expression
+    // structure is identical on both sides — products/quotients/sqrt are
+    // correctly-rounded IEEE ops, so r is hash-exact. (Engine corr()
+    // builtins use streaming co-moment updates whose float accumulation
+    // order is partitioning-dependent — this formulation is not)
+    "q136_pearson_corr" -> ((s, dir) =>
+      events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"),
+          expr("(ts_us div 3600000000) % 24").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("r"))),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -3209,6 +3255,37 @@ object SparkEntry {
         |  SELECT unnest(generate_series(sh, eh)) AS hour_ord FROM sess)
         |SELECT hour_ord, CAST(count(*) AS BIGINT) AS n_active
         |FROM hrs GROUP BY 1""".stripMargin,
+
+    "q135_first_seen_curve" ->
+      """WITH fs AS (
+        |  SELECT l_partkey, CAST(min(l_shipdate) AS DATE) AS first_day
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT first_day, CAST(count(*) AS BIGINT) AS n_new_parts
+        |  FROM fs GROUP BY 1)
+        |SELECT first_day, n_new_parts,
+        |       CAST(sum(n_new_parts) OVER (ORDER BY first_day
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_parts
+        |FROM d""".stripMargin,
+
+    "q136_pearson_corr" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM (SELECT event_type,
+        |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+        |               (epoch_us(ts) // 3600000000) % 24 AS y
+        |        FROM events WHERE value IS NOT NULL)
+        |  GROUP BY event_type)
+        |SELECT event_type, n,
+        |       CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+        |FROM g""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (
