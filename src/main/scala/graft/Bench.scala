@@ -75,7 +75,10 @@ object Bench {
     "q134_concurrency_curve",
     // q135-q136 are linear-claim: key-grain aggregates + bounded-frame
     // window, and one conditional-aggregate shuffle
-    "q135_first_seen_curve", "q136_pearson_corr")
+    "q135_first_seen_curve", "q136_pearson_corr",
+    // q137-q139 are linear-claim: customer-aggregate rank, one
+    // conditional-aggregate shuffle, and a type-grain max + 1-row combine
+    "q137_pareto_revenue", "q138_conversion_latency", "q139_freshness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

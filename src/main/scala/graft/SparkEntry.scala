@@ -1651,6 +1651,70 @@ object SparkEntry {
               sqrt((col("n") * col("syy") - col("sy") * col("sy"))
                 .cast("double")))).as("r"))),
 
+    // §2.6 — Pareto revenue concentration: the share of order revenue
+    // carried by the top decile of customers. Ranking runs over the
+    // CUSTOMER AGGREGATE (never order rows); that frame is |customers|,
+    // so the global row_number is the honest cost of an exact decile —
+    // at extreme customer counts the scale path is a sampled-quantile
+    // revenue threshold, traded for tie-handling exactness. All money is
+    // integer cents, the share an exact micro-ratio
+    "q137_pareto_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      rev
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cents").desc, col("o_custkey"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("in_top", col("rnk") * 10L <= col("n"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("in_top"), 1L).otherwise(0L)).as("top_decile_n"),
+          sum(when(col("in_top"), col("cents")).otherwise(0L))
+            .as("top_cents"),
+          sum(col("cents")).as("total_cents"))
+        .withColumn("share_micro",
+          expr("(top_cents * 1000000L) div total_cents"))
+    }),
+
+    // §2.6 — conversion latency: hours from a user's FIRST signup to
+    // their FIRST purchase after it — n/min/max plus the exact
+    // interpolated median (Spark `percentile` ≡ DuckDB `quantile_cont`
+    // bit-for-bit on integral inputs). ONE conditional-aggregate shuffle
+    // computes both firsts; the latency math is integer hours
+    "q138_conversion_latency" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts_us")))
+          .as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("first_purchase"))
+        .filter(col("first_signup").isNotNull &&
+          col("first_purchase") >= col("first_signup"))
+        .withColumn("latency_h",
+          expr("(first_purchase - first_signup) div 3600000000"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("latency_h")).as("min_h"),
+          max(col("latency_h")).as("max_h"),
+          expr("percentile(latency_h, 0.5)").as("median_h"))),
+
+    // §2.2 — feed freshness report: per event type, last-event recency
+    // against the globally freshest feed in whole hours — the staleness
+    // monitor that catches a dead producer. Type-grain aggregate plus a
+    // 1-row global max broadcast back (the documented 1-row combine)
+    "q139_freshness" -> ((s, dir) => {
+      val perType = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(max(col("ts_us")).as("last_us"))
+      perType
+        .crossJoin(perType.groupBy().agg(max(col("last_us")).as("global_us")))
+        .select(col("event_type"), col("last_us"),
+          expr("(global_us - last_us) div 3600000000").as("stale_hours"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -3286,6 +3350,54 @@ object SparkEntry {
         |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
         |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
         |FROM g""".stripMargin,
+
+    "q137_pareto_revenue" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+        |         count(*) OVER () AS n
+        |  FROM rev),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |         CAST(sum(CASE WHEN rnk * 10 <= n THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS top_decile_n,
+        |         CAST(sum(CASE WHEN rnk * 10 <= n THEN cents ELSE 0 END)
+        |              AS BIGINT) AS top_cents,
+        |         CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM r)
+        |SELECT *, (top_cents * 1000000) // total_cents AS share_micro
+        |FROM a""".stripMargin,
+
+    "q138_conversion_latency" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |           AS first_signup,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |           AS first_purchase
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT (first_purchase - first_signup) // 3600000000 AS latency_h
+        |  FROM u
+        |  WHERE first_signup IS NOT NULL
+        |    AND first_purchase >= first_signup)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |       min(latency_h) AS min_h, max(latency_h) AS max_h,
+        |       quantile_cont(latency_h, 0.5) AS median_h
+        |FROM l""".stripMargin,
+
+    "q139_freshness" ->
+      """WITH t AS (
+        |  SELECT event_type, max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, last_us,
+        |       ((SELECT max(last_us) FROM t) - last_us) // 3600000000
+        |         AS stale_hours
+        |FROM t""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (
