@@ -47,6 +47,23 @@ class SinksSpec extends SparkTestBase {
     PartitionDiscovery.latestDatePartition(spark, s"$dir/absent") shouldBe None
   }
 
+  test("a partition-column predicate prunes the scan to one directory") {
+    val dir = Files.createTempDirectory("pprune").toString
+    Seq(("2024-01-01", 1L), ("2024-03-05", 2L), ("2024-02-01", 3L))
+      .toDF("date", "v").write.partitionBy("date").parquet(s"$dir/t")
+    val q = spark.read.parquet(s"$dir/t").filter($"date" === "2024-03-05")
+    q.as[(Long, String)].collect() shouldBe Array((2L, "2024-03-05"))
+    // the prune must happen at PLANNING (PartitionFilters on the scan
+    // node, 1 of 3 directories listed) — not as a post-scan data filter
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    scans should have size 1
+    scans.head.selectedPartitions.partitionCount shouldBe 1
+    assert(scans.head.partitionFilters.nonEmpty,
+      "partition predicate did not reach PartitionFilters")
+  }
+
   test("CsvSource: explicit schema, malformed rows land in _corrupt_record") {
     val dir = Files.createTempDirectory("csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
