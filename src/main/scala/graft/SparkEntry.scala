@@ -1715,6 +1715,41 @@ object SparkEntry {
           expr("(global_us - last_us) div 3600000000").as("stale_hours"))
     }),
 
+    // §2.9 — vocabulary coverage / OOV rate: the share of token
+    // OCCURRENCES a top-k vocabulary covers — the tokenizer-design
+    // metric that decides k. Corpus rows shuffle once (token grain);
+    // the top-k cut is a TakeOrdered on the vocab aggregate and the
+    // two totals combine on 1-row frames. Exact integer micro-ratio
+    "q140_vocab_coverage" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokensWs
+      val vocab = t(s, dir, "documents")
+        .select(explode(tokensWs(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val top = vocab.orderBy(col("tf").desc, col("token")).limit(1000)
+        .groupBy().agg(sum(col("tf")).as("covered"))
+      vocab.groupBy().agg(sum(col("tf")).as("total"),
+          count(lit(1)).as("n_vocab"))
+        .crossJoin(top)
+        .select(lit(1000L).as("vocab_k"), col("n_vocab"), col("total"),
+          col("covered"),
+          expr("(covered * 1000000L) div total").as("coverage_micro"))
+    }),
+
+    // §2.7 — duplicate-cluster size distribution: how big do near-dup
+    // clusters get — the skew audit for the dedup pipeline itself (a
+    // single mega-cluster means the threshold, not the corpus, is the
+    // problem). Two aggregate steps over the q45 component output; the
+    // oracle recomputes components via its recursive-CTE twin
+    "q141_cluster_sizes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateClusters(docs, Dedup.ngramJaccardPairs(docs, 0.6))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -3398,6 +3433,51 @@ object SparkEntry {
         |       ((SELECT max(last_us) FROM t) - last_us) // 3600000000
         |         AS stale_hours
         |FROM t""".stripMargin,
+
+    "q140_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($ToksSql) AS token FROM documents),
+         |v AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1),
+         |top AS (
+         |  SELECT tf FROM v ORDER BY tf DESC, token LIMIT 1000)
+         |SELECT CAST(1000 AS BIGINT) AS vocab_k,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_vocab,
+         |       (SELECT CAST(sum(tf) AS BIGINT) FROM v) AS total,
+         |       (SELECT CAST(sum(tf) AS BIGINT) FROM top) AS covered,
+         |       ((SELECT CAST(sum(tf) AS BIGINT) FROM top) * 1000000)
+         |         // (SELECT CAST(sum(tf) AS BIGINT) FROM v)
+         |         AS coverage_micro""".stripMargin,
+
+    "q141_cluster_sizes" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach
+         |         FROM reach GROUP BY 1),
+         |assign AS (
+         |  SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |sz AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM assign GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (
