@@ -1750,6 +1750,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // §2.7 — exact substring-duplication spans (the Lee et al. span-level
+    // dedup signal): suffix-array semantics reformulated as a shingle
+    // multiplicity count + per-doc island merge — scan-shaped, no pair join
+    "q142_dup_substrings" -> ((s, dir) =>
+      Dedup.dupSubstringSpans(t(s, dir, "documents"), 40)),
+
+    // §2.2 — CUSUM change-point on the daily event volume: the max
+    // |N·S_i − i·S_N| deviation of the cumulative count from the uniform
+    // trend, all in exact BIGINT (no means, no doubles). Tiny daily frame
+    // (bounded by #days) + 1-row totals broadcast
+    "q143_cusum_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("d"))
+      val scored = daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("s_i",
+          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val tot = scored.groupBy()
+        .agg(max(col("i")).as("n_days"), sum(col("n")).as("total"))
+      scored.crossJoin(tot)
+        .select(col("d").as("cp_date"), col("i").as("cp_index"),
+          col("n_days"), col("s_i").as("cum_before"), col("total"),
+          abs(col("n_days") * col("s_i") - col("i") * col("total"))
+            .as("stat_max"))
+        .orderBy(col("stat_max").desc, col("cp_date").asc)
+        .limit(1)
+    }),
+
+    // §2.9 — DSIR-style target-affinity selection (target = lang 'en'):
+    // hashed-bigram importance screen, exact integer cross-multiplication
+    "q144_dsir_select" -> ((s, dir) =>
+      Curation.targetEnrichedSelect(t(s, dir, "documents"),
+        col("lang") === "en")),
+
+    // §2.9 — integer-exact weighted sample (P ∝ n_chars), ticket-replicated
+    // min-hash — rng-free, rerun- and engine-stable
+    "q145_weighted_sample" -> ((s, dir) =>
+      Curation.weightedTicketSample(t(s, dir, "documents"),
+        col("n_chars"), 20)),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -3478,6 +3522,92 @@ object SparkEntry {
          |  FROM assign GROUP BY 1)
          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
          |FROM sz GROUP BY 1""".stripMargin,
+
+    "q142_dup_substrings" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, n_chars - 40)) AS po
+        |  FROM documents WHERE n_chars >= 40),
+        |sh AS (
+        |  SELECT doc_id, CAST(po AS BIGINT) AS po,
+        |         substr(text, CAST(po AS INT) + 1, 40) AS s
+        |  FROM st),
+        |dup AS (
+        |  SELECT doc_id, po FROM (
+        |    SELECT doc_id, po, count(*) OVER (PARTITION BY s) AS n_occ
+        |    FROM sh)
+        |  WHERE n_occ >= 2),
+        |mk AS (
+        |  SELECT doc_id, po,
+        |         CASE WHEN po - lag(po) OVER (PARTITION BY doc_id
+        |                                      ORDER BY po) <= 40
+        |              THEN 0 ELSE 1 END AS new_span
+        |  FROM dup),
+        |si AS (
+        |  SELECT doc_id, po,
+        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY po
+        |                             ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM mk),
+        |spans AS (
+        |  SELECT doc_id, span_id, min(po) AS s0, max(po) + 40 AS e0
+        |  FROM si GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(e0 - s0) AS BIGINT) AS dup_chars,
+        |       CAST(max(e0 - s0) AS BIGINT) AS max_span
+        |FROM spans GROUP BY 1""".stripMargin,
+
+    "q143_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |sc AS (
+        |  SELECT d, n,
+        |         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |         CAST(sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS s_i
+        |  FROM daily),
+        |tot AS (SELECT CAST(max(i) AS BIGINT) AS n_days,
+        |               CAST(sum(n) AS BIGINT) AS total FROM sc)
+        |SELECT d AS cp_date, i AS cp_index, n_days, s_i AS cum_before,
+        |       total,
+        |       CAST(abs(n_days * s_i - i * total) AS BIGINT) AS stat_max
+        |FROM sc, tot
+        |ORDER BY stat_max DESC, cp_date ASC LIMIT 1""".stripMargin,
+
+    "q144_dsir_select" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang = 'en' AS is_t, $ToksSql AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, is_t,
+         |         unnest([t[x] || ' ' || t[x+1]
+         |                 for x in range(1, len(t))]) AS b
+         |  FROM tk),
+         |f AS (SELECT doc_id, is_t, substr(md5(b), 1, 2) AS bucket FROM bg),
+         |bs AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_raw,
+         |         CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS cnt_t
+         |  FROM f GROUP BY 1),
+         |tt AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
+         |              CAST(sum(cnt_t) AS BIGINT) AS n_t FROM bs),
+         |fl AS (SELECT bucket, cnt_t * tt.n_raw > cnt_raw * tt.n_t AS enr
+         |       FROM bs, tt)
+         |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+         |       CAST(count(*) FILTER (WHERE fl.enr) AS BIGINT) AS n_enr,
+         |       CAST(2 * count(*) FILTER (WHERE fl.enr) - count(*)
+         |            AS BIGINT) AS score
+         |FROM f JOIN fl USING (bucket) GROUP BY 1""".stripMargin,
+
+    "q145_weighted_sample" ->
+      """WITH tk AS (
+        |  SELECT doc_id, n_chars AS w,
+        |         md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |             CAST(unnest(generate_series(1, n_chars)) AS VARCHAR))
+        |           AS tkt
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, min(tkt) AS min_ticket
+        |FROM tk GROUP BY 1, 2
+        |ORDER BY 3 LIMIT 20""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (

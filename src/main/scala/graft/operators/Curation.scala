@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -288,5 +288,80 @@ object Curation {
       .groupBy(col("token"))
       .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+
+  /** DSIR-style target-affinity data selection (Xie et al. '23, "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * document by how strongly its hashed n-gram features lean toward a
+    * target slice of the corpus. Features are word bigrams hashed into 256
+    * buckets (2 hex chars of md5 — engine-portable, seed-free); a bucket is
+    * target-ENRICHED iff its target share exceeds its corpus share, tested
+    * by exact integer cross-multiplication (cnt_t·N_raw > cnt_raw·N_t) so
+    * no log-ratio doubles enter the score. Doc score = enriched minus
+    * non-enriched feature occurrences — the sign-quantized analogue of
+    * DSIR's summed log-likelihood ratio, chosen because it is exactly
+    * reproducible across engines and cluster topologies.
+    *
+    * Scale: one tokenize+hash pass (codegen'd), one groupBy on a key space
+    * CAPPED at 256 buckets (map-side combine collapses everything before
+    * the shuffle), a 1-row totals frame, then a broadcast join of the
+    * 256-row bucket table back onto the feature stream and a per-doc
+    * aggregate. No shuffle ever carries more than the feature stream once.
+    */
+  def targetEnrichedSelect(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTarget.as("is_t"),
+      tokensWs(col("text")).as("t"))
+    val feats = toks
+      .withColumn("b", when(size(col("t")) < 2,
+          array().cast("array<string>"))
+        .otherwise(expr("transform(sequence(1, size(t) - 1)," +
+          " i -> concat(t[i-1], ' ', t[i]))")))
+      .select(col("doc_id"), col("is_t"),
+        explode(col("b")).as("bigram"))
+      .select(col("doc_id"), col("is_t"),
+        substring(md5(col("bigram")), 1, 2).as("bucket"))
+      .localCheckpoint() // feeds bucket stats AND the per-doc score join
+    val bucketStats = feats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt_raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"))
+    val totals = bucketStats.groupBy()
+      .agg(sum(col("cnt_raw")).as("n_raw"), sum(col("cnt_t")).as("n_t"))
+    val flags = bucketStats.crossJoin(totals) // 256 x 1 rows
+      .select(col("bucket"),
+        (col("cnt_t") * col("n_raw") > col("cnt_raw") * col("n_t")).as("enr"))
+    feats.join(broadcast(flags), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        sum(when(col("enr"), 1L).otherwise(0L)).as("n_enr"))
+      .select(col("doc_id"), col("n_feat"), col("n_enr"),
+        (col("n_enr") * 2 - col("n_feat")).as("score"))
+  }
+
+  /** Integer-exact weighted sampling (probability ∝ integer weight) by
+    * ticket replication: each row emits `weight` tickets keyed by an
+    * engine-portable md5 of (id, ticket index); the row's sample key is its
+    * MINIMUM ticket and the global top-k smallest keys are the sample. The
+    * min-of-w-uniform-hashes construction makes P(row owns the global min)
+    * exactly w_i/Σw — weighted sampling without replacement in the A-ES
+    * sense, but with NO rng, NO log/pow doubles: reruns, repartitions, and
+    * different engines all draw the identical sample.
+    *
+    * Scale: ticket count = Σ weights; with weight = n_chars that is the
+    * corpus character count — the same order as any tokenize pass. The
+    * per-row work is a map-side explode + min-combine (the groupBy
+    * collapses each row's tickets before shuffling), and the top-k is a
+    * TakeOrdered, never a global sort. For weights far above row byte size,
+    * cap or bucket the weight column before calling.
+    */
+  def weightedTicketSample(docs: DataFrame, weight: Column, k: Int): DataFrame =
+    docs.select(col("doc_id"), weight.as("w"))
+      .filter(col("w") > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1L), col("w"))).as("i"))
+      .select(col("doc_id"), col("w"),
+        md5(concat_ws(":", col("doc_id"), col("i"))).as("tkt"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(min(col("tkt")).as("min_ticket"))
+      .orderBy(col("min_ticket"))
       .limit(k)
 }

@@ -895,4 +895,59 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Exact substring-duplication spans (Lee et al. '22, "Deduplicating
+    * Training Data Makes Language Models Better"): per doc, the maximal
+    * character spans covered by k-char substrings that occur >= 2 times
+    * ANYWHERE in the corpus — the verbatim-repetition signal that drives
+    * span-level (not doc-level) dedup of boilerplate and quotations.
+    *
+    * The published implementation builds one giant suffix array — a
+    * single-machine memory wall. The Spark reformulation is a shingle
+    * multiplicity count: emit every k-char start position (row count =
+    * corpus chars, scan-shaped), count occurrences per shingle with
+    * map-side partial aggregation (hot boilerplate shingles collapse
+    * before the shuffle — the skew killer a count-window would reintroduce
+    * by pinning each shingle's positions to one task), then a semi-join
+    * marks duplicated starts and a per-doc gaps-and-islands pass (window
+    * keyed by doc — bounded partitions) merges starts whose [off, off+k)
+    * intervals touch into maximal spans. Two shuffles on the shingle, one
+    * on doc_id; no pair join anywhere, so cost stays linear in corpus
+    * size at any duplication rate.
+    */
+  def dupSubstringSpans(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one row per k-char window start; guard n_chars >= k (sequence(0, n)
+    // with n < 0 would infer a NEGATIVE step and emit descending offsets)
+    val sh = docs.filter(col("n_chars") >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_chars") - k)).as("off"),
+        col("text"))
+      .select(col("doc_id"), col("off"),
+        col("text").substr(col("off").cast("int") + 1, lit(k)).as("s"))
+      .localCheckpoint() // feeds both the multiplicity count and the mark join
+    val dupShingles = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("s"))
+    val dupStarts = sh.join(dupShingles, Seq("s"), "left_semi")
+      .select(col("doc_id"), col("off"))
+    // merge duplicated starts into maximal covered spans: a start opens a
+    // new span iff its interval [off, off+k) neither overlaps nor touches
+    // the previous one (gap > k); span char length is then end - start
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupStarts
+      .withColumn("gap", col("off") - lag(col("off"), 1).over(byDoc))
+      .withColumn("new_span",
+        when(col("gap").isNull || col("gap") > k, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(run))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("off")).as("s0"), (max(col("off")) + k).as("e0"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0")).as("dup_chars"),
+        max(col("e0") - col("s0")).as("max_span"))
+  }
 }
