@@ -78,7 +78,19 @@ object Bench {
     "q135_first_seen_curve", "q136_pearson_corr",
     // q137-q139 are linear-claim: customer-aggregate rank, one
     // conditional-aggregate shuffle, and a type-grain max + 1-row combine
-    "q137_pareto_revenue", "q138_conversion_latency", "q139_freshness")
+    "q137_pareto_revenue", "q138_conversion_latency", "q139_freshness",
+    // q140/q142-q145 are linear-claim: token/shingle/ticket explodes are
+    // scan-shaped (linear in corpus chars) with map-side-combining
+    // aggregates; q141 stays OUT (it recomputes the by-design-quadratic
+    // q19 pair engine)
+    "q140_vocab_coverage", "q142_dup_substrings", "q143_cusum_changepoint",
+    "q144_dsir_select", "q145_weighted_sample",
+    // q146-q153 are linear-claim: bounded-domain aggregates + windows,
+    // posting-volume phrase shuffle, vocab-linear source overlap, and
+    // part-aggregate rank fusion
+    "q146_chi_cells", "q147_autocorr", "q148_benford", "q149_phrase_search",
+    "q150_source_overlap", "q151_l_diversity", "q152_weekday_mix",
+    "q153_rrf_fusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

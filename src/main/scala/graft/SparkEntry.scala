@@ -1794,6 +1794,159 @@ object SparkEntry {
       Curation.weightedTicketSample(t(s, dir, "documents"),
         col("n_chars"), 20)),
 
+    // §2.6 — chi-square independence cells for lang × source (the
+    // source-mix drift monitor): per-cell EXACT integer deviation
+    // dev = n·obs − row_tot·col_tot (the signed root of the chi statistic's
+    // numerator) — no doubles anywhere, so the hash is trivially stable.
+    // All three marginals are windows over the CELL AGGREGATE (bounded by
+    // |langs|·|sources|), never the corpus; windows keep null keys in one
+    // group exactly like the oracle's PARTITION BY (an equi-join back
+    // would silently drop them)
+    "q146_chi_cells" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("obs"))
+      cells.select(col("lang"), col("source"), col("obs"),
+          sum(col("obs")).over(Window.partitionBy(col("lang"))).as("row_tot"),
+          sum(col("obs")).over(Window.partitionBy(col("source"))).as("col_tot"),
+          sum(col("obs")).over(Window.partitionBy()).as("n"))
+        .withColumn("dev",
+          col("obs") * col("n") - col("row_tot") * col("col_tot"))
+    }),
+
+    // §2.6 — lag-1 autocorrelation of the daily event volume from exact
+    // integer sums (the seasonality/momentum screen): the five sums are
+    // BIGINTs over the bounded |days| frame; numerator and variance terms
+    // stay integral, so r's ingredients are hash-exact (same reasoning as
+    // q136's Pearson — engine corr() builtins use partitioning-dependent
+    // streaming co-moments, this formulation does not)
+    "q147_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("d"))
+      daily.withColumn("prev", lag(col("n"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy()
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("prev")).as("sx"), sum(col("n")).as("sy"),
+          sum(col("prev") * col("n")).as("sxy"),
+          sum(col("prev") * col("prev")).as("sxx"),
+          sum(col("n") * col("n")).as("syy"))
+        .select(col("n_pairs"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("syy"),
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+          (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("den_y"))
+    }),
+
+    // §2.6 — Benford leading-digit profile of order totals (the
+    // fabricated-feed screen): digit of the integer CENTS (same
+    // significand as the price, no float formatting), counts + integer
+    // permille against the 1-row total; the digit groupBy collapses
+    // map-side to ≤9 keys
+    "q148_benford" -> ((s, dir) => {
+      val digits = t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice") * 100 + 0.5)
+          .cast("long").cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+        .localCheckpoint() // feeds the total AND the final projection
+      digits.crossJoin(
+          broadcast(digits.groupBy().agg(sum(col("n_orders")).as("total"))))
+        .select(col("digit"), col("n_orders"),
+          expr("CAST((1000 * n_orders) div total AS BIGINT)").as("permille"))
+    }),
+
+    // §2.9 — positional-index phrase search ("table scan" as exact
+    // adjacent tokens): the adjacency query q81's bag-of-words index
+    // cannot answer; scan keeps only phrase-term postings, one
+    // (doc, start) shuffle carries posting volume, never the corpus
+    "q149_phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(t(s, dir, "documents"),
+        Seq("table", "scan"))),
+
+    // §2.7/§2.9 — cross-source shingle containment matrix (the corpus
+    // provenance-overlap audit before mixing sources): distinct
+    // (source, 3-gram) pairs self-join on the shingle — per-key fan-out
+    // bounded by |sources| after the distinct, so the pair stage is
+    // |shingle vocab|·|sources|², never doc-pairs; totals re-attach by
+    // broadcast
+    "q150_source_overlap" -> ((s, dir) => {
+      import graft.functions.TextFunctions.shingles3
+      val ss = t(s, dir, "documents")
+        .select(col("source"), explode(shingles3(col("text"))).as("s"))
+        .distinct()
+        .localCheckpoint() // feeds per-source totals AND the pair join
+      val tot = ss.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+      ss.select(col("source").as("src_a"), col("s"))
+        .join(ss.select(col("source").as("src_b"), col("s")), Seq("s"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(tot.select(col("source").as("src_a"),
+          col("n_distinct").as("n_a"))), Seq("src_a"))
+        .join(broadcast(tot.select(col("source").as("src_b"),
+          col("n_distinct").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          expr("CAST((1000 * n_shared) div n_a AS BIGINT)")
+            .as("cont_a_permille"),
+          expr("CAST((1000 * n_shared) div n_b AS BIGINT)")
+            .as("cont_b_permille"))
+    }),
+
+    // §2.6 — l-diversity audit ((date, segment) quasi-identifier groups
+    // whose sensitive attribute event_type shows < l distinct values —
+    // the homogeneity-attack complement of q76's k-anonymity size check);
+    // one enriched-stream shuffle on the QI grain
+    "q151_l_diversity" -> ((s, dir) =>
+      enriched(s, dir)
+        .groupBy(col("event_date"), col("segment"))
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(col("event_type")).as("l_div"))
+        .withColumn("below_l", col("l_div") < 3)),
+
+    // §2.6 — weekday × event-type seasonality profile (0 = Monday on both
+    // engines: Spark weekday() ≡ DuckDB isodow−1): counts + integer
+    // permille within the weekday over the bounded 7×|types| aggregate
+    "q152_weekday_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, dir)
+        .groupBy(expr("CAST(weekday(CAST(ts AS DATE)) AS BIGINT)").as("dow"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow_total",
+          sum(col("n")).over(Window.partitionBy(col("dow"))))
+        .withColumn("permille",
+          expr("CAST((1000 * n) div dow_total AS BIGINT)"))
+    }),
+
+    // §2.6 — reciprocal-rank fusion of two part rankings (revenue cents
+    // vs distinct-order breadth): rrf = 1/(60+r₁) + 1/(60+r₂) — the only
+    // doubles are two IEEE divisions of small integers and ONE addition,
+    // bit-identical on any engine; ranks are row_numbers over the PART
+    // AGGREGATE (bounded catalog, q137's documented exemption), fused
+    // top-20 by TakeOrdered
+    "q153_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("rev_cents"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .withColumn("rank_rev", row_number().over(
+          Window.orderBy(col("rev_cents").desc, col("l_partkey"))).cast("long"))
+        .withColumn("rank_ord", row_number().over(
+          Window.orderBy(col("n_orders").desc, col("l_partkey"))).cast("long"))
+        .select(col("l_partkey"), col("rank_rev"), col("rank_ord"),
+          (lit(1.0) / (lit(60) + col("rank_rev"))
+            + lit(1.0) / (lit(60) + col("rank_ord"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("l_partkey").asc)
+        .limit(20)
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -3608,6 +3761,123 @@ object SparkEntry {
         |SELECT doc_id, CAST(w AS BIGINT) AS w, min(tkt) AS min_ticket
         |FROM tk GROUP BY 1, 2
         |ORDER BY 3 LIMIT 20""".stripMargin,
+
+    "q146_chi_cells" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, obs,
+        |       CAST(sum(obs) OVER (PARTITION BY lang) AS BIGINT) AS row_tot,
+        |       CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS col_tot,
+        |       CAST(sum(obs) OVER () AS BIGINT) AS n,
+        |       CAST(obs * sum(obs) OVER ()
+        |            - sum(obs) OVER (PARTITION BY lang)
+        |              * sum(obs) OVER (PARTITION BY source)
+        |            AS BIGINT) AS dev
+        |FROM c""".stripMargin,
+
+    "q147_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT n, lag(n) OVER (ORDER BY d) AS prev FROM daily),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(prev) AS BIGINT) AS sx,
+        |         CAST(sum(n) AS BIGINT) AS sy,
+        |         CAST(sum(prev * n) AS BIGINT) AS sxy,
+        |         CAST(sum(prev * prev) AS BIGINT) AS sxx,
+        |         CAST(sum(n * n) AS BIGINT) AS syy
+        |  FROM p WHERE prev IS NOT NULL)
+        |SELECT n_pairs, sx, sy, sxy, sxx, syy,
+        |       CAST(n_pairs * sxy - sx * sy AS BIGINT) AS num,
+        |       CAST(n_pairs * sxx - sx * sx AS BIGINT) AS den_x,
+        |       CAST(n_pairs * syy - sy * sy AS BIGINT) AS den_y
+        |FROM s""".stripMargin,
+
+    "q148_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                     AS VARCHAR), 1, 1) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT digit, n_orders,
+        |       CAST((1000 * n_orders) // sum(n_orders) OVER () AS BIGINT)
+        |         AS permille
+        |FROM d""".stripMargin,
+
+    "q149_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, unnest(t) AS tok,
+         |         unnest(generate_series(0, len(t) - 1)) AS pos
+         |  FROM tk),
+         |em AS (
+         |  SELECT doc_id, pos - i AS st
+         |  FROM pos JOIN (VALUES (0, 'table'), (1, 'scan')) v(i, term)
+         |    ON tok = term
+         |  WHERE pos - i >= 0),
+         |m AS (SELECT doc_id, st, count(*) AS c FROM em GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |       CAST(min(st) AS BIGINT) AS first_pos
+         |FROM m WHERE c = 2 GROUP BY 1""".stripMargin,
+
+    "q150_source_overlap" ->
+      s"""WITH u AS (
+         |  SELECT source, unnest($ShinglesSql) AS s FROM documents),
+         |ss AS (SELECT DISTINCT source, s FROM u),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss
+         |        GROUP BY 1),
+         |c AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ss a JOIN ss b USING (s)
+         |  WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+         |       CAST((1000 * n_shared) // ta.n AS BIGINT) AS cont_a_permille,
+         |       CAST((1000 * n_shared) // tb.n AS BIGINT) AS cont_b_permille
+         |FROM c JOIN tot ta ON c.src_a = ta.source
+         |       JOIN tot tb ON c.src_b = tb.source""".stripMargin,
+
+    "q151_l_diversity" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, c_mktsegment AS segment,
+        |         event_type
+        |  FROM events JOIN customer ON user_id = c_custkey)
+        |SELECT event_date, segment, CAST(count(*) AS BIGINT) AS group_size,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS l_div,
+        |       count(DISTINCT event_type) < 3 AS below_l
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q152_weekday_mix" ->
+      """WITH c AS (
+        |  SELECT CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow,
+        |         event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, event_type, n,
+        |       CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS dow_total,
+        |       CAST((1000 * n) // sum(n) OVER (PARTITION BY dow) AS BIGINT)
+        |         AS permille
+        |FROM c""".stripMargin,
+
+    "q153_rrf_fusion" ->
+      """WITH a AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS rev_cents,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey,
+        |         CAST(row_number() OVER (ORDER BY rev_cents DESC, l_partkey)
+        |              AS BIGINT) AS rank_rev,
+        |         CAST(row_number() OVER (ORDER BY n_orders DESC, l_partkey)
+        |              AS BIGINT) AS rank_ord
+        |  FROM a)
+        |SELECT l_partkey, rank_rev, rank_ord,
+        |       1e0 / (60 + rank_rev) + 1e0 / (60 + rank_ord) AS rrf
+        |FROM r ORDER BY rrf DESC, l_partkey LIMIT 20""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (

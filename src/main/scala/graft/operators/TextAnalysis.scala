@@ -387,4 +387,40 @@ object TextAnalysis {
           .cast("long")).as("surprisal_bits"))
       .withColumn("avg_bits", col("surprisal_bits").cast("double") / col("n_toks"))
   }
+
+  /** Positional-index phrase search: documents containing the exact token
+    * sequence `phrase`, with match counts and first position — the
+    * adjacency query a bag-of-words inverted index (q81) cannot answer.
+    *
+    * Shape: a token at position p matching phrase term i votes for a
+    * candidate start p − i; a start with exactly |phrase| votes is a match
+    * (for fixed start, each term index maps to a unique position, so the
+    * count reaches |phrase| iff every term matched — duplicate phrase
+    * terms included, since one token emits one vote per index it equals).
+    * The scan keeps ONLY phrase-term occurrences (the positional posting
+    * lists), so the single (doc, start) shuffle carries the posting volume
+    * of |phrase| terms, not the corpus — the classic positional-index
+    * phrase plan, fully distributed.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(tokensWs(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+    // all phrase indices this token occurrence satisfies (handles phrases
+    // with repeated terms: one occurrence votes once per matching index)
+    val idxArr = array(phrase.zipWithIndex.map { case (term, i) =>
+      when(col("tok") === term, lit(i)) }: _*)
+    toks
+      .select(col("doc_id"), col("pos"),
+        explode(filter(idxArr, x => x.isNotNull)).as("i"))
+      .select(col("doc_id"), (col("pos") - col("i")).cast("long").as("start"))
+      .filter(col("start") >= 0)
+      .groupBy(col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+  }
 }

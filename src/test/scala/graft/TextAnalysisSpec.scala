@@ -216,6 +216,33 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("phraseSearch: adjacency, overlaps, and repeated-term phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the table scan wins"),       // one match at pos 1
+      (2L, "table  scan table scan"),    // two matches (double space drops)
+      (3L, "scan table"),                // reversed order: no match
+      (4L, "table x scan"),              // gap: no match
+      (5L, "table scan table scan table scan") // three matches
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, Seq("table", "scan"))
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe Set((1L, 1L, 1L), (2L, 2L, 0L), (5L, 3L, 0L))
+
+    // repeated phrase term: "a a" must match overlapping runs correctly
+    val rep = Seq((1L, "a a a"), (2L, "a b a"), (3L, "b a a b"))
+      .toDF("doc_id", "text")
+    val got2 = TextAnalysis.phraseSearch(rep, Seq("a", "a"))
+      .as[(Long, Long, Long)].collect().toSet
+    got2 shouldBe Set((1L, 2L, 0L), (3L, 1L, 1L))
+
+    // single-term phrase degenerates to term occurrence counting
+    val got3 = TextAnalysis.phraseSearch(docs, Seq("table"))
+      .as[(Long, Long, Long)].collect().toSet
+    got3 shouldBe Set((1L, 1L, 1L), (2L, 2L, 0L), (3L, 1L, 1L),
+      (4L, 1L, 0L), (5L, 3L, 0L))
+  }
+
   test("editDistancePairs plan: candidates come from an equi-join, no block key") {
     val df = (1 to 50).map(i => (i.toLong, s"part name number $i"))
       .toDF("item_id", "name")
