@@ -90,7 +90,12 @@ object Bench {
     // part-aggregate rank fusion
     "q146_chi_cells", "q147_autocorr", "q148_benford", "q149_phrase_search",
     "q150_source_overlap", "q151_l_diversity", "q152_weekday_mix",
-    "q153_rrf_fusion")
+    "q153_rrf_fusion",
+    // q154-q157: q154's wedge bound is m·√m (sub-quadratic by
+    // orientation, near-linear on bounded-basket graphs); the rest are
+    // one-window / bounded-aggregate shapes
+    "q154_triangles", "q155_session_paths", "q156_skyline",
+    "q157_basket_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

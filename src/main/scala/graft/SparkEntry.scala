@@ -1947,6 +1947,115 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // §2.6 — top-10 parts by triangle participation in the co-purchase
+    // graph (the community-vs-hub signal): per-order distinct-part pairs
+    // (fan-out bounded by order size) feed Graph.triangleCounts'
+    // degree-ordered orientation — wedge volume ≤ m·√m on any graph; the
+    // oracle counts the same triangles via the naive id-ordered 3-way join
+    "q154_triangles" -> ((s, dir) => {
+      val po = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = po.as("x")
+        .join(po.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+      Graph.triangleCounts(edges)
+        .orderBy(col("n_triangles").desc, col("node").asc)
+        .limit(10)
+    }),
+
+    // §2.5/§2.9 — top-20 within-session event-type trigram paths (the
+    // next-action / sequence-model feed): q11's 30-min gap rule, then
+    // lead() twice over the SAME user window (one sort) with session-id
+    // equality guards so paths never span a session break; trigram
+    // aggregate collapses map-side
+    "q155_session_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("ts_us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .withColumn("s2", lead(col("sid"), 1).over(w))
+        .withColumn("s3", lead(col("sid"), 2).over(w))
+        .filter(col("s3") === col("sid") && col("s2") === col("sid"))
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(20)
+    }),
+
+    // §2.6 — skyline / Pareto frontier of parts (maximize revenue cents
+    // AND distinct-order breadth): dominance resolved by two RANGE-frame
+    // window maxima over the PART AGGREGATE — "any strictly-higher-revenue
+    // row with ≥ my breadth" (integer cents make 1 FOLLOWING exact) and
+    // "any equal-revenue row with > my breadth" — replacing the naive
+    // quadratic NOT-EXISTS anti-join the oracle runs
+    "q156_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byRev = Window.orderBy(col("rev_cents"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("rev_cents"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .withColumn("m_gt", max(col("n_orders"))
+          .over(byRev.rangeBetween(1, Window.unboundedFollowing)))
+        .withColumn("m_eq", max(col("n_orders"))
+          .over(byRev.rangeBetween(Window.currentRow, Window.currentRow)))
+        .filter((col("m_gt").isNull || col("m_gt") < col("n_orders")) &&
+          col("m_eq") <= col("n_orders"))
+        .select(col("l_partkey"), col("rev_cents"), col("n_orders"))
+    }),
+
+    // §2.6 — 2-itemset association rules over order baskets (support /
+    // confidence / lift in exact integer MICROS — lift's cross-multiplied
+    // numerator 10⁶·n_ab·n needs n_ab·n ≤ 9.2×10¹² of 64-bit headroom,
+    // documented bound): per-order pair fan-out is C(k,2) of the bounded
+    // basket size; item supports re-attach by key join; both rule
+    // directions emitted
+    "q157_basket_rules" -> ((s, dir) => {
+      val po = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint() // feeds totals, item supports, AND the pair join
+      val nTot = po.groupBy().agg(countDistinct(col("o")).as("n"))
+      val item = po.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+      val pairs = po.as("x")
+        .join(po.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val rules = pairs
+        .select(col("pa").as("ante"), col("pb").as("cons"), col("n_ab"))
+        .unionAll(pairs
+          .select(col("pb").as("ante"), col("pa").as("cons"), col("n_ab")))
+      rules
+        .join(item.select(col("p").as("ante"), col("n_item").as("n_ante")),
+          Seq("ante"))
+        .join(item.select(col("p").as("cons"), col("n_item").as("n_cons")),
+          Seq("cons"))
+        .crossJoin(broadcast(nTot))
+        .select(col("ante"), col("cons"), col("n_ab"), col("n_ante"),
+          col("n_cons"), col("n"),
+          expr("CAST((1000000 * n_ab) div n AS BIGINT)").as("support_micro"),
+          expr("CAST((1000000 * n_ab) div n_ante AS BIGINT)")
+            .as("conf_micro"),
+          expr("CAST((1000000 * n_ab * n) div (n_ante * n_cons) AS BIGINT)")
+            .as("lift_micro"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -3878,6 +3987,88 @@ object SparkEntry {
         |SELECT l_partkey, rank_rev, rank_ord,
         |       1e0 / (60 + rank_rev) + 1e0 / (60 + rank_ord) AS rrf
         |FROM r ORDER BY rrf DESC, l_partkey LIMIT 20""".stripMargin,
+
+    // the oracle counts the same triangle set via the naive id-ordered
+    // three-way edge join (a < b < c, each triangle once)
+    "q154_triangles" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM po x JOIN po y ON x.o = y.o AND x.p < y.p),
+        |tr AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (
+        |  SELECT a AS node FROM tr
+        |  UNION ALL SELECT b FROM tr
+        |  UNION ALL SELECT c FROM tr)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin,
+
+    "q155_session_paths" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |t AS (
+        |  SELECT event_type, sid,
+        |         lead(event_type, 1) OVER w AS t2,
+        |         lead(event_type, 2) OVER w AS t3,
+        |         lead(sid, 1) OVER w AS s2,
+        |         lead(sid, 2) OVER w AS s3
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE s3 = sid AND s2 = sid
+        |GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20""".stripMargin,
+
+    "q156_skyline" ->
+      """WITH a AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS rev_cents,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, rev_cents, n_orders
+        |FROM a x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM a y
+        |  WHERE y.rev_cents >= x.rev_cents AND y.n_orders >= x.n_orders
+        |    AND (y.rev_cents > x.rev_cents OR y.n_orders > x.n_orders))""".stripMargin,
+
+    "q157_basket_rules" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM po),
+        |item AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item FROM po
+        |         GROUP BY 1),
+        |pr AS (
+        |  SELECT x.p AS pa, y.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM po x JOIN po y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |rules AS (
+        |  SELECT pa AS ante, pb AS cons, n_ab FROM pr
+        |  UNION ALL SELECT pb, pa, n_ab FROM pr)
+        |SELECT ante, cons, n_ab, ia.n_item AS n_ante, ic.n_item AS n_cons,
+        |       tot.n AS n,
+        |       CAST((1000000 * n_ab) // tot.n AS BIGINT) AS support_micro,
+        |       CAST((1000000 * n_ab) // ia.n_item AS BIGINT) AS conf_micro,
+        |       CAST((1000000 * n_ab * tot.n) // (ia.n_item * ic.n_item)
+        |            AS BIGINT) AS lift_micro
+        |FROM rules JOIN item ia ON rules.ante = ia.p
+        |     JOIN item ic ON rules.cons = ic.p
+        |     CROSS JOIN tot""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (

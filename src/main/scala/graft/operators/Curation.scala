@@ -302,11 +302,14 @@ object Curation {
     * DSIR's summed log-likelihood ratio, chosen because it is exactly
     * reproducible across engines and cluster topologies.
     *
-    * Scale: one tokenize+hash pass (codegen'd), one groupBy on a key space
-    * CAPPED at 256 buckets (map-side combine collapses everything before
-    * the shuffle), a 1-row totals frame, then a broadcast join of the
-    * 256-row bucket table back onto the feature stream and a per-doc
-    * aggregate. No shuffle ever carries more than the feature stream once.
+    * Scale: one tokenize+hash pass (codegen'd) feeding ONE corpus-sized
+    * shuffle on (doc, bucket) whose map-side combine collapses the bigram
+    * stream to ≤256 rows per document BEFORE anything moves or
+    * materializes — bucket stats, the 1-row totals, the 256-row broadcast
+    * flag join, and the per-doc score all derive from that small
+    * checkpointed aggregate, never from the raw feature stream. (The
+    * first cut checkpointed the per-occurrence stream itself; the sf1
+    * bench rung priced that materialization at ~9× this formulation.)
     */
   def targetEnrichedSelect(docs: DataFrame, isTarget: Column): DataFrame = {
     val toks = docs.select(col("doc_id"), isTarget.as("is_t"),
@@ -320,19 +323,21 @@ object Curation {
         explode(col("b")).as("bigram"))
       .select(col("doc_id"), col("is_t"),
         substring(md5(col("bigram")), 1, 2).as("bucket"))
-      .localCheckpoint() // feeds bucket stats AND the per-doc score join
-    val bucketStats = feats.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cnt_raw"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"))
+    val g = feats.groupBy(col("doc_id"), col("is_t"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤ |docs|·256 rows; feeds stats AND the score
+    val bucketStats = g.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("cnt_raw"),
+        sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("cnt_t"))
     val totals = bucketStats.groupBy()
       .agg(sum(col("cnt_raw")).as("n_raw"), sum(col("cnt_t")).as("n_t"))
     val flags = bucketStats.crossJoin(totals) // 256 x 1 rows
       .select(col("bucket"),
         (col("cnt_t") * col("n_raw") > col("cnt_raw") * col("n_t")).as("enr"))
-    feats.join(broadcast(flags), Seq("bucket"))
+    g.join(broadcast(flags), Seq("bucket"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feat"),
-        sum(when(col("enr"), 1L).otherwise(0L)).as("n_enr"))
+      .agg(sum(col("cnt")).as("n_feat"),
+        sum(when(col("enr"), col("cnt")).otherwise(0L)).as("n_enr"))
       .select(col("doc_id"), col("n_feat"), col("n_enr"),
         (col("n_enr") * 2 - col("n_feat")).as("score"))
   }

@@ -52,4 +52,60 @@ object Graph {
     }
     rank
   }
+
+  /** Per-node triangle participation counts over an UNDIRECTED distinct
+    * edge list `(a, b)` with `a < b` — the local clustering signal that
+    * separates genuine communities from star-shaped hubs in a
+    * co-occurrence graph.
+    *
+    * Algorithm: degree-ordered orientation (Chiba–Nishizeki / Schank's
+    * "forward" algorithm). Orient every edge from its (degree, id)-smaller
+    * endpoint to the larger; each triangle then has exactly one node with
+    * both out-edges (its π-smallest corner), so enumerating wedges from
+    * out-neighborhoods and closing them with one equi-join against the
+    * oriented edges counts every triangle exactly once. The orientation is
+    * the scale guarantee: out-degree is O(√m) on ANY graph, so wedge
+    * volume is Σ outdeg² ≤ m·√m and the plan never expands the quadratic
+    * neighborhood of a hub — the failure mode of the naive three-way
+    * edge join this replaces.
+    *
+    * Shapes: degree attach is two key joins; the wedge stage is ONE
+    * self-join on the oriented source (both sides the same checkpointed
+    * frame); closing is one equi-join on the (x, y) pair; per-node rollup
+    * explodes the three corners map-side. No driver-side state.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // π-orientation: src = (deg, id)-smaller endpoint; carry dst's degree
+    // so wedge pairs can be π-ordered without re-joining degrees
+    val aFirst = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("deg_a"), col("deg_b"),
+        (col("deg_a") < col("deg_b") ||
+          (col("deg_a") === col("deg_b") && col("a") < col("b"))).as("fwd"))
+    val dir = aFirst.select(
+        when(col("fwd"), col("a")).otherwise(col("b")).as("src"),
+        when(col("fwd"), col("b")).otherwise(col("a")).as("dst"),
+        when(col("fwd"), col("deg_b")).otherwise(col("deg_a")).as("dst_deg"))
+      .localCheckpoint() // reused: both wedge sides AND the closing probe
+    // wedges (x, y) from each apex's out-neighborhood, π-ordered so the
+    // closing edge — stored π-ascending by construction — is exactly
+    // (src = x, dst = y)
+    val wedges = dir.select(col("src"), col("dst").as("x"),
+        col("dst_deg").as("x_deg"))
+      .join(dir.select(col("src"), col("dst").as("y"),
+        col("dst_deg").as("y_deg")), Seq("src"))
+      .filter(col("x_deg") < col("y_deg") ||
+        (col("x_deg") === col("y_deg") && col("x") < col("y")))
+    val triangles = wedges
+      .join(dir.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(col("src").as("apex"), col("x"), col("y"))
+    triangles
+      .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

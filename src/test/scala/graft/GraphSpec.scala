@@ -35,4 +35,41 @@ class GraphSpec extends SparkTestBase {
     total should be <= 4000000L
     total should be > 3990000L
   }
+
+  test("triangleCounts: K4, star, and mixed graphs match hand counts") {
+    // K4: 4 triangles, every node participates in C(3,2) = 3
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("a", "b")
+    Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+
+    // star: no triangles at all (hub orientation must not explode either)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    Graph.triangleCounts(star).count() shouldBe 0L
+
+    // two triangles sharing edge (1,2): nodes 1,2 in both, 3,4 in one
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("a", "b")
+    Graph.triangleCounts(bowtie).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L)
+  }
+
+  test("triangleCounts equals the naive three-way join on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(18).toLong,
+        rnd.nextInt(18).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val eset = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+      if eset((a, b)) && eset((b, c)) && eset((a, c))
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Graph.triangleCounts(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe expected
+  }
 }
