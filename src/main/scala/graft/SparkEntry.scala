@@ -2056,6 +2056,122 @@ object SparkEntry {
             .as("lift_micro"))
     }),
 
+    // §2.6 — TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
+    // orders for one segment. Both date filters reach the parquet scans
+    // before the joins; orders×customer prunes to the segment first and
+    // broadcasts; revenue sums exact micros per order; the top-10 is a
+    // TakeOrdered (no global sort), tie-broken on l_orderkey so the limit
+    // is deterministic for the oracle compare
+    "q158_shipping_priority" -> ((s, dir) => {
+      val cut = lit("1997-07-01").cast("date")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000 + lit(0.5)).cast("long")).as("revenue_micro"))
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("o_orderpriority"), col("revenue_micro"))
+        .orderBy(col("revenue_micro").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // §2.6 — TPC-H Q5 shape (local supplier volume): revenue per nation
+    // where the customer and the line's supplier share a nation — the
+    // c_nationkey = s_nationkey co-location twist distinguishes this from
+    // q09's plain star. Both membership dims broadcast; the fact stream
+    // shuffles once per key join and aggregates to 25 rows
+    "q159_local_supplier_volume" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(ExactAgg.scaledSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000)
+          .as("revenue"))
+    }),
+
+    // §2.6 — TPC-H Q10 shape (returned-item reporting): top-20 customers
+    // by revenue lost to returns in one quarter. The quarter filter gates
+    // orders at the scan; lineitem prunes to returnflag='R' before the
+    // join; the customer/nation attach happens AFTER the custkey-grain
+    // aggregate, so only ~top rows join the dims. Deterministic limit via
+    // the custkey tiebreak
+    "q160_returned_items" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("date") &&
+          col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000 + lit(0.5)).cast("long")).as("revenue_micro"))
+      rev.join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("revenue_micro"))
+        .orderBy(col("revenue_micro").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // §2.6 — TPC-H Q14 shape (promo revenue share): one month's revenue
+    // ratio for PROMO-type parts. The month filter reaches the lineitem
+    // scan; part broadcasts; both numerator and denominator come out of
+    // ONE conditional aggregate (no second pass); the share divides two
+    // exact-integer micros as doubles, so it is hash-exact vs the oracle
+    "q161_promo_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("date") &&
+          col("l_shipdate") < lit("1997-04-01").cast("date"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 10000 + lit(0.5)).cast("long")).otherwise(0L))
+            .as("promo_micro"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000 + lit(0.5)).cast("long")).as("total_micro"))
+        .select(col("promo_micro"), col("total_micro"),
+          (col("promo_micro").cast("double") * lit(100.0) /
+            col("total_micro").cast("double")).as("promo_share"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -4069,6 +4185,71 @@ object SparkEntry {
         |FROM rules JOIN item ia ON rules.ante = ia.p
         |     JOIN item ic ON rules.cons = ic.p
         |     CROSS JOIN tot""".stripMargin,
+
+    "q158_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       CAST(o_orderdate AS DATE) AS order_date,
+        |       o_orderpriority,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |                * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micro
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1997-07-01'
+        |  AND l_shipdate > DATE '1997-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_micro DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q159_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |                * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q160_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |                * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micro
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1996-10-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_micro DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q161_promo_revenue" ->
+      """WITH g AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |          THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |               * 10000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS promo_micro,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |         * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_micro
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= DATE '1997-03-01'
+        |    AND l_shipdate < DATE '1997-04-01')
+        |SELECT promo_micro, total_micro,
+        |       CAST(promo_micro AS DOUBLE) * 100.0
+        |         / CAST(total_micro AS DOUBLE) AS promo_share
+        |FROM g""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (
