@@ -154,9 +154,19 @@ object Bench {
         s""","sf1":{"dir":"$sf1Dir","total":${total(r)},"queries":${json(r)}}"""
       } else ""
 
-    println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec",""" +
+    val line = s"""{"metric":"total","value":$headlineTotal,"unit":"sec",""" +
       s""""full_total":${total(results)},"queries":${json(results)},""" +
-      s""""sf":"$sfDir"$sf1}""")
+      s""""sf":"$sfDir"$sf1}"""
+    println(line)
+    // the driver captures stdout, but its copy has truncated the tail of
+    // long lines before (BENCH_r03) — also persist the full JSON to a file
+    // so the round's numbers survive verbatim
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

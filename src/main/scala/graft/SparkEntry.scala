@@ -2077,8 +2077,9 @@ object SparkEntry {
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"),
           col("o_orderpriority"))
-        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * 10000 + lit(0.5)).cast("long")).as("revenue_micro"))
+        .agg(sum(ExactAgg.scaledLong(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+          .as("revenue_micro"))
         .select(col("l_orderkey"),
           col("o_orderdate").cast("date").as("order_date"),
           col("o_orderpriority"), col("revenue_micro"))
@@ -2135,8 +2136,9 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * 10000 + lit(0.5)).cast("long")).as("revenue_micro"))
+        .agg(sum(ExactAgg.scaledLong(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+          .as("revenue_micro"))
       rev.join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
@@ -2161,12 +2163,15 @@ object SparkEntry {
           .select(col("p_partkey"), col("p_type"))),
           col("l_partkey") === col("p_partkey"))
         .agg(
-          sum(when(col("p_type") === "PROMO",
-            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-              * 10000 + lit(0.5)).cast("long")).otherwise(0L))
-            .as("promo_micro"),
-          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * 10000 + lit(0.5)).cast("long")).as("total_micro"))
+          // prefix match (TPC-H Q14's LIKE 'PROMO%') — robust whether the
+          // datagen emits bare 'PROMO' or composite 'PROMO BURNISHED ...'
+          sum(when(col("p_type").startsWith("PROMO"),
+            ExactAgg.scaledLong(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+            .otherwise(0L)).as("promo_micro"),
+          sum(ExactAgg.scaledLong(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+            .as("total_micro"))
         .select(col("promo_micro"), col("total_micro"),
           (col("promo_micro").cast("double") * lit(100.0) /
             col("total_micro").cast("double")).as("promo_share"))
@@ -4237,7 +4242,7 @@ object SparkEntry {
     "q161_promo_revenue" ->
       """WITH g AS (
         |  SELECT
-        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
         |          THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
         |               * 10000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
         |      AS promo_micro,

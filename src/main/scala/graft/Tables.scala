@@ -37,8 +37,13 @@ object Tables {
       case LongType =>
         raw.withColumn("ts_us", expr("ts div 1000"))
           .withColumn("ts", timestamp_micros(col("ts_us")))
-      case _ => // already a timestamp (e.g. test-authored data)
+      case _ =>
+        // Timestamp-typed parquet (driver regenerations have surfaced both
+        // LTZ and TIMESTAMP_NTZ micros). NTZ breaks `window()` /
+        // `session_window()` (DATATYPE_MISMATCH on `.start`), so always
+        // rebuild `ts` as a session-TZ TimestampType from the exact micros.
         raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
     }
   }
 }

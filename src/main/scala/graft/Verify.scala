@@ -10,7 +10,13 @@ object Verify {
     // spot-checks of a new batch without re-dumping the whole catalog.
     // The driver passes exactly two args, so its behavior is unchanged.
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2) args(2).split(",").filter(_.nonEmpty).toSet
+      else Set.empty
+    if (only.nonEmpty) {
+      val unknown = only -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] WARNING: unknown query names: ${unknown.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,11 +26,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only(name)) ()
       else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,5 +52,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // A crashed query must not be indistinguishable from an unwritten one:
+    // fail the whole run loudly (after dumping everything that did succeed).
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.reverse.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

@@ -22,11 +22,17 @@ object ExactAgg {
   /** Exact integer cents of a double money value (deterministic per row). */
   def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5)).cast("long")
 
+  /** Exact fixed-point long of a double at `scale` (half-up, per row) —
+    * the shared rounding kernel; sums of this are order-independent.
+    */
+  def scaledLong(c: Column, scale: Long): Column =
+    floor(c * lit(scale.toDouble) + lit(0.5)).cast("long")
+
   /** Order-independent sum of `c` at fixed-point `scale` (e.g. 10000 for a
     * 4-decimal measure), returned as double.
     */
   def scaledSum(c: Column, scale: Long): Column =
-    sum(floor(c * lit(scale.toDouble) + lit(0.5)).cast("long")).cast("double") / lit(scale.toDouble)
+    sum(scaledLong(c, scale)).cast("double") / lit(scale.toDouble)
 
   /** Order-independent sum of a money column, returned as double. */
   def moneySum(c: Column): Column = sum(cents(c)).cast("double") / lit(100.0)

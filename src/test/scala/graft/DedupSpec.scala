@@ -375,6 +375,21 @@ class DedupSpec extends SparkTestBase {
     plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell"
   }
 
+  test("embeddingNearDup plan at sf0.1: AQE's FINAL pair join is still an equi-join on cell") {
+    // q94's layout, executed so AQE commits its runtime join choice — spec-
+    // scale plan checks can't see an AQE rewrite to broadcast nested loop
+    // at real cell sizes (VERDICT r3 item 9)
+    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val out = Dedup.embeddingNearDup(emb, 0.35, nCells = 8, nProbe = 2)
+    out.write.mode("overwrite").format("noop").save()
+    val finalPlan = out.queryExecution.executedPlan.toString
+    // the bounded centroid probe is a legit nested-loop; the corpus-pair
+    // join must still hash/merge on the cell key (if AQE had degraded it
+    // to a nested loop, no equi-join on [cell would remain in the plan)
+    finalPlan should not include "CartesianProduct"
+    finalPlan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell"
+  }
+
   test("incrementalNearDup equals the batch-involving subset of the full join") {
     val batchIds = Set(2L, 4L)
     val batch = docs.filter(col("doc_id").isin(batchIds.toSeq.map(Long.box): _*))

@@ -24,6 +24,25 @@ class TablesSpec extends SparkTestBase {
       Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
   }
 
+  test("events loader contract: TIMESTAMP_NTZ parquet still yields TimestampType ts") {
+    // the round-3 regression layout: driver-regenerated events.parquet
+    // surfaced ts as TIMESTAMP_NTZ and window()/session_window() threw
+    // DATATYPE_MISMATCH — the loader must rebuild ts as session-TZ
+    // TimestampType for EVERY layout
+    val dir = Files.createTempDirectory("tloadntz").toString
+    Seq((1L, java.time.LocalDateTime.of(2024, 1, 1, 10, 0, 0), 1L))
+      .toDF("event_id", "ts", "user_id").write.parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    ev.schema("ts").dataType.typeName shouldBe "timestamp"
+    ev.schema("ts_us").dataType.typeName shouldBe "long"
+    // window() over the rebuilt ts must analyze (the regression's symptom)
+    import org.apache.spark.sql.functions.{window => twindow, col, unix_micros}
+    val w = ev.groupBy(twindow(col("ts"), "1 hour"))
+      .count().select(unix_micros(col("window.start"))).head().getLong(0)
+    w shouldBe java.time.LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+  }
+
   test("PartitionDiscovery ignores non-date directories") {
     val dir = Files.createTempDirectory("pdisc2").toString
     Seq(("2024-01-05", 1L), ("2024-02-01", 2L)).toDF("date", "v")
