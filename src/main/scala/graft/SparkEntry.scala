@@ -2177,6 +2177,158 @@ object SparkEntry {
             col("total_micro").cast("double")).as("promo_share"))
     }),
 
+    // §2.6 — TPC-H Q7 shape (volume shipping): revenue flowing between a
+    // nation PAIR (supplier's nation × customer's nation, both directions)
+    // per ship year. The two tiny nation-keyed maps broadcast; the only
+    // corpus shuffle is lineitem⋈orders on orderkey; the pair predicate
+    // runs after the broadcasts, the year comes off the pruned shipdate
+    "q162_nation_volume" -> ((s, dir) => {
+      val natPair = Seq("NATION_3", "NATION_7")
+      val nat = t(s, dir, "nation")
+        .filter(col("n_name").isin(natPair: _*))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(ExactAgg.scaledLong(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+          .as("revenue_micro"))
+    }),
+
+    // §2.6 — TPC-H Q8 shape (national market share): of the STANDARD-part
+    // revenue sold to ASIA customers per order year, the share supplied
+    // by one nation — numerator and denominator from ONE conditional
+    // aggregate, the share an exact integer division of their micros
+    "q163_market_share" -> ((s, dir) => {
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1998-01-01").cast("date"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val stdParts = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val natSup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("n_name") === "NATION_5", ExactAgg.scaledLong(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+            .otherwise(0L)).as("nation_micro"),
+          sum(ExactAgg.scaledLong(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+            .as("total_micro"))
+        .withColumn("share_ppm",
+          expr("(nation_micro * 1000000) div total_micro"))
+    }),
+
+    // §2.6 — TPC-H Q17 shape (small-quantity revenue): lines whose
+    // quantity is below 20% of their part's average, for one brand. The
+    // correlated average is exact: 5·qty·cnt < sum_qty in int64 (the
+    // synthetic quantities are integral), never a double avg. Both the
+    // per-part stats and the probe reuse one l_partkey shuffle
+    "q164_small_qty_revenue" -> ((s, dir) => {
+      val brandLines = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .localCheckpoint() // consumed twice: stats build + probe
+      val stats = brandLines.groupBy(col("l_partkey").as("sp_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      brandLines
+        .join(stats, col("l_partkey") === col("sp_partkey"))
+        .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt") <
+          col("sum_qty"))
+        .agg(sum(ExactAgg.scaledLong(col("l_extendedprice"), 10000))
+          .as("total_micro"))
+        .select(col("total_micro"),
+          expr("total_micro div 7").as("avg_yearly_micro"))
+    }),
+
+    // §2.6 — TPC-H Q19 shape (disjunctive predicates): three OR'd
+    // (brand, size-range, quantity-range) arms evaluated in one pass —
+    // the part side prunes to the three brands AT THE SCAN (the
+    // brand-disjunction is pushable), the residual arm predicate runs
+    // after the broadcast join, and revenue sums exact micros
+    "q165_disjunct_revenue" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val arm = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(arm("Brand#12", 1, 5, 1, 11) ||
+          arm("Brand#23", 1, 10, 10, 20) ||
+          arm("Brand#34", 1, 15, 20, 30))
+        .agg(sum(ExactAgg.scaledLong(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+          .as("revenue_micro"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // §2.6 — TPC-H Q22 shape (idle wealthy customers): customers whose
+    // balance beats the average POSITIVE balance (exact rational compare:
+    // cents·cnt > sum_cents, no double avg) and who placed no order in
+    // the final window — scalar-aggregate broadcast + anti-join on
+    // custkey, grouped to one row per nation
+    "q166_idle_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          ExactAgg.cents(col("c_acctbal")).as("bal_cents"))
+      val posAvg = cust.filter(col("bal_cents") > 0L)
+        .agg(sum(col("bal_cents")).as("sum_cents"),
+          count(lit(1)).as("n_pos"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(posAvg))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("bal_cents")).as("total_cents"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -4255,6 +4407,101 @@ object SparkEntry {
         |       CAST(promo_micro AS DOUBLE) * 100.0
         |         / CAST(total_micro AS DOUBLE) AS promo_share
         |FROM g""".stripMargin,
+
+    "q162_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation,
+        |       cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |                * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micro
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND sn.n_name <> cn.n_name
+        |  AND l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q163_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |         THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |              * 10000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |         AS nation_micro,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |            * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_micro,
+        |       (CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |          THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |               * 10000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |        * 1000000)
+        |       // CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |            * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS share_ppm
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD'
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q164_small_qty_revenue" ->
+      """WITH b AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |s AS (
+        |  SELECT l_partkey AS sp_partkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5)
+        |           AS BIGINT)) AS BIGINT) AS total_micro
+        |  FROM b JOIN s ON l_partkey = sp_partkey
+        |  WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty)
+        |SELECT total_micro, total_micro // 7 AS avg_yearly_micro FROM f""".stripMargin,
+
+    "q165_disjunct_revenue" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |            * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micro,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |         AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |         AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q166_idle_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |p AS (
+        |  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+        |         CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM c WHERE bal_cents > 0)
+        |SELECT n_name,
+        |       CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS total_cents
+        |FROM c JOIN nation ON c_nationkey = n_nationkey, p
+        |WHERE bal_cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY 1""".stripMargin,
 
     "q115_ab_welch" ->
       """WITH g AS (
