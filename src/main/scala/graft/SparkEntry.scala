@@ -2329,6 +2329,49 @@ object SparkEntry {
           sum(col("bal_cents")).as("total_cents"))
     }),
 
+    // §2.9 — bigram-LM surprisal (round 4): conditional next-token
+    // surprisal in integer bits, bits(b|a) = bitlen(c(a·)) − bitlen(c(ab))
+    // — q99's unigram trick upgraded to a conditional model; dictionary
+    // joins are vocab-sized, the stream probes Zipf-head-broadcast
+    "q167_bigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(t(s, dir, "documents"))),
+
+    // §2.9 — Heaps-law vocabulary growth at doc-ordered checkpoints:
+    // is more data still adding new words? Bucket width bounds the
+    // cumulative-window frame (checkpoint count, not corpus size)
+    "q168_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"), 50L)),
+
+    // §2.9 — per-source lexical diversity: type-token + hapax ratios as
+    // exact integer ppm — the template-feed vs natural-text screen
+    "q169_lexical_diversity" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(t(s, dir, "documents"))),
+
+    // §2.8 — kNN label-consistency audit: each probe vector's label vs
+    // the majority label of its 5 nearest neighbors — the embedding-
+    // quality / mislabel screen. Composes the exact brute kNN (the
+    // oracle-able baseline; at scale the same vote runs over ivfKnn)
+    "q170_knn_label_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 32), 5)
+      val votes = knn
+        .join(broadcast(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"))), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("n_label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("n_label").asc)
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(broadcast(emb.select(col("vec_id").as("query_id"),
+          col("label").as("own_label"))), Seq("query_id"))
+        .select(col("query_id"),
+          col("own_label").cast("long").as("own_label"),
+          col("n_label").cast("long").as("voted_label"),
+          col("n_votes"),
+          (col("own_label") === col("n_label")).as("agree"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -4483,6 +4526,87 @@ object SparkEntry {
         |         AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q167_bigram_surprisal" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $ToksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |         toks[CAST(r.i AS INT)] AS a,
+         |         toks[CAST(r.i AS INT) + 1] AS b
+         |  FROM d, unnest(range(1, len(toks))) AS r(i)),
+         |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+         |      FROM bg GROUP BY 1, 2),
+         |p AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM c GROUP BY 1),
+         |j AS (SELECT bg.doc_id,
+         |             CAST(length(format('{:b}', p.c_a))
+         |                - length(format('{:b}', c.c_ab)) AS BIGINT) AS bits
+         |      FROM bg JOIN c USING (a, b) JOIN p USING (a))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+         |       CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
+         |FROM j GROUP BY 1""".stripMargin,
+
+    "q168_vocab_growth" ->
+      s"""WITH s AS (
+         |  SELECT doc_id // 50 AS bucket, unnest($ToksSql) AS token
+         |  FROM documents),
+         |v AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_toks
+         |      FROM s GROUP BY 1),
+         |f AS (SELECT token, min(bucket) AS bucket FROM s GROUP BY 1),
+         |n AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+         |      FROM f GROUP BY 1)
+         |SELECT v.bucket, n_toks,
+         |       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+         |       CAST(sum(n_toks) OVER (ORDER BY v.bucket) AS BIGINT)
+         |         AS cum_toks,
+         |       CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY v.bucket)
+         |         AS BIGINT) AS cum_types
+         |FROM v LEFT JOIN n ON v.bucket = n.bucket""".stripMargin,
+
+    "q169_lexical_diversity" ->
+      s"""WITH s AS (
+         |  SELECT source, unnest($ToksSql) AS token FROM documents),
+         |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+         |      FROM s GROUP BY 1, 2)
+         |SELECT source,
+         |       CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_types,
+         |       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+         |       (CAST(count(*) AS BIGINT) * 1000000)
+         |         // CAST(sum(c) AS BIGINT) AS ttr_ppm,
+         |       (CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) * 1000000)
+         |         // CAST(count(*) AS BIGINT) AS hapax_ppm
+         |FROM c GROUP BY 1""".stripMargin,
+
+    "q170_knn_label_audit" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         c.label AS n_label,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |           AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 32 AND c.vec_id <> q.vec_id),
+         |knn AS (SELECT * FROM (
+         |  SELECT query_id, neighbor_id, n_label,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_sim DESC, neighbor_id ASC)
+         |           AS rnk
+         |  FROM scored) WHERE rnk <= 5),
+         |votes AS (SELECT query_id, n_label,
+         |                 CAST(count(*) AS BIGINT) AS n_votes
+         |          FROM knn GROUP BY 1, 2),
+         |top AS (SELECT * FROM (
+         |  SELECT query_id, n_label, n_votes,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY n_votes DESC, n_label ASC) AS rn
+         |  FROM votes) WHERE rn = 1)
+         |SELECT t.query_id,
+         |       CAST(q.label AS BIGINT) AS own_label,
+         |       CAST(t.n_label AS BIGINT) AS voted_label,
+         |       t.n_votes,
+         |       (q.label = t.n_label) AS agree
+         |FROM top t JOIN e q ON t.query_id = q.vec_id""".stripMargin,
 
     "q166_idle_customers" ->
       """WITH c AS (

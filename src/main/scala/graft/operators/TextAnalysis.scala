@@ -423,4 +423,103 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
   }
+
+  /** Per-document BIGRAM surprisal against the corpus's own bigram LM —
+    * the conditional-probability upgrade of [[unigramSurprisal]]:
+    * bits(b | a) = bitlen(c(a·)) − bitlen(c(a,b)), integer bits via
+    * `bin()` length so the score is engine- and partitioning-exact
+    * (same trick q99 verified against DuckDB's `format('{:b}', …)`).
+    *
+    * Scale shape: the (a,b) count dictionary and its prefix marginal are
+    * vocabulary-sized, so the dictionary-side join (counts ⋈ prefix)
+    * shuffles vocab rows, never the token stream; the stream joins the
+    * enriched dictionary once, with the Zipf head broadcast and only the
+    * tail shuffling (q99's split-join answer to bigram skew). Docs with
+    * fewer than two tokens have no bigrams and no output row — same
+    * inner semantics as the oracle.
+    */
+  def bigramSurprisal(docs: DataFrame, hotK: Int = 1024): DataFrame = {
+    val toks = tokensWs(col("text"))
+    val n = size(toks)
+    val stream = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), greatest(n - 1, lit(0))),
+          slice(toks, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val counts = stream.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val prefix = counts.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    // localCheckpoint: the vocab-sized dictionary is consumed three
+    // times (hot head, tail join, and its own build) — without it each
+    // consumer re-runs the corpus-wide bigram aggregate
+    val dict = counts.join(prefix, Seq("a"))
+      .select(col("a"), col("b"), col("c_ab"),
+        (length(bin(col("c_a"))) - length(bin(col("c_ab"))))
+          .cast("long").as("bits"))
+      .localCheckpoint()
+    val hot = dict.orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
+      .limit(hotK).select(col("a"), col("b"), col("bits")) // Zipf head
+    val probed = stream.join(broadcast(hot), Seq("a", "b"), "left")
+    val head = probed.filter(col("bits").isNotNull)
+    val tail = probed.filter(col("bits").isNull).drop("bits")
+      .join(dict.select(col("a"), col("b"), col("bits")), Seq("a", "b"))
+    head.unionByName(tail)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("surprisal_bits"))
+      .withColumn("avg_bits",
+        col("surprisal_bits").cast("double") / col("n_bigrams"))
+  }
+
+  /** Heaps-law vocabulary-growth curve: cumulative token volume vs
+    * cumulative DISTINCT vocabulary at doc-ordered checkpoints
+    * (bucket = doc_id div width) — the "is more data still adding new
+    * words?" diminishing-returns read on a corpus.
+    *
+    * Scale shape: a token's contribution to the distinct curve is fully
+    * determined by its FIRST bucket (min over occurrences — one shuffle
+    * on token with map-side combine); per-bucket news and volumes are
+    * bucket-grain aggregates; the cumulative window runs over the
+    * BUCKET frame only, whose size the caller bounds via `width`
+    * (checkpoint count, not corpus size).
+    */
+  def vocabGrowth(docs: DataFrame, width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val stream = docs.select(
+        expr(s"doc_id div ${width}L").as("bucket"), // exact integer bucket
+        explode(tokensWs(col("text"))).as("token"))
+    val volume = stream.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_toks"))
+    val news = stream.groupBy(col("token"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    volume.join(news, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .select(col("bucket"), col("n_toks"), col("n_new"),
+        sum(col("n_toks")).over(w).as("cum_toks"),
+        sum(col("n_new")).over(w).as("cum_types"))
+  }
+
+  /** Per-source lexical-diversity report: token volume, type count,
+    * hapax (once-only) count, and the integer-ppm type-token and
+    * hapax-type ratios — the vocabulary-richness screen that separates
+    * template-generated feeds (low TTR) from natural text.
+    *
+    * One (source, token) shuffle with map-side combine, then a
+    * source-grain rollup of that vocabulary frame. All ratios are exact
+    * BIGINT ppm divisions.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokensWs(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("c") === 1L, 1)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tokens"))
+      .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_types"))
 }

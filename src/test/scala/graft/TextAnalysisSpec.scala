@@ -136,6 +136,59 @@ class TextAnalysisSpec extends SparkTestBase {
     plan should include("BroadcastHashJoin")
   }
 
+  test("bigramSurprisal: hand-computed conditional bits") {
+    // bigrams: (a,b) x2, (a,c) x1, (b,a) x1, (c,a) x1
+    // prefixes: c(a·)=3 (bitlen 2), c(b·)=1 (bitlen 1), c(c·)=1 (bitlen 1)
+    // bits: (a,b) -> 2-2=0, (a,c) -> 2-1=1, (b,a) -> 1-1=0, (c,a) -> 1-1=0
+    val docs = Seq(
+      (1L, "a b a c"),   // bigrams (a,b),(b,a),(a,c): 0+0+1 = 1 bit
+      (2L, "c a b"),     // bigrams (c,a),(a,b): 0+0 = 0 bits
+      (3L, "x")          // no bigrams: drops out
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramSurprisal(docs, hotK = 2)
+      .select("doc_id", "n_bigrams", "surprisal_bits", "avg_bits")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    r shouldBe Array((1L, 3L, 1L, 1.0 / 3), (2L, 2L, 0L, 0.0))
+  }
+
+  test("bigramSurprisal: hot-head split is invisible in the result") {
+    val docs = Seq((1L, "a b a b c"), (2L, "b c a"), (3L, "a b")).toDF("doc_id", "text")
+    def run(k: Int) = TextAnalysis.bigramSurprisal(docs, hotK = k)
+      .select("doc_id", "n_bigrams", "surprisal_bits")
+      .as[(Long, Long, Long)].collect().toSet
+    run(1) shouldBe run(1024)
+  }
+
+  test("vocabGrowth: cumulative types count each token at its first bucket only") {
+    val docs = Seq(
+      (0L, "a b"),   // bucket 0: toks a,b -> 2 new
+      (1L, "b c"),   // bucket 0: c new   -> bucket 0: n_toks 4, n_new 3
+      (2L, "a d"),   // bucket 1: d new   -> n_toks 2, n_new 1
+      (5L, "a b c")  // bucket 2: none new -> n_toks 3, n_new 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabGrowth(docs, width = 2L)
+      .select("bucket", "n_toks", "n_new", "cum_toks", "cum_types")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (0L, 4L, 3L, 4L, 3L),
+      (1L, 2L, 1L, 6L, 4L),
+      (2L, 3L, 0L, 9L, 4L))
+  }
+
+  test("lexicalDiversity: hapax and TTR ppm, hand-computed") {
+    val docs = Seq(
+      (1L, "a a b", "s1"),   // s1: tokens 5, types {a,b,c}: a x3, b x1, c x1
+      (2L, "a c", "s1"),
+      (3L, "z z z z", "s2")  // s2: tokens 4, 1 type, 0 hapax
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lexicalDiversity(docs)
+      .select("source", "n_tokens", "n_types", "n_hapax", "ttr_ppm", "hapax_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    r shouldBe Array(
+      ("s1", 5L, 3L, 2L, 600000L, 666666L),
+      ("s2", 4L, 1L, 0L, 250000L, 0L))
+  }
+
   test("ngramNovelty: shared trigram fractions, hand-counted") {
     val docs = Seq(
       (1L, "a b c d"),   // trigrams: "a b c", "b c d"
