@@ -205,9 +205,11 @@ object JpegCodec {
     bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8 &&
       (bytes(2) & 0xFF) == 0xFF
 
-  /** Decode one baseline JPEG payload to RGB pixels, or None if the
-    * payload is not a JPEG in the supported subset (progressive,
-    * arithmetic-coded, 12-bit, >2 sampling factors, truncated, corrupt).
+  /** Decode one JPEG payload to RGB pixels — baseline (SOF0) or
+    * progressive (SOF2: spectral selection + successive approximation,
+    * multi-scan) — or None if the payload is outside the supported
+    * subset (arithmetic-coded, 12-bit, >2 sampling factors, truncated,
+    * corrupt).
     */
   def decode(bytes: Array[Byte]): Option[PpmImage] = {
     if (!isJpeg(bytes)) return None
@@ -218,19 +220,29 @@ object JpegCodec {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
+    var prog: ProgState = null
     var pos = 2
 
     def u16(at: Int) = ((bytes(at) & 0xFF) << 8) | (bytes(at + 1) & 0xFF)
 
-    while (pos + 4 <= bytes.length) {
+    while (pos + 2 <= bytes.length) {
       if ((bytes(pos) & 0xFF) != 0xFF) return None
       val marker = bytes(pos + 1) & 0xFF
       if (marker == 0xD8) { pos += 2 } // stray SOI
-      else if (marker == 0xD9) return None // EOI before SOS
+      else if (marker == 0xFF) { pos += 1 } // fill byte before a marker
+      else if (marker == 0xD9) {
+        // EOI: a finished progressive image reconstructs here; for
+        // baseline (whose single scan returns directly) it is premature
+        return if (progressive && prog != null && prog.sawScan)
+          reconstructProgressive(prog, comps, quant, width, height)
+        else None
+      } else if (pos + 4 > bytes.length) return None
       else {
         val len = u16(pos + 2)
         if (len < 2 || pos + 2 + len > bytes.length) return None
         val seg = pos + 4
+        var posOverride = -1
         marker match {
           case 0xDB => // DQT: one or more tables
             var p = seg
@@ -263,9 +275,11 @@ object JpegCodec {
               if (tc == 0) dcTabs(th) = h else acTabs(th) = h
               p += 17 + n
             }
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+            if (comps != null) return None // second frame header
             if (len < 8) return None
             if ((bytes(seg) & 0xFF) != 8) return None // 8-bit only
+            progressive = marker == 0xC2
             height = u16(seg + 1)
             width = u16(seg + 3)
             val n = bytes(seg + 5) & 0xFF
@@ -283,28 +297,49 @@ object JpegCodec {
               if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) return None
               c
             }
-          case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
-            return None // progressive / extended / arithmetic: out of scope
+          case m if m >= 0xC1 && m <= 0xCF && m != 0xC2 && m != 0xC4 &&
+              m != 0xC8 && m != 0xCC =>
+            return None // extended / arithmetic / hierarchical: out of scope
           case 0xDD =>
             if (len < 4) return None
             restartInterval = u16(seg)
           case 0xDA => // SOS: wire tables, then the entropy-coded segment
             if (comps == null || len < 3) return None
             val ns = bytes(seg) & 0xFF
-            if (ns != comps.length || len < 6 + 2 * ns) return None
+            if (ns < 1 || ns > comps.length || len < 6 + 2 * ns) return None
+            val scanIdx = new Array[Int](ns)
             var i = 0
             while (i < ns) {
               val cid = bytes(seg + 1 + 2 * i) & 0xFF
-              val c = comps.find(_.id == cid).getOrElse(return None)
-              c.dcTable = (bytes(seg + 2 + 2 * i) & 0xF0) >> 4
-              c.acTable = bytes(seg + 2 + 2 * i) & 0x0F
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              comps(ci).dcTable = (bytes(seg + 2 + 2 * i) & 0xF0) >> 4
+              comps(ci).acTable = bytes(seg + 2 + 2 * i) & 0x0F
+              // 4-bit ids address 4-slot tables: reject 4..15, don't index
+              if (comps(ci).dcTable > 3 || comps(ci).acTable > 3) return None
+              scanIdx(i) = ci
               i += 1
             }
-            return decodeScan(bytes, pos + 2 + len, comps, quant, dcTabs,
-              acTabs, width, height, restartInterval)
+            if (!progressive) {
+              if (ns != comps.length) return None
+              return decodeScan(bytes, pos + 2 + len, comps, quant, dcTabs,
+                acTabs, width, height, restartInterval)
+            }
+            val ss = bytes(seg + 1 + 2 * ns) & 0xFF
+            val se = bytes(seg + 2 + 2 * ns) & 0xFF
+            val ahal = bytes(seg + 3 + 2 * ns) & 0xFF
+            val ah = (ahal >> 4) & 0x0F
+            val al = ahal & 0x0F
+            if (se > 63 || ss > se || ah > 13 || al > 13) return None
+            if (ah != 0 && ah != al + 1) return None // refine one bit/scan
+            if (prog == null) prog = new ProgState(comps, width, height)
+            val end = decodeProgScan(bytes, pos + 2 + len, prog, comps,
+              scanIdx, ss, se, ah, al, restartInterval, dcTabs, acTabs)
+            if (end < 0) return None
+            posOverride = end
           case _ => // APPn / COM / unknown: skip
         }
-        pos += 2 + len
+        pos = if (posOverride >= 0) posOverride else pos + 2 + len
       }
     }
     None
@@ -404,7 +439,18 @@ object JpegCodec {
       mcu += 1
     }
 
-    // assemble RGB: upsample chroma by sample replication, JFIF color xform
+    Some(assemble(comps, planes, planeW, width, height))
+  }
+
+  /** Assemble RGB from per-component sample planes: upsample chroma by
+    * sample replication, JFIF color transform. Shared by the baseline
+    * and progressive reconstruction paths.
+    */
+  private def assemble(comps: Array[Component], planes: Array[Array[Byte]],
+                       planeW: Array[Int], width: Int,
+                       height: Int): PpmImage = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
     val out = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -434,7 +480,280 @@ object JpegCodec {
       }
       y += 1
     }
-    Some(PpmImage(width, height, out))
+    PpmImage(width, height, out)
+  }
+
+  // ---- progressive (SOF2) decoding ---------------------------------------
+
+  /** Accumulated raw DCT coefficients across a progressive image's scans.
+    * Coefficients live on the full interleaved MCU grid (natural order
+    * within each 64-int block); non-interleaved scans touch only the
+    * component's own ceil(size/8) block raster, per T.81 A.2.
+    */
+  private final class ProgState(comps: Array[Component], width: Int,
+                                height: Int) {
+    val hMax: Int = comps.map(_.h).max
+    val vMax: Int = comps.map(_.v).max
+    val mcusX: Int = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY: Int = (height + 8 * vMax - 1) / (8 * vMax)
+    val blocksW: Array[Int] = comps.map(c => mcusX * c.h)
+    val blocksH: Array[Int] = comps.map(c => mcusY * c.v)
+    // single-component (non-interleaved) scans cover ceil(compDim/8)
+    val compBlocksW: Array[Int] =
+      comps.map(c => ((width * c.h + hMax - 1) / hMax + 7) / 8)
+    val compBlocksH: Array[Int] =
+      comps.map(c => ((height * c.v + vMax - 1) / vMax + 7) / 8)
+    val coefs: Array[Array[Int]] =
+      comps.indices.map(i => new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
+    var sawScan = false
+  }
+
+  /** Decode ONE progressive scan into the coefficient store. Returns the
+    * byte offset where the entropy-coded segment ended (the next marker's
+    * 0xFF), or -1 on any corruption.
+    */
+  private def decodeProgScan(bytes: Array[Byte], start: Int, st: ProgState,
+                             comps: Array[Component], scan: Array[Int],
+                             ss: Int, se: Int, ah: Int, al: Int,
+                             restartInterval: Int, dcTabs: Array[Huff],
+                             acTabs: Array[Huff]): Int = {
+    val br = new BitReader(bytes, start)
+    val dcPred = new Array[Int](comps.length)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    // refinement of an already-nonzero coefficient: one correction bit
+    def refineNonzero(coef: Array[Int], idx: Int): Boolean = {
+      val b = br.readBit()
+      if (b < 0) return false
+      if (b == 1 && (coef(idx) & p1) == 0)
+        coef(idx) += (if (coef(idx) >= 0) p1 else m1)
+      true
+    }
+
+    if (ss == 0) {
+      // DC scan: interleaved over MCUs when multi-component, else the
+      // single component's own block raster. se must be 0 (T.81 G.1.1.1).
+      if (se != 0) return -1
+      if (ah == 0) {
+        var i = 0
+        while (i < scan.length) {
+          if (dcTabs(comps(scan(i)).dcTable) == null) return -1
+          i += 1
+        }
+      }
+      val interleaved = scan.length > 1
+      val unitsX = if (interleaved) st.mcusX else st.compBlocksW(scan(0))
+      val unitsY = if (interleaved) st.mcusY else st.compBlocksH(scan(0))
+      val nUnits = unitsX * unitsY
+      var unit = 0
+      var rstCount = 0
+      while (unit < nUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!br.restart(rstCount)) return -1
+          rstCount += 1
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val ux = unit % unitsX
+        val uy = unit / unitsX
+        var si = 0
+        while (si < scan.length) {
+          val ci = scan(si)
+          val c = comps(ci)
+          val coef = st.coefs(ci)
+          val gridW = st.blocksW(ci)
+          val hh = if (interleaved) c.h else 1
+          val vv = if (interleaved) c.v else 1
+          var by = 0
+          while (by < vv) {
+            var bx = 0
+            while (bx < hh) {
+              val bX = if (interleaved) ux * c.h + bx else ux
+              val bY = if (interleaved) uy * c.v + by else uy
+              val base = (bY * gridW + bX) * 64
+              if (ah == 0) { // first DC scan: diff-coded, scaled by Al
+                val t = br.decodeHuff(dcTabs(c.dcTable))
+                if (t < 0 || t > 11) return -1
+                val v = if (t == 0) 0 else br.receive(t)
+                if (v < 0) return -1
+                dcPred(ci) += extend(v, t)
+                coef(base) = dcPred(ci) << al
+              } else { // DC refinement: one appended bit per block
+                val b = br.readBit()
+                if (b < 0) return -1
+                if (b == 1) coef(base) |= p1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        unit += 1
+      }
+    } else {
+      // AC scan: always ONE component, non-interleaved (T.81 B.2.3)
+      if (scan.length != 1) return -1
+      val ci = scan(0)
+      val c = comps(ci)
+      val coef = st.coefs(ci)
+      val gridW = st.blocksW(ci)
+      val huff = acTabs(c.acTable)
+      if (huff == null) return -1
+      val unitsX = st.compBlocksW(ci)
+      val nUnits = unitsX * st.compBlocksH(ci)
+      var unit = 0
+      var rstCount = 0
+      while (unit < nUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!br.restart(rstCount)) return -1
+          rstCount += 1
+          eobrun = 0
+        }
+        val base = ((unit / unitsX) * gridW + unit % unitsX) * 64
+        if (ah == 0) { // first scan of this band (values scaled by Al)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var open = true
+            while (open && k <= se) {
+              val rs = br.decodeHuff(huff)
+              if (rs < 0) return -1
+              val run = rs >> 4
+              val size = rs & 0x0F
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else { // EOBn: run of (1<<run)+bits end-of-band blocks
+                  eobrun = (1 << run) - 1
+                  if (run > 0) {
+                    val v = br.receive(run)
+                    if (v < 0) return -1
+                    eobrun += v
+                  }
+                  open = false
+                }
+              } else {
+                k += run
+                if (k > se) return -1
+                val v = br.receive(size)
+                if (v < 0) return -1
+                coef(base + Zigzag(k)) = extend(v, size) << al
+                k += 1
+              }
+            }
+          }
+        } else { // refinement scan, T.81 G.1.2.3 (correction-bit walk)
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = br.decodeHuff(huff)
+              if (rs < 0) return -1
+              var run = rs >> 4
+              val size = rs & 0x0F
+              var newVal = 0
+              if (size == 0) {
+                if (run < 15) { // EOBn
+                  eobrun = 1 << run
+                  if (run > 0) {
+                    val v = br.receive(run)
+                    if (v < 0) return -1
+                    eobrun += v
+                  }
+                  brk = true
+                } // run == 15: ZRL — skip 16 zero-HISTORY coefficients
+              } else {
+                if (size != 1) return -1 // refinement sends ±1 only
+                val b = br.readBit()
+                if (b < 0) return -1
+                newVal = if (b == 1) p1 else m1
+              }
+              if (!brk) {
+                // walk forward: nonzero-history coefficients absorb a
+                // correction bit each; zero-history ones count down the
+                // run until the new value's position is reached
+                var placed = false
+                while (!placed && k <= se) {
+                  val idx = base + Zigzag(k)
+                  if (coef(idx) != 0) {
+                    if (!refineNonzero(coef, idx)) return -1
+                    k += 1
+                  } else if (run == 0) {
+                    if (newVal != 0) coef(idx) = newVal
+                    placed = true
+                  } else { run -= 1; k += 1 }
+                }
+                k += 1 // past the placed position
+              }
+            }
+          }
+          if (eobrun > 0) { // end-of-band: correction bits only
+            while (k <= se) {
+              val idx = base + Zigzag(k)
+              if (coef(idx) != 0 && !refineNonzero(coef, idx)) return -1
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        unit += 1
+      }
+    }
+    st.sawScan = true
+    br.pos
+  }
+
+  /** Dequantize + IDCT the accumulated coefficients and assemble RGB —
+    * runs once, at EOI, after every scan has contributed.
+    */
+  private def reconstructProgressive(st: ProgState, comps: Array[Component],
+                                     quant: Array[Array[Int]],
+                                     width: Int,
+                                     height: Int): Option[PpmImage] = {
+    val w = width
+    val h = height
+    val planeW = comps.indices.map(i => st.blocksW(i) * 8).toArray
+    val planes = comps.indices.map(i =>
+      new Array[Byte](st.blocksW(i) * 8 * st.blocksH(i) * 8)).toArray
+    val block = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val qz = quant(comps(ci).tq)
+      val qNat = new Array[Int](64)
+      var k = 0
+      while (k < 64) { qNat(Zigzag(k)) = qz(k); k += 1 }
+      val coef = st.coefs(ci)
+      val gw = st.blocksW(ci)
+      val gh = st.blocksH(ci)
+      val pw = planeW(ci)
+      var bY = 0
+      while (bY < gh) {
+        var bX = 0
+        while (bX < gw) {
+          val base = (bY * gw + bX) * 64
+          var i = 0
+          while (i < 64) { block(i) = (coef(base + i) * qNat(i)).toDouble; i += 1 }
+          val px = idct(block)
+          val plane = planes(ci)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val s = math.round(px(y * 8 + x) + 128.0).toInt
+              plane((bY * 8 + y) * pw + bX * 8 + x) =
+                (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bX += 1
+        }
+        bY += 1
+      }
+      ci += 1
+    }
+    Some(assemble(comps, planes, planeW, w, h))
   }
 
   // ---- minimal encoder (for round-trip specs) ----------------------------
@@ -613,7 +932,7 @@ object JpegCodec {
     while (mcu < nMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         bw.flush()
-        m(0xD0 + (rstCount % 8))
+        m(0xD0 + (rstCount % 8)) // RSTn
         rstCount += 1
         java.util.Arrays.fill(dcPred, 0)
       }
@@ -668,6 +987,251 @@ object JpegCodec {
     }
     bw.flush()
     m(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ---- progressive encoder (for round-trip specs) ------------------------
+
+  // AC table holding EVERY symbol (EOBn included, which the Annex K
+  // baseline tables lack): canonical, 255 symbols at 9 bits + 1 at 10
+  private val AcAllBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0)
+  private val AcAllVals: Array[Int] = (0 until 256).toArray
+
+  /** Encode RGB pixels as a PROGRESSIVE (SOF2) JFIF JPEG following
+    * `script`: one (componentIndices, Ss, Se, Ah, Al) tuple per scan.
+    * Same flat quantization and the same DCT coefficients as [[encode]],
+    * re-ordered into scans — so a correct progressive decode reproduces
+    * the baseline decode of the same image BIT-FOR-BIT. Supports
+    * spectral selection, successive approximation (DC + AC first and
+    * refinement passes) and EOB runs; no restart intervals.
+    */
+  def encodeProgressive(img: PpmImage,
+                        script: Seq[(Seq[Int], Int, Int, Int, Int)],
+                        subsample: Boolean = false): Array[Byte] = {
+    val hMax = if (subsample) 2 else 1
+    val mcusX = (img.width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (img.height + 8 * hMax - 1) / (8 * hMax)
+    val compH = Array(hMax, 1, 1)
+    val blocksW = compH.map(h => mcusX * h)
+    val blocksH = compH.map(h => mcusY * h)
+    val compBlocksW = compH.map(h => ((img.width * h + hMax - 1) / hMax + 7) / 8)
+    val compBlocksH = compH.map(h => ((img.height * h + hMax - 1) / hMax + 7) / 8)
+
+    def px(x: Int, y: Int, ch: Int): Double = {
+      val cx = math.min(math.max(x, 0), img.width - 1)
+      val cy = math.min(math.max(y, 0), img.height - 1)
+      img.pixels((cy * img.width + cx) * 3 + ch) & 0xFF
+    }
+    def ycc(x: Int, y: Int): (Double, Double, Double) = {
+      val (r, g, b) = (px(x, y, 0), px(x, y, 1), px(x, y, 2))
+      (0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+    }
+
+    // every block's zigzag coefficients, full MCU grid per component
+    val coefs: Array[Array[Array[Int]]] = (0 until 3).map { ci =>
+      val out = new Array[Array[Int]](blocksW(ci) * blocksH(ci))
+      val samples = new Array[Double](64)
+      var bY = 0
+      while (bY < blocksH(ci)) {
+        var bX = 0
+        while (bX < blocksW(ci)) {
+          var i = 0
+          while (i < 64) {
+            val x = bX * 8 + i % 8
+            val y = bY * 8 + i / 8
+            samples(i) = (ci match {
+              case 0 => ycc(x, y)._1
+              case _ if !subsample => if (ci == 1) ycc(x, y)._2 else ycc(x, y)._3
+              case _ => // 4:2:0 chroma: 2x2 average of the source
+                val cs = Seq((2 * x, 2 * y), (2 * x + 1, 2 * y),
+                  (2 * x, 2 * y + 1), (2 * x + 1, 2 * y + 1))
+                  .map(p => if (ci == 1) ycc(p._1, p._2)._2 else ycc(p._1, p._2)._3)
+                cs.sum / 4.0
+            }) - 128.0
+            i += 1
+          }
+          val f = fdct(samples)
+          val zz = new Array[Int](64)
+          var k = 0
+          while (k < 64) { zz(k) = math.round(f(Zigzag(k))).toInt; k += 1 }
+          out(bY * blocksW(ci) + bX) = zz
+          bX += 1
+        }
+        bY += 1
+      }
+      out
+    }.toArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { out.write(0xFF); out.write(b) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xDB); u16(2 + 1 + 64); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    m(0xC2) // SOF2
+    u16(8 + 3 * 3); out.write(8); u16(img.height); u16(img.width); out.write(3)
+    out.write(1); out.write((compH(0) << 4) | compH(0)); out.write(0)
+    out.write(2); out.write(0x11); out.write(0)
+    out.write(3); out.write(0x11); out.write(0)
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      m(0xC4); u16(2 + 1 + 16 + vals.length); out.write((tc << 4) | th)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, 0, DcLumaBits, DcLumaVals); dht(0, 1, DcChromaBits, DcChromaVals)
+    dht(1, 0, AcAllBits, AcAllVals); dht(1, 1, AcAllBits, AcAllVals)
+    val dcCode = Array(codes(DcLumaBits, DcLumaVals),
+      codes(DcChromaBits, DcChromaVals), codes(DcChromaBits, DcChromaVals))
+    val acAll = codes(AcAllBits, AcAllVals)
+
+    script.foreach { case (scomps, ss, se, ah, al) =>
+      require(scomps.nonEmpty && scomps.forall(c => c >= 0 && c < 3))
+      require(ss >= 0 && ss <= se && se <= 63)
+      require(ss > 0 || se == 0, "DC scans are (0,0); AC scans start at 1")
+      require(ss == 0 || scomps.length == 1, "AC scans take one component")
+      m(0xDA); u16(2 + 1 + 2 * scomps.length + 3); out.write(scomps.length)
+      scomps.foreach { ci =>
+        out.write(ci + 1)
+        out.write(((if (ci == 0) 0 else 1) << 4) | (if (ci == 0) 0 else 1))
+      }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+      val bw = new BitWriter(out)
+      def emitSym(codeMap: Map[Int, (Int, Int)], sym: Int): Unit = {
+        val (c, l) = codeMap(sym); bw.write(c, l)
+      }
+
+      if (ss == 0) {
+        // DC scan — interleaved MCU order (ns > 1) or comp raster (ns = 1)
+        val interleaved = scomps.length > 1
+        val unitsX = if (interleaved) mcusX else compBlocksW(scomps.head)
+        val unitsY = if (interleaved) mcusY else compBlocksH(scomps.head)
+        val dcPred = new Array[Int](3)
+        var unit = 0
+        while (unit < unitsX * unitsY) {
+          val ux = unit % unitsX
+          val uy = unit / unitsX
+          scomps.foreach { ci =>
+            val hh = if (interleaved) compH(ci) else 1
+            var by = 0
+            while (by < hh) {
+              var bx = 0
+              while (bx < hh) {
+                val bX = if (interleaved) ux * compH(ci) + bx else ux
+                val bY = if (interleaved) uy * compH(ci) + by else uy
+                val dc = coefs(ci)(bY * blocksW(ci) + bX)(0)
+                if (ah == 0) {
+                  val v = dc >> al // arithmetic: refinement bit restores
+                  val diff = v - dcPred(ci)
+                  dcPred(ci) = v
+                  val t = category(diff)
+                  emitSym(dcCode(ci), t)
+                  if (t > 0)
+                    bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+                } else bw.write((dc >> al) & 1, 1)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          unit += 1
+        }
+      } else {
+        // AC scan — one component, comp raster, EOB-run accumulation.
+        // Two correction-bit buffers, exactly T.81's BE/BR split: bits of
+        // EOB-covered blocks ride with the EOBn symbol (bePending); the
+        // CURRENT block's bits follow its own next ZRL / newly-significant
+        // symbol (brCurrent) — merging them desyncs the decoder's
+        // position-ordered correction-bit walk
+        val ci = scomps.head
+        var eobrun = 0
+        val bePending = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val brCurrent = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flushEobrun(): Unit = if (eobrun > 0) {
+          var nbits = 0
+          var t = eobrun
+          while ({ t >>= 1; t != 0 }) nbits += 1
+          emitSym(acAll, nbits << 4)
+          if (nbits > 0) bw.write(eobrun & ((1 << nbits) - 1), nbits)
+          eobrun = 0
+          bePending.foreach(b => bw.write(b, 1)); bePending.clear()
+        }
+        var unit = 0
+        while (unit < compBlocksW(ci) * compBlocksH(ci)) {
+          val zz = coefs(ci)((unit / compBlocksW(ci)) * blocksW(ci) +
+            unit % compBlocksW(ci))
+          if (ah == 0) { // first scan of the band: values at precision Al
+            def sv(k: Int): Int = {
+              val v = zz(k)
+              if (v < 0) -((-v) >> al) else v >> al
+            }
+            var lastNz = -1
+            var k = ss
+            while (k <= se) { if (sv(k) != 0) lastNz = k; k += 1 }
+            if (lastNz < 0) eobrun += 1
+            else {
+              flushEobrun()
+              var r = 0
+              k = ss
+              while (k <= lastNz) {
+                val v = sv(k)
+                if (v == 0) r += 1
+                else {
+                  while (r > 15) { emitSym(acAll, 0xF0); r -= 16 }
+                  val s = category(v)
+                  emitSym(acAll, (r << 4) | s)
+                  bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+                  r = 0
+                }
+                k += 1
+              }
+              if (lastNz < se) eobrun += 1
+            }
+            if (eobrun == 0x7FFF) flushEobrun()
+          } else { // refinement: T.81 G figure G.7 (libjpeg shape)
+            val t = new Array[Int](64)
+            var eob = ss - 1
+            var k = ss
+            while (k <= se) {
+              t(k) = math.abs(zz(k)) >> al
+              if (t(k) == 1) eob = k
+              k += 1
+            }
+            var r = 0
+            k = ss
+            while (k <= se) {
+              if (t(k) == 0) r += 1
+              else {
+                while (r > 15 && k <= eob) {
+                  flushEobrun()
+                  emitSym(acAll, 0xF0)
+                  r -= 16
+                  brCurrent.foreach(b => bw.write(b, 1)); brCurrent.clear()
+                }
+                if (t(k) > 1) brCurrent += (t(k) & 1) // correction bit
+                else { // newly significant at this precision
+                  flushEobrun()
+                  emitSym(acAll, (r << 4) | 1)
+                  bw.write(if (zz(k) < 0) 0 else 1, 1)
+                  brCurrent.foreach(b => bw.write(b, 1)); brCurrent.clear()
+                  r = 0
+                }
+              }
+              k += 1
+            }
+            if (r > 0 || brCurrent.nonEmpty) {
+              eobrun += 1
+              bePending ++= brCurrent; brCurrent.clear()
+              if (eobrun == 0x7FFF || bePending.length > 800) flushEobrun()
+            }
+          }
+          unit += 1
+        }
+        flushEobrun()
+      }
+      bw.flush()
+    }
+    m(0xD9)
     out.toByteArray
   }
 }

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * Decode is REAL for three raster formats: PPM (P6) via the
   * dependency-free [[PpmCodec]]; PNG (8-bit gray/RGB/RGBA,
   * non-interlaced) via [[PngCodec]] built on the JDK's `Inflater`; and
-  * baseline JPEG (SOF0 Huffman, gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart
-  * markers) via [[JpegCodec]] — the formats a real multimodal corpus
-  * actually contains. Payloads in none of these (progressive JPEG,
+  * JPEG via [[JpegCodec]] — baseline (SOF0 Huffman, gray/YCbCr,
+  * 4:4:4/4:2:2/4:2:0, restart markers) AND, since round 4, progressive
+  * (SOF2: spectral selection + successive approximation, EOB runs) —
+  * the formats a real multimodal corpus actually contains. Payloads in
+  * none of these (arithmetic-coded/12-bit JPEG,
   * palette PNG, compressed audio) fall back to a
   * deterministic byte-level pseudo-decode, clearly marked below — swap
   * that arm for a real codec (or a Pandas-UDF `mapInPandas` stage on a
@@ -48,9 +50,9 @@ object Multimodal {
       .orElse(JpegCodec.decode(payload))
 
   /** FALLBACK pseudo-decode for payloads in formats whose codecs are not in
-    * this container (progressive JPEG / compressed audio): deterministic
-    * byte arithmetic with the same output shape. `decoded = false` marks
-    * these rows.
+    * this container (arithmetic-coded/12-bit JPEG, palette PNG, compressed
+    * audio): deterministic byte arithmetic with the same output shape.
+    * `decoded = false` marks these rows.
     */
   private def fallbackDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val w = 16 + (payload.length % 32)

@@ -97,6 +97,87 @@ class JpegCodecSpec extends SparkTestBase {
     maxErr(img, JpegCodec.decode(bytes).get) should be <= 3
   }
 
+  // ---- progressive (SOF2) ------------------------------------------------
+  // The progressive encoder transmits the SAME coefficients as `encode`
+  // (same fdct, same flat quant), re-ordered into scans — so progressive
+  // decode must equal the baseline decode BIT-FOR-BIT, not approximately.
+
+  private def noise(w: Int, h: Int, seed: Long): PpmImage = {
+    val rng = new scala.util.Random(seed)
+    PpmImage(w, h, Array.fill(w * h * 3)(rng.nextInt(256).toByte))
+  }
+
+  private val scriptSpectral: Seq[(Seq[Int], Int, Int, Int, Int)] = Seq(
+    (Seq(0, 1, 2), 0, 0, 0, 0),
+    (Seq(0), 1, 63, 0, 0), (Seq(1), 1, 63, 0, 0), (Seq(2), 1, 63, 0, 0))
+
+  // DC at Al=1 + refine; luma AC in two bands with 2-bit then 1-bit
+  // successive approximation; chroma AC at Al=1 + refine
+  private val scriptSuccessive: Seq[(Seq[Int], Int, Int, Int, Int)] = Seq(
+    (Seq(0, 1, 2), 0, 0, 0, 1),
+    (Seq(0), 1, 5, 0, 2), (Seq(0), 6, 63, 0, 1),
+    (Seq(1), 1, 63, 0, 1), (Seq(2), 1, 63, 0, 1),
+    (Seq(0), 1, 5, 2, 1), (Seq(0), 1, 5, 1, 0), (Seq(0), 6, 63, 1, 0),
+    (Seq(1), 1, 63, 1, 0), (Seq(2), 1, 63, 1, 0),
+    (Seq(0, 1, 2), 0, 0, 1, 0))
+
+  test("progressive spectral-selection decode equals baseline decode bit-for-bit") {
+    val img = gradient(24, 17) // non-multiple-of-8 height
+    val base = JpegCodec.decode(JpegCodec.encode(img)).get
+    val prog = JpegCodec.decode(JpegCodec.encodeProgressive(img, scriptSpectral)).get
+    prog.width shouldBe base.width
+    prog.height shouldBe base.height
+    assert(prog.pixels.sameElements(base.pixels))
+  }
+
+  test("progressive successive-approximation decode equals baseline bit-for-bit") {
+    for (img <- Seq(gradient(16, 16), noise(19, 13, 20260813L))) {
+      val base = JpegCodec.decode(JpegCodec.encode(img)).get
+      val prog = JpegCodec.decode(
+        JpegCodec.encodeProgressive(img, scriptSuccessive)).get
+      assert(prog.pixels.sameElements(base.pixels))
+    }
+  }
+
+  test("progressive 4:2:0: non-interleaved AC grid smaller than the MCU grid") {
+    // 8x8 subsampled: the DC scan is interleaved over the full 16x16 MCU
+    // (4 luma blocks), but AC scans cover only ceil(8/8)=1 luma block —
+    // the T.81 A.2 non-interleaved raster — so this catches any decoder
+    // that walks the MCU grid for single-component scans
+    for (img <- Seq(gradient(8, 8), noise(20, 11, 7L))) {
+      val base = JpegCodec.decode(JpegCodec.encode(img, subsample = true)).get
+      val prog = JpegCodec.decode(JpegCodec.encodeProgressive(img,
+        scriptSuccessive, subsample = true)).get
+      assert(prog.pixels.sameElements(base.pixels))
+    }
+  }
+
+  test("progressive EOB runs: constant-color image spans blocks with one EOBn") {
+    val red = PpmImage(48, 32,
+      Array.tabulate(48 * 32 * 3)(i => if (i % 3 == 0) 200.toByte else 40.toByte))
+    val base = JpegCodec.decode(JpegCodec.encode(red)).get
+    val bytes = JpegCodec.encodeProgressive(red, scriptSuccessive)
+    val prog = JpegCodec.decode(bytes).get
+    assert(prog.pixels.sameElements(base.pixels))
+    // and the spectral script too (first-scan EOBRUN path, 24 blocks/comp)
+    val prog2 = JpegCodec.decode(JpegCodec.encodeProgressive(red, scriptSpectral)).get
+    assert(prog2.pixels.sameElements(base.pixels))
+  }
+
+  test("progressive corrupt payloads are rejected, never thrown") {
+    val good = JpegCodec.encodeProgressive(gradient(16, 16), scriptSuccessive)
+    JpegCodec.decode(good) should not be None // sanity
+    JpegCodec.decode(good.take(good.length / 3)) shouldBe None // truncated
+    JpegCodec.decode(good.dropRight(2)) shouldBe None // EOI missing
+    // 400-point corruption fuzz: every outcome is Some or None, no throw
+    val rng = new scala.util.Random(42)
+    (1 to 400).foreach { _ =>
+      val bad = good.clone()
+      bad(rng.nextInt(bad.length)) = rng.nextInt(256).toByte
+      noException should be thrownBy JpegCodec.decode(bad)
+    }
+  }
+
   test("out-of-scope and corrupt payloads are rejected, never thrown") {
     JpegCodec.decode(Array[Byte]()) shouldBe None
     JpegCodec.decode("not a jpeg".getBytes) shouldBe None
