@@ -2003,16 +2003,22 @@ object SparkEntry {
     // quadratic NOT-EXISTS anti-join the oracle runs
     "q156_skyline" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val byRev = Window.orderBy(col("rev_cents"))
+      // m_gt = max n_orders among STRICTLY higher-revenue parts. On the
+      // ascending order that is a (1, unboundedFollowing) frame — which
+      // Spark executes as the O(n²) shrinking-frame recompute (measured
+      // 8.7 s at sf0.1). The descending-order (unboundedPreceding, -1)
+      // frame is the SAME set (integer cents: -1 ≡ strictly greater) but
+      // runs on the incremental growing-frame path: 8.7 s → ~1 s
+      val byRevDesc = Window.orderBy(col("rev_cents").desc)
       t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
             .as("rev_cents"),
           countDistinct(col("l_orderkey")).as("n_orders"))
         .withColumn("m_gt", max(col("n_orders"))
-          .over(byRev.rangeBetween(1, Window.unboundedFollowing)))
+          .over(byRevDesc.rangeBetween(Window.unboundedPreceding, -1)))
         .withColumn("m_eq", max(col("n_orders"))
-          .over(byRev.rangeBetween(Window.currentRow, Window.currentRow)))
+          .over(byRevDesc.rangeBetween(Window.currentRow, Window.currentRow)))
         .filter((col("m_gt").isNull || col("m_gt") < col("n_orders")) &&
           col("m_eq") <= col("n_orders"))
         .select(col("l_partkey"), col("rev_cents"), col("n_orders"))

@@ -314,11 +314,17 @@ object Curation {
   def targetEnrichedSelect(docs: DataFrame, isTarget: Column): DataFrame = {
     val toks = docs.select(col("doc_id"), isTarget.as("is_t"),
       tokensWs(col("text")).as("t"))
+    // bigrams via zip_with over two slices — total (empty for <2 tokens,
+    // no conditional needed). The previous when/otherwise(transform(...))
+    // formulation made the generator input CONDITIONAL, which defeated
+    // Generate's once-per-input-row evaluation and rebuilt the whole
+    // bigram array once per OUTPUT row: O(tokens²) per doc, measured
+    // 7-10 s at sf0.1 vs ~0.5 s for this form (round-4 profile)
     val feats = toks
-      .withColumn("b", when(size(col("t")) < 2,
-          array().cast("array<string>"))
-        .otherwise(expr("transform(sequence(1, size(t) - 1)," +
-          " i -> concat(t[i-1], ' ', t[i]))")))
+      .withColumn("b", zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
       .select(col("doc_id"), col("is_t"),
         explode(col("b")).as("bigram"))
       .select(col("doc_id"), col("is_t"),
