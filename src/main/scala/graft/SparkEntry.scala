@@ -2378,6 +2378,59 @@ object SparkEntry {
           (col("own_label") === col("n_label")).as("agree"))
     }),
 
+    // §2.9 — sparse TF-IDF cosine pairs via the inverted index (round 4):
+    // weighted relatedness without embeddings; exact-integer weights/dot/
+    // norms, doubles only in the final sqrt-division; df cap bounds the
+    // posting-list fan-out (the stopword cut)
+    "q171_tfidf_pairs" -> ((s, dir) =>
+      Retrieval.tfidfCosinePairs(t(s, dir, "documents"), dfCap = 50,
+        minCos = 0.6)),
+
+    // §2.6 — Spearman rank correlation, daily volume vs daily revenue
+    // (round 4): rank windows over the bounded |days| frame with a date
+    // tie-break (a deterministic function of the data); Σd² exact BIGINT,
+    // rho's doubles mirror the oracle's expression structure exactly
+    "q172_spearman_daily" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(ExactAgg.cents(col("value"))).as("cents"))
+      daily
+        .withColumn("ra", row_number()
+          .over(Window.orderBy(col("n_events"), col("d"))).cast("long"))
+        .withColumn("rb", row_number()
+          .over(Window.orderBy(col("cents"), col("d"))).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          (lit(1.0) - (lit(6.0) * col("sum_d2").cast("double")) /
+            (col("n") * (col("n") * col("n") - 1)).cast("double")).as("rho"))
+    }),
+
+    // §2.6 — integer EMA over the day-grain series (round 4): the
+    // inherently-sequential recurrence runs as ONE aggregate() fold over
+    // the bounded |days| frame (collected AFTER aggregation, never raw
+    // rows); exact integer arithmetic so the DuckDB recursive-CTE twin
+    // is bit-identical. Alpha = 20/100
+    "q173_ema_daily" -> ((s, dir) => {
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(ExactAgg.cents(col("value"))).as("cents"))
+      daily.agg(sort_array(collect_list(struct(col("d"), col("cents"))))
+          .as("a"))
+        .select(explode(expr(
+          """aggregate(a,
+            |  cast(array() as array<struct<d:date,cents:bigint,ema_cents:bigint>>),
+            |  (acc, x) -> concat(acc, array(named_struct(
+            |    'd', x.d, 'cents', x.cents,
+            |    'ema_cents', CASE WHEN size(acc) = 0 THEN x.cents
+            |      ELSE (20 * x.cents + 80 * element_at(acc, -1).ema_cents) div 100
+            |      END))))""".stripMargin)).as("r"))
+        .select(col("r.d").as("d"), col("r.cents").as("cents"),
+          col("r.ema_cents").as("ema_cents"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -4613,6 +4666,69 @@ object SparkEntry {
          |       t.n_votes,
          |       (q.label = t.n_label) AS agree
          |FROM top t JOIN e q ON t.query_id = q.vec_id""".stripMargin,
+
+    "q171_tfidf_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t GROUP BY 1, 2),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |w AS (SELECT tf.doc_id, tf.token,
+         |             tf.tf * ((100 * n.n) // df.df) AS w
+         |      FROM tf JOIN df USING (token) CROSS JOIN n
+         |      WHERE df.df <= 50),
+         |nm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nsq
+         |       FROM w GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |              CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         |       FROM w a JOIN w b
+         |         ON a.token = b.token AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT doc_id_1, doc_id_2, dot,
+         |         CAST(dot AS DOUBLE) /
+         |           (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+         |           AS cos_sim
+         |  FROM pr
+         |  JOIN nm na ON doc_id_1 = na.doc_id
+         |  JOIN nm nb ON doc_id_2 = nb.doc_id)
+         |WHERE cos_sim >= 0.6""".stripMargin,
+
+    "q172_spearman_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n_events, d) AS BIGINT) AS ra,
+        |         CAST(row_number() OVER (ORDER BY cents, d) AS BIGINT) AS rb
+        |  FROM daily)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+        |       1.0 - (6.0 * CAST(sum((ra - rb) * (ra - rb)) AS DOUBLE)) /
+        |         CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE) AS rho
+        |FROM r""".stripMargin,
+
+    "q173_ema_daily" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |idx AS (SELECT d, cents,
+        |               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |        FROM daily),
+        |e AS (
+        |  SELECT i, d, cents, cents AS ema_cents FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.d, idx.cents,
+        |         (20 * idx.cents + 80 * e.ema_cents) // 100
+        |  FROM idx JOIN e ON idx.i = e.i + 1)
+        |SELECT d, cents, ema_cents FROM e""".stripMargin,
 
     "q166_idle_customers" ->
       """WITH c AS (

@@ -88,4 +88,53 @@ object Retrieval {
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  /** Sparse TF-IDF cosine similarity over document PAIRS via the
+    * inverted index — weighted relatedness without embeddings, the
+    * vector-space complement of the set-based Jaccard family.
+    *
+    * Engine-exactness: linear (log-free) idf in centi — idf_c =
+    * (100·N) div df, an exact BIGINT — so weights w = tf·idf_c, pair
+    * dot products Σ wa·wb, and squared norms are all exact integer
+    * sums; doubles appear only in the final
+    * cos = dot / (sqrt(nsq_a)·sqrt(nsq_b)) (IEEE sqrt and division are
+    * correctly rounded, so the DuckDB twin is bit-identical). The
+    * metric is DEFINED over the df-capped vocabulary: norms use the
+    * same kept weights as the dot products.
+    *
+    * Scale shape: tokens with df > dfCap (stopwords) are dropped before
+    * the pair join, so each posting list is ≤ dfCap documents and the
+    * token self-join's fan-out is bounded — the standard df-cut that
+    * keeps an inverted-index pair join linear in posting volume rather
+    * than quadratic in corpus size. Overflow bound: each dot term is
+    * ≤ (tf·100·N)²; with tf ≲ 10³ this fits int64 up to N ≈ 10⁶ docs —
+    * beyond that, drop idf to deci-scale or switch the sum to DECIMAL.
+    */
+  def tfidfCosinePairs(docs: DataFrame, dfCap: Long,
+                       minCos: Double): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(TextFunctions.tokensWs(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val w = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(col("token"), col("doc_id"),
+        (col("tf") * expr("(100 * n) div df")).as("w"))
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nsq"))
+    w.as("a")
+      .join(w.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_id_1"), col("nsq").as("nsq_1")),
+        Seq("doc_id_1"))
+      .join(norms.select(col("doc_id").as("doc_id_2"), col("nsq").as("nsq_2")),
+        Seq("doc_id_2"))
+      .withColumn("cos_sim", col("dot").cast("double") /
+        (sqrt(col("nsq_1").cast("double")) * sqrt(col("nsq_2").cast("double"))))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("doc_id_1"), col("doc_id_2"), col("dot"), col("cos_sim"))
+  }
 }
