@@ -159,6 +159,28 @@ object SparkEntry {
        |SELECT node, rank_micro FROM r$iters""".stripMargin
   }
 
+  /** DuckDB twin of Graph.kCoreSurvivors: the same `rounds` synchronized
+    * peel rounds unrolled as chained CTEs (keep nodes with deg >= k,
+    * restrict edges to surviving endpoints, recompute degrees), ending
+    * with the same final degree filter.
+    */
+  private def kCoreOracleSql(k: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT src AS node FROM d${r - 1} WHERE deg >= $k),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |        JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node),
+         |d$r AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM e$r GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |d0 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+       |$steps
+       |SELECT src AS node, deg FROM d$rounds WHERE deg >= $k""".stripMargin
+  }
+
   // ---- the query map ----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2429,6 +2451,61 @@ object SparkEntry {
             |      END))))""".stripMargin)).as("r"))
         .select(col("r.d").as("d"), col("r.cents").as("cents"),
           col("r.ema_cents").as("ema_cents"))
+    }),
+
+    // §2.6 — k-core decomposition (round 4): 6 synchronized peel rounds
+    // toward the 80-core of the co-purchase graph (fixpoint at round 5
+    // for this data, so the 6-round definition IS the k-core here);
+    // each round is one degree aggregate + one surviving-endpoint
+    // restriction over edge rows, checkpointed — never node×node
+    "q174_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      Graph.kCoreSurvivors(edges, k = 80, rounds = 6)
+    }),
+
+    // §2.2 — referential-integrity audit (round 4): one report row per
+    // FK relation with row/null-FK/orphan counts — the cross-TABLE
+    // complement of q133's row-predicate constraints. Each relation is
+    // an independent aggregate + anti-join pair fused into one DAG;
+    // no collects, dims broadcast
+    "q175_fk_audit" -> ((s, dir) => {
+      def rel(name: String, child: DataFrame, fk: String, parent: DataFrame,
+              pk: String): DataFrame = {
+        val keys = parent.select(col(pk)).filter(col(pk).isNotNull).distinct()
+        val nonNull = child.filter(col(fk).isNotNull)
+        val orphans = nonNull.join(keys, nonNull(fk) === keys(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_rows"),
+            count(when(col(fk).isNull, 1)).as("n_null_fk"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+          .select(lit(name).as("relation"), col("n_rows"),
+            col("n_null_fk"), col("n_orphan"))
+      }
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      Seq(
+        rel("lineitem.l_orderkey->orders", li, "l_orderkey",
+          ord, "o_orderkey"),
+        rel("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        rel("orders.o_custkey->customer", ord, "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        rel("customer.c_nationkey->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        rel("supplier.s_nationkey->nation", t(s, dir, "supplier"),
+          "s_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        rel("nation.n_regionkey->region", t(s, dir, "nation"),
+          "n_regionkey", t(s, dir, "region"), "r_regionkey"),
+        rel("events.user_id->customer", events(s, dir), "user_id",
+          t(s, dir, "customer"), "c_custkey")
+      ).reduce(_.unionByName(_))
     }),
 
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
@@ -4729,6 +4806,39 @@ object SparkEntry {
         |         (20 * idx.cents + 80 * e.ema_cents) // 100
         |  FROM idx JOIN e ON idx.i = e.i + 1)
         |SELECT d, cents, ema_cents FROM e""".stripMargin,
+
+    "q174_kcore" -> kCoreOracleSql(80, 6),
+
+    "q175_fk_audit" -> {
+      def rel(name: String, child: String, fk: String, parent: String,
+              pk: String): String =
+        s"""SELECT '$name' AS relation,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM $child
+           |        WHERE $fk IS NULL) AS n_null_fk,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM $child
+           |        WHERE $fk IS NOT NULL AND $fk NOT IN
+           |          (SELECT $pk FROM $parent WHERE $pk IS NOT NULL))
+           |         AS n_orphan""".stripMargin
+      Seq(
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        rel("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        rel("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        rel("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        rel("events.user_id->customer", "events", "user_id",
+          "customer", "c_custkey")
+      ).mkString("\nUNION ALL\n")
+    },
 
     "q166_idle_customers" ->
       """WITH c AS (

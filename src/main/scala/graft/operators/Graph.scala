@@ -53,6 +53,37 @@ object Graph {
     rank
   }
 
+  /** `rounds` synchronized peel rounds toward the k-core: each round
+    * drops every node whose degree among current survivors is below k,
+    * then restricts the edge set to surviving endpoints. A fixed small
+    * round count makes the operator deterministic and oracle-expressible
+    * (the DuckDB twin unrolls the same rounds); callers pick `rounds`
+    * large enough to reach the fixpoint for their graph — peeling
+    * removes at least one node per non-converged round, and the spec
+    * asserts fixpoint at spec scale.
+    *
+    * Input: UNDIRECTED distinct symmetric edges (src, dst) — both
+    * directions present, like the co-purchase graph. Output: surviving
+    * (node, degree) after the final round. Scale: each round is one
+    * degree aggregate + one semi-join-shaped edge restriction over edge
+    * rows only, checkpointed so lineage stays flat — O(rounds · |E|).
+    */
+  def kCoreSurvivors(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1 && k >= 1, "kCore needs rounds >= 1 and k >= 1")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = deg.filter(col("deg") >= k)
+        .select(col("src").as("node")).localCheckpoint()
+      e = e.join(keep.withColumnRenamed("node", "src"), Seq("src"))
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    }
+    deg.filter(col("deg") >= k).select(col("src").as("node"), col("deg"))
+  }
+
   /** Per-node triangle participation counts over an UNDIRECTED distinct
     * edge list `(a, b)` with `a < b` — the local clustering signal that
     * separates genuine communities from star-shaped hubs in a

@@ -36,6 +36,22 @@ class GraphSpec extends SparkTestBase {
     total should be > 3990000L
   }
 
+  test("kCoreSurvivors: K4 with a tail peels the tail in cascading rounds") {
+    // K4 on {1,2,3,4} + tail 4-5-6: degrees 3,3,3,4,2,1. The 3-core is
+    // the K4 — but reaching it takes TWO synchronized rounds (5 and 6
+    // drop in round 1, 4's degree then falls to 3 and stays)
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val g = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val r = Graph.kCoreSurvivors(g, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    r shouldBe Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
+    // a path has no 2-core: cascading peel empties it from the ends in
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L))
+    Graph.kCoreSurvivors(path, k = 2, rounds = 3).count() shouldBe 0L
+  }
+
   test("triangleCounts: K4, star, and mixed graphs match hand counts") {
     // K4: 4 triangles, every node participates in C(3,2) = 3
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
