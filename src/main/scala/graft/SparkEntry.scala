@@ -2508,6 +2508,54 @@ object SparkEntry {
       ).reduce(_.unionByName(_))
     }),
 
+    // §2.9 — per-document TF-IDF keyword extraction (round 4): top-3
+    // terms per doc by exact-integer weight (q171's centi-idf), ranked
+    // by a doc-partitioned window — fully parallel at any scale, no
+    // global anything
+    "q176_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tf = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokensWs(col("text")))
+            .as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = tf.join(df, Seq("token"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .select(col("doc_id"), col("token"),
+          (col("tf") * expr("(100 * n) div df")).as("w"))
+      w.withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("w").desc, col("token").asc)).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("w"), col("rank"))
+    }),
+
+    // §2.2 — order-total consistency audit (round 4): does o_totalprice
+    // equal the sum of its lines' extendedprice·(1−disc)·(1+tax)? A
+    // cross-FIELD reconciliation (vs q175's cross-table keys): exact
+    // integer micros on both sides of the delta, one orderkey join of
+    // the line aggregate, status-grain report
+    "q177_totalprice_audit" -> ((s, dir) => {
+      val lineSum = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(ExactAgg.scaledLong(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 10000)).as("lines_micro"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ExactAgg.scaledLong(col("o_totalprice"), 10000).as("total_micro"))
+        .join(lineSum, col("o_orderkey") === col("l_orderkey"), "left")
+        .na.fill(0L, Seq("lines_micro"))
+        .withColumn("delta", col("lines_micro") - col("total_micro"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("delta") =!= 0L, 1)).as("n_mismatch"),
+          max(abs(col("delta"))).as("max_abs_delta"),
+          sum(abs(col("delta"))).as("sum_abs_delta"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -4808,6 +4856,46 @@ object SparkEntry {
         |SELECT d, cents, ema_cents FROM e""".stripMargin,
 
     "q174_kcore" -> kCoreOracleSql(80, 6),
+
+    "q176_keywords" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t GROUP BY 1, 2),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |w AS (SELECT tf.doc_id, tf.token,
+         |             tf.tf * ((100 * n.n) // df.df) AS w
+         |      FROM tf JOIN df USING (token) CROSS JOIN n)
+         |SELECT doc_id, token, w, "rank" FROM (
+         |  SELECT doc_id, token, w,
+         |         CAST(row_number() OVER (PARTITION BY doc_id
+         |                                 ORDER BY w DESC, token ASC)
+         |              AS BIGINT) AS "rank"
+         |  FROM w)
+         |WHERE "rank" <= 3""".stripMargin,
+
+    "q177_totalprice_audit" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |              * (1.0 + l_tax) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS lines_micro
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o_orderstatus,
+        |         COALESCE(ls.lines_micro, 0)
+        |           - CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+        |           AS delta
+        |  FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey)
+        |SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(count(*) FILTER (WHERE delta <> 0) AS BIGINT)
+        |         AS n_mismatch,
+        |       CAST(max(abs(delta)) AS BIGINT) AS max_abs_delta,
+        |       CAST(sum(abs(delta)) AS BIGINT) AS sum_abs_delta
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q175_fk_audit" -> {
       def rel(name: String, child: String, fk: String, parent: String,
