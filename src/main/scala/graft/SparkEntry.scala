@@ -2556,6 +2556,92 @@ object SparkEntry {
           sum(abs(col("delta"))).as("sum_abs_delta"))
     }),
 
+    // §2.6 — capacity-clamped backlog curve (round 4): the NON-LINEAR
+    // recurrence backlog_i = max(0, backlog_{i-1} + inflow_i − capacity)
+    // that no window can express — q173's bounded-fold pattern with a
+    // clamp; capacity is the exact integer mean daily inflow (1-row
+    // broadcast), every step exact, recursive-CTE oracle twin
+    "q178_backlog_curve" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(ExactAgg.cents(col("o_totalprice"))).as("cents"))
+      val cap = daily.agg(expr("sum(cents) div count(*)").as("cap"))
+      daily.crossJoin(broadcast(cap))
+        .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("a"),
+          first(col("cap")).as("cap"))
+        .select(col("cap"), explode(expr(
+          """aggregate(a,
+            |  cast(array() as array<struct<d:date,cents:bigint,backlog:bigint>>),
+            |  (acc, x) -> concat(acc, array(named_struct(
+            |    'd', x.d, 'cents', x.cents,
+            |    'backlog', greatest(0L,
+            |      CASE WHEN size(acc) = 0 THEN 0L
+            |           ELSE element_at(acc, -1).backlog END
+            |      + x.cents - cap)))))""".stripMargin)).as("r"))
+        .select(col("r.d").as("d"), col("r.cents").as("cents"),
+          col("cap"), col("r.backlog").as("backlog"))
+    }),
+
+    // §2.6 — hierarchical percent-of-total (round 4): nation revenue with
+    // its ppm share WITHIN its region and the region's ppm share of the
+    // grand total — two window levels over the 25-row nation aggregate
+    // (bounded frames), all shares exact integer divisions
+    "q179_share_hierarchy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(ExactAgg.scaledLong(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+          .as("rev_micro"))
+      rev
+        .withColumn("region_micro",
+          sum(col("rev_micro")).over(Window.partitionBy(col("r_name"))))
+        .withColumn("total_micro", sum(col("rev_micro")).over(Window.partitionBy()))
+        .select(col("r_name"), col("n_name"), col("rev_micro"),
+          expr("(rev_micro * 1000000) div region_micro").as("nation_in_region_ppm"),
+          expr("(region_micro * 1000000) div total_micro").as("region_of_total_ppm"))
+    }),
+
+    // §2.6 — dormant-customer reactivation screen (round 4): users whose
+    // purchase history contains a ≥30-day gap followed by another
+    // purchase (threshold 7 days — the synthetic timeline is 150 days
+    // with max purchase gap 18); one user_id shuffle carries the lag
+    // window and the rollup, gaps in exact whole days from epoch-micros
+    "q180_reactivation" -> ((s, dir) => {
+      val p = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      p.withColumn("gap_days",
+          expr("(ts_us - lag(ts_us) over (partition by user_id order by ts_us, event_id)) div 86400000000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(when(col("gap_days") >= 7L, 1)).as("n_reactivations"),
+          max(col("gap_days")).as("max_gap_days"))
+        .filter(col("n_reactivations") >= 1L)
+    }),
+
+    // §2.6 — inter-event gap histogram on LOG-SPACED integer buckets
+    // (round 4): bucket = bit length of the gap seconds — the exact
+    // integer stand-in for log₂ binning (q99's binary-digit trick turned
+    // into a histogram); one user window + a ≤40-key aggregate
+    "q181_gap_histogram" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("gap_s",
+          expr("(ts_us - lag(ts_us) over (partition by user_id order by ts_us, event_id)) div 1000000"))
+        .filter(col("gap_s").isNotNull)
+        .withColumn("bucket", length(bin(col("gap_s"))).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_s")).as("min_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -4856,6 +4942,80 @@ object SparkEntry {
         |SELECT d, cents, ema_cents FROM e""".stripMargin,
 
     "q174_kcore" -> kCoreOracleSql(80, 6),
+
+    "q178_backlog_curve" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |cap AS (SELECT CAST(sum(cents) AS BIGINT) // count(*) AS cap
+        |        FROM daily),
+        |idx AS (SELECT d, cents,
+        |               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |        FROM daily),
+        |e AS (
+        |  SELECT i, d, cents,
+        |         greatest(CAST(0 AS BIGINT), cents - cap.cap) AS backlog
+        |  FROM idx, cap WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.d, idx.cents,
+        |         greatest(CAST(0 AS BIGINT),
+        |                  e.backlog + idx.cents - (SELECT cap FROM cap))
+        |  FROM idx JOIN e ON idx.i = e.i + 1)
+        |SELECT d, cents, (SELECT cap FROM cap) AS cap, backlog FROM e""".stripMargin,
+
+    "q179_share_hierarchy" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |              * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_micro
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, rev_micro,
+        |       (rev_micro * 1000000)
+        |         // CAST(sum(rev_micro) OVER (PARTITION BY r_name) AS BIGINT)
+        |         AS nation_in_region_ppm,
+        |       (CAST(sum(rev_micro) OVER (PARTITION BY r_name) AS BIGINT)
+        |          * 1000000)
+        |         // CAST(sum(rev_micro) OVER () AS BIGINT)
+        |         AS region_of_total_ppm
+        |FROM rev""".stripMargin,
+
+    "q180_reactivation" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT user_id,
+        |         (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts_us, event_id))
+        |           // 86400000000 AS gap_days
+        |  FROM p)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(count(*) FILTER (WHERE gap_days >= 7) AS BIGINT)
+        |         AS n_reactivations,
+        |       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+        |FROM g GROUP BY 1
+        |HAVING count(*) FILTER (WHERE gap_days >= 7) >= 1""".stripMargin,
+
+    "q181_gap_histogram" ->
+      """WITH g AS (
+        |  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |            PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |           // 1000000 AS gap_s
+        |  FROM events)
+        |SELECT CAST(length(format('{:b}', gap_s)) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+        |       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q176_keywords" ->
       s"""WITH t AS (
