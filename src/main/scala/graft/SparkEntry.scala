@@ -2642,6 +2642,46 @@ object SparkEntry {
           max(col("gap_s")).as("max_gap_s"))
     }),
 
+    // §2.6 — multi-touch LINEAR attribution (round 4): every purchase's
+    // cents split EQUALLY across its preceding touches within a 7-day
+    // lookback — the equal-credit counterpart of q117's last-touch.
+    // Credits are exact integer micro-cents with the largest-remainder
+    // cell going to the most RECENT touches, so per-purchase credits sum
+    // exactly to the purchase; one user shuffle carries the
+    // nearest-following-purchase carry window, one (user, purchase)
+    // shuffle the split
+    "q182_linear_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lookbackUs = 7L * 86400L * 1000000L
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts_us"),
+        when(col("event_type") === "purchase",
+          ExactAgg.cents(col("value"))).as("p_cents"))
+      val wDesc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touches = e
+        .withColumn("np", last(when(col("event_type") === "purchase",
+          struct(col("ts_us").as("p_us"), col("event_id").as("p_id"),
+            col("p_cents").as("cents"))), ignoreNulls = true).over(wDesc))
+        .filter(col("event_type") =!= "purchase" && col("np").isNotNull &&
+          col("np.p_us") - col("ts_us") <= lookbackUs &&
+          col("np.cents").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us"), col("np.p_id").as("p_id"), col("np.cents").as("cents"))
+      touches
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("user_id"), col("p_id"))))
+        .withColumn("rk", row_number()
+          .over(Window.partitionBy(col("user_id"), col("p_id"))
+            .orderBy(col("ts_us").desc, col("event_id").desc)).cast("long"))
+        .withColumn("credit_micro", expr(
+          "(cents * 1000000) div n + CASE WHEN rk <= (cents * 1000000) % n THEN 1 ELSE 0 END"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_micro")).as("credit_micro"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -4942,6 +4982,44 @@ object SparkEntry {
         |SELECT d, cents, ema_cents FROM e""".stripMargin,
 
     "q174_kcore" -> kCoreOracleSql(80, 6),
+
+    "q182_linear_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END
+        |           AS p_cents
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |         last_value(CASE WHEN event_type = 'purchase'
+        |             THEN struct_pack(p_us := ts_us, p_id := event_id,
+        |                              cents := p_cents) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY ts_us DESC, event_id DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS np
+        |  FROM e),
+        |tc AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |         np.p_id AS p_id, np.cents AS cents
+        |  FROM t
+        |  WHERE event_type <> 'purchase' AND np IS NOT NULL
+        |    AND np.p_us - ts_us <= 604800000000
+        |    AND np.cents IS NOT NULL),
+        |c AS (
+        |  SELECT event_type, cents,
+        |         CAST(count(*) OVER (PARTITION BY user_id, p_id) AS BIGINT)
+        |           AS n,
+        |         CAST(row_number() OVER (PARTITION BY user_id, p_id
+        |                ORDER BY ts_us DESC, event_id DESC) AS BIGINT) AS rk
+        |  FROM tc)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum((cents * 1000000) // n
+        |                + CASE WHEN rk <= (cents * 1000000) % n
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS credit_micro
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q178_backlog_curve" ->
       """WITH RECURSIVE daily AS (
