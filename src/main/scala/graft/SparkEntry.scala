@@ -2650,37 +2650,9 @@ object SparkEntry {
     // exactly to the purchase; one user shuffle carries the
     // nearest-following-purchase carry window, one (user, purchase)
     // shuffle the split
-    "q182_linear_attribution" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val lookbackUs = 7L * 86400L * 1000000L
-      val e = events(s, dir).select(col("user_id"), col("event_id"),
-        col("event_type"), col("ts_us"),
-        when(col("event_type") === "purchase",
-          ExactAgg.cents(col("value"))).as("p_cents"))
-      val wDesc = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us").desc, col("event_id").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val touches = e
-        .withColumn("np", last(when(col("event_type") === "purchase",
-          struct(col("ts_us").as("p_us"), col("event_id").as("p_id"),
-            col("p_cents").as("cents"))), ignoreNulls = true).over(wDesc))
-        .filter(col("event_type") =!= "purchase" && col("np").isNotNull &&
-          col("np.p_us") - col("ts_us") <= lookbackUs &&
-          col("np.cents").isNotNull)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("ts_us"), col("np.p_id").as("p_id"), col("np.cents").as("cents"))
-      touches
-        .withColumn("n", count(lit(1))
-          .over(Window.partitionBy(col("user_id"), col("p_id"))))
-        .withColumn("rk", row_number()
-          .over(Window.partitionBy(col("user_id"), col("p_id"))
-            .orderBy(col("ts_us").desc, col("event_id").desc)).cast("long"))
-        .withColumn("credit_micro", expr(
-          "(cents * 1000000) div n + CASE WHEN rk <= (cents * 1000000) % n THEN 1 ELSE 0 END"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_touches"),
-          sum(col("credit_micro")).as("credit_micro"))
-    }),
+    "q182_linear_attribution" -> ((s, dir) =>
+      Events.linearAttribution(events(s, dir),
+        lookbackUs = 7L * 86400L * 1000000L, conv = "purchase")),
 
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from

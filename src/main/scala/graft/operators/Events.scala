@@ -246,4 +246,52 @@ object Events {
       .agg(count(lit(1)).as("n_conversions"),
         sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
   }
+
+  /** Multi-touch LINEAR attribution: each conversion's cents split
+    * EQUALLY across its preceding touches within `lookbackUs`, rolled up
+    * per touch type — [[lastTouchAttribution]]'s equal-credit
+    * counterpart. Credits are exact integer micro-cents: the per-touch
+    * base is `(cents·10⁶) div n` and the `(cents·10⁶) % n` remainder
+    * cells go to the MOST RECENT touches (largest-remainder per
+    * conversion, q114's apportionment pattern per key), so each
+    * conversion's credits sum exactly to its cents — no double division
+    * anywhere.
+    *
+    * Shape: one user shuffle carries the nearest-FOLLOWING-conversion
+    * carry window (the last-touch machinery run on the descending
+    * order); the split windows ride a (user, conversion) partitioning
+    * bounded by the per-conversion touch count. Conversions with no
+    * in-window touches simply credit nothing (they are visible in
+    * [[lastTouchAttribution]]'s `unattributed` row instead).
+    */
+  def linearAttribution(events: DataFrame, lookbackUs: Long,
+                        conv: String): DataFrame = {
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touches = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"),
+        when(col("event_type") === conv,
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("p_cents"))
+      .withColumn("np", last(when(col("event_type") === conv,
+        struct(col("ts_us").as("p_us"), col("event_id").as("p_id"),
+          col("p_cents").as("cents"))), ignoreNulls = true).over(wDesc))
+      .filter(col("event_type") =!= conv && col("np").isNotNull &&
+        col("np.p_us") - col("ts_us") <= lookbackUs &&
+        col("np.cents").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"), col("np.p_id").as("p_id"), col("np.cents").as("cents"))
+    touches
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("user_id"), col("p_id"))))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("user_id"), col("p_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)).cast("long"))
+      .withColumn("credit_micro", expr(
+        "(cents * 1000000) div n + CASE WHEN rk <= (cents * 1000000) % n THEN 1 ELSE 0 END"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_micro")).as("credit_micro"))
+  }
 }

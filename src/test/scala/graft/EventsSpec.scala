@@ -160,6 +160,34 @@ class EventsSpec extends SparkTestBase {
       ("unattributed", 3L, 2599L)) // 500 + 1999 (half-up cents) + 100
   }
 
+  test("linearAttribution: equal split, remainder to recent, credits sum exactly") {
+    val day = 86400L * 1000000L
+    val ev = Seq(
+      // user 1: three touches then a 10.01 purchase — 1001 cents over 3
+      // touches: base 333666666 micro, remainder 2 goes to the TWO most
+      // recent (click day3: +1, view day2: +1; view day1: base only)
+      (1L, 1L * day, 1L, "view", 0.0),
+      (2L, 2L * day, 1L, "view", 0.0),
+      (3L, 3L * day, 1L, "click", 0.0),
+      (4L, 4L * day, 1L, "purchase", 10.01),
+      // user 2: a touch 9 days before the purchase is out of lookback
+      (5L, 1L * day, 2L, "click", 0.0),
+      (6L, 10L * day, 2L, "purchase", 5.0),
+      // user 3: touch AFTER the purchase never credits
+      (7L, 2L * day, 3L, "purchase", 1.0),
+      (8L, 3L * day, 3L, "view", 0.0)
+    ).toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val r = Events.linearAttribution(ev, 7L * day, "purchase")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    // 1001 cents * 1e6 = 1001000000 micro; div 3 = 333666666 rem 2
+    r shouldBe Array(
+      ("click", 1L, 333666667L),
+      ("view", 2L, 333666667L + 333666666L))
+    // and the invariant the construction guarantees: total credit equals
+    // the credited purchase's micro-cents exactly
+    r.map(_._3).sum shouldBe 1001L * 1000000L
+  }
+
   test("scd2 plan: one exchange on user_id feeds windows and the run groupBy") {
     val ev = Seq((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"))
       .toDF("event_id", "ts_us", "user_id", "event_type")

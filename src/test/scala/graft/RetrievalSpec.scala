@@ -69,4 +69,36 @@ class RetrievalSpec extends SparkTestBase {
       .filter($"doc_id" === 1L).as[(Long, Long, Long)].collect()
     both(0)._3 should be > both(1)._3
   }
+
+  test("tfidfCosinePairs: hand-computed weights, identical docs at cos 1.0") {
+    val corpus = Seq(
+      (1L, "apple banana"),
+      (2L, "apple banana"),
+      (3L, "cherry date")
+    ).toDF("doc_id", "text")
+    // N=3; df(apple)=df(banana)=2 -> idf_c = 300//2 = 150; weights 150
+    // each; dot(1,2) = 2*150² = 45000 = both norms² -> cos exactly 1.0;
+    // doc 3 shares no token with anyone
+    val r = Retrieval.tfidfCosinePairs(corpus, dfCap = 50, minCos = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+    r shouldBe Array((1L, 2L, 45000L, 1.0))
+  }
+
+  test("tfidfCosinePairs: the df cap drops stopword postings before pairing") {
+    val corpus = Seq(
+      (1L, "the apple"), (2L, "the banana"), (3L, "the cherry")
+    ).toDF("doc_id", "text")
+    // 'the' has df=3: with the cap at 2 it never reaches the pair join,
+    // and no other token is shared -> zero pairs
+    Retrieval.tfidfCosinePairs(corpus, dfCap = 2, minCos = 0.0)
+      .count() shouldBe 0L
+  }
+
+  test("tfidfCosinePairs plan: token equi-join, no cartesian product") {
+    val corpus = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val plan = Retrieval.tfidfCosinePairs(corpus, 50, 0.1)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+  }
 }
