@@ -2654,6 +2654,41 @@ object SparkEntry {
       Events.linearAttribution(events(s, dir),
         lookbackUs = 7L * 86400L * 1000000L, conv = "purchase")),
 
+    // §2.6 — basket-size profile (round 4): the distribution of distinct
+    // parts per order, each size row carrying its C(k,2) pair volume —
+    // the exact cost predictor for every basket-pair operator here
+    // (q80/q154/q157); two bounded aggregates, nothing corpus-wide after
+    // the order-grain reduce
+    "q183_basket_profile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_partkey")).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("k"), col("n_orders"),
+          expr("k * (k - 1) div 2 * n_orders").as("pair_volume"))),
+
+    // §2.6 — Gini coefficient of customer revenue concentration
+    // (round 4): G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) over the ascending
+    // customer aggregate — numerator and denominator exact BIGINTs, one
+    // double division at the end; the global rank runs on the CUSTOMER
+    // AGGREGATE (q137's documented exemption), never order rows
+    "q184_gini_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(ExactAgg.cents(col("o_totalprice"))).as("cents"))
+        .withColumn("i", row_number()
+          .over(Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("i") * col("cents")).as("weighted_sum"))
+        .select(col("n"), col("sum_cents"), col("weighted_sum"),
+          ((lit(2.0) * col("weighted_sum").cast("double") -
+            (col("n") + 1).cast("double") * col("sum_cents").cast("double")) /
+            (col("n").cast("double") * col("sum_cents").cast("double")))
+            .as("gini"))
+    }),
+
     // §2.6 — A/B lift with Welch's t-statistic (variant = user parity):
     // ONE conditional-aggregate shuffle; means/variances derive from
     // exact integer (n, Σcents, Σcents²) so the doubles appear only in
@@ -4954,6 +4989,35 @@ object SparkEntry {
         |SELECT d, cents, ema_cents FROM e""".stripMargin,
 
     "q174_kcore" -> kCoreOracleSql(80, 6),
+
+    "q183_basket_profile" ->
+      """WITH b AS (
+        |  SELECT l_orderkey,
+        |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS k
+        |  FROM lineitem GROUP BY 1)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(k * (k - 1) // 2 * count(*) AS BIGINT) AS pair_volume
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q184_gini_revenue" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |         CAST(row_number() OVER (ORDER BY cents, o_custkey)
+        |              AS BIGINT) AS i
+        |  FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(sum(i * cents) AS BIGINT) AS weighted_sum,
+        |       (2.0 * CAST(sum(i * cents) AS DOUBLE)
+        |          - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+        |         / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+        |         AS gini
+        |FROM r""".stripMargin,
 
     "q182_linear_attribution" ->
       """WITH e AS (
