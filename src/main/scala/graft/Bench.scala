@@ -97,6 +97,33 @@ object Bench {
     "q154_triangles", "q155_session_paths", "q156_skyline",
     "q157_basket_rules")
 
+  /** True iff every `<md5>  <rows>  <name>.parquet` line of the committed
+    * manifest (tools/sf1_manifest.txt, written by tools/gen_sf1.py) matches
+    * an md5 of the actual file in `dir`. ~160 MB of MD5 is well under a
+    * second — cheap insurance that "sf1" always names the same bytes.
+    */
+  def sf1ManifestOk(dir: String): Boolean = {
+    val manifest = java.nio.file.Paths.get("tools/sf1_manifest.txt")
+    if (!java.nio.file.Files.exists(manifest)) return false
+    scala.io.Source.fromFile(manifest.toFile).getLines().forall { line =>
+      line.trim.split("\\s+") match {
+        case Array(md5, _, name) =>
+          val f = java.nio.file.Paths.get(dir, name)
+          java.nio.file.Files.exists(f) && {
+            val d = java.security.MessageDigest.getInstance("MD5")
+            val in = java.nio.file.Files.newInputStream(f)
+            try {
+              val buf = new Array[Byte](1 << 20)
+              var n = in.read(buf)
+              while (n > 0) { d.update(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+            d.digest().map("%02x".format(_)).mkString == md5
+          }
+        case _ => true // blank/comment lines
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
@@ -110,16 +137,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query state isolation (round 5): every operator that
+    // localCheckpoints leaves its blocks pinned in the block manager, and
+    // over a 184-query catalog those accumulate into memory pressure that
+    // inflated end-of-run sf1 readings up to 20x in round 4 (see
+    // BASELINE.md's round-5 reconciliation). A real cluster job starts
+    // with an empty block manager; give every timed run the same.
+    def clearState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearState()
+      dt
     }
     def timed(name: String, dir: String, runs: Int): Double =
       try (1 to runs).map(_ => runOnce(name, dir)).min
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name @ $dir failed: ${e.getMessage}")
+        clearState()
         -1.0
       }
     def json(results: Seq[(String, Double)]): String =
@@ -139,19 +180,34 @@ object Bench {
       sys.exit(2)
     }
     val only = args.toSeq
-    val headline = if (only.nonEmpty) Headline.filter(only.contains) else Headline
-    val rest = (if (only.nonEmpty) only else SparkEntry.queries.keys.toSeq)
-      .sorted.filterNot(Headline.contains)
+    // named queries (builder tuning loops) always get the 2-run-min
+    // protocol — an isolated single run mixes JIT/codegen warmup into the
+    // number being tuned
+    val headline = if (only.nonEmpty) only else Headline
+    val rest =
+      if (only.nonEmpty) Nil
+      else SparkEntry.queries.keys.toSeq.sorted.filterNot(Headline.contains)
     val results = headline.map(n => n -> timed(n, sfDir, 2)) ++
       rest.map(n => n -> timed(n, sfDir, 1))
     val headlineTotal = total(results.take(headline.length))
 
-    // the 10× rung: the linear-claim set (or the named queries), one run
+    // the 10× rung: the linear-claim set (or the named queries, 2-run-min).
+    // A run is labeled "sf1" ONLY if the directory's parquet files hash-match
+    // the committed manifest — round-over-round sf1 comparisons are
+    // meaningless on silently-drifted data (VERDICT r4 item 5).
     val sf1 =
       if (sf1Dir.nonEmpty && new java.io.File(sf1Dir, "lineitem.parquet").exists()) {
-        val names = if (only.nonEmpty) only else Sf1Set
-        val r = names.map(n => n -> timed(n, sf1Dir, 1))
-        s""","sf1":{"dir":"$sf1Dir","total":${total(r)},"queries":${json(r)}}"""
+        if (!sf1ManifestOk(sf1Dir)) {
+          System.err.println(
+            s"[bench] $sf1Dir does not match tools/sf1_manifest.txt — " +
+              "regenerate with tools/gen_sf1.py; sf1 rung SKIPPED")
+          ""
+        } else {
+          val names = if (only.nonEmpty) only else Sf1Set
+          val runs = if (only.nonEmpty) 2 else 1
+          val r = names.map(n => n -> timed(n, sf1Dir, runs))
+          s""","sf1":{"dir":"$sf1Dir","total":${total(r)},"queries":${json(r)}}"""
+        }
       } else ""
 
     val line = s"""{"metric":"total","value":$headlineTotal,"unit":"sec",""" +

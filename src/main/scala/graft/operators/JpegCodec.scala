@@ -684,6 +684,11 @@ object JpegCodec {
                     placed = true
                   } else { run -= 1; k += 1 }
                 }
+                // a valid stream always lands its run inside the band —
+                // walking past `se` without placing means the entropy
+                // stream has desynced; fail the scan rather than decode
+                // the remaining blocks into garbage (ADVICE r4)
+                if (!placed) return -1
                 k += 1 // past the placed position
               }
             }

@@ -11,13 +11,15 @@ import graft.operators.PpmCodec.PpmImage
   * [[Multimodal.decodeFeatures]] — a deflate-based real-world raster
   * format now decodes to actual pixels inside the container.
   *
-  * Scope (the common training-corpus shape): 8-bit-per-sample, color
-  * types 0 (grayscale), 2 (truecolor RGB) and 6 (RGBA), non-interlaced.
-  * Palette/16-bit/Adam7 payloads return None and take the documented
-  * fallback arm exactly like JPEG. Output is normalized to the same
-  * 3-byte-RGB [[PpmImage]] the PPM path produces, so features / resize /
-  * frame ops downstream are format-agnostic (gray replicates into RGB,
-  * alpha is dropped — feature extraction, not compositing).
+  * Scope (the common training-corpus shape): color types 0 (grayscale),
+  * 2 (truecolor RGB) and 6 (RGBA) at 8 bits per sample, plus — round 5 —
+  * type 3 (palette/indexed via PLTE, with or without a tRNS chunk) at
+  * bit depths 1/2/4/8, non-interlaced. 16-bit/gray+alpha/Adam7 payloads
+  * return None and take the documented fallback arm exactly like JPEG.
+  * Output is normalized to the same 3-byte-RGB [[PpmImage]] the PPM path
+  * produces, so features / resize / frame ops downstream are
+  * format-agnostic (gray replicates into RGB, alpha — including tRNS
+  * palette alpha — is dropped: feature extraction, not compositing).
   *
   * PNG spec: RFC 2083 / W3C PNG (public). Filters: None/Sub/Up/Average/
   * Paeth, applied per scanline over a 1-filter-byte + width*bpp layout.
@@ -50,6 +52,8 @@ object PngCodec {
     var width = 0; var height = 0; var colorType = -1; var bitDepth = -1
     var interlace = -1
     var sawIhdr = false; var sawIend = false
+    var plte: Array[Byte] = null
+    var trnsLen = -1
     val idat = new java.io.ByteArrayOutputStream()
     val crc = new CRC32()
     while (!sawIend && off + 8 <= bytes.length) {
@@ -73,6 +77,15 @@ object PngCodec {
           if (bytes(typeOff + 16) != 0 && bytes(typeOff + 16) != 1) return None
           interlace = bytes(typeOff + 16) & 0xFF
           sawIhdr = true
+        case "PLTE" =>
+          // 1..256 RGB triples, exactly once, before IDAT
+          if (len == 0 || len % 3 != 0 || len > 768 || plte != null) return None
+          plte = java.util.Arrays.copyOfRange(bytes, typeOff + 4, typeOff + 4 + len)
+        case "tRNS" =>
+          // palette alpha (one byte per leading palette entry). The RGB
+          // output drops alpha by contract, but the chunk is still
+          // validated so a malformed stream fails loudly, not silently
+          trnsLen = len
         case "IDAT" => idat.write(bytes, typeOff + 4, len)
         case "IEND" => sawIend = true
         case _ => // ancillary chunks (tEXt, gAMA, ...) are skippable
@@ -80,19 +93,38 @@ object PngCodec {
       off += 12 + len
     }
     if (!sawIhdr || !sawIend || width <= 0 || height <= 0) return None
-    if (bitDepth != 8 || interlace != 0) return None
+    if (interlace != 0) return None
+    // bit-depth matrix per the PNG spec's allowed combinations, restricted
+    // to the 8-bit-per-sample arm for sample types (16-bit stays fallback)
+    // and the full 1/2/4/8 range for palette indices
+    val paletteOk = colorType == 3 &&
+      (bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8)
+    if (!paletteOk && bitDepth != 8) return None
     val channels = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
+      case 3 => 1 // palette index
       case 6 => 4 // RGBA
-      case _ => return None // palette (3) and gray+alpha (4) unsupported
+      case _ => return None // gray+alpha (4) unsupported
+    }
+    if (colorType == 3) {
+      if (plte == null) return None // palette images require PLTE
+      if (trnsLen > plte.length / 3) return None // more alphas than entries
+      // indices above the palette's top entry are checked per pixel below
+    } else if (colorType == 0 || colorType == 2) {
+      // tRNS on gray/RGB names a transparent color (2/6 bytes) — alpha is
+      // dropped anyway, but a length that can't be that is corruption
+      if (trnsLen >= 0 && trnsLen != channels * 2) return None
     }
     // corrupt headers are routine input at corpus scale: cap pixel count
     // BEFORE any allocation so a 4-byte dim lie (or a zip-bomb IDAT behind
     // it) returns None instead of overflowing the w*h*3 RGB buffer for
     // 1-channel images that pass the raw-size check, or OOMing the task
     if (width.toLong * height.toLong > MaxPixels) return None
-    val rawLen = (1L + width.toLong * channels) * height.toLong
+    // scanline byte stride: sub-byte palette indices pack big-endian
+    // within each byte, rows always start on a byte boundary
+    val strideBytes = (width.toLong * channels * bitDepth + 7) / 8
+    val rawLen = (1L + strideBytes) * height.toLong
     if (rawLen > Int.MaxValue - 8) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inflater = new Inflater()
@@ -109,17 +141,24 @@ object PngCodec {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
-    unfilterToRgb(raw, width, height, channels)
+    unfilterToRgb(raw, width, height, channels, bitDepth,
+      if (colorType == 3) plte else null)
   }
 
   /** Reverse the per-scanline filters in place over `raw` (layout:
-    * height rows of [filterByte, width*channels sample bytes]) and project
-    * to packed RGB. Filter math is the spec's: bytes are unsigned, the
-    * "left" neighbor is `bpp` bytes back, out-of-row neighbors are 0.
+    * height rows of [filterByte, scanline bytes]) and project to packed
+    * RGB. Filter math is the spec's: bytes are unsigned, the "left"
+    * neighbor is `bpp = ceil(channels·bitDepth/8)` bytes back (1 for all
+    * palette depths), out-of-row neighbors are 0. Palette rows unpack
+    * big-endian sub-byte indices after unfiltering; an index beyond the
+    * palette is corruption and fails the decode.
     */
   private def unfilterToRgb(raw: Array[Byte], width: Int, height: Int,
-                            channels: Int): Option[PpmImage] = {
-    val stride = width * channels
+                            channels: Int, bitDepth: Int,
+                            palette: Array[Byte]): Option[PpmImage] = {
+    val stride = ((width.toLong * channels * bitDepth + 7) / 8).toInt
+    val bpp = math.max(1, channels * bitDepth / 8)
+    val nEntries = if (palette == null) 0 else palette.length / 3
     val out = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -131,9 +170,9 @@ object PngCodec {
       filter match {
         case 0 => // None
         case 1 => // Sub
-          x = channels
+          x = bpp
           while (x < stride) {
-            raw(cur + x) = (raw(cur + x) + raw(cur + x - channels)).toByte
+            raw(cur + x) = (raw(cur + x) + raw(cur + x - bpp)).toByte
             x += 1
           }
         case 2 => // Up
@@ -147,7 +186,7 @@ object PngCodec {
         case 3 => // Average
           x = 0
           while (x < stride) {
-            val left = if (x >= channels) raw(cur + x - channels) & 0xFF else 0
+            val left = if (x >= bpp) raw(cur + x - bpp) & 0xFF else 0
             val up = if (y > 0) raw(prev + x) & 0xFF else 0
             raw(cur + x) = (raw(cur + x) + ((left + up) >> 1)).toByte
             x += 1
@@ -155,9 +194,9 @@ object PngCodec {
         case 4 => // Paeth
           x = 0
           while (x < stride) {
-            val a = if (x >= channels) raw(cur + x - channels) & 0xFF else 0
+            val a = if (x >= bpp) raw(cur + x - bpp) & 0xFF else 0
             val b = if (y > 0) raw(prev + x) & 0xFF else 0
-            val c = if (y > 0 && x >= channels) raw(prev + x - channels) & 0xFF else 0
+            val c = if (y > 0 && x >= bpp) raw(prev + x - bpp) & 0xFF else 0
             val p = a + b - c
             val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
             val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
@@ -169,14 +208,26 @@ object PngCodec {
       // project this unfiltered scanline into packed RGB
       var px = 0
       while (px < width) {
-        val s = cur + px * channels
         val d = (y * width + px) * 3
-        channels match {
-          case 1 =>
-            val g = raw(s)
-            out(d) = g; out(d + 1) = g; out(d + 2) = g
-          case _ =>
-            out(d) = raw(s); out(d + 1) = raw(s + 1); out(d + 2) = raw(s + 2)
+        if (palette != null) {
+          // big-endian bit packing: pixel px lives at bit px*bitDepth
+          val bitPos = px * bitDepth
+          val b = raw(cur + (bitPos >> 3)) & 0xFF
+          val shift = 8 - bitDepth - (bitPos & 7)
+          val idx = (b >> shift) & ((1 << bitDepth) - 1)
+          if (idx >= nEntries) return None
+          out(d) = palette(idx * 3)
+          out(d + 1) = palette(idx * 3 + 1)
+          out(d + 2) = palette(idx * 3 + 2)
+        } else {
+          val s = cur + px * channels
+          channels match {
+            case 1 =>
+              val g = raw(s)
+              out(d) = g; out(d + 1) = g; out(d + 2) = g
+            case _ =>
+              out(d) = raw(s); out(d + 1) = raw(s + 1); out(d + 2) = raw(s + 2)
+          }
         }
         px += 1
       }
@@ -217,6 +268,67 @@ object PngCodec {
     var y = 0
     while (y < img.height) {
       System.arraycopy(img.pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val deflater = new Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    writeChunk("IDAT", z.toByteArray)
+    writeChunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Indexed-color encoder (filter 0, big-endian sub-byte packing) so the
+    * palette decode path round-trips against an independently-assembled
+    * stream in specs: `indices` are row-major palette indices, `palette`
+    * is RGB triples, `trns` (optional) is per-entry alpha for a tRNS
+    * chunk. Escapes into real PLTE/tRNS/IDAT framing with CRCs, the same
+    * wire shape any standard encoder emits.
+    */
+  def encodePalette(width: Int, height: Int, palette: Array[Byte],
+                    indices: Array[Int], bitDepth: Int,
+                    trns: Option[Array[Byte]] = None): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length <= 768, "bad palette")
+    require(Set(1, 2, 4, 8).contains(bitDepth), "bad palette bit depth")
+    require(indices.length == width * height, "indices must be w*h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, Signature.length)
+    def writeChunk(chunkType: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(len >>> 24); out.write(len >>> 16); out.write(len >>> 8); out.write(len)
+      val t = chunkType.getBytes("US-ASCII")
+      val crc = new CRC32()
+      crc.update(t); crc.update(data)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val c = crc.getValue.toInt
+      out.write(c >>> 24); out.write(c >>> 16); out.write(c >>> 8); out.write(c)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
+    ihdr(2) = (width >>> 8).toByte; ihdr(3) = width.toByte
+    ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >>> 16).toByte
+    ihdr(6) = (height >>> 8).toByte; ihdr(7) = height.toByte
+    ihdr(8) = bitDepth.toByte; ihdr(9) = 3 // color type 3: palette
+    writeChunk("IHDR", ihdr)
+    writeChunk("PLTE", palette)
+    trns.foreach(a => writeChunk("tRNS", a))
+    val stride = (width * bitDepth + 7) / 8
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (stride + 1) // filter byte 0 already in place
+      var px = 0
+      while (px < width) {
+        val bitPos = px * bitDepth
+        val shift = 8 - bitDepth - (bitPos & 7)
+        val off = rowOff + 1 + (bitPos >> 3)
+        raw(off) = (raw(off) | (indices(y * width + px) << shift)).toByte
+        px += 1
+      }
       y += 1
     }
     val deflater = new Deflater()

@@ -31,6 +31,35 @@ object Sketches {
         percentile(col("value"), lit(0.5)).as("exact_p50"),
         count(lit(1)).as("n_events"))
 
+  /** Boolean-contract readout of [[summary]] (round 5, VERDICT r4 item 8):
+    * sketch estimates are engine-specific state, so their VALUES can never
+    * hash-match a DuckDB oracle — but their CONTRACTS can. The output
+    * carries the exact aggregates plus two booleans — the HLL++ estimate
+    * within 3·rsd of the exact distinct, and the approx-percentile inside
+    * the exact [p45, p55] envelope (its rank guarantee at accuracy 10⁴ is
+    * ±10⁻⁴, orders of magnitude tighter) — and the oracle emits the same
+    * exact values with literal TRUEs. A sketch drifting out of contract
+    * flips a boolean and fails the hash compare, which upgrades q41 from
+    * rows-only to a full oracle row.
+    */
+  def summaryContract(events: DataFrame, rsd: Double = 0.05,
+                      percentileAccuracy: Int = 10000): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_percentile(col("value"), lit(0.5), lit(percentileAccuracy))
+          .as("approx_p50"),
+        percentile(col("value"), lit(0.5)).as("exact_p50"),
+        percentile(col("value"), lit(0.45)).as("p45"),
+        percentile(col("value"), lit(0.55)).as("p55"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("exact_p50"),
+        col("n_events"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= lit(3 * rsd) * col("exact_users")).as("users_in_bound"),
+        col("approx_p50").between(col("p45"), col("p55")).as("p50_in_bound"))
+
   /** Mergeable distinct-user sketches — the non-monoid arm of incremental
     * aggregate maintenance: [[Kpi.mergeDailyAgg]] folds deliveries into
     * counts and sums by re-summation, but a distinct count cannot

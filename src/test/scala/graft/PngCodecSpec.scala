@@ -142,7 +142,7 @@ class PngCodecSpec extends SparkTestBase {
     PngCodec.decode(good.dropRight(20)) shouldBe None // truncated
     val badCrc = good.clone(); badCrc(good.length - 5) = 0x55
     PngCodec.decode(badCrc) shouldBe None
-    // palette (3) and 16-bit payloads take the documented fallback
+    // a palette (3) stream WITHOUT a PLTE chunk is corrupt, not fallback
     val raw = forwardFilter(0, gradient.pixels, 7, 5, 3)
     PngCodec.decode(buildPng(7, 5, colorType = 3, raw)) shouldBe None
     val deep = PngCodec.encode(gradient).clone()
@@ -163,6 +163,97 @@ class PngCodecSpec extends SparkTestBase {
       } ++
       (1 to 50).map(_ => good.take(rng.nextInt(good.length)))
     payloads.foreach(p => noException should be thrownBy PngCodec.decode(p))
+  }
+
+  test("palette decode: all four bit depths expand through PLTE, tRNS alpha drops") {
+    // 4-entry palette: black, red, green, a gray
+    val palette = Array[Byte](0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte, 0,
+      80, 80, 80)
+    val w = 5; val h = 3
+    val rng = new scala.util.Random(20260814L)
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val maxIdx = math.min(4, 1 << depth)
+      val idx = Array.fill(w * h)(rng.nextInt(maxIdx))
+      val png = PngCodec.encodePalette(w, h, palette, idx, depth,
+        trns = if (depth == 8) Some(Array[Byte](0, 128.toByte, 255.toByte)) else None)
+      val img = PngCodec.decode(png)
+      withClue(s"depth $depth: ") {
+        img.isDefined shouldBe true
+        img.get.width shouldBe w; img.get.height shouldBe h
+        val expected = idx.flatMap(i =>
+          Seq(palette(i * 3), palette(i * 3 + 1), palette(i * 3 + 2))).toSeq
+        img.get.pixels.toSeq shouldBe expected
+      }
+    }
+  }
+
+  test("palette decode survives every filter type over index bytes") {
+    // 8-bit palette rows are plain bytes, so the five filters apply with
+    // bpp = 1; assemble via the generic builder with a PLTE injected
+    val palette = Array.tabulate(256 * 3)(i => (i % 251).toByte)
+    val w = 6; val h = 4
+    val idx = Array.tabulate(w * h)(i => (i * 37) % 256)
+    val idxBytes = idx.map(_.toByte)
+    for (filter <- 0 to 4) {
+      val raw = forwardFilter(filter, idxBytes, w, h, 1)
+      // splice a PLTE chunk in front of IDAT by re-assembling
+      val noPlte = buildPng(w, h, colorType = 3, raw)
+      val png = injectPlte(noPlte, palette)
+      val img = PngCodec.decode(png)
+      withClue(s"filter $filter: ") {
+        val expected = idx.flatMap(i =>
+          Seq(palette(i * 3), palette(i * 3 + 1), palette(i * 3 + 2))).toSeq
+        img.map(_.pixels.toSeq) shouldBe Some(expected)
+      }
+    }
+  }
+
+  test("palette corruption: out-of-range index and oversized tRNS reject") {
+    val palette = Array[Byte](10, 20, 30, 40, 50, 60) // 2 entries
+    // index 3 with a 2-entry palette: corrupt
+    val bad = PngCodec.encodePalette(2, 1, palette, Array(0, 3), 8)
+    PngCodec.decode(bad) shouldBe None
+    // tRNS with more alphas than palette entries: corrupt
+    val over = PngCodec.encodePalette(2, 1, palette, Array(0, 1), 8,
+      trns = Some(Array[Byte](1, 2, 3)))
+    PngCodec.decode(over) shouldBe None
+    // valid control
+    PngCodec.decode(PngCodec.encodePalette(2, 1, palette, Array(0, 1), 8))
+      .get.pixels.toSeq shouldBe Seq[Byte](10, 20, 30, 40, 50, 60)
+    // fuzz over the palette arm too: bit flips and truncations never throw
+    val good = PngCodec.encodePalette(3, 3, palette,
+      Array(0, 1, 0, 1, 0, 1, 0, 1, 0), 2,
+      trns = Some(Array[Byte](9)))
+    val rng = new scala.util.Random(20260815L)
+    val payloads =
+      (1 to 100).map { _ =>
+        val b = good.clone(); b(rng.nextInt(b.length)) = rng.nextInt().toByte; b
+      } ++ (1 to 50).map(_ => good.take(rng.nextInt(good.length)))
+    payloads.foreach(p => noException should be thrownBy PngCodec.decode(p))
+  }
+
+  /** Insert a PLTE chunk (with CRC) immediately before the first IDAT. */
+  private def injectPlte(png: Array[Byte], palette: Array[Byte]): Array[Byte] = {
+    var off = 8
+    var idatOff = -1
+    while (idatOff < 0 && off + 8 <= png.length) {
+      val len = ((png(off) & 0xFF) << 24) | ((png(off + 1) & 0xFF) << 16) |
+        ((png(off + 2) & 0xFF) << 8) | (png(off + 3) & 0xFF)
+      val t = new String(png, off + 4, 4, "US-ASCII")
+      if (t == "IDAT") idatOff = off else off += 12 + len
+    }
+    require(idatOff > 0, "no IDAT")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, idatOff)
+    val len = palette.length
+    out.write(len >>> 24); out.write(len >>> 16); out.write(len >>> 8); out.write(len)
+    val tb = "PLTE".getBytes("US-ASCII")
+    val crc = new CRC32(); crc.update(tb); crc.update(palette)
+    out.write(tb); out.write(palette)
+    val c = crc.getValue.toInt
+    out.write(c >>> 24); out.write(c >>> 16); out.write(c >>> 8); out.write(c)
+    out.write(png, idatOff, png.length - idatOff)
+    out.toByteArray
   }
 
   test("decodeFeatures marks PNG payloads decoded=true with real pixel features") {

@@ -21,6 +21,27 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("summaryContract: booleans hold and exact columns mirror summary") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val rows = Sketches.summaryContract(docs).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      withClue(s"${r.getAs[String]("event_type")}: ") {
+        r.getAs[Boolean]("users_in_bound") shouldBe true
+        r.getAs[Boolean]("p50_in_bound") shouldBe true
+      }
+    }
+    // the exact columns are the same aggregates summary computes
+    val exact = Sketches.summary(docs)
+      .select("event_type", "exact_users", "exact_p50", "n_events")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      exact(r.getAs[String]("event_type")) shouldBe
+        ((r.getAs[Long]("exact_users"), r.getAs[Double]("exact_p50"),
+          r.getAs[Long]("n_events")))
+    }
+  }
+
   test("count-min estimates are one-sided and within eps*N") {
     import spark.implicits._
     // skewed stream: key 1 is hot, a long tail of cold keys

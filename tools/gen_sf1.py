@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/testdata-ext/sf1"
+DST = os.environ.get("GEN_SF1_DST", "/root/repo/testdata-ext/sf1")
 K = 100_000_000
 REPLICAS = 10
 
@@ -110,3 +110,22 @@ for dim in ("region", "nation"):
 
 for name in SHIFT_COLS:
     replicate(name)
+
+# Manifest: per-table md5 + row count, so a regenerated rung is verifiably
+# the SAME data across rounds (round-over-round sf1 comparisons are only
+# meaningful on bit-identical input). graft.Bench refuses to label a run
+# "sf1" unless the directory carries a manifest matching the committed
+# copy at tools/sf1_manifest.txt.
+import hashlib
+
+with open(f"{DST}/MANIFEST.txt", "w") as mf:
+    for name in sorted(os.listdir(DST)):
+        if not name.endswith(".parquet"):
+            continue
+        h = hashlib.md5()
+        with open(f"{DST}/{name}", "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        rows = pq.read_metadata(f"{DST}/{name}").num_rows
+        mf.write(f"{h.hexdigest()}  {rows}  {name}\n")
+print(f"manifest: {DST}/MANIFEST.txt")
