@@ -589,8 +589,12 @@ object SparkEntry {
       // checkpointed frame; both split sides filter from it, so the plan
       // carries one md5 pass over the corpus instead of two full
       // fingerprint scans (VERDICT r4 item 3 — at 100 TB the second md5
-      // pass was a full extra corpus read)
+      // pass was a full extra corpus read). Repartition BEFORE the
+      // checkpoint: a one-file corpus otherwise pins the checkpoint — and
+      // every consumer's pre-shuffle shingle pass — to a single partition
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val docs = t(s, dir, "documents")
+        .repartition(parts, col("doc_id"))
         .withColumn("is_eval",
           substring(graft.functions.TextFunctions.fingerprint(col("text")), 1, 1)
             === "0")
@@ -2371,6 +2375,339 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
           sum(col("bal_cents")).as("total_cents"))
+    }),
+
+    // §2.6 — TPC-H Q2 shape (round 5, adapted: no partsupp table in this
+    // schema, so "supply cost" is the supplier's observed unit price from
+    // lineitem history): for every size-15 part, the cheapest supplier in
+    // one region by exact integer-micro unit price (Σprice_micro div Σqty
+    // — deterministic integer division, never a double avg), argmin via a
+    // part-partitioned rank with a suppkey tie-break. The (part, supplier)
+    // aggregate is the only corpus shuffle; region membership broadcasts;
+    // the rank window rides the part partitioning — no global sort
+    "q185_cheapest_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val regSup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val parts15 = t(s, dir, "part").filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          ExactAgg.scaledLong(col("l_extendedprice"), 10000).as("price_micro"),
+          col("l_quantity").cast("long").as("qty"))
+        .join(broadcast(parts15), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(regSup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"))
+        .agg(sum(col("price_micro")).as("sum_micro"), sum(col("qty")).as("sum_qty"))
+        .withColumn("unit_micro", expr("sum_micro div sum_qty"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("p_partkey"))
+          .orderBy(col("unit_micro").asc, col("s_suppkey").asc)))
+        .filter(col("rk") === 1)
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("unit_micro"))
+    }),
+
+    // §2.6 — TPC-H Q4 shape (round 5, adapted: no l_commitdate, so "late"
+    // is shipped >60 days after the order date): orders placed in 1997Q1
+    // with at least one late-shipped line, counted per priority. The
+    // correlated EXISTS is an equi-join on orderkey with the date
+    // predicate refined after — one orderkey shuffle of the quarter's
+    // orders against lineitem, then a distinct + bounded priority rollup
+    "q186_late_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate") < lit("1997-04-01").cast("date"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // §2.6 — TPC-H Q9 shape (round 5, adapted: no ps_supplycost, so cost
+    // is 80% of the part's retail price per unit): per (supplier nation,
+    // order year) profit on parts named "red …" — profit_micro =
+    // Σ(revenue_micro − (4·retail_micro·qty) div 5), every term an exact
+    // BIGINT (the div-5 cost rounding is identical in the oracle's //).
+    // Name-filtered parts and supplier→nation broadcast; the only corpus
+    // shuffle is lineitem⋈orders on orderkey for the year
+    "q187_profit_by_nation" -> ((s, dir) => {
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"),
+          ExactAgg.scaledLong(col("p_retailprice"), 10000).as("retail_micro"))
+      val supNat = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          (ExactAgg.scaledLong(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000) -
+            expr("(4 * retail_micro * CAST(l_quantity AS BIGINT)) div 5"))
+            .as("amount_micro"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("amount_micro")).as("profit_micro"))
+    }),
+
+    // §2.6 — TPC-H Q11 shape (round 5, adapted: no partsupp, so the
+    // "important stock" measure is revenue): parts whose revenue exceeds
+    // 1.5× the MEAN part revenue — per-part exact-micro aggregate, the
+    // global (total, count) a 1-row broadcast, the HAVING an exact
+    // integer cross-multiplication (2·rev·n > 3·total). The mean-relative
+    // threshold is scale-free: an absolute share cut (TPC-H's
+    // 0.0001/SF) silently empties as the catalog grows
+    "q188_concentrated_parts" -> ((s, dir) => {
+      val perPart = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(ExactAgg.scaledLong(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+          .as("rev_micro"))
+      perPart
+        .crossJoin(broadcast(perPart.agg(
+          sum(col("rev_micro")).as("total_micro"),
+          count(lit(1)).as("n_parts"))))
+        .filter(col("rev_micro") * 2 * col("n_parts") > col("total_micro") * 3)
+        .select(col("l_partkey"), col("rev_micro"))
+    }),
+
+    // §2.6 — TPC-H Q12 shape (round 5, adapted: no l_shipmode, so lines
+    // band by ship DELAY instead): for 1997 shipments, per delay band
+    // (≤30 / 31–90 / >90 days after the order date), how many lines
+    // belong to high- vs low-priority orders — Q12's two conditional
+    // aggregates over one lineitem⋈orders shuffle, ≤3-row output
+    "q189_delay_bands" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "0-30")
+            .when(datediff(col("l_shipdate"), col("o_orderdate")) <= 90, "31-90")
+            .otherwise("90+").as("delay_band"),
+          col("o_orderpriority"))
+        .groupBy(col("delay_band"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    }),
+
+    // §2.6 — TPC-H Q13 shape (round 5): the customer order-count
+    // distribution — per order count c (including 0 via the left join),
+    // how many customers placed exactly c orders. Two custkey-grain
+    // shuffles, then a count-of-counts over the bounded count domain
+    "q190_custorder_distribution" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // §2.6 — TPC-H Q15 shape (round 5): the top supplier(s) by 1997Q1
+    // revenue — supplier-grain exact-micro aggregate, then the max via an
+    // unpartitioned window over the SUPPLIER AGGREGATE (bounded catalog,
+    // q82's documented exemption), never over lineitem; emitting every
+    // tied supplier exactly like Q15's view-max formulation
+    "q191_top_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-04-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(ExactAgg.scaledLong(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
+          .as("rev_micro"))
+        .withColumn("max_micro", max(col("rev_micro")).over(Window.partitionBy()))
+        .filter(col("rev_micro") === col("max_micro"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_micro"))
+    }),
+
+    // §2.6 — TPC-H Q16 shape (round 5, adapted: supplier relationships
+    // come from shipment history instead of partsupp): per (brand, type,
+    // size) in a size list, how many DISTINCT suppliers shipped such
+    // parts, excluding one brand and the PROMO type family — the distinct
+    // collapses map-side before the count, part attrs broadcast
+    "q192_supplier_variety" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 9, 15, 22, 30, 44, 50))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+        .distinct()
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count(lit(1)).as("supplier_cnt"))
+    }),
+
+    // §2.6 — TPC-H Q20 shape (round 5, adapted: no partsupp availqty, so
+    // the "excess share" screen is shipment dominance): suppliers who
+    // shipped MORE THAN 2× THEIR FAIR SHARE of some red part's 1997+
+    // volume (fair = p_qty / n_suppliers-of-part — a share-relative
+    // threshold, since with this datagen's wide supplier fan-out an
+    // absolute >50% cut is unreachable and would leave the arm vacuous) —
+    // per (part, supplier) and per-part aggregates share one
+    // partkey-grain frame, the threshold is the exact integer compare
+    // ps_qty·n_sup > 2·p_qty, and the output rolls up to (supplier,
+    // parts dominated) with the name attached by broadcast
+    "q193_dominant_suppliers" -> ((s, dir) => {
+      val red = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date"))
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").startsWith("red")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val ps = red.groupBy(col("p_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("ps_qty"))
+      val pTot = ps.groupBy(col("p_partkey"))
+        .agg(sum(col("ps_qty")).as("p_qty"), count(lit(1)).as("n_sup"))
+      ps.join(pTot, Seq("p_partkey"))
+        .filter(col("ps_qty") * col("n_sup") > col("p_qty") * 2)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_parts_dominated"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
+    }),
+
+    // §2.6 — neighborhood-overlap link scores (round 5): common-neighbor
+    // counts and exact integer-micro Jaccard overlap for every
+    // co-purchase edge with a shared neighbor — the link-prediction /
+    // edge-strength feature; common counts ARE triangles-per-edge, so the
+    // operator reuses the m·√m oriented-wedge machinery and never
+    // expands a hub neighborhood; oracle recounts via the naive
+    // adjacency join
+    "q194_link_scores" -> ((s, dir) => {
+      val po = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = po.as("x")
+        .join(po.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+      Graph.linkScores(edges)
+    }),
+
+    // §2.6 — weekday-residual volume anomaly screen (round 5): each day's
+    // event volume vs its WEEKDAY median, flagged when the deviation beats
+    // 2× the weekday's MAD — seasonality-aware outlier detection that
+    // composes q152's weekday profile with q74's robust dispersion. All
+    // compares run on 2×-scaled integers (an even-count median is a .5 —
+    // doubling keeps it integral), computed over the bounded |days| frame;
+    // weekday 0=Monday on both engines (Spark weekday() ≡ isodow−1)
+    "q195_weekday_anomaly" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily
+        .groupBy(weekday(col("day")).cast("long").as("wd"))
+        .agg((percentile(col("n"), lit(0.5)) * 2).cast("long").as("med2"))
+      val dev = daily
+        .join(broadcast(stats), weekday(col("day")).cast("long") === col("wd"))
+        .withColumn("dev2", abs(col("n") * 2 - col("med2")))
+      val mad = dev.groupBy(col("wd").as("mwd"))
+        .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+      // dev2 is 2·|dev|, mad4 is 4·MAD: dev > 2·MAD ⟺ dev2 > mad4
+      dev.join(broadcast(mad), col("wd") === col("mwd"))
+        .filter(col("dev2") > col("mad4"))
+        .select(col("day"), col("wd"), col("n"), col("med2"), col("dev2"),
+          col("mad4"))
+    }),
+
+    // §2.2 — functional-dependency audit (round 5): does column A
+    // determine column B? One report row per candidate FD with the
+    // lhs-group count and how many groups witness ≥2 distinct rhs values
+    // — the normalization/data-contract check that q133's row predicates
+    // and q175's cross-table FK audit cannot express (it quantifies over
+    // GROUPS). Each FD is one map-side-combining (lhs → distinct-rhs)
+    // aggregate; the union output is bounded by the FD list
+    "q196_fd_audit" -> ((s, dir) => {
+      def fd(df: DataFrame, rel: String, lhs: String, rhs: String) =
+        df.groupBy(col(lhs))
+          .agg(countDistinct(col(rhs)).as("n_rhs"))
+          .agg(count(lit(1)).as("n_groups"),
+            count(when(col("n_rhs") > 1, 1)).as("n_violating"))
+          .select(lit(rel).as("relation"), lit(lhs).as("lhs"),
+            lit(rhs).as("rhs"), col("n_groups"), col("n_violating"))
+      fd(t(s, dir, "part"), "part", "p_name", "p_brand")
+        .unionByName(fd(t(s, dir, "part"), "part", "p_brand", "p_type"))
+        .unionByName(fd(t(s, dir, "orders"), "orders", "o_orderkey", "o_custkey"))
+        .unionByName(fd(t(s, dir, "orders"), "orders", "o_custkey", "o_orderpriority"))
+        .unionByName(fd(t(s, dir, "customer"), "customer", "c_custkey", "c_mktsegment"))
+        .unionByName(fd(t(s, dir, "events"), "events", "user_id", "event_type"))
+    }),
+
+    // §2.8 — per-label embedding cohesion (round 5): for every label, the
+    // member count and the mean cosine of members to their label
+    // centroid — the cluster-quality / label-noise audit over the
+    // embedding table. Centroids are exact integer-micro vectors (scaled
+    // sums div n — no float accumulation), per-vector cosines are
+    // micro-rounded BEFORE the mean so the sum is an exact BIGINT
+    // (q109's order-free trick); sqrt is IEEE correctly-rounded, so the
+    // whole row is hash-exact. Shapes: one label-grain dim-exploded
+    // aggregate (bounded |labels|·dim), centroids broadcast back, one
+    // label-grain rollup
+    "q198_label_cohesion" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          // micro-scaled integer components: exact everywhere after
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
+            .as("v"))
+      val cent = vecs
+        .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", expr("sx div n"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("cd"))
+        .select(col("label"), expr("transform(cd, p -> p.c)").as("cvec"))
+      vecs.join(broadcast(cent), Seq("label"))
+        .select(col("label"),
+          // cos(v, c) micro-rounded: dot and norms are exact BIGINT folds
+          // (micro components ≤ ~1e6, dim-bounded products never overflow)
+          floor(
+            aggregate(zip_with(col("v"), col("cvec"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).cast("double") /
+              (sqrt(aggregate(col("v"), lit(0L),
+                (acc, x) => acc + x * x).cast("double")) *
+               sqrt(aggregate(col("cvec"), lit(0L),
+                 (acc, x) => acc + x * x).cast("double"))) * 1000000d
+            + 0.5d).cast("long").as("cos_micro"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("cos_micro")).as("sum_cos_micro"))
+        .withColumn("mean_cos_micro", expr("sum_cos_micro div n_vecs"))
     }),
 
     // §2.9 — bigram-LM surprisal (round 4): conditional next-token
@@ -4671,6 +5008,27 @@ object SparkEntry {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin,
 
+    "q194_link_scores" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM po x JOIN po y ON x.o = y.o AND x.p < y.p),
+        |adj AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        |cm AS (
+        |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS common
+        |  FROM e
+        |  JOIN adj x ON x.n = e.a
+        |  JOIN adj y ON y.n = e.b AND y.m = x.m
+        |  GROUP BY 1, 2)
+        |SELECT cm.a, cm.b, common,
+        |       CAST(da.deg + db.deg - common AS BIGINT) AS union_size,
+        |       (1000000 * common) // (da.deg + db.deg - common) AS jaccard_micro
+        |FROM cm
+        |JOIN deg da ON da.n = cm.a
+        |JOIN deg db ON db.n = cm.b""".stripMargin,
+
     "q155_session_paths" ->
       """WITH x AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -5252,6 +5610,134 @@ object SparkEntry {
         |                    AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY 1""".stripMargin,
 
+    "q185_cheapest_supplier" ->
+      """WITH rs AS (
+        |  SELECT s_suppkey, s_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'),
+        |agg AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name,
+        |         CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS sum_micro,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_size = 15
+        |  JOIN rs ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4),
+        |rk AS (
+        |  SELECT *, sum_micro // sum_qty AS unit_micro,
+        |         row_number() OVER (PARTITION BY p_partkey
+        |           ORDER BY sum_micro // sum_qty ASC, s_suppkey ASC) AS rk
+        |  FROM agg)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, unit_micro
+        |FROM rk WHERE rk = 1""".stripMargin,
+
+    "q186_late_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1997-01-01'
+        |  AND o_orderdate < DATE '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "q187_profit_by_nation" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(
+        |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+        |           AS BIGINT)
+        |         - (4 * CAST(floor(p_retailprice * 10000 + 0.5) AS BIGINT)
+        |            * CAST(l_quantity AS BIGINT)) // 5) AS BIGINT)
+        |         AS profit_micro
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q188_concentrated_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |              * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_micro
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_micro) AS BIGINT) AS total_micro,
+        |               CAST(count(*) AS BIGINT) AS n_parts FROM pp)
+        |SELECT l_partkey, rev_micro
+        |FROM pp, tot
+        |WHERE rev_micro * 2 * n_parts > total_micro * 3""".stripMargin,
+
+    "q189_delay_bands" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+        |            THEN '0-30'
+        |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+        |            THEN '31-90'
+        |            ELSE '90+' END AS delay_band,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1997-01-01'
+        |  AND l_shipdate < DATE '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q190_custorder_distribution" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY 1""".stripMargin,
+
+    "q191_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |              * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_micro
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1997-01-01'
+        |    AND l_shipdate < DATE '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_micro
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_micro = (SELECT max(rev_micro) FROM r)""".stripMargin,
+
+    "q192_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 9, 15, 22, 30, 44, 50)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q193_dominant_suppliers" ->
+      """WITH red AS (
+        |  SELECT p_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |  WHERE l_shipdate >= DATE '1997-01-01'),
+        |ps AS (
+        |  SELECT p_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS ps_qty
+        |  FROM red GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT p_partkey, CAST(sum(ps_qty) AS BIGINT) AS p_qty,
+        |         CAST(count(*) AS BIGINT) AS n_sup
+        |  FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |       CAST(count(*) AS BIGINT) AS n_parts_dominated
+        |FROM ps JOIN pt USING (p_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE ps_qty * n_sup > p_qty * 2
+        |GROUP BY 1, 2""".stripMargin,
+
     "q115_ab_welch" ->
       """WITH g AS (
         |  SELECT event_type,
@@ -5299,7 +5785,86 @@ object SparkEntry {
         |SELECT vec_id, dim,
         |       CASE WHEN mx = mn THEN 0.0 ELSE (v - mn) / (mx - mn) END
         |         AS x_std
-        |FROM x JOIN s USING (dim)""".stripMargin
+        |FROM x JOIN s USING (dim)""".stripMargin,
+
+    "q195_weekday_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT isodow(day) - 1 AS wd,
+        |         CAST(quantile_cont(n, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT day, st.wd, n, med2, abs(n * 2 - med2) AS dev2
+        |  FROM daily JOIN st ON isodow(day) - 1 = st.wd),
+        |mad AS (
+        |  SELECT wd, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT day, CAST(dev.wd AS BIGINT) AS wd, n, med2, dev2, mad4
+        |FROM dev JOIN mad USING (wd)
+        |WHERE dev2 > mad4""".stripMargin,
+
+    "q196_fd_audit" ->
+      """SELECT 'part' AS relation, 'p_name' AS lhs, 'p_brand' AS rhs,
+        |       CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(count(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT) AS n_violating
+        |FROM (SELECT count(DISTINCT p_brand) AS n_rhs FROM part GROUP BY p_name)
+        |UNION ALL
+        |SELECT 'part', 'p_brand', 'p_type', CAST(count(*) AS BIGINT),
+        |       CAST(count(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT)
+        |FROM (SELECT count(DISTINCT p_type) AS n_rhs FROM part GROUP BY p_brand)
+        |UNION ALL
+        |SELECT 'orders', 'o_orderkey', 'o_custkey', CAST(count(*) AS BIGINT),
+        |       CAST(count(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT)
+        |FROM (SELECT count(DISTINCT o_custkey) AS n_rhs FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'orders', 'o_custkey', 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |       CAST(count(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT)
+        |FROM (SELECT count(DISTINCT o_orderpriority) AS n_rhs FROM orders GROUP BY o_custkey)
+        |UNION ALL
+        |SELECT 'customer', 'c_custkey', 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |       CAST(count(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT)
+        |FROM (SELECT count(DISTINCT c_mktsegment) AS n_rhs FROM customer GROUP BY c_custkey)
+        |UNION ALL
+        |SELECT 'events', 'user_id', 'event_type', CAST(count(*) AS BIGINT),
+        |       CAST(count(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT)
+        |FROM (SELECT count(DISTINCT event_type) AS n_rhs FROM events GROUP BY user_id)""".stripMargin,
+
+    "q198_label_cohesion" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+        |           AS mv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (
+        |  SELECT vec_id, label, unnest(mv) AS xv,
+        |         unnest(generate_series(0, len(mv) - 1)) AS d
+        |  FROM v),
+        |cent AS (
+        |  SELECT label, d,
+        |         CAST(sum(xv) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+        |  FROM x GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT x.vec_id, x.label,
+        |         CAST(sum(x.xv * cent.c) AS BIGINT) AS dot,
+        |         CAST(sum(x.xv * x.xv) AS BIGINT) AS nv,
+        |         CAST(sum(cent.c * cent.c) AS BIGINT) AS nc
+        |  FROM x JOIN cent ON x.label = cent.label AND x.d = cent.d
+        |  GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT label,
+        |         CAST(floor(CAST(dot AS DOUBLE)
+        |              / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+        |              * 1000000 + 0.5) AS BIGINT) AS cos_micro
+        |  FROM dots)
+        |SELECT label,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(cos_micro) AS BIGINT) AS sum_cos_micro,
+        |       CAST(sum(cos_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |         AS mean_cos_micro
+        |FROM cm GROUP BY 1""".stripMargin
   )
 
   // 10-token non-overlapping segments of each document — the shared CTE

@@ -105,7 +105,18 @@ object Graph {
     * frame); closing is one equi-join on the (x, y) pair; per-node rollup
     * explodes the three corners map-side. No driver-side state.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    orientedTriangles(edges)
+      .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+  /** Every triangle of the undirected `(a, b), a < b` edge list, emitted
+    * exactly once as (apex, x, y) — apex is the π-smallest corner, (x, y)
+    * the π-ordered closing edge. Shared core of [[triangleCounts]] and
+    * [[linkScores]]; see triangleCounts for the m·√m wedge bound.
+    */
+  private def orientedTriangles(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -131,12 +142,47 @@ object Graph {
         col("dst_deg").as("y_deg")), Seq("src"))
       .filter(col("x_deg") < col("y_deg") ||
         (col("x_deg") === col("y_deg") && col("x") < col("y")))
-    val triangles = wedges
+    wedges
       .join(dir.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
       .select(col("src").as("apex"), col("x"), col("y"))
-    triangles
-      .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Neighborhood-overlap link scores — the classic link-prediction /
+    * edge-strength feature: for every EDGE whose endpoints share at least
+    * one neighbor, the common-neighbor count and the Jaccard overlap of
+    * the two neighborhoods, |N(a)∩N(b)| / |N(a)∪N(b)| with the union
+    * counted as deg(a)+deg(b)−common (both endpoints are in each other's
+    * neighborhoods but never their own, so the edge itself never counts).
+    * Emitted as exact integer micros (1e6·common div union) — no doubles.
+    *
+    * Scale shape: common-neighbor counts per edge are exactly triangles
+    * per edge, so the enumeration reuses [[orientedTriangles]]'s m·√m
+    * wedge machinery — each triangle credits its three edges map-side —
+    * and never expands any neighborhood quadratically. Degrees re-attach
+    * by two key joins on the edge-aggregate-sized frame.
+    */
+  def linkScores(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // each triangle's three edges, normalized back to a < b storage order
+    val common = orientedTriangles(edges)
+      .select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")),
+        struct(least(col("apex"), col("x")).as("a"),
+          greatest(col("apex"), col("x")).as("b")),
+        struct(least(col("apex"), col("y")).as("a"),
+          greatest(col("apex"), col("y")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        (col("deg_a") + col("deg_b") - col("common")).as("union_size"),
+        expr("(1000000 * common) div (deg_a + deg_b - common)")
+          .as("jaccard_micro"))
   }
 }

@@ -88,4 +88,25 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     got shouldBe expected
   }
+
+  test("linkScores: square-with-diagonal matches hand-computed overlaps") {
+    // 1-2, 1-3, 2-3, 2-4, 3-4: N(1)={2,3} N(2)={1,3,4} N(3)={1,2,4} N(4)={2,3}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val got = Graph.linkScores(edges)
+      .select("a", "b", "common", "union_size", "jaccard_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    got shouldBe Set(
+      (1L, 2L, 1L, 4L, 250000L),
+      (1L, 3L, 1L, 4L, 250000L),
+      (2L, 3L, 2L, 4L, 500000L), // shares BOTH 1 and 4
+      (2L, 4L, 1L, 4L, 250000L),
+      (3L, 4L, 1L, 4L, 250000L))
+  }
+
+  test("linkScores covers only edges with a shared neighbor") {
+    // path 1-2-3: no edge has a common neighbor -> empty
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    Graph.linkScores(path).count() shouldBe 0L
+  }
 }
