@@ -16,5 +16,27 @@ object GraftSql {
     }
   }
 
+  /** Round 5 (VERDICT r4 item 9 — the last interface gap a BI-style user
+    * hits): expose the operator LIBRARY, not just the tables, through
+    * `spark.sql(...)`. Every catalog query registers as a temp view named
+    * `graft_<query>` whose plan IS the operator's DataFrame plan, so
+    * `SELECT doc_id FROM graft_q49_neardup_corpus WHERE keep` runs the
+    * composed dedup pipeline with Catalyst pruning/pushdown applied
+    * through the view like any subquery. Views are lazy — registering
+    * builds plans, it does not run jobs — EXCEPT for operators that
+    * `localCheckpoint()` at construction (q55, q105, q114, q157, q164,
+    * q167, the iterative graph ops …), which materialize their
+    * checkpointed stage once at register time; callers wanting a cheap
+    * registration pass `only` with the views they need.
+    */
+  def registerOperators(spark: SparkSession, dir: String,
+                        only: Set[String] = Set.empty): Unit = {
+    register(spark, dir)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (only.isEmpty || only(name))
+        fn(spark, dir).createOrReplaceTempView(s"graft_$name")
+    }
+  }
+
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }
