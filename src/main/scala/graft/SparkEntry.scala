@@ -2598,6 +2598,86 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
     }),
 
+    // §2.9 — per-source language-mix drift, total-variation distance
+    // (round 5): TV(source, corpus) = ½·Σ_lang |p_s(l) − p(l)| in exact
+    // integer micros by cross-multiplication — the distribution-drift
+    // monitor for mixed-source corpora, exact where KL/PSI's logs are
+    // engine-hostile. One (source, lang) cell aggregate (bounded domain);
+    // marginals are windows over the cell frame; 64-bit headroom:
+    // Σ|cnt_s·N − cnt·N_s| ≤ 2·N_s·N, so the 10⁶ scale holds to ~10⁹
+    // docs per source (decimal(38) beyond — documented)
+    "q201_source_drift_tv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cells = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val langTot = docs.groupBy(col("lang")).agg(count(lit(1)).as("cl"))
+      // DENSE source×lang matrix (both sides bounded aggregates): a lang
+      // the source never emits still contributes |0 − p(l)| to TV —
+      // dropping absent cells would understate every drift
+      srcTot.crossJoin(broadcast(langTot))
+        .join(cells, Seq("source", "lang"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"), // constant within the group
+          sum(abs(col("c") * col("n") - col("cl") * col("n_s"))).as("tv_raw"),
+          max(col("n")).as("n_total"))
+        .select(col("source"), col("n_docs"),
+          expr("(500000 * tv_raw) div (n_docs * n_total)").as("tv_micro"))
+    }),
+
+    // §2.7 — structural (paragraph-level) near-dup pairs (round 5): doc
+    // pairs whose distinct-SEGMENT sets overlap by Jaccard ≥ 0.25 —
+    // catches permuted/partially-copied docs whose char-shingle profiles
+    // diverge; inverted-index join on the segment with a df cap (q116's
+    // contract) so corpus chrome never fans out quadratically
+    "q197_segment_jaccard_docs" -> ((s, dir) =>
+      Curation.segmentJaccardDocs(t(s, dir, "documents"),
+        segTokens = 10, dfCap = 100, threshMicro = 250000L)),
+
+    // §2.6 — robust rolling trend (round 5): 7-day CENTERED rolling
+    // MEDIAN of daily event volume (rank statistic over a RANGE frame —
+    // outlier-immune where q90's rolling SUM is not) plus the residual;
+    // 2×-scaled integers keep the even-count median exact; the window
+    // rides the bounded |days| aggregate frame. Note the frame is the
+    // bounded sliding kind — not the shrinking-frame O(n²) trap
+    "q199_rolling_median_trend" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy((unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("day_ord"))
+        .agg(count(lit(1)).as("n"))
+      daily
+        .withColumn("trend2",
+          (percentile(col("n"), lit(0.5)).over(
+            Window.orderBy(col("day_ord")).rangeBetween(-3, 3)) * 2)
+            .cast("long"))
+        .select(col("day_ord"), col("n"), col("trend2"),
+          (col("n") * 2 - col("trend2")).as("resid2"))
+    }),
+
+    // §2.6 — customer-lifetime-value cohort matrix (round 5): customers
+    // cohorted by FIRST order month, revenue and active-customer counts
+    // per (cohort_month, months_since) — the LTV triangle, q67's
+    // retention shape upgraded with exact-cent revenue; one custkey
+    // shuffle derives cohorts, the join back rides the same key, the
+    // matrix aggregate is bounded by months²
+    "q200_ltv_cohorts" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("m_ord"),
+          ExactAgg.cents(col("o_totalprice")).as("cents"))
+      val cohort = ord.groupBy(col("o_custkey"))
+        .agg(min(col("m_ord")).as("cohort_ord"))
+      ord.join(cohort, Seq("o_custkey"))
+        .groupBy(col("cohort_ord"),
+          (col("m_ord") - col("cohort_ord")).as("months_since"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          sum(col("cents")).as("revenue_cents"))
+    }),
+
     // §2.6 — neighborhood-overlap link scores (round 5): common-neighbor
     // counts and exact integer-micro Jaccard overlap for every
     // co-purchase edge with a shared neighbor — the link-prediction /
@@ -5007,6 +5087,73 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tr)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""".stripMargin,
+
+    "q201_source_drift_tv" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |       FROM documents GROUP BY 1),
+        |lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS cl
+        |       FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dense AS (
+        |  SELECT st.source, lt.lang, st.n_s, lt.cl,
+        |         coalesce(c, 0) AS c
+        |  FROM st CROSS JOIN lt
+        |  LEFT JOIN cells ON cells.source = st.source AND cells.lang = lt.lang)
+        |SELECT source,
+        |       CAST(max(n_s) AS BIGINT) AS n_docs,
+        |       (500000 * CAST(sum(abs(c * n.n - cl * n_s)) AS BIGINT))
+        |         // (max(n_s) * max(n.n)) AS tv_micro
+        |FROM dense, n
+        |GROUP BY 1""".stripMargin,
+
+    "q197_segment_jaccard_docs" ->
+      s"""$SegCte,
+         |ds AS (SELECT DISTINCT doc_id, seg FROM segs),
+         |rare AS (SELECT seg FROM ds GROUP BY 1 HAVING count(*) <= 100),
+         |ix AS (SELECT doc_id, seg FROM ds JOIN rare USING (seg)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1),
+         |pr AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS shared
+         |  FROM ix x JOIN ix y ON x.seg = y.seg AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, a.n AS n_a, b.n AS n_b,
+         |       (1000000 * shared) // (a.n + b.n - shared) AS jaccard_micro
+         |FROM pr
+         |JOIN sz a ON a.doc_id = doc_a
+         |JOIN sz b ON b.doc_id = doc_b
+         |WHERE (1000000 * shared) // (a.n + b.n - shared) >= 250000""".stripMargin,
+
+    "q199_rolling_median_trend" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_ord,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day_ord, n,
+        |         CAST(quantile_cont(n, 0.5) OVER (
+        |           ORDER BY day_ord
+        |           RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 2 AS BIGINT)
+        |           AS trend2
+        |  FROM daily)
+        |SELECT day_ord, n, trend2, n * 2 - trend2 AS resid2 FROM w""".stripMargin,
+
+    "q200_ltv_cohorts" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+        |           AS m_ord,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(m_ord) AS cohort_ord FROM o GROUP BY 1)
+        |SELECT cohort_ord, m_ord - cohort_ord AS months_since,
+        |       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM o JOIN c USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q194_link_scores" ->
       """WITH po AS (

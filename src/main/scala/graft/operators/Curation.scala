@@ -281,6 +281,48 @@ object Curation {
           x => x("seg")), " ").as("clean_text"))
   }
 
+  /** Structural (paragraph-level) near-dup document pairs: documents
+    * whose SETS of distinct segments overlap by Jaccard ≥ threshold —
+    * catches permuted, partially-copied, or re-chunked documents whose
+    * doc-level shingle profiles diverge (a reordered document keeps ~all
+    * its segments but few of its cross-segment shingles). The complement
+    * of [[segmentDedup]] (which removes repeats) and of the q19-family
+    * content near-dups (which compare character shingles).
+    *
+    * Scale shape: the pair stage is an inverted-index equi-join on the
+    * segment, with a document-frequency cap dropping corpus-chrome
+    * segments BEFORE the join (boilerplate is [[boilerplateStrip]]'s
+    * territory and would otherwise quadratically fan out — q116's dfCap
+    * contract, part of the operator's semantics and mirrored by the
+    * oracle). Candidate volume is Σ_seg df², bounded per segment by
+    * dfCap². Sizes re-attach by two key joins on the doc-aggregate frame;
+    * jaccard is an exact integer-micro division.
+    * Output: (doc_a, doc_b, shared, n_a, n_b, jaccard_micro).
+    */
+  def segmentJaccardDocs(docs: DataFrame, segTokens: Int, dfCap: Int,
+                         threshMicro: Long): DataFrame = {
+    val segs = segmented(docs, segTokens)
+      .select(col("doc_id"), col("seg")).distinct()
+    val rare = segs.groupBy(col("seg"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("seg"))
+    val indexed = segs.join(rare, Seq("seg"))
+    val sizes = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    indexed.as("x")
+      .join(indexed.as("y"),
+        col("x.seg") === col("y.seg") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard_micro",
+        expr("(1000000 * shared) div (n_a + n_b - shared)"))
+      .filter(col("jaccard_micro") >= threshMicro)
+  }
+
   def tokenCorpusStats(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), explode(tokensWs(col("text"))).as("token"))
       .groupBy(col("token"), col("doc_id"))
