@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * a partition-parallel stage.
   *
   * Decode is REAL for three raster formats: PPM (P6) via the
-  * dependency-free [[PpmCodec]]; PNG (8-bit gray/RGB/RGBA,
-  * non-interlaced) via [[PngCodec]] built on the JDK's `Inflater`; and
+  * dependency-free [[PpmCodec]]; PNG via [[PngCodec]] built on the JDK's
+  * `Inflater` — since round 5 the FULL legal IHDR matrix (gray 1–16 bit,
+  * RGB/RGBA/gray+alpha at 8/16, palette, sequential AND Adam7); and
   * JPEG via [[JpegCodec]] — baseline (SOF0 Huffman, gray/YCbCr,
   * 4:4:4/4:2:2/4:2:0, restart markers) AND, since round 4, progressive
   * (SOF2: spectral selection + successive approximation, EOB runs) —
   * the formats a real multimodal corpus actually contains. Payloads in
   * none of these (arithmetic-coded/12-bit JPEG,
-  * palette PNG, compressed audio) fall back to a
+  * perceptual audio codecs — MP3 gets a real metadata-level frame walk
+  * via [[Mp3Codec]]/[[audioMeta]]) fall back to a
   * deterministic byte-level pseudo-decode, clearly marked below — swap
   * that arm for a real codec (or a Pandas-UDF `mapInPandas` stage on a
   * PySpark cluster) without touching the plan shape: the schema, batching
@@ -160,13 +162,15 @@ object Multimodal {
                                 channels: Int, n_frames: Int, decoded: Boolean,
                                 rms: Double, zcr: Double, peak: Double)
 
-  /** REAL audio decode/feature stage: RIFF/WAVE PCM-16 payloads parse via
-    * [[WavCodec]] into sample arrays and scale-free signal features (RMS,
-    * zero-crossing rate, peak). Non-WAV payloads take the marked
+  /** REAL audio decode/feature stage: RIFF/WAVE payloads across the full
+    * [[WavCodec]] format dispatch (PCM 8/16/24/32, float32, G.711 A/μ-law,
+    * IMA ADPCM, EXTENSIBLE) parse into sample arrays and scale-free
+    * signal features (RMS, zero-crossing rate, peak). Payloads outside
+    * that set — now only perceptual codecs (MP3/AAC/Vorbis; see
+    * [[audioMeta]] for the MP3 metadata rung) — take the marked
     * deterministic fallback arm (`decoded = false`) with the same output
-    * shape — swap it for a real compressed-audio codec without touching
-    * the plan. Expects (doc_id, payload binary) columns; partition-
-    * parallel `mapPartitions`, one sequential pass per payload.
+    * shape. Expects (doc_id, payload binary) columns; partition-parallel
+    * `mapPartitions`, one sequential pass per payload.
     */
   def decodeAudioFeatures(spark: SparkSession,
                           payloads: DataFrame): Dataset[AudioFeature] = {
@@ -186,6 +190,45 @@ object Multimodal {
             val rms = if (payload.isEmpty) 0.0
               else payload.map(b => (b & 0xFF).toDouble / 255.0).sum / payload.length
             AudioFeature(id, n, 0, 0, 0, decoded = false, rms, 0.0, 0.0)
+        }
+      })
+  }
+
+  final case class AudioMeta(doc_id: Long, n_bytes: Int, container: String,
+                             sample_rate: Int, channels: Int,
+                             duration_ms: Long, pcm_decodable: Boolean)
+
+  /** Audio TRIAGE stage — the metadata pass a corpus pipeline runs before
+    * deciding what to decode: container identification plus rate /
+    * channels / duration for WAV (full [[WavCodec]] dispatch,
+    * `pcm_decodable = true`) and MP3 ([[Mp3Codec]]'s strict frame walk —
+    * real duration and average bitrate without PCM synthesis,
+    * `pcm_decodable = false` because Layer III spectral decode is the
+    * declared fallback arm). Unknown payloads report `container =
+    * "unknown"` with zeroed fields. Same plumbing contract as the other
+    * stages: (doc_id, payload) in, partition-parallel, one pass.
+    */
+  def audioMeta(spark: SparkSession, payloads: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"),
+        octet_length(col("payload")).as("n_bytes"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions(_.map { case (id, payload, n) =>
+        WavCodec.decode(payload) match {
+          case Some(a) =>
+            AudioMeta(id, n, "wav", a.sampleRate, a.channels,
+              if (a.sampleRate == 0) 0L
+              else a.nFrames.toLong * 1000L / a.sampleRate,
+              pcm_decodable = true)
+          case None =>
+            Mp3Codec.parseMeta(payload) match {
+              case Some(m) =>
+                AudioMeta(id, n, "mp3", m.sampleRate, m.channels,
+                  m.durationMs, pcm_decodable = false)
+              case None =>
+                AudioMeta(id, n, "unknown", 0, 0, 0L, pcm_decodable = false)
+            }
         }
       })
   }

@@ -142,11 +142,14 @@ class MultimodalSpec extends SparkTestBase {
     // stereo frame count halves
     WavCodec.decode(WavCodec.encode(WavAudio(8000, 2, sine)))
       .get.nFrames shouldBe 2205
-    // garbage, truncation, and non-PCM are all rejected
+    // garbage, truncation, and unsupported formats are all rejected
     WavCodec.decode("not audio".getBytes) shouldBe None
     WavCodec.decode(WavCodec.encode(a).dropRight(10)) shouldBe None
-    val nonPcm = WavCodec.encode(a); nonPcm(20) = 3 // format tag 3 = float
-    WavCodec.decode(nonPcm) shouldBe None
+    val msAdpcm = WavCodec.encode(a); msAdpcm(20) = 2 // tag 2 = MS ADPCM
+    WavCodec.decode(msAdpcm) shouldBe None
+    // a tag/bits mismatch (float32 tag over 16-bit data) is also rejected
+    val floatTag = WavCodec.encode(a); floatTag(20) = 3
+    WavCodec.decode(floatTag) shouldBe None
   }
 
   test("WavCodec features match closed-form signal values") {

@@ -154,14 +154,23 @@ class PngCodecSpec extends SparkTestBase {
     // valid CRCs, before any allocation
     PngCodec.decode(buildPng(40000, 18000, colorType = 0,
       Array[Byte](1, 2, 3))) shouldBe None
-    // fuzz: random bytes and bit-flipped valid files never throw
+    // fuzz: random bytes and bit-flipped valid files never throw — seeds
+    // include an Adam7 16-bit RGBA stream so the round-5 pass-geometry
+    // and wide-sample paths face the same mutation pressure
     val rng = new scala.util.Random(20260813L)
+    val adamSeed = PngCodec.encodeRaw(11, 9, 6, 16,
+      Array.tabulate(11 * 9 * 4)(i => (i * 997) % 65536),
+      interlaced = true, cycleFilters = true)
+    val seeds = Seq(good, adamSeed)
     val payloads =
       (1 to 200).map(_ => Array.fill(rng.nextInt(300))(rng.nextInt().toByte)) ++
-      (1 to 100).map { _ =>
-        val b = good.clone(); b(rng.nextInt(b.length)) = rng.nextInt().toByte; b
+      (1 to 200).map { _ =>
+        val b = seeds(rng.nextInt(seeds.length)).clone()
+        b(rng.nextInt(b.length)) = rng.nextInt().toByte; b
       } ++
-      (1 to 50).map(_ => good.take(rng.nextInt(good.length)))
+      (1 to 100).map { _ =>
+        val s = seeds(rng.nextInt(seeds.length)); s.take(rng.nextInt(s.length))
+      }
     payloads.foreach(p => noException should be thrownBy PngCodec.decode(p))
   }
 
@@ -275,5 +284,115 @@ class PngCodecSpec extends SparkTestBase {
     imgs.count() shouldBe 2
     val resized = Multimodal.resize(imgs, 8, 4).collect()
     resized.foreach { d => d.width shouldBe 8; d.pixels.length shouldBe 8 * 4 * 3 }
+  }
+
+  // ---- round-5 arms: gray+alpha, 16-bit, sub-byte gray, Adam7 ----
+
+  test("gray+alpha drops alpha and replicates gray into RGB") {
+    val w = 5; val h = 3
+    val samples = Array.tabulate(w * h * 2) { i =>
+      if (i % 2 == 0) (i / 2) * 16 else 200 // gray ramp, constant alpha
+    }
+    val png = PngCodec.encodeRaw(w, h, colorType = 4, bitDepth = 8, samples)
+    val img = PngCodec.decode(png).get
+    for (p <- 0 until w * h; c <- 0 until 3)
+      (img.pixels(p * 3 + c) & 0xFF) shouldBe p * 16
+  }
+
+  test("16-bit samples keep the high byte across RGB, gray, RGBA, gray+alpha") {
+    val w = 4; val h = 2
+    for ((ct, ch) <- Seq((0, 1), (2, 3), (4, 2), (6, 4))) {
+      // high byte = a per-(pixel,channel) ramp; low byte = noise that must
+      // NOT leak into the output
+      val samples = Array.tabulate(w * h * ch) { i =>
+        (((i * 7) % 256) << 8) | ((i * 131) % 256)
+      }
+      val png = PngCodec.encodeRaw(w, h, ct, bitDepth = 16, samples)
+      val img = PngCodec.decode(png).get
+      for (p <- 0 until w * h) {
+        val expected = ct match {
+          case 0 | 4 => // gray replicated (alpha channel skipped for 4)
+            val g = ((p * ch) * 7) % 256
+            Seq(g, g, g)
+          case _ => Seq(((p * ch) * 7) % 256, ((p * ch + 1) * 7) % 256,
+            ((p * ch + 2) * 7) % 256)
+        }
+        (0 until 3).map(c => img.pixels(p * 3 + c) & 0xFF) shouldBe expected
+      }
+    }
+  }
+
+  test("sub-byte grayscale bit-replicates to full range (depths 1/2/4)") {
+    for (d <- Seq(1, 2, 4)) {
+      val maxV = (1 << d) - 1
+      val w = maxV + 1; val h = 2 // one pixel per possible level, 2 rows
+      val samples = Array.tabulate(w * h)(i => i % w)
+      val png = PngCodec.encodeRaw(w, h, colorType = 0, bitDepth = d, samples)
+      val img = PngCodec.decode(png).get
+      for (p <- 0 until w * h)
+        (img.pixels(p * 3) & 0xFF) shouldBe (p % w) * (255 / maxV)
+    }
+  }
+
+  test("Adam7 interlaced decode equals sequential decode on every color type") {
+    val w = 11; val h = 9 // odd dims: every Adam7 pass non-trivial, ragged edges
+    for ((ct, ch, depth) <- Seq((0, 1, 8), (2, 3, 8), (4, 2, 8), (6, 4, 8),
+      (2, 3, 16), (0, 1, 4))) {
+      val maxV = (1 << depth) - 1
+      val samples = Array.tabulate(w * h * ch)(i => (i * 37) % (maxV + 1))
+      val seq = PngCodec.decode(
+        PngCodec.encodeRaw(w, h, ct, depth, samples)).get
+      val adam = PngCodec.decode(
+        PngCodec.encodeRaw(w, h, ct, depth, samples, interlaced = true,
+          cycleFilters = true)).get
+      adam.width shouldBe seq.width
+      adam.pixels.toSeq shouldBe seq.pixels.toSeq
+    }
+  }
+
+  test("Adam7 handles degenerate dims where most passes are empty") {
+    for ((w, h) <- Seq((1, 1), (3, 3), (5, 2), (2, 8), (8, 1))) {
+      val samples = Array.tabulate(w * h * 3)(i => (i * 23) % 256)
+      val seq = PngCodec.decode(PngCodec.encodeRaw(w, h, 2, 8, samples)).get
+      val adam = PngCodec.decode(
+        PngCodec.encodeRaw(w, h, 2, 8, samples, interlaced = true)).get
+      adam.pixels.toSeq shouldBe seq.pixels.toSeq
+    }
+  }
+
+  test("encodeRaw with cycling filters decodes identically to filter-0") {
+    val w = 9; val h = 7
+    val samples = Array.tabulate(w * h * 3)(i => (i * 53) % 256)
+    val plain = PngCodec.decode(PngCodec.encodeRaw(w, h, 2, 8, samples)).get
+    val cycled = PngCodec.decode(
+      PngCodec.encodeRaw(w, h, 2, 8, samples, cycleFilters = true)).get
+    cycled.pixels.toSeq shouldBe plain.pixels.toSeq
+  }
+
+  test("tRNS on color types 4/6 is rejected as corruption") {
+    val samples = Array.tabulate(2 * 2 * 4)(_ % 256)
+    val png = PngCodec.encodeRaw(2, 2, 6, 8, samples)
+    // splice a tRNS chunk (1 byte) before IDAT
+    val idatOff = {
+      var o = 8; var found = -1
+      while (found < 0 && o + 8 <= png.length) {
+        val len = ((png(o) & 0xFF) << 24) | ((png(o + 1) & 0xFF) << 16) |
+          ((png(o + 2) & 0xFF) << 8) | (png(o + 3) & 0xFF)
+        if (new String(png, o + 4, 4, "US-ASCII") == "IDAT") found = o
+        else o += 12 + len
+      }
+      found
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, idatOff)
+    val tb = "tRNS".getBytes("US-ASCII")
+    val data = Array[Byte](0)
+    out.write(0); out.write(0); out.write(0); out.write(1)
+    val crc = new CRC32(); crc.update(tb); crc.update(data)
+    out.write(tb); out.write(data)
+    val c = crc.getValue.toInt
+    out.write(c >>> 24); out.write(c >>> 16); out.write(c >>> 8); out.write(c)
+    out.write(png, idatOff, png.length - idatOff)
+    PngCodec.decode(out.toByteArray) shouldBe None
   }
 }
