@@ -2627,6 +2627,90 @@ object SparkEntry {
           expr("(500000 * tv_raw) div (n_docs * n_total)").as("tv_micro"))
     }),
 
+    // §2.6 — Holt double-exponential smoothing (round 5): level AND trend
+    // recurrences over the daily volume series (α=0.2, β=0.3 as exact
+    // integer ratios) — the trend-aware upgrade of q173's EMA, forecasting
+    // next = level + trend; the same bounded-fold pattern (sorted
+    // aggregate of the |days| frame, sequential by definition), every
+    // step exact integer `div` (Spark div ≡ DuckDB // — both truncate
+    // toward zero, which matters here because trend goes NEGATIVE on
+    // declining runs, unlike q173's all-positive EMA)
+    "q202_holt_smoothing" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      daily.agg(sort_array(collect_list(struct(col("d"), col("n")))).as("a"))
+        .select(explode(expr(
+          """aggregate(a,
+            |  cast(array() as array<struct<d:date,n:bigint,level:bigint,trend:bigint>>),
+            |  (acc, x) -> concat(acc, array(CASE WHEN size(acc) = 0
+            |    THEN named_struct('d', x.d, 'n', x.n, 'level', x.n, 'trend', 0L)
+            |    ELSE named_struct('d', x.d, 'n', x.n,
+            |      'level', (2 * x.n + 8 * (element_at(acc, -1).level
+            |                + element_at(acc, -1).trend)) div 10,
+            |      'trend', (3 * ((2 * x.n + 8 * (element_at(acc, -1).level
+            |                + element_at(acc, -1).trend)) div 10
+            |                - element_at(acc, -1).level)
+            |              + 7 * element_at(acc, -1).trend) div 10)
+            |    END)))""".stripMargin)).as("r"))
+        .select(col("r.d").as("d"), col("r.n").as("n"),
+          col("r.level").as("level"), col("r.trend").as("trend"),
+          (col("r.level") + col("r.trend")).as("forecast_next"))
+    }),
+
+    // §2.9 — curation threshold tradeoff curve (round 5): per quality-
+    // score band (floor(score·10), a bounded domain — NO global ntile
+    // sort), the doc/token volume in the band and the cumulative volume
+    // surviving a cut at the band's lower edge — the "what do we lose at
+    // threshold X" dashboard behind every quality-filter decision; one
+    // corpus aggregate, cumulative windows over the ≤16-row band frame
+    "q203_quality_tradeoff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bands = TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(floor(col("quality_score") * 10).cast("long").as("band"),
+          col("n_tokens").cast("long").as("toks"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      val w = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands
+        .withColumn("surv_docs", sum(col("n_docs")).over(w))
+        .withColumn("surv_tokens", sum(col("n_tokens")).over(w))
+    }),
+
+    // §2.6 — sample-then-verify heavy hitters (round 5): the two-pass
+    // scale pattern for "which keys dominate" when the key space is too
+    // wide to aggregate exactly — pass 1 aggregates a 1/8 deterministic
+    // hash sample (the q34 md5-prefix primitive, so both engines draw the
+    // identical sample) into candidate keys, pass 2 recounts ONLY the
+    // candidates exactly via a broadcast semi-join. The full-key-space
+    // shuffle never happens; sample size bounds pass-1 state. On this
+    // near-uniform datagen the prune is mild — on the zipf key sets the
+    // pattern exists for, pass 1 discards almost everything
+    "q204_heavy_hitters" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val lineHash = md5(concat(col("l_orderkey").cast("string"), lit("#"),
+        col("l_linenumber").cast("string")))
+      val cand = li
+        .filter(substring(lineHash, 1, 1).isin("0", "1")) // 2/16 = 1/8
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("sc"))
+        .filter(col("sc") >= 3)
+        .select(col("l_partkey"))
+      li.join(broadcast(cand), Seq("l_partkey"), "left_semi")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") >= 45)
+    }),
+
+    // §2.8 — product-quantization encode (round 5): 64-dim embeddings
+    // compress to 8 codebook ids (one per 8-dim subspace) — the
+    // billion-vector ANN memory layout; deterministic hash-sample
+    // codebook so the operator is a pure function of the data (KMeans
+    // codebooks swap in with no plan change), broadcast codebook,
+    // map-side scoring, one partial-agg argmin shuffle
+    "q205_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(t(s, dir, "embeddings"), nSub = 8, dim = 64,
+        nCodes = 16)),
+
     // §2.7 — structural (paragraph-level) near-dup pairs (round 5): doc
     // pairs whose distinct-SEGMENT sets overlap by Jaccard ≥ 0.25 —
     // catches permuted/partially-copied docs whose char-shingle profiles
@@ -5108,6 +5192,96 @@ object SparkEntry {
         |         // (max(n_s) * max(n.n)) AS tv_micro
         |FROM dense, n
         |GROUP BY 1""".stripMargin,
+
+    "q202_holt_smoothing" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT d, n,
+        |               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |        FROM daily),
+        |h AS (
+        |  SELECT i, d, n, n AS level, CAST(0 AS BIGINT) AS trend
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.d, idx.n,
+        |         (2 * idx.n + 8 * (h.level + h.trend)) // 10,
+        |         (3 * ((2 * idx.n + 8 * (h.level + h.trend)) // 10 - h.level)
+        |            + 7 * h.trend) // 10
+        |  FROM idx JOIN h ON idx.i = h.i + 1)
+        |SELECT d, n, level, trend, level + trend AS forecast_next
+        |FROM h""".stripMargin,
+
+    "q203_quality_tradeoff" ->
+      s"""WITH x AS (
+         |  SELECT doc_id,
+         |         CAST(len($ToksSql) AS DOUBLE) AS n_tokens,
+         |         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |           / length(text) AS punct_ratio,
+         |         CAST(len(list_filter($ToksSql,
+         |              x -> list_contains(['the','a','of','to','in','is','and'], x))) AS DOUBLE)
+         |           / len($ToksSql) AS stopword_ratio
+         |  FROM documents),
+         |scored AS (
+         |  SELECT CAST(floor(least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio)
+         |           * (0.5 + stopword_ratio) * 10) AS BIGINT) AS band,
+         |         CAST(n_tokens AS BIGINT) AS toks
+         |  FROM x),
+         |bands AS (
+         |  SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(toks) AS BIGINT) AS n_tokens
+         |  FROM scored GROUP BY 1)
+         |SELECT band, n_docs, n_tokens,
+         |       CAST(sum(n_docs) OVER (ORDER BY band DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS surv_docs,
+         |       CAST(sum(n_tokens) OVER (ORDER BY band DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS surv_tokens
+         |FROM bands""".stripMargin,
+
+    "q204_heavy_hitters" ->
+      """WITH cand AS (
+        |  SELECT l_partkey
+        |  FROM lineitem
+        |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+        |          || CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+        |  GROUP BY 1 HAVING count(*) >= 3)
+        |SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN cand USING (l_partkey)
+        |GROUP BY 1 HAVING count(*) >= 45""".stripMargin,
+
+    "q205_pq_encode" ->
+      """WITH sampled AS (
+        |  SELECT vec_id, embedding
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cb AS (
+        |  SELECT s.s AS sub_id,
+        |         CAST(row_number() OVER (PARTITION BY s.s ORDER BY vec_id)
+        |           AS BIGINT) - 1 AS code,
+        |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS cv
+        |  FROM sampled, (SELECT unnest(range(8)) AS s) s),
+        |sub AS (
+        |  SELECT vec_id, s.s AS sub_id,
+        |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS v
+        |  FROM embeddings, (SELECT unnest(range(8)) AS s) s),
+        |scored AS (
+        |  SELECT sub.vec_id, sub.sub_id, cb.code,
+        |         list_reduce(
+        |           list_transform(range(1, 9), i ->
+        |             (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))),
+        |           (a, b) -> a + b) AS dist
+        |  FROM sub JOIN cb ON sub.sub_id = cb.sub_id),
+        |ranked AS (
+        |  SELECT vec_id, sub_id, code, dist,
+        |         row_number() OVER (PARTITION BY vec_id, sub_id
+        |                            ORDER BY dist, code) AS rn
+        |  FROM scored)
+        |SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id, code,
+        |       CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS dist_micro
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q197_segment_jaccard_docs" ->
       s"""$SegCte,

@@ -262,4 +262,59 @@ object Similarity {
     pos.join(neg, "query_id")
       .filter(col("pos_sim") - col("neg_sim") <= margin)
   }
+
+  /** Product-quantization encode — the memory-side workhorse of
+    * billion-vector ANN (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): the vector splits into `nSub`
+    * contiguous subspaces and each subvector is replaced by the id of its
+    * nearest codeword, compressing dim×4 bytes to nSub codes.
+    *
+    * The codebook here is the DETERMINISTIC-SAMPLE variant: per subspace,
+    * the codewords are the subvectors of the `nCodes` corpus vectors with
+    * the smallest md5(vec_id) (the same hash-sample primitive as
+    * `contentSample`), with `code` = rank of the source vec_id. That keeps
+    * the whole operator a pure function of the data — reproducible on any
+    * partitioning AND expressible in the DuckDB oracle — where a KMeans
+    * codebook (the classical fit; see [[fitQuantizer]] for the machinery)
+    * is engine state. Swapping trained codebooks in changes no plan shape.
+    *
+    * Scale: the codebook is nSub×nCodes rows → broadcast; scoring is
+    * map-side over the exploded (vec, subspace) frame; the argmin is one
+    * partial-aggregating min(struct) shuffle on (vec_id, sub_id). No
+    * corpus×corpus stage exists. Output long-form:
+    * (vec_id, sub_id, code, dist_micro) with the winning codeword's
+    * squared-L2 distance micro-rounded (doubles only inside the fold,
+    * identical expression structure on both engines).
+    */
+  def pqEncode(emb: DataFrame, nSub: Int, dim: Int, nCodes: Int): DataFrame = {
+    require(dim % nSub == 0, s"pqEncode: dim $dim not divisible into $nSub subspaces")
+    val subDim = dim / nSub
+    val slices = expr(
+      s"transform(sequence(0, ${nSub - 1}), s -> slice(embedding, s * $subDim + 1, $subDim))")
+    // deterministic codebook sample: nCodes smallest md5(vec_id) — a
+    // bounded TakeOrdered, never a global sort
+    val sample = emb
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nCodes)
+    val cb = sample
+      .select(col("vec_id"), posexplode(slices).as(Seq("sub_id", "cv")))
+      .withColumn("code",
+        row_number().over(Window.partitionBy(col("sub_id"))
+          .orderBy(col("vec_id"))).cast("long") - 1)
+      .select(col("sub_id"), col("code"), col("cv"))
+    val sub = emb.select(col("vec_id"), posexplode(slices).as(Seq("sub_id", "v")))
+    val dist = expr(
+      """aggregate(zip_with(v, cv,
+        |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |          * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+        |  0D, (acc, x) -> acc + x)""".stripMargin)
+    sub.join(broadcast(cb), Seq("sub_id"))
+      .select(col("vec_id"), col("sub_id"), col("code"), dist.as("dist"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
+        col("best.code").as("code"),
+        floor(col("best.dist") * 1e6 + 0.5).cast("long").as("dist_micro"))
+  }
 }

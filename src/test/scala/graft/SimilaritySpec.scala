@@ -132,4 +132,49 @@ class SimilaritySpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Similarity.hardNegatives(knn, 1, 5, margin = 1.0)
   }
+
+  test("pqEncode: hand-computed argmin codes on a 2-subspace toy set") {
+    // 4-dim vectors, 2 subspaces of 2 dims; nCodes = 2 — the codebook is
+    // the two vectors with the smallest md5(vec_id), code = vec_id rank
+    val emb = Seq(
+      (1L, Array(0f, 0f, 10f, 10f)),
+      (2L, Array(4f, 4f, 0f, 0f)),
+      (3L, Array(1f, 1f, 9f, 9f)), // sub0 near? sub1 near vec1's (10,10)
+      (4L, Array(3f, 3f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.pqEncode(emb, nSub = 2, dim = 4, nCodes = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    // which two ids the md5 sample picks is an implementation detail of
+    // the hash — recover it from the zero-distance property instead:
+    // a sampled vector IS its own codeword in every subspace
+    val sampled = (1L to 4L).filter(id =>
+      (0 to 1).forall(sidx => r((id, sidx.toLong))._2 == 0L))
+    sampled.size shouldBe 2
+    // every (vec, sub) picks the truly nearest codeword: recompute naively
+    val vecs = Map(1L -> Array(0f, 0f, 10f, 10f), 2L -> Array(4f, 4f, 0f, 0f),
+      3L -> Array(1f, 1f, 9f, 9f), 4L -> Array(3f, 3f, 1f, 1f))
+    val codeOf = sampled.sorted.zipWithIndex.toMap // code = rank of vec_id
+    for (id <- 1L to 4L; sidx <- 0 to 1) {
+      val v = vecs(id).slice(sidx * 2, sidx * 2 + 2)
+      val best = sampled.map { sid =>
+        val c = vecs(sid).slice(sidx * 2, sidx * 2 + 2)
+        val d = v.zip(c).map { case (a, b) =>
+          (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum
+        (d, codeOf(sid).toLong)
+      }.min
+      r((id, sidx.toLong)) shouldBe ((best._2,
+        math.floor(best._1 * 1e6 + 0.5).toLong))
+    }
+  }
+
+  test("pqEncode is a pure function of the data: repartition-invariant") {
+    val emb = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.pqEncode(emb, 4, 8, 4).collect().toSet
+    val b = Similarity.pqEncode(emb.repartition(7), 4, 8, 4).collect().toSet
+    a shouldBe b
+    a.size shouldBe 20 * 4
+  }
 }
