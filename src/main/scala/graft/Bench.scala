@@ -95,7 +95,14 @@ object Bench {
     // orientation, near-linear on bounded-basket graphs); the rest are
     // one-window / bounded-aggregate shapes
     "q154_triangles", "q155_session_paths", "q156_skyline",
-    "q157_basket_rules")
+    "q157_basket_rules",
+    // round-5 linear-claim additions: link scores ride the same oriented
+    // wedge machinery as q154; segment-jaccard is a dfCap-bounded
+    // inverted-index join (posting-volume-linear, q116's argument);
+    // heavy hitters is two scan-shaped aggregate passes; PQ encode is
+    // broadcast-codebook map-side scoring + one argmin shuffle
+    "q194_link_scores", "q197_segment_jaccard_docs", "q204_heavy_hitters",
+    "q205_pq_encode")
 
   /** True iff every `<md5>  <rows>  <name>.parquet` line of the committed
     * manifest (tools/sf1_manifest.txt, written by tools/gen_sf1.py) matches

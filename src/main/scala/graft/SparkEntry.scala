@@ -2711,6 +2711,43 @@ object SparkEntry {
       Similarity.pqEncode(t(s, dir, "embeddings"), nSub = 8, dim = 64,
         nCodes = 16)),
 
+    // §2.7 — phonetic candidate pairs (round 5): Soundex blocking over the
+    // corpus token VOCABULARY (documents ∪ part names — the combined name
+    // space, chosen so the blocks genuinely carry pairs on this datagen) —
+    // the classic entity-resolution blocking key for names that
+    // edit-distance blocking misses (sound-alike, spelled-different);
+    // pairing runs on DISTINCT tokens (vocabulary scale, not row scale)
+    // within equal-soundex blocks, so the pair stage is bounded by block
+    // sizes over a domain-bounded vocabulary.
+    // Spark side is the codegen'd soundex() builtin; the oracle
+    // re-implements the classic algorithm (H/W silent — same-code
+    // letters separated only by H/W collapse; vowels reset) from scratch
+    // in SQL, so the builtin's semantics are independently checked
+    "q207_phonetic_pairs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .union(t(s, dir, "part")
+          .select(explode(split(col("p_name"), " ")).as("tok")))
+        .filter(col("tok").rlike("^[a-z]+$"))
+        .distinct()
+        .withColumn("sdx", soundex(col("tok")))
+      toks.as("a").join(toks.as("b"),
+          col("a.sdx") === col("b.sdx") && col("a.tok") < col("b.tok"))
+        .select(col("a.sdx").as("sdx"), col("a.tok").as("tok_a"),
+          col("b.tok").as("tok_b"))
+    }),
+
+    // §2.8 — asymmetric-distance (ADC) top-k over the PQ codes (round 5):
+    // the query side of product quantization — per-probe per-subspace
+    // lookup tables of codeword distances (micro-rounded BEFORE the
+    // cross-subspace sum, so the ADC total is an exact order-free
+    // integer), candidates scored by 8 table lookups without touching
+    // raw vectors; LUT broadcasts, one (probe, candidate) partial-agg
+    // shuffle, top-5 with vec_id tie-break
+    "q206_adc_topk" -> ((s, dir) =>
+      Similarity.adcTopK(t(s, dir, "embeddings"), probeIds = Seq(1L, 2L, 3L),
+        k = 5, nSub = 8, dim = 64, nCodes = 16)),
+
     // §2.7 — structural (paragraph-level) near-dup pairs (round 5): doc
     // pairs whose distinct-SEGMENT sets overlap by Jaccard ≥ 0.25 —
     // catches permuted/partially-copied docs whose char-shingle profiles
@@ -3120,9 +3157,18 @@ object SparkEntry {
         .withColumn("region_micro",
           sum(col("rev_micro")).over(Window.partitionBy(col("r_name"))))
         .withColumn("total_micro", sum(col("rev_micro")).over(Window.partitionBy()))
+        // ppm numerators overflow int64 at ~9.2e12 micro-revenue (hit at
+        // sf0.1 — the round-5 bench caught it); route the ×1e6 through
+        // exact DECIMAL(38,0) and come back to BIGINT after the divide
+        // (the quotient is ≤ 1e6). The oracle's HUGEINT twin is the same
+        // exact-integer widening
         .select(col("r_name"), col("n_name"), col("rev_micro"),
-          expr("(rev_micro * 1000000) div region_micro").as("nation_in_region_ppm"),
-          expr("(region_micro * 1000000) div total_micro").as("region_of_total_ppm"))
+          expr("""CAST((CAST(rev_micro AS DECIMAL(38,0)) * 1000000)
+                 | div region_micro AS BIGINT)""".stripMargin)
+            .as("nation_in_region_ppm"),
+          expr("""CAST((CAST(region_micro AS DECIMAL(38,0)) * 1000000)
+                 | div total_micro AS BIGINT)""".stripMargin)
+            .as("region_of_total_ppm"))
     }),
 
     // §2.6 — dormant-customer reactivation screen (round 4): users whose
@@ -5283,6 +5329,90 @@ object SparkEntry {
         |       CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS dist_micro
         |FROM ranked WHERE rn = 1""".stripMargin,
 
+    "q207_phonetic_pairs" ->
+      """WITH rawtok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        |  UNION
+        |  SELECT unnest(string_split(p_name, ' ')) FROM part),
+        |tok AS (
+        |  SELECT DISTINCT tok FROM rawtok
+        |  WHERE regexp_matches(tok, '^[a-z]+$')),
+        |enc AS (
+        |  SELECT tok,
+        |         string_split(upper(tok), '') AS ch,
+        |         list_transform(string_split(upper(tok), ''), c ->
+        |           CASE WHEN c IN ('B','F','P','V') THEN '1'
+        |                WHEN c IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+        |                WHEN c IN ('D','T') THEN '3'
+        |                WHEN c = 'L' THEN '4'
+        |                WHEN c IN ('M','N') THEN '5'
+        |                WHEN c = 'R' THEN '6'
+        |                WHEN c IN ('H','W') THEN '7'
+        |                ELSE '0' END) AS cd
+        |  FROM tok),
+        |sdx AS (
+        |  SELECT tok,
+        |         ch[1] || rpad(substr(array_to_string(
+        |           list_filter(
+        |             list_transform(range(2, len(cd) + 1), i ->
+        |               CASE WHEN cd[i] BETWEEN '1' AND '6'
+        |                     AND cd[i] <> coalesce(
+        |                       list_reverse(list_filter(cd[1:i-1],
+        |                         c -> c <> '7'))[1], '')
+        |               THEN cd[i] ELSE '' END),
+        |             x -> x <> ''), ''), 1, 3), 3, '0') AS sdx
+        |  FROM enc)
+        |SELECT a.sdx AS sdx, a.tok AS tok_a, b.tok AS tok_b
+        |FROM sdx a JOIN sdx b ON a.sdx = b.sdx AND a.tok < b.tok""".stripMargin,
+
+    "q206_adc_topk" ->
+      """WITH sampled AS (
+        |  SELECT vec_id, embedding
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cb AS (
+        |  SELECT s.s AS sub_id,
+        |         CAST(row_number() OVER (PARTITION BY s.s ORDER BY vec_id)
+        |           AS BIGINT) - 1 AS code,
+        |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS cv
+        |  FROM sampled, (SELECT unnest(range(8)) AS s) s),
+        |sub AS (
+        |  SELECT vec_id, s.s AS sub_id,
+        |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS v
+        |  FROM embeddings, (SELECT unnest(range(8)) AS s) s),
+        |scored AS (
+        |  SELECT sub.vec_id, sub.sub_id, cb.code,
+        |         list_reduce(
+        |           list_transform(range(1, 9), i ->
+        |             (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))),
+        |           (a, b) -> a + b) AS dist
+        |  FROM sub JOIN cb ON sub.sub_id = cb.sub_id),
+        |codes AS (
+        |  SELECT vec_id, sub_id, code
+        |  FROM (SELECT vec_id, sub_id, code,
+        |               row_number() OVER (PARTITION BY vec_id, sub_id
+        |                                  ORDER BY dist, code) AS rn
+        |        FROM scored)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT vec_id AS probe_id, sub_id, code,
+        |         CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS d_micro
+        |  FROM scored WHERE vec_id IN (1, 2, 3)),
+        |adc AS (
+        |  SELECT lut.probe_id, codes.vec_id,
+        |         CAST(sum(d_micro) AS BIGINT) AS adc_micro
+        |  FROM codes
+        |  JOIN lut ON codes.sub_id = lut.sub_id AND codes.code = lut.code
+        |  WHERE codes.vec_id <> lut.probe_id
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, vec_id, adc_micro,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |                ORDER BY adc_micro, vec_id) AS rank
+        |      FROM adc)
+        |WHERE rank <= 5""".stripMargin,
+
     "q197_segment_jaccard_docs" ->
       s"""$SegCte,
          |ds AS (SELECT DISTINCT doc_id, seg FROM segs),
@@ -5801,13 +5931,13 @@ object SparkEntry {
         |  JOIN region ON n_regionkey = r_regionkey
         |  GROUP BY 1, 2)
         |SELECT r_name, n_name, rev_micro,
-        |       (rev_micro * 1000000)
+        |       CAST((CAST(rev_micro AS HUGEINT) * 1000000)
         |         // CAST(sum(rev_micro) OVER (PARTITION BY r_name) AS BIGINT)
-        |         AS nation_in_region_ppm,
-        |       (CAST(sum(rev_micro) OVER (PARTITION BY r_name) AS BIGINT)
+        |         AS BIGINT) AS nation_in_region_ppm,
+        |       CAST((CAST(sum(rev_micro) OVER (PARTITION BY r_name) AS HUGEINT)
         |          * 1000000)
         |         // CAST(sum(rev_micro) OVER () AS BIGINT)
-        |         AS region_of_total_ppm
+        |         AS BIGINT) AS region_of_total_ppm
         |FROM rev""".stripMargin,
 
     "q180_reactivation" ->

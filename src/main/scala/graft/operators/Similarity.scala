@@ -317,4 +317,57 @@ object Similarity {
         col("best.code").as("code"),
         floor(col("best.dist") * 1e6 + 0.5).cast("long").as("dist_micro"))
   }
+
+  /** Asymmetric-distance (ADC) top-k search over [[pqEncode]]'s codes —
+    * the query side of product quantization (Jégou et al. §IV): each
+    * probe vector builds a per-subspace lookup table of exact distances
+    * to every codeword, and a candidate's approximate distance is the
+    * SUM of 8 table lookups instead of a 64-dim computation. At scale
+    * the LUT (|probes|·nSub·nCodes rows) broadcasts, the probe never
+    * touches raw corpus vectors, and the per-candidate sum is one
+    * partial-aggregating shuffle on (probe, candidate).
+    *
+    * Determinism: per-subspace LUT distances micro-round to BIGINT
+    * BEFORE the cross-subspace sum (the q109 order-free trick), so the
+    * ADC total is an exact integer sum — identical on any partitioning
+    * and in the oracle. Top-k carries a vec_id tie-break.
+    */
+  def adcTopK(emb: DataFrame, probeIds: Seq[Long], k: Int,
+              nSub: Int, dim: Int, nCodes: Int): DataFrame = {
+    val subDim = dim / nSub
+    val slices = expr(
+      s"transform(sequence(0, ${nSub - 1}), s -> slice(embedding, s * $subDim + 1, $subDim))")
+    val sample = emb
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nCodes)
+    val cb = sample
+      .select(col("vec_id"), posexplode(slices).as(Seq("sub_id", "cv")))
+      .withColumn("code",
+        row_number().over(Window.partitionBy(col("sub_id"))
+          .orderBy(col("vec_id"))).cast("long") - 1)
+      .select(col("sub_id"), col("code"), col("cv"))
+    val dist = expr(
+      """aggregate(zip_with(v, cv,
+        |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |          * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+        |  0D, (acc, x) -> acc + x)""".stripMargin)
+    // LUT: probe × codeword exact distances, micro-rounded per subspace
+    val probes = emb.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"),
+        posexplode(slices).as(Seq("sub_id", "v")))
+    val lut = probes.join(broadcast(cb), Seq("sub_id"))
+      .select(col("probe_id"), col("sub_id"), col("code"),
+        floor(dist * 1e6 + 0.5).cast("long").as("d_micro"))
+    val codes = pqEncode(emb, nSub, dim, nCodes)
+      .select(col("vec_id"), col("sub_id"), col("code"))
+    val scored = codes.join(broadcast(lut), Seq("sub_id", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("d_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_micro").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

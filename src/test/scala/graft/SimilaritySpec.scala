@@ -168,6 +168,35 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("adcTopK: sampled candidates score at their exact micro distance") {
+    // vectors whose codes reconstruct EXACTLY (the codebook sample) must
+    // get adc == the micro-rounded exact per-subspace distance sum;
+    // the (i·16 + j·3) mod 23 ramp keeps every subvector distinct across
+    // vectors (verified), so ONLY the sample has all-zero dist_micro
+    val emb = Seq.tabulate(12)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 16 + j * 3) % 23).toFloat)))
+      .toDF("vec_id", "embedding")
+    val pq = Similarity.pqEncode(emb, 4, 8, 3).collect()
+    val sampled = pq.groupBy(_.getLong(0)).collect {
+      case (id, rows) if rows.forall(_.getLong(3) == 0L) => id
+    }.toSet
+    sampled.size shouldBe 3
+    val adc = Similarity.adcTopK(emb, probeIds = Seq(0L, 7L), k = 11,
+      nSub = 4, dim = 8, nCodes = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecs = Seq.tabulate(12)(i =>
+      i.toLong -> Array.tabulate(8)(j => ((i * 16 + j * 3) % 23).toDouble)).toMap
+    for (p <- Seq(0L, 7L); c <- sampled if c != p) {
+      val exact = (0 until 4).map { s =>
+        val d = (0 until 2).map { j =>
+          val df = vecs(p)(s * 2 + j) - vecs(c)(s * 2 + j); df * df
+        }.sum
+        math.floor(d * 1e6 + 0.5).toLong
+      }.sum
+      adc((p, c)) shouldBe exact
+    }
+  }
+
   test("pqEncode is a pure function of the data: repartition-invariant") {
     val emb = Seq.tabulate(20)(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat)))
