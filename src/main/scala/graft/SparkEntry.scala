@@ -2748,6 +2748,34 @@ object SparkEntry {
       Similarity.adcTopK(t(s, dir, "embeddings"), probeIds = Seq(1L, 2L, 3L),
         k = 5, nSub = 8, dim = 64, nCodes = 16)),
 
+    // §2.7 — SemDeDup (round 5): semantic dedup by within-cluster cosine —
+    // paraphrase/re-encoding duplicates that exact and MinHash dedup can't
+    // see; deterministic hash-sample cells (q205's codebook convention) so
+    // the whole decision table is DuckDB-oracle-able, keep-min-id rule,
+    // cosine micro-rounded once before the threshold compare; ONE
+    // cell-key shuffle feeds both pair sides, cluster count is the
+    // published scale knob (cell size stays bounded as the corpus grows)
+    "q208_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), nCells = 16,
+        threshMicro = 350000L)),
+
+    // §2.8 — prototypicality pruning signal (round 5): cosine of each
+    // vector to its assigned centroid, ranked ascending within the cell;
+    // the bottom decile (exact integer compare 10·rank ≤ cell size) is
+    // the "hard/noisy" band a curation pipeline prunes or upsamples —
+    // rank and cell-size windows share one cell-key shuffle
+    "q209_prototypicality" -> ((s, dir) =>
+      Similarity.prototypicality(t(s, dir, "embeddings"), nCells = 16)),
+
+    // §2.8 — ColBERT-style late-interaction (MaxSim) top-k (round 5):
+    // docs as bags of vectors (consecutive 8-vector groups), score =
+    // Σ_q max_d cos — each pairwise cosine micro-rounds BEFORE max and
+    // sum so scores are exact order-free integers; probe bags broadcast,
+    // one candidate-doc-keyed partial-agg shuffle, top-5 tie-broken
+    "q210_maxsim_topk" -> ((s, dir) =>
+      Similarity.maxSimTopK(t(s, dir, "embeddings"), docSize = 8,
+        probeDocs = Seq(0L, 1L, 2L), k = 5)),
+
     // §2.7 — structural (paragraph-level) near-dup pairs (round 5): doc
     // pairs whose distinct-SEGMENT sets overlap by Jaccard ≥ 0.25 —
     // catches permuted/partially-copied docs whose char-shingle profiles
@@ -5412,6 +5440,105 @@ object SparkEntry {
         |                ORDER BY adc_micro, vec_id) AS rank
         |      FROM adc)
         |WHERE rank <= 5""".stripMargin,
+
+    // shared CTE text for the q208/q209 deterministic-cell assignment:
+    // nearest hash-sampled centroid by squared L2, ties → lower cell id
+    "q208_semdedup" ->
+      s"""WITH sampled AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+         |           AS cell,
+         |         embedding AS cv
+         |  FROM sampled),
+         |asg AS (
+         |  SELECT vec_id, cell, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM (
+         |    SELECT e.vec_id, c.cell, e.embedding,
+         |           list_reduce(list_transform(list_zip(e.embedding, c.cv),
+         |             s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |             (acc, x) -> acc + x) AS dist,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY list_reduce(
+         |             list_transform(list_zip(e.embedding, c.cv),
+         |               s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                  * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |             (acc, x) -> acc + x), c.cell) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1),
+         |dup AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM asg x JOIN asg y
+         |    ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |  WHERE CAST(floor(${dotSql("y.embedding", "x.embedding")}
+         |          / (y.nrm * x.nrm) * 1e6 + 0.5) AS BIGINT) >= 350000)
+         |SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS pruned
+         |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
+
+    "q209_prototypicality" ->
+      s"""WITH sampled AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+         |           AS cell,
+         |         embedding AS cv
+         |  FROM sampled),
+         |asg AS (
+         |  SELECT vec_id, cell,
+         |         CAST(floor(${dotSql("embedding", "cv")}
+         |           / (sqrt(${dotSql("embedding", "embedding")})
+         |            * sqrt(${dotSql("cv", "cv")})) * 1e6 + 0.5) AS BIGINT)
+         |           AS cos_micro
+         |  FROM (
+         |    SELECT e.vec_id, c.cell, e.embedding, c.cv,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY list_reduce(
+         |             list_transform(list_zip(e.embedding, c.cv),
+         |               s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                  * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |             (acc, x) -> acc + x), c.cell) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1)
+         |SELECT vec_id, cell, cos_micro,
+         |       (10 * r <= n) AS outlier
+         |FROM (
+         |  SELECT vec_id, cell, cos_micro,
+         |         CAST(row_number() OVER (PARTITION BY cell
+         |           ORDER BY cos_micro, vec_id) AS BIGINT) AS r,
+         |         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n
+         |  FROM asg)""".stripMargin,
+
+    "q210_maxsim_topk" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, vec_id // 8 AS doc, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT doc AS probe_doc, vec_id AS q_id,
+         |         embedding AS q_emb, nrm AS q_nrm
+         |  FROM b WHERE doc IN (0, 1, 2)),
+         |sc AS (
+         |  SELECT p.probe_doc, p.q_id, b.doc AS cand_doc,
+         |         CAST(floor(${dotSql("p.q_emb", "b.embedding")}
+         |           / (p.q_nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) AS cm
+         |  FROM b, p WHERE b.doc <> p.probe_doc),
+         |mx AS (
+         |  SELECT probe_doc, q_id, cand_doc, max(cm) AS bm
+         |  FROM sc GROUP BY 1, 2, 3),
+         |ds AS (
+         |  SELECT probe_doc, cand_doc, CAST(sum(bm) AS BIGINT)
+         |           AS maxsim_micro
+         |  FROM mx GROUP BY 1, 2)
+         |SELECT probe_doc, cand_doc, maxsim_micro, CAST(rank AS BIGINT)
+         |         AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_doc
+         |        ORDER BY maxsim_micro DESC, cand_doc) AS rank
+         |      FROM ds)
+         |WHERE rank <= 5""".stripMargin,
 
     "q197_segment_jaccard_docs" ->
       s"""$SegCte,

@@ -370,4 +370,147 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Deterministic coarse assignment: each vector → nearest of `nCells`
+    * hash-sampled "centroids" (the nCells smallest-md5 corpus vectors, the
+    * q205 codebook convention) by squared L2 over the full vector. Unlike
+    * [[fitQuantizer]]'s KMeans (whose k-means|| init draws per-partition
+    * randoms), this assignment is a pure function of the data, so every
+    * operator built on it is exactly DuckDB-oracle-able; KMeans centroids
+    * swap in with zero plan change when recall matters more than audit.
+    *
+    * Plan: centroid table is nCells rows → broadcast nested-loop; the
+    * argmin is a partial-aggregating min(struct) on vec_id (the embedding
+    * and winning centroid ride the struct, so no join-back pass exists).
+    * Output: (vec_id, cell, embedding, cv) — one row per vector.
+    */
+  private[operators] def detAssign(emb: DataFrame, nCells: Int): DataFrame = {
+    val sample = emb
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nCells)
+    // single-partition window is intentional: the frame is nCells rows
+    val cents = sample
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+      .select(col("cell"), col("embedding").as("cv"))
+    val sq = expr(
+      """aggregate(zip_with(embedding, cv,
+        |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |          * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+        |  0D, (acc, x) -> acc + x)""".stripMargin)
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), sq.as("dist"), col("cell"), col("embedding"),
+        col("cv"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"), col("embedding"),
+        col("cv"))).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"),
+        col("b.embedding").as("embedding"), col("b.cv").as("cv"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * within-cluster embedding cosine — the curation pass that removes
+    * paraphrases and re-encodings exact/MinHash dedup can't see. Vectors
+    * land in [[detAssign]] cells; within a cell, a vector is pruned when a
+    * LOWER-id cell-mate's cosine reaches the threshold (the paper keeps
+    * one representative per duplicate group; min-id is the deterministic
+    * keeper rule, and the pair predicate micro-rounds the cosine once so
+    * both engines compare the same integer). Output: every vector with its
+    * cell and pruned flag — the downstream filter is `!pruned`.
+    *
+    * Scale: the published knob IS the cluster count — the pair stage is
+    * quadratic per cell but cells are sized n/nCells, so nCells grows with
+    * the corpus (SemDeDup uses 50k clusters for LAION) and the per-cell
+    * work stays bounded. One shuffle on the cell key feeds both join
+    * sides; everything upstream is broadcast/map-side.
+    */
+  def semDedup(emb: DataFrame, nCells: Int, threshMicro: Long): DataFrame = {
+    // one assignment pass feeds BOTH pair sides and the final flag join —
+    // without the checkpoint Catalyst re-derives the broadcast-NL + argmin
+    // subtree three times (three corpus scans at 100 TB)
+    val asg = detAssign(emb, nCells)
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        vnorm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+    val dup = asg.as("x").join(asg.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .filter(floor(cosineWithNorms(col("y.embedding"), col("x.embedding"),
+          col("y.nrm"), col("x.nrm")) * 1e6 + 0.5).cast("long")
+        >= threshMicro)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+      .withColumn("pruned", lit(true))
+    asg.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("pruned"), lit(false)).as("pruned"))
+  }
+
+  /** Prototypicality ranking (the SSL-prototypes pruning signal, Sorscher
+    * et al. 2022): cosine of each vector to its [[detAssign]] centroid,
+    * ranked ascending within the cell — the bottom decile (10·rank ≤ cell
+    * size, exact integer compare; ties broken by vec_id) are the cell's
+    * least-prototypical members, the "hard/noisy" band a curation pipeline
+    * prunes or upsamples depending on the data budget. Cosine micro-rounds
+    * before ranking so the order is an integer sort on both engines.
+    *
+    * Plan: assignment is broadcast + one vec_id partial-agg; the rank and
+    * cell-size windows share ONE cell-key shuffle (same partition key).
+    */
+  def prototypicality(emb: DataFrame, nCells: Int): DataFrame = {
+    val scored = detAssign(emb, nCells)
+      .select(col("vec_id"), col("cell"),
+        floor(cosineWithNorms(col("embedding"), col("cv"),
+          vnorm(col("embedding")), vnorm(col("cv"))) * 1e6 + 0.5)
+          .cast("long").as("cos_micro"))
+    val rw = Window.partitionBy(col("cell"))
+      .orderBy(col("cos_micro").asc, col("vec_id").asc)
+    val cw = Window.partitionBy(col("cell"))
+    scored
+      .withColumn("r", row_number().over(rw).cast("long"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .select(col("vec_id"), col("cell"), col("cos_micro"),
+        (col("r") * 10 <= col("n")).as("outlier"))
+  }
+
+  /** ColBERT-style late-interaction (MaxSim) retrieval (Khattab &
+    * Zaharia 2020): docs are BAGS of vectors (here: consecutive
+    * `docSize`-vector groups of the embeddings table — the plumbing is
+    * the operator; a real corpus supplies its own doc_id), and
+    * score(q, d) = Σ over query vectors of max over doc vectors of
+    * cosine. Each pairwise cosine micro-rounds BEFORE the max and the
+    * cross-query-vector sum (q109's order-free trick), so scores are
+    * exact integers on any partitioning.
+    *
+    * Plan: probe bags are bounded → broadcast; scoring is map-side over
+    * the corpus; the max collapses at (q_id, cand_doc) grain and the sum
+    * at (probe_doc, cand_doc) — both partial-aggregating, ONE shuffle
+    * keyed on the candidate doc. Raw corpus vectors are touched exactly
+    * once; no vector ever shuffles.
+    */
+  def maxSimTopK(emb: DataFrame, docSize: Int, probeDocs: Seq[Long],
+                 k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      expr(s"vec_id div $docSize").as("doc"), col("embedding"),
+      vnorm(col("embedding")).as("nrm"))
+    val probes = base.filter(col("doc").isin(probeDocs: _*))
+      .select(col("doc").as("probe_doc"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = base.crossJoin(broadcast(probes))
+      .filter(col("doc") =!= col("probe_doc"))
+      .select(col("probe_doc"), col("q_id"), col("doc").as("cand_doc"),
+        floor(cosineWithNorms(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")) * 1e6 + 0.5).cast("long")
+          .as("cos_micro"))
+    val docScore = scored
+      .groupBy(col("probe_doc"), col("q_id"), col("cand_doc"))
+      .agg(max(col("cos_micro")).as("best_micro"))
+      .groupBy(col("probe_doc"), col("cand_doc"))
+      .agg(sum(col("best_micro")).as("maxsim_micro"))
+    val w = Window.partitionBy(col("probe_doc"))
+      .orderBy(col("maxsim_micro").desc, col("cand_doc").asc)
+    docScore.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

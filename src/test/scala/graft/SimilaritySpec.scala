@@ -206,4 +206,117 @@ class SimilaritySpec extends SparkTestBase {
     a shouldBe b
     a.size shouldBe 20 * 4
   }
+
+  // independent md5 (JDK MessageDigest, not Spark's expression) — used to
+  // replicate the deterministic hash-sample centroid rule in plain Scala
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def l2(a: Array[Float], b: Array[Float]): Double =
+    a.zip(b).map { case (x, y) =>
+      (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+
+  private def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    math.floor(dot / (na * nb) * 1e6 + 0.5).toLong
+  }
+
+  // plain-Scala replica of detAssign: nearest of the nCells smallest-md5
+  // vectors by L2, ties to the lower cell id
+  private def detAssignScala(vecs: Seq[(Long, Array[Float])], nCells: Int)
+      : (Map[Long, Long], Map[Long, Array[Float]]) = {
+    val sampled = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(nCells)
+    val cents = sampled.map(_._1).sorted.zipWithIndex
+      .map { case (id, i) => i.toLong -> vecs.toMap.apply(id) }
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (l2(v, cv), c) }.min._2 }.toMap
+    (cellOf, cents.toMap)
+  }
+
+  private def bundles(n: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val axis = i % 2
+      val base = Array.fill(4)(0f)
+      base(axis) = 1f
+      base((axis + 2) % 4) = 0.02f * (i / 2 % 7) // distinct tilts
+      (i.toLong, base)
+    }
+
+  test("semDedup: hand-replicated assignment + keep-min-id pruning") {
+    val vecs = bundles(16)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(emb, nCells = 2, threshMicro = 990000L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2))))
+      .toMap
+    val (cellOf, _) = detAssignScala(vecs, 2)
+    val expected = vecs.map { case (id, v) =>
+      val pruned = vecs.exists { case (id2, v2) =>
+        id2 < id && cellOf(id2) == cellOf(id) && cosMicro(v2, v) >= 990000L }
+      id -> ((cellOf(id), pruned))
+    }.toMap
+    r shouldBe expected
+    // the toy set genuinely exercises both arms
+    r.values.count(_._2) should be > 0
+    r.values.count(!_._2) should be > 0
+    // a cell's minimum vec_id is never pruned (it has no lower-id mate)
+    r.groupBy(_._2._1).foreach { case (_, m) =>
+      m.filter(_._2._2 == false).keys.min shouldBe m.keys.min }
+  }
+
+  test("semDedup is repartition-invariant") {
+    val emb = bundles(16).toDF("vec_id", "embedding")
+    val a = Similarity.semDedup(emb, 2, 990000L).collect().toSet
+    val b = Similarity.semDedup(emb.repartition(7), 2, 990000L)
+      .collect().toSet
+    a shouldBe b
+  }
+
+  test("prototypicality: hand-replicated ranks flag the bottom decile") {
+    val vecs = bundles(24) // two cells of ~12 → the decile band is live
+    val emb = vecs.toDF("vec_id", "embedding")
+    val r = Similarity.prototypicality(emb, nCells = 2)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getBoolean(3)))).toMap
+    val (cellOf, cents) = detAssignScala(vecs, 2)
+    val scored = vecs.map { case (id, v) =>
+      (id, cellOf(id), cosMicro(v, cents(cellOf(id)))) }
+    val expected = scored.groupBy(_._2).flatMap { case (_, members) =>
+      val ranked = members.sortBy { case (id, _, cm) => (cm, id) }
+      val n = ranked.size
+      ranked.zipWithIndex.map { case ((id, cell, cm), i) =>
+        id -> ((cell, cm, 10L * (i + 1) <= n)) }
+    }
+    r shouldBe expected
+    r.values.count(_._3) should be > 0
+  }
+
+  test("maxSimTopK: hand-computed late-interaction scores on 3-vector docs") {
+    // 4 docs × 3 vectors, deterministic tilts
+    val vecs = (0 until 12).map { i =>
+      val base = Array.fill(4)(0f)
+      base(i % 4) = 1f
+      base((i + 1) % 4) = 0.1f * (i % 5)
+      (i.toLong, base)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val r = Similarity.maxSimTopK(emb, docSize = 3, probeDocs = Seq(0L),
+      k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    val docOf = vecs.map { case (id, _) => id -> id / 3 }.toMap
+    val probeVecs = vecs.filter { case (id, _) => docOf(id) == 0L }
+    val scores = (1L to 3L).map { d =>
+      val dv = vecs.filter { case (id, _) => docOf(id) == d }
+      d -> probeVecs.map { case (_, q) =>
+        dv.map { case (_, c) => cosMicro(q, c) }.max }.sum
+    }
+    val expected = scores.sortBy { case (d, s) => (-s, d) }.zipWithIndex
+      .take(3).map { case ((d, s), i) => (0L, d) -> ((s, i + 1L)) }.toMap
+    r shouldBe expected
+  }
 }
