@@ -2767,6 +2767,85 @@ object SparkEntry {
     "q209_prototypicality" -> ((s, dir) =>
       Similarity.prototypicality(t(s, dir, "embeddings"), nCells = 16)),
 
+    // §2.8 — ANN quality evaluation harness (round 5): recall@5 of the
+    // PQ/ADC approximate ranking against the exact brute-force top-5,
+    // per probe — the measurement loop every production ANN deployment
+    // runs before trading exactness for memory; both rankings are
+    // deterministic (id tie-breaks), the intersection is a narrow
+    // (probe, neighbor) equi-join, recall_permille = 200·|∩| exactly
+    "q211_adc_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = Seq(1L, 2L, 3L)
+      val exact = Similarity.bruteKnn(emb,
+          emb.filter(col("vec_id").isin(probes: _*)), 5)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"))
+      val adc = Similarity.adcTopK(emb, probes, k = 5, nSub = 8, dim = 64,
+          nCodes = 16)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          lit(1).as("hit"))
+      exact.join(adc, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("probe_id"), col("n_hits"),
+          (col("n_hits") * lit(200L)).as("recall_permille"))
+    }),
+
+    // §2.7 — leakage-safe train/test split (round 5): near-dup CLUSTERS
+    // are the split unit, never documents — the eval-contamination
+    // guard rail (a doc and its paraphrase must land on the same side;
+    // q55 decontaminates against an external eval set, this prevents
+    // manufacturing the leak in the first place). Split is a pure
+    // function of the component id's md5 (first hex char ≤ 'b' → train,
+    // 12/16 = 75%), so the no-straddle invariant holds by construction
+    // and the whole assignment is oracle-able on top of q45's closure
+    "q212_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateClusters(docs, Dedup.ngramJaccardPairs(docs, 0.6))
+        .select(col("doc_id"), col("component"),
+          when(substring(md5(col("component").cast("string")), 1, 1)
+            <= "b", "train").otherwise("test").as("split"))
+    }),
+
+    // §2.9 — deterministic stratified k-fold assignment (round 5): per
+    // lang stratum, fold = (md5-rank − 1) mod 5 — the cross-validation
+    // splitter; fold sizes within a stratum differ by ≤1 BY CONSTRUCTION
+    // (round-robin over the hash-shuffled rank), one lang-key shuffle
+    "q213_stratified_kfold" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"))
+        .withColumn("fold", (row_number().over(w).cast("long") - 1) % 5)
+        .groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // §2.8 — Matryoshka truncation ablation (round 5, Kusupati et al.'s
+    // MRL eval): recall@5 of the exact ranking computed on the FIRST 32
+    // dims against the full-64-dim exact ranking, per probe — the
+    // memory/recall tradeoff measurement behind every truncated-embedding
+    // deployment; both rankings deterministic, intersection is a narrow
+    // equi-join, nothing new shuffles beyond two bruteKnn passes
+    "q214_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = Seq(1L, 2L, 3L)
+      val full = Similarity.bruteKnn(emb,
+          emb.filter(col("vec_id").isin(probes: _*)), 5)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"))
+      val half = emb.select(col("vec_id"),
+        expr("slice(embedding, 1, 32)").as("embedding"))
+      val trunc = Similarity.bruteKnn(half,
+          half.filter(col("vec_id").isin(probes: _*)), 5)
+        .select(col("query_id").as("probe_id"),
+          col("neighbor_id"), lit(1).as("hit"))
+      full.join(trunc, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("probe_id"), col("n_hits"),
+          (col("n_hits") * lit(200L)).as("recall_permille"))
+    }),
+
     // §2.8 — ColBERT-style late-interaction (MaxSim) top-k (round 5):
     // docs as bags of vectors (consecutive 8-vector groups), score =
     // Σ_q max_d cos — each pairwise cosine micro-rounds BEFORE max and
@@ -5511,6 +5590,148 @@ object SparkEntry {
          |           ORDER BY cos_micro, vec_id) AS BIGINT) AS r,
          |         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n
          |  FROM asg)""".stripMargin,
+
+    "q211_adc_recall" ->
+      s"""WITH sampled AS (
+         |  SELECT vec_id, embedding
+         |  FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT s.s AS sub_id,
+         |         CAST(row_number() OVER (PARTITION BY s.s ORDER BY vec_id)
+         |           AS BIGINT) - 1 AS code,
+         |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS cv
+         |  FROM sampled, (SELECT unnest(range(8)) AS s) s),
+         |sub AS (
+         |  SELECT vec_id, s.s AS sub_id,
+         |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS v
+         |  FROM embeddings, (SELECT unnest(range(8)) AS s) s),
+         |scored AS (
+         |  SELECT sub.vec_id, sub.sub_id, cb.code,
+         |         list_reduce(
+         |           list_transform(range(1, 9), i ->
+         |             (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+         |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))),
+         |           (a, b) -> a + b) AS dist
+         |  FROM sub JOIN cb ON sub.sub_id = cb.sub_id),
+         |codes AS (
+         |  SELECT vec_id, sub_id, code
+         |  FROM (SELECT vec_id, sub_id, code,
+         |               row_number() OVER (PARTITION BY vec_id, sub_id
+         |                                  ORDER BY dist, code) AS rn
+         |        FROM scored)
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT vec_id AS probe_id, sub_id, code,
+         |         CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS d_micro
+         |  FROM scored WHERE vec_id IN (1, 2, 3)),
+         |adck AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY adc_micro, vec_id) AS rank
+         |    FROM (SELECT lut.probe_id, codes.vec_id,
+         |                 sum(d_micro) AS adc_micro
+         |          FROM codes
+         |          JOIN lut ON codes.sub_id = lut.sub_id
+         |                  AND codes.code = lut.code
+         |          WHERE codes.vec_id <> lut.probe_id
+         |          GROUP BY 1, 2))
+         |  WHERE rank <= 5),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |exk AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotSql("q.embedding", "c.embedding")}
+         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM e q JOIN e c
+         |      ON q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id)
+         |  WHERE rnk <= 5)
+         |SELECT exk.probe_id,
+         |       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |       CAST(200 * count(a.vec_id) AS BIGINT) AS recall_permille
+         |FROM exk LEFT JOIN adck a
+         |  ON exk.probe_id = a.probe_id AND exk.neighbor_id = a.vec_id
+         |GROUP BY 1""".stripMargin,
+
+    "q214_matryoshka_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |h AS (
+         |  SELECT vec_id, embedding[1:32] AS embedding
+         |  FROM embeddings),
+         |h2 AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM h),
+         |fk AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotSql("q.embedding", "c.embedding")}
+         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM e q JOIN e c
+         |      ON q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id)
+         |  WHERE rnk <= 5),
+         |tk AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotSql("q.embedding", "c.embedding")}
+         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM h2 q JOIN h2 c
+         |      ON q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id)
+         |  WHERE rnk <= 5)
+         |SELECT fk.probe_id,
+         |       CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(200 * count(t.neighbor_id) AS BIGINT) AS recall_permille
+         |FROM fk LEFT JOIN tk t
+         |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
+         |GROUP BY 1""".stripMargin,
+
+    "q212_leakage_split" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach
+         |         FROM reach GROUP BY 1),
+         |asg AS (
+         |  SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, component,
+         |       CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) <= 'b'
+         |            THEN 'train' ELSE 'test' END AS split
+         |FROM asg""".stripMargin,
+
+    "q213_stratified_kfold" ->
+      """SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM (
+        |  SELECT lang,
+        |         (CAST(row_number() OVER (PARTITION BY lang
+        |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |            AS BIGINT) - 1) % 5 AS fold
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q210_maxsim_topk" ->
       s"""WITH b AS (

@@ -179,4 +179,27 @@ class CurationSpec extends SparkTestBase {
       (3L, 2L, 1L, "z z"),
       (4L, 1L, 0L, "u v"))
   }
+
+  test("q213 stratified k-fold: within-stratum fold sizes differ by <= 1") {
+    val sizes = SparkEntry.queries("q213_stratified_kfold")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).values
+    sizes.foreach { strat =>
+      val counts = strat.map(_._3)
+      (counts.max - counts.min) should be <= 1L
+      strat.map(_._2).sorted shouldBe (0L until strat.length.toLong).toArray
+    }
+  }
+
+  test("q212 leakage-safe split: no near-dup component straddles the split") {
+    val r = SparkEntry.queries("q212_leakage_split")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, String)].collect()
+    r.groupBy(_._2).values.foreach { comp =>
+      comp.map(_._3).distinct.length shouldBe 1
+    }
+    // both sides populated on the test corpus
+    r.map(_._3).distinct.sorted shouldBe Array("test", "train")
+  }
 }
