@@ -50,6 +50,8 @@ object Multimodal {
     PpmCodec.decodeOne(payload).map(_._1)
       .orElse(PngCodec.decode(payload))
       .orElse(JpegCodec.decode(payload))
+      .orElse(BmpCodec.decode(payload))
+      .orElse(GifCodec.decode(payload))
 
   /** FALLBACK pseudo-decode for payloads in formats whose codecs are not in
     * this container (arithmetic-coded/12-bit JPEG, palette PNG, compressed
@@ -138,7 +140,14 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        val frames = PpmCodec.decodeStream(payload)
+        // multi-frame sources: concatenated-P6 raw streams, or animated
+        // GIFs (each image descriptor decoded independently — sampling,
+        // not disposal compositing)
+        val frames = {
+          val ppm = PpmCodec.decodeStream(payload)
+          if (ppm.nonEmpty) ppm
+          else GifCodec.frames(payload).map(_.toList).getOrElse(Nil)
+        }
         if (frames.nonEmpty) {
           val take = math.min(nFrames, frames.size)
           (0 until take).iterator.map { i =>

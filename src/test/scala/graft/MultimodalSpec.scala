@@ -126,6 +126,8 @@ class MultimodalSpec extends SparkTestBase {
       noException should be thrownBy PpmCodec.decodeOne(p)
       noException should be thrownBy PpmCodec.decodeStream(p)
       noException should be thrownBy graft.operators.JpegCodec.decode(p)
+      noException should be thrownBy graft.operators.BmpCodec.decode(p)
+      noException should be thrownBy graft.operators.GifCodec.decode(p)
     }
   }
 
