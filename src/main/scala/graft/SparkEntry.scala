@@ -2846,6 +2846,64 @@ object SparkEntry {
           (col("n_hits") * lit(200L)).as("recall_permille"))
     }),
 
+    // §2.6 — Mann-Kendall trend test on daily volumes (round 5): the
+    // classic NONPARAMETRIC monotone-trend detector — S = Σ_{i<j}
+    // sign(n_j − n_i) over the day series, with the exact tie-corrected
+    // 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5); complements CUSUM
+    // (q143: single level shift) and autocorrelation (q147: momentum)
+    // with a distribution-free drift verdict. ALL integers — sign via
+    // CASE, never signum doubles — so the statistic is hash-exact; the
+    // pair join runs on the bounded |days| aggregate frame, never events
+    "q215_mann_kendall" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy((unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("d"))
+        .agg(count(lit(1)).as("n"))
+      val sgn = when(col("b.n") > col("a.n"), 1L)
+        .when(col("b.n") < col("a.n"), -1L).otherwise(0L)
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.d") < col("b.d"))
+        .agg(count(lit(1)).as("n_pairs"), sum(sgn).as("s_stat"))
+      val ties = daily.groupBy(col("n")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t")).as("n_days"),
+          sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+            .as("tie_term"))
+      pairs.crossJoin(broadcast(ties))
+        .select(col("n_days"), col("n_pairs"), col("s_stat"),
+          (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+            - col("tie_term")).as("var18"))
+    }),
+
+    // §2.6 — Theil–Sen slope of daily volumes (round 5): the robust
+    // trend ESTIMATE next to q215's trend TEST — median of all pairwise
+    // slopes, outlier-immune where the least-squares line (q136's
+    // moments) is not. Each slope micro-rounds identically on both
+    // engines BEFORE ranking, the median is the deterministic lower
+    // middle element under a (slope, day-pair) total order; the pair
+    // stage is the bounded |days|² aggregate frame
+    "q216_theil_sen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy((unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("d"))
+        .agg(count(lit(1)).as("n"))
+      val slopes = daily.as("a").join(daily.as("b"),
+          col("a.d") < col("b.d"))
+        .select(col("a.d").as("d1"), col("b.d").as("d2"),
+          floor((col("b.n") - col("a.n")) * lit(1000000L)
+            / (col("b.d") - col("a.d")) + 0.5).cast("long")
+            .as("slope_micro"))
+      // bounded frame: the single-partition window is the documented
+      // aggregate-frame exemption (q82 class)
+      val w = Window.orderBy(col("slope_micro"), col("d1"), col("d2"))
+      slopes
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("r") === ((col("cnt") + 1) / 2).cast("long"))
+        .select(col("cnt").as("n_pairs"),
+          col("slope_micro").as("median_slope_micro"))
+    }),
+
     // §2.8 — ColBERT-style late-interaction (MaxSim) top-k (round 5):
     // docs as bags of vectors (consecutive 8-vector groups), score =
     // Σ_q max_d cos — each pairwise cosine micro-rounds BEFORE max and
@@ -5694,6 +5752,45 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q215_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN b.n > a.n THEN 1
+        |                       WHEN b.n < a.n THEN -1 ELSE 0 END)
+        |           AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |ties AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n_days,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY n))
+        |SELECT n_days, n_pairs, s_stat,
+        |       CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+        |         AS BIGINT) AS var18
+        |FROM pairs, ties""".stripMargin,
+
+    "q216_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |slopes AS (
+        |  SELECT a.d AS d1, b.d AS d2,
+        |         CAST(floor((b.n - a.n) * 1000000 / (b.d - a.d) + 0.5)
+        |           AS BIGINT) AS slope_micro
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |ranked AS (
+        |  SELECT slope_micro,
+        |         CAST(row_number() OVER (ORDER BY slope_micro, d1, d2)
+        |           AS BIGINT) AS r,
+        |         CAST(count(*) OVER () AS BIGINT) AS cnt
+        |  FROM slopes)
+        |SELECT cnt AS n_pairs, slope_micro AS median_slope_micro
+        |FROM ranked WHERE r = (cnt + 1) // 2""".stripMargin,
 
     "q212_leakage_split" ->
       s"""WITH RECURSIVE sh AS (

@@ -189,7 +189,7 @@ object Multimodal {
         octet_length(col("payload")).as("n_bytes"))
       .as[(Long, Array[Byte], Int)]
       .mapPartitions(_.map { case (id, payload, n) =>
-        WavCodec.decode(payload) match {
+        WavCodec.decode(payload).orElse(AiffCodec.decode(payload)) match {
           case Some(a) =>
             val (rms, zcr, peak) = WavCodec.features(a)
             AudioFeature(id, n, a.sampleRate, a.channels, a.nFrames,
@@ -224,9 +224,10 @@ object Multimodal {
         octet_length(col("payload")).as("n_bytes"))
       .as[(Long, Array[Byte], Int)]
       .mapPartitions(_.map { case (id, payload, n) =>
-        WavCodec.decode(payload) match {
-          case Some(a) =>
-            AudioMeta(id, n, "wav", a.sampleRate, a.channels,
+        WavCodec.decode(payload).map(("wav", _))
+          .orElse(AiffCodec.decode(payload).map(("aiff", _))) match {
+          case Some((container, a)) =>
+            AudioMeta(id, n, container, a.sampleRate, a.channels,
               if (a.sampleRate == 0) 0L
               else a.nFrames.toLong * 1000L / a.sampleRate,
               pcm_decodable = true)

@@ -208,6 +208,113 @@ class AudioFormatsSpec extends SparkTestBase {
     payloads.foreach { p =>
       noException should be thrownBy WavCodec.decode(p)
       noException should be thrownBy Mp3Codec.parseMeta(p)
+      noException should be thrownBy graft.operators.AiffCodec.decode(p)
     }
+  }
+
+  // ---------- AIFF / AIFF-C ----------
+
+  /** Assemble an AIFF/AIFC container. `rate80` is the 10-byte extended
+    * sample rate, built independently of the decoder's parser.
+    */
+  private def aiff(formType: String, ch: Int, nFrames: Int, bits: Int,
+                   rate80: Array[Byte], compression: String,
+                   data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def a(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def b16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def b32(v: Long): Unit = { b16(((v >> 16) & 0xFFFF).toInt); b16((v & 0xFFFF).toInt) }
+    val commLen = if (compression.isEmpty) 18 else 18 + 4 + 2 // + pstring "x\0"
+    val ssndLen = 8 + data.length
+    a("FORM"); b32(4 + 8 + commLen + (commLen & 1) + 8 + ssndLen); a(formType)
+    a("COMM"); b32(commLen)
+    b16(ch); b32(nFrames); b16(bits); out.write(rate80)
+    if (compression.nonEmpty) { a(compression); out.write(1); out.write('x') }
+    if ((commLen & 1) == 1) out.write(0)
+    a("SSND"); b32(ssndLen); b32(0); b32(0)
+    out.write(data)
+    out.toByteArray
+  }
+
+  /** 80-bit extended for an integral rate: exponent 16383+e, mantissa
+    * rate << (63 - e) where e = floor(log2 rate).
+    */
+  private def rate80(rate: Int): Array[Byte] = {
+    val e = 31 - Integer.numberOfLeadingZeros(rate)
+    val mant = rate.toLong << (63 - e)
+    val exp = 16383 + e
+    Array[Byte](((exp >> 8) & 0xff).toByte, (exp & 0xff).toByte) ++
+      (0 until 8).map(i => ((mant >>> (56 - 8 * i)) & 0xff).toByte)
+  }
+
+  test("AIFF big-endian PCM-16 decodes; signed PCM-8 scales to high byte") {
+    val d16 = Array[Byte](0x12, 0x34, 0xFE.toByte, 0xDC.toByte)
+    val a16 = graft.operators.AiffCodec.decode(
+      aiff("AIFF", 1, 2, 16, rate80(44100), "", d16)).get
+    a16.sampleRate shouldBe 44100
+    a16.channels shouldBe 1
+    a16.samples.toSeq shouldBe Seq(0x1234.toShort, 0xFEDC.toShort)
+    // signed 8-bit: -2 → -512, 3 → 768
+    val d8 = Array[Byte](-2, 3)
+    val a8 = graft.operators.AiffCodec.decode(
+      aiff("AIFF", 1, 2, 8, rate80(8000), "", d8)).get
+    a8.samples.toSeq shouldBe Seq((-512).toShort, 768.toShort)
+  }
+
+  test("AIFF PCM-24/32 keep top 16 bits; stereo interleave preserved") {
+    val d24 = Array[Byte](0x12, 0x34, 0x56, 0xAB.toByte, 0xCD.toByte, 0xEF.toByte)
+    val a24 = graft.operators.AiffCodec.decode(
+      aiff("AIFF", 2, 1, 24, rate80(48000), "", d24)).get
+    a24.channels shouldBe 2
+    a24.samples.toSeq shouldBe Seq(0x1234.toShort, 0xABCD.toShort)
+    val d32 = Array[Byte](0x7F, 0xFF.toByte, 0, 0)
+    val a32 = graft.operators.AiffCodec.decode(
+      aiff("AIFF", 1, 1, 32, rate80(8000), "", d32)).get
+    a32.samples.toSeq shouldBe Seq(0x7FFF.toShort)
+  }
+
+  test("AIFC: NONE is big-endian, sowt is little-endian; AAC-ish rejects") {
+    val d = Array[Byte](0x12, 0x34)
+    graft.operators.AiffCodec.decode(
+      aiff("AIFC", 1, 1, 16, rate80(22050), "NONE", d)).get
+      .samples.toSeq shouldBe Seq(0x1234.toShort)
+    graft.operators.AiffCodec.decode(
+      aiff("AIFC", 1, 1, 16, rate80(22050), "sowt", d)).get
+      .samples.toSeq shouldBe Seq(0x3412.toShort)
+    graft.operators.AiffCodec.decode(
+      aiff("AIFC", 1, 1, 16, rate80(22050), "aac ", d)) shouldBe None
+  }
+
+  test("AIFF strictness: bad rate, short data, truncated chunks reject") {
+    val d = Array[Byte](1, 2)
+    // NaN/Inf exponent
+    val badRate = Array[Byte](0x7F, 0xFF.toByte) ++ Array.fill[Byte](8)(0)
+    graft.operators.AiffCodec.decode(
+      aiff("AIFF", 1, 1, 16, badRate, "", d)) shouldBe None
+    // frame count says 4 but data has 1 frame
+    graft.operators.AiffCodec.decode(
+      aiff("AIFF", 1, 4, 16, rate80(8000), "", d)) shouldBe None
+    // truncation mid-SSND
+    val ok = aiff("AIFF", 1, 1, 16, rate80(8000), "", d)
+    graft.operators.AiffCodec.decode(ok.take(ok.length - 3)) shouldBe None
+  }
+
+  test("audioMeta triages AIFF as its own container with real duration") {
+    val sine = Array.tabulate(800)(i =>
+      (math.sin(i * 0.2) * 12000).toInt).flatMap(s =>
+      Seq(((s >> 8) & 0xff).toByte, (s & 0xff).toByte))
+    val payload = aiff("AIFF", 1, 800, 16, rate80(8000), "", sine)
+    val df = Seq((1L, payload)).toDF("doc_id", "text")
+      .selectExpr("doc_id", "cast(text as binary) as payload")
+    val r = Multimodal.audioMeta(spark, df).collect()
+    r(0).container shouldBe "aiff"
+    r(0).sample_rate shouldBe 8000
+    r(0).duration_ms shouldBe 100L
+    r(0).pcm_decodable shouldBe true
+    // features flow through the same 16-bit pipeline as WAV
+    val f = Multimodal.decodeAudioFeatures(spark, df).collect()
+    f(0).decoded shouldBe true
+    f(0).sample_rate shouldBe 8000
+    f(0).rms should be > 0.0
   }
 }
