@@ -384,16 +384,19 @@ object Similarity {
     * and winning centroid ride the struct, so no join-back pass exists).
     * Output: (vec_id, cell, embedding, cv) — one row per vector.
     */
-  private[operators] def detAssign(emb: DataFrame, nCells: Int): DataFrame = {
+  private[operators] def detCentroids(emb: DataFrame, nCells: Int): DataFrame = {
     val sample = emb
       .select(col("vec_id"), col("embedding"),
         md5(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(nCells)
     // single-partition window is intentional: the frame is nCells rows
-    val cents = sample
+    sample
       .withColumn("cell",
         row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
       .select(col("cell"), col("embedding").as("cv"))
+  }
+
+  private[operators] def assignTo(cents: DataFrame, emb: DataFrame): DataFrame = {
     val sq = expr(
       """aggregate(zip_with(embedding, cv,
         |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
@@ -409,6 +412,9 @@ object Similarity {
       .select(col("vec_id"), col("b.cell").as("cell"),
         col("b.embedding").as("embedding"), col("b.cv").as("cv"))
   }
+
+  private[operators] def detAssign(emb: DataFrame, nCells: Int): DataFrame =
+    assignTo(detCentroids(emb, nCells), emb)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * within-cluster embedding cosine — the curation pass that removes
@@ -472,6 +478,47 @@ object Similarity {
       .withColumn("n", count(lit(1)).over(cw))
       .select(col("vec_id"), col("cell"), col("cos_micro"),
         (col("r") * 10 <= col("n")).as("outlier"))
+  }
+
+  /** Incremental [[semDedup]] for micro-batch ingest: flag each NEW
+    * vector whose cosine to a standing-corpus cell-mate (dup_source =
+    * "corpus") or a LOWER-id same-delivery cell-mate ("batch" — the
+    * keep-min-id keeper rule) reaches the threshold. Centroids derive
+    * from the standing corpus so cell assignment stays stable as
+    * deliveries accrue (first delivery, empty corpus: the batch trains
+    * them, which makes corpus-empty output IDENTICAL to the batch
+    * [[semDedup]] decision table — the spec's equivalence contract).
+    *
+    * Scale shape: the batch is delivery-sized; both joins key on the
+    * cell, the corpus side prunes to cells the batch actually touches
+    * (join pushes the cell filter into the corpus assignment), and
+    * nothing batch×corpus-quadratic exists outside a cell.
+    * Output: (new_id, dup_id, cos_micro, dup_source).
+    */
+  def incrementalSemDedup(corpus: DataFrame, batch: DataFrame, nCells: Int,
+                          threshMicro: Long): DataFrame = {
+    val base = if (corpus.isEmpty) batch else corpus
+    val cents = detCentroids(base, nCells).localCheckpoint()
+    def withNorm(asg: DataFrame) = asg
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        vnorm(col("embedding")).as("nrm"))
+    val bAsg = withNorm(assignTo(cents, batch)).localCheckpoint()
+    val cAsg = withNorm(assignTo(cents, corpus))
+    def pairs(news: DataFrame, cands: DataFrame, source: String,
+              inBatch: Boolean) = {
+      val joined = news.as("x").join(cands.as("y"),
+        col("x.cell") === col("y.cell") &&
+          (if (inBatch) col("y.vec_id") < col("x.vec_id") else lit(true)))
+      joined
+        .select(col("x.vec_id").as("new_id"), col("y.vec_id").as("dup_id"),
+          floor(cosineWithNorms(col("y.embedding"), col("x.embedding"),
+            col("y.nrm"), col("x.nrm")) * 1e6 + 0.5).cast("long")
+            .as("cos_micro"))
+        .filter(col("cos_micro") >= threshMicro)
+        .withColumn("dup_source", lit(source))
+    }
+    pairs(bAsg, cAsg, "corpus", inBatch = false)
+      .unionByName(pairs(bAsg, bAsg, "batch", inBatch = true))
   }
 
   /** ColBERT-style late-interaction (MaxSim) retrieval (Khattab &

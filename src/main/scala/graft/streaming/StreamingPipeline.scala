@@ -131,6 +131,28 @@ object StreamingPipeline {
           graft.operators.Dedup.incrementalNearDup(corpus(), batch, threshold), id)
       }
 
+  /** Streaming SEMANTIC ingest gate — the embedding twin of
+    * [[dedupIngestStream]]: each delivery of vectors is checked for
+    * semantic (cosine) duplicates against the standing corpus and within
+    * itself via [[graft.operators.Similarity.incrementalSemDedup]].
+    * Same scope contract: the corpus thunk re-evaluates per delivery, so
+    * accepted vectors fold in between deliveries; the source checkpoint
+    * gives exactly-once per input file.
+    */
+  def semDedupIngestStream(spark: SparkSession, inputDir: String,
+                           schema: StructType, corpus: () => DataFrame,
+                           nCells: Int, threshMicro: Long,
+                           checkpointDir: String)
+                          (onFlagged: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onFlagged(graft.operators.Similarity.incrementalSemDedup(
+          corpus(), batch, nCells, threshMicro), id)
+      }
+
   /** Streaming upsert materialization: each micro-batch of changelog rows
     * (`k, v, op` — the [[graft.operators.Cdc]] shape) folds into a standing
     * keyed parquet table via [[graft.operators.Cdc.applyChangelog]] and a

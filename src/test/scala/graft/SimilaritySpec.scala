@@ -295,6 +295,54 @@ class SimilaritySpec extends SparkTestBase {
     r.values.count(_._3) should be > 0
   }
 
+  test("incrementalSemDedup on an empty corpus equals batch semDedup") {
+    val emb = bundles(16).toDF("vec_id", "embedding")
+    val empty = emb.filter(col("vec_id") < 0)
+    val incDups = Similarity.incrementalSemDedup(empty, emb, 2, 990000L)
+      .select("new_id").as[Long].collect().toSet
+    val batchPruned = Similarity.semDedup(emb, 2, 990000L)
+      .filter(col("pruned")).select("vec_id").as[Long].collect().toSet
+    incDups shouldBe batchPruned
+    // and all sources are "batch" (there is no corpus to dup against)
+    Similarity.incrementalSemDedup(empty, emb, 2, 990000L)
+      .select("dup_source").distinct().as[String].collect() shouldBe
+        Array("batch")
+  }
+
+  test("incrementalSemDedup: hand-replicated corpus + in-batch pairs") {
+    val corpusVecs: Seq[(Long, Array[Float])] = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0.05f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 1f, 0.05f, 0f)))
+    // batch: 10 duplicates corpus-X, 11 and 12 duplicate corpus-Y and
+    // each other, 13 is novel (45° between axes)
+    val batchVecs: Seq[(Long, Array[Float])] = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),
+      (11L, Array(0f, 1f, 0f, 0f)), (12L, Array(0f, 1f, 0f, 0f)),
+      (13L, Array(1f, 1f, 1f, 1f)))
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+    val batch = batchVecs.toDF("vec_id", "embedding")
+    val r = Similarity.incrementalSemDedup(corpus, batch, 2, 990000L)
+      .select("new_id", "dup_id", "dup_source")
+      .as[(Long, Long, String)].collect().toSet
+    // plain-Scala replica: centroids from the CORPUS, both sides assigned
+    val (corpusCell, cents) = detAssignScala(corpusVecs, 2)
+    def cellOfVec(v: Array[Float]): Long =
+      cents.toSeq.map { case (c, cv) => (l2(v, cv), c) }.min._2
+    val expected = (for {
+      (nid, nv) <- batchVecs
+      (did, dv, src) <- corpusVecs.map { case (i, v) =>
+          (i, v, "corpus") } ++
+        batchVecs.filter(_._1 < nid).map { case (i, v) => (i, v, "batch") }
+      if (if (src == "corpus") corpusCell(did) else cellOfVec(dv)) ==
+        cellOfVec(nv)
+      if cosMicro(dv, nv) >= 990000L
+    } yield (nid, did, src)).toSet
+    r shouldBe expected
+    // the toy set genuinely hits both sources and spares the novel vector
+    r.map(_._3) shouldBe Set("corpus", "batch")
+    r.map(_._1) should not contain 13L
+  }
+
   test("maxSimTopK: hand-computed late-interaction scores on 3-vector docs") {
     // 4 docs × 3 vectors, deterministic tilts
     val vecs = (0 until 12).map { i =>

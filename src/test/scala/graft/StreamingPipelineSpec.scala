@@ -191,6 +191,47 @@ class StreamingPipelineSpec extends SparkTestBase {
     flagged.sorted shouldBe Seq((13L, 1L, "corpus"))
   }
 
+  test("semDedupIngestStream flags semantic dups vs corpus and in-batch per delivery") {
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def mkVecs(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+    val corpus = mkVecs(Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f))))
+    val dir = Files.createTempDirectory("semdedupstream").toString
+    val input = s"$dir/in"
+    // delivery 1: 10 dups corpus vec 1; 11/12 dup each other only; 13 novel
+    mkVecs(Seq(
+      (10L, Array(1f, 0.01f, 0f, 0f)),
+      (11L, Array(0f, 0.9f, 0.44f, 0f)),
+      (12L, Array(0f, 0.9f, 0.44f, 0f)),
+      (13L, Array(1f, -1f, 1f, -1f))))
+      .repartition(1).write.parquet(input)
+
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    def run() = StreamingPipeline.runOnce(
+      StreamingPipeline.semDedupIngestStream(spark, input, embSchema,
+        () => corpus, nCells = 2, threshMicro = 990000L, s"$dir/ckpt") {
+        (pairs, _) =>
+          flagged ++= pairs.select("new_id", "dup_id", "dup_source")
+            .as[(Long, Long, String)].collect()
+      })
+    run()
+    flagged.sorted shouldBe Seq((10L, 1L, "corpus"), (12L, 11L, "batch"))
+
+    // delivery 2, same checkpoint: only the new file is checked; 14 dups
+    // corpus vec 2, 15 dups delivery-1's vec 11 which is NOT in the
+    // corpus — scope contract says no pair for 15
+    flagged.clear()
+    mkVecs(Seq(
+      (14L, Array(0f, 1f, 0.01f, 0f)),
+      (15L, Array(0f, 0.9f, 0.44f, 0f))))
+      .repartition(1).write.mode("append").parquet(input)
+    run()
+    flagged.sorted shouldBe Seq((14L, 2L, "corpus"))
+  }
+
   test("micro-batched streaming aggregation equals the one-shot batch result") {
     // the exactly-once equivalence contract: an aggregation fed one file
     // per micro-batch must converge to the same totals as a single batch
