@@ -2846,6 +2846,71 @@ object SparkEntry {
           (col("n_hits") * lit(200L)).as("recall_permille"))
     }),
 
+    // §2.7 — cross-fold near-dup leakage report (round 5): q213's
+    // deterministic k-fold splitter is doc-hash random, so near-dup
+    // pairs straddle folds — exactly the leakage q212's cluster-level
+    // split exists to prevent. This query QUANTIFIES it: near-dup pairs
+    // (q45's edge set) bucketed by their (fold_a, fold_b) cell, diagonal
+    // = safe, off-diagonal = eval contamination; the pair engine is the
+    // audited blocked-jaccard join, fold tags attach by two narrow
+    // doc_id joins
+    "q217_fold_leakage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val folds = docs.select(col("lang"), col("doc_id"))
+        .withColumn("fold", (row_number().over(w).cast("long") - 1) % 5)
+        .select(col("doc_id"), col("fold"))
+      val pairs = Dedup.ngramJaccardPairs(docs, 0.6)
+        .select(col("doc_id_1"), col("doc_id_2"))
+      pairs
+        .join(folds.withColumnRenamed("doc_id", "doc_id_1")
+          .withColumnRenamed("fold", "fold_1"), Seq("doc_id_1"))
+        .join(folds.withColumnRenamed("doc_id", "doc_id_2")
+          .withColumnRenamed("fold", "fold_2"), Seq("doc_id_2"))
+        .select(least(col("fold_1"), col("fold_2")).as("fold_a"),
+          greatest(col("fold_1"), col("fold_2")).as("fold_b"))
+        .groupBy(col("fold_a"), col("fold_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // §2.6 — Kolmogorov–Smirnov distance between two sources' length
+    // distributions (round 5): the nonparametric two-sample drift test
+    // next to the chi-square cells (q146, categorical) and the TV drift
+    // matrix (q201, mix shares) — KS catches SHAPE drift in a numeric
+    // feature. D is kept as the EXACT integer max |n_b·C_a(x) − n_a·
+    // C_b(x)| over the observed support (scaled by n_a·n_b, no division
+    // ever happens), argmax tie-broken by the smallest x; everything
+    // after the per-source length aggregate runs on the bounded
+    // |distinct lengths| frame
+    "q218_ks_lengths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(col("source") === "src0")
+        .groupBy(col("n_chars").as("x")).agg(count(lit(1)).as("ca"))
+      val b = docs.filter(col("source") === "src1")
+        .groupBy(col("n_chars").as("x")).agg(count(lit(1)).as("cb"))
+      val merged = a.join(b, Seq("x"), "full_outer")
+        .select(col("x"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val cum = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      val scored = merged
+        .withColumn("c1", sum(col("ca")).over(cum))
+        .withColumn("c2", sum(col("cb")).over(cum))
+        .withColumn("n_a", sum(col("ca")).over(tot))
+        .withColumn("n_b", sum(col("cb")).over(tot))
+        .withColumn("d", abs(col("n_b") * col("c1") - col("n_a") * col("c2")))
+      scored
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("d").desc, col("x").asc)))
+        .filter(col("r") === 1)
+        .select(col("n_a"), col("n_b"), col("x").as("x_at_max"),
+          col("d").as("d_scaled"))
+    }),
+
     // §2.6 — Mann-Kendall trend test on daily volumes (round 5): the
     // classic NONPARAMETRIC monotone-trend detector — S = Σ_{i<j}
     // sign(n_j − n_i) over the day series, with the exact tie-corrected
@@ -5752,6 +5817,59 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q217_fold_leakage" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |folds AS (
+         |  SELECT doc_id,
+         |         (CAST(row_number() OVER (PARTITION BY lang
+         |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         |            AS BIGINT) - 1) % 5 AS fold
+         |  FROM documents)
+         |SELECT least(f1.fold, f2.fold) AS fold_a,
+         |       greatest(f1.fold, f2.fold) AS fold_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM edges
+         |JOIN folds f1 ON edges.a = f1.doc_id
+         |JOIN folds f2 ON edges.b = f2.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q218_ks_lengths" ->
+      """WITH a AS (
+        |  SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS ca
+        |  FROM documents WHERE source = 'src0' GROUP BY 1),
+        |b AS (
+        |  SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS cb
+        |  FROM documents WHERE source = 'src1' GROUP BY 1),
+        |merged AS (
+        |  SELECT coalesce(a.x, b.x) AS x,
+        |         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.x = b.x),
+        |scored AS (
+        |  SELECT x,
+        |         CAST(sum(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+        |         CAST(sum(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS c2,
+        |         CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+        |         CAST(sum(cb) OVER () AS BIGINT) AS n_b
+        |  FROM merged)
+        |SELECT n_a, n_b, x AS x_at_max,
+        |       CAST(abs(n_b * c1 - n_a * c2) AS BIGINT) AS d_scaled
+        |FROM (SELECT *, row_number() OVER (
+        |        ORDER BY abs(n_b * c1 - n_a * c2) DESC, x) AS r
+        |      FROM scored)
+        |WHERE r = 1""".stripMargin,
 
     "q215_mann_kendall" ->
       """WITH daily AS (
