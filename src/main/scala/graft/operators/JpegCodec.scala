@@ -221,6 +221,7 @@ object JpegCodec {
     var height = 0
     var restartInterval = 0
     var progressive = false
+    var precision = 8
     var prog: ProgState = null
     var pos = 2
 
@@ -275,10 +276,16 @@ object JpegCodec {
               if (tc == 0) dcTabs(th) = h else acTabs(th) = h
               p += 17 + n
             }
-          case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0 / SOF1 ext. seq. / SOF2 prog.
             if (comps != null) return None // second frame header
             if (len < 8) return None
-            if ((bytes(seg) & 0xFF) != 8) return None // 8-bit only
+            precision = bytes(seg) & 0xFF
+            // baseline and progressive are 8-bit by definition (T.81
+            // tables B.2/B.3); extended sequential (SOF1) adds the
+            // 12-bit sample arm — output normalizes back to 8-bit by
+            // keeping the high byte (the PngCodec 16-bit convention)
+            if (precision != 8 && !(precision == 12 && marker == 0xC1))
+              return None
             progressive = marker == 0xC2
             height = u16(seg + 1)
             width = u16(seg + 3)
@@ -323,7 +330,7 @@ object JpegCodec {
             if (!progressive) {
               if (ns != comps.length) return None
               return decodeScan(bytes, pos + 2 + len, comps, quant, dcTabs,
-                acTabs, width, height, restartInterval)
+                acTabs, width, height, restartInterval, precision)
             }
             val ss = bytes(seg + 1 + 2 * ns) & 0xFF
             val se = bytes(seg + 2 + 2 * ns) & 0xFF
@@ -349,7 +356,14 @@ object JpegCodec {
                          comps: Array[Component], quant: Array[Array[Int]],
                          dcTabs: Array[Huff], acTabs: Array[Huff],
                          width: Int, height: Int,
-                         restartInterval: Int): Option[PpmImage] = {
+                         restartInterval: Int,
+                         precision: Int = 8): Option[PpmImage] = {
+    // 12-bit arm: wider DC categories, 2048 level shift, [0,4095] clamp,
+    // high byte kept on the way to the 8-bit planes
+    val maxDcCat = if (precision == 12) 15 else 11
+    val half = (1 << (precision - 1)).toDouble
+    val maxSample = (1 << precision) - 1
+    val downShift = precision - 8
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
@@ -388,7 +402,7 @@ object JpegCodec {
             // --- one 8x8 block: Huffman -> dequant (zigzag) -> IDCT ---
             java.util.Arrays.fill(coeff, 0)
             val t = br.decodeHuff(dcTabs(c.dcTable))
-            if (t < 0 || t > 11) return None
+            if (t < 0 || t > maxDcCat) return None
             val diffBits = if (t == 0) 0 else br.receive(t)
             if (diffBits < 0) return None
             dcPred(ci) += extend(diffBits, t)
@@ -423,9 +437,9 @@ object JpegCodec {
             while (y < 8) {
               var x = 0
               while (x < 8) {
-                val s = math.round(px(y * 8 + x) + 128.0).toInt
-                plane((oy + y) * pw + ox + x) =
-                  (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+                val s = math.round(px(y * 8 + x) + half).toInt
+                val cl = if (s < 0) 0 else if (s > maxSample) maxSample else s
+                plane((oy + y) * pw + ox + x) = (cl >> downShift).toByte
                 x += 1
               }
               y += 1

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * 4:4:4/4:2:2/4:2:0, restart markers) AND, since round 4, progressive
   * (SOF2: spectral selection + successive approximation, EOB runs) —
   * the formats a real multimodal corpus actually contains. Payloads in
-  * none of these (arithmetic-coded/12-bit JPEG,
+  * none of these (arithmetic-coded JPEG,
   * perceptual audio codecs — MP3 gets a real metadata-level frame walk
   * via [[Mp3Codec]]/[[audioMeta]]) fall back to a
   * deterministic byte-level pseudo-decode, clearly marked below — swap
@@ -53,9 +53,9 @@ object Multimodal {
       .orElse(BmpCodec.decode(payload))
       .orElse(GifCodec.decode(payload))
 
-  /** FALLBACK pseudo-decode for payloads in formats whose codecs are not in
-    * this container (arithmetic-coded/12-bit JPEG, palette PNG, compressed
-    * audio): deterministic byte arithmetic with the same output shape.
+  /** FALLBACK pseudo-decode for payloads outside the real-codec set
+    * (arithmetic-coded JPEG, perceptual audio, genuinely corrupt
+    * streams): deterministic byte arithmetic with the same output shape.
     * `decoded = false` marks these rows.
     */
   private def fallbackDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {

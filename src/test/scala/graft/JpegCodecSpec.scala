@@ -53,6 +53,58 @@ class JpegCodecSpec extends SparkTestBase {
     img.pixels.foreach(p => (p & 0xFF) shouldBe 130)
   }
 
+  test("12-bit SOF1: DC-only block level-shifts at 2048 and keeps the high byte") {
+    // hand-assembled per T.81, independent of the encoder: flat DQT=1,
+    // Annex-K luma DC table, DC diff 1024 (cat 11 = code '111111110',
+    // then 11 magnitude bits '10000000000'), EOB '1010' from the same
+    // minimal AC table as the 8-bit DC-only test. Flat IDCT value =
+    // 1024/8 = 128 -> +2048 level shift = 2176 -> >>4 = 136.
+    // Entropy bytes: FF(stuffed 00) 40 0A.
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int) = { out.write(0xFF); out.write(b) }
+    def u16(v: Int) = { out.write(v >> 8); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xDB); u16(67); out.write(0x00); (0 until 64).foreach(_ => out.write(1))
+    m(0xC1); u16(11); out.write(12); u16(8); u16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xC4); u16(2 + 1 + 16 + 12); out.write(0x00)
+    Seq(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 to 11).foreach(out.write)
+    m(0xC4); u16(2 + 1 + 16 + 6); out.write(0x10)
+    Seq(0, 2, 1, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    Seq(0x01, 0x02, 0x03, 0x00, 0x04, 0x11).foreach(out.write)
+    m(0xDA); u16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    out.write(0xFF); out.write(0x00); out.write(0x40); out.write(0x0A)
+    m(0xD9)
+    val img = JpegCodec.decode(out.toByteArray).get
+    img.width shouldBe 8
+    img.height shouldBe 8
+    img.pixels.foreach(p => (p & 0xFF) shouldBe 136)
+    // 12-bit is EXTENDED sequential only: the same frame under SOF0 or
+    // SOF2 must reject (T.81 makes baseline/progressive 8-bit)
+    val b = out.toByteArray
+    val sofAt = {
+      var i = 2
+      while (!((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xC1)) i += 1
+      i
+    }
+    for (bad <- Seq(0xC0, 0xC2)) {
+      val mut = b.clone(); mut(sofAt + 1) = bad.toByte
+      JpegCodec.decode(mut) shouldBe None
+    }
+    // and SOF1 with ordinary 8-bit precision is legal: same stream with
+    // precision byte 8 and DC diff 16 (the 8-bit test's payload) = 130
+    val eight = b.clone()
+    eight(sofAt + 4) = 8
+    // swap entropy bytes back to the 8-bit test's DC cat5 stream
+    val scanStart = eight.length - 6 // FF 00 40 0A FF D9
+    eight(scanStart) = 0xD0.toByte; eight(scanStart + 1) = 0xAF.toByte
+    val eightTrim = eight.take(scanStart + 2) ++ Array(0xFF.toByte, 0xD9.toByte)
+    val img8 = JpegCodec.decode(eightTrim).get
+    img8.pixels.foreach(p => (p & 0xFF) shouldBe 130)
+  }
+
   test("4:4:4 round-trip with flat quant is near-lossless") {
     val img = gradient(16, 16)
     val dec = JpegCodec.decode(JpegCodec.encode(img)).get
