@@ -52,6 +52,7 @@ object Multimodal {
       .orElse(JpegCodec.decode(payload))
       .orElse(BmpCodec.decode(payload))
       .orElse(GifCodec.decode(payload))
+      .orElse(TiffCodec.decode(payload))
 
   /** FALLBACK pseudo-decode for payloads outside the real-codec set
     * (arithmetic-coded JPEG, perceptual audio, genuinely corrupt

@@ -128,6 +128,7 @@ class MultimodalSpec extends SparkTestBase {
       noException should be thrownBy graft.operators.JpegCodec.decode(p)
       noException should be thrownBy graft.operators.BmpCodec.decode(p)
       noException should be thrownBy graft.operators.GifCodec.decode(p)
+      noException should be thrownBy graft.operators.TiffCodec.decode(p)
     }
   }
 
