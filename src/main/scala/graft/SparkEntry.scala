@@ -2846,6 +2846,113 @@ object SparkEntry {
           (col("n_hits") * lit(200L)).as("recall_permille"))
     }),
 
+    // §2.9 — token-budget data selection with bounded-frame threshold
+    // refinement (round 5): pick the highest-quality docs (lexical
+    // diversity permille, min-id tie-break) until a 10k-token budget is
+    // spent. The 100 TB shape: a GLOBAL quality-ordered cumsum would be
+    // a global sort, so the selection threshold comes from a cumulative
+    // window over the BOUNDED ≤1001-bucket quality histogram — full
+    // buckets above the cutoff keep everything, and only the single
+    // boundary bucket ranks its members (one bucket's worth of window,
+    // not the corpus). Output: per-source kept-doc/kept-token totals
+    "q219_budget_select" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 10000L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(graft.functions.TextFunctions.tokensWs(col("text")))
+            .cast("long").as("nt"),
+          size(array_distinct(
+            graft.functions.TextFunctions.tokensWs(col("text"))))
+            .cast("long").as("nd"))
+        .filter(col("nt") > 0)
+        .withColumn("q", expr("(nd * 1000) div nt"))
+      // bounded quality histogram, walked from the top
+      val hist = docs.groupBy(col("q"))
+        .agg(sum(col("nt")).as("bucket_tokens"))
+      val hw = Window.orderBy(col("q").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cuts = hist
+        .withColumn("cum", sum(col("bucket_tokens")).over(hw))
+        .withColumn("prev", col("cum") - col("bucket_tokens"))
+        .filter(col("prev") < budget) // buckets with any budget left
+        .select(col("q").as("cq"), col("prev"),
+          (col("cum") <= budget).as("full_bucket"))
+      val tagged = docs.join(broadcast(cuts), col("q") === col("cq"))
+      val boundaryW = Window.partitionBy(col("q"))
+        .orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("bucket_cum", sum(col("nt")).over(boundaryW))
+        .filter(col("full_bucket") ||
+          col("prev") + col("bucket_cum") <= budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    }),
+
+    // §2.9 — per-source quantile normalization of a quality signal
+    // (round 5): each doc's lexical diversity maps to its WITHIN-SOURCE
+    // percentile rank — the de-biasing step before cross-source quality
+    // thresholds (a boilerplate-heavy source would otherwise dominate
+    // any global cut). Exact integers: permille = (rank−1)·1000 div
+    // (n−1), deterministic (q, doc_id) order, one source-key shuffle
+    // shared by the rank and count windows (q73/q74's rank-statistics
+    // shape)
+    "q220_quality_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(graft.functions.TextFunctions.tokensWs(col("text")))
+            .cast("long").as("nt"),
+          size(array_distinct(
+            graft.functions.TextFunctions.tokensWs(col("text"))))
+            .cast("long").as("nd"))
+        .filter(col("nt") > 0)
+        .withColumn("q", expr("(nd * 1000) div nt"))
+      val rw = Window.partitionBy(col("source"))
+        .orderBy(col("q").asc, col("doc_id").asc)
+      val cw = Window.partitionBy(col("source"))
+      docs
+        .withColumn("r", row_number().over(rw).cast("long"))
+        .withColumn("n", count(lit(1)).over(cw))
+        .select(col("doc_id"), col("source"), col("q"),
+          when(col("n") > 1L, expr("((r - 1) * 1000) div (n - 1)"))
+            .otherwise(500L).as("pctl_permille"))
+    }),
+
+    // §2.9 — Cohen's kappa between two curation signals (round 5): the
+    // agreement-beyond-chance audit run before trusting a cheap filter
+    // as a proxy for an expensive one — here the length gate (≥20
+    // tokens) vs the diversity gate (≥500‰ distinct). kappa =
+    // (N·agree − a1·b1 − a0·b0) / (N² − a1·b1 − a0·b0): numerator and
+    // denominator are EXACT integers from one aggregate pass (no
+    // po/pe doubles), micro-rounded once at the end
+    "q221_signal_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(
+          size(graft.functions.TextFunctions.tokensWs(col("text")))
+            .cast("long").as("nt"),
+          size(array_distinct(
+            graft.functions.TextFunctions.tokensWs(col("text"))))
+            .cast("long").as("nd"))
+        .filter(col("nt") > 0)
+        .select((col("nt") >= 20L).as("a"),
+          (expr("(nd * 1000) div nt") >= 500L).as("b"))
+      docs.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("a1"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("b1"))
+        .select(col("n"), col("agree"), col("a1"), col("b1"),
+          (col("n") * col("agree") - col("a1") * col("b1")
+            - (col("n") - col("a1")) * (col("n") - col("b1"))).as("num"),
+          (col("n") * col("n") - col("a1") * col("b1")
+            - (col("n") - col("a1")) * (col("n") - col("b1"))).as("den"))
+        .withColumn("kappa_micro",
+          floor(col("num") * lit(1000000L).cast("double") / col("den") + 0.5)
+            .cast("long"))
+    }),
+
     // §2.7 — cross-fold near-dup leakage report (round 5): q213's
     // deterministic k-fold splitter is doc-hash random, so near-dup
     // pairs straddle folds — exactly the leakage q212's cluster-level
@@ -5817,6 +5924,88 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q219_budget_select" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len($ToksSql) AS BIGINT) AS nt,
+         |         CAST(len(list_distinct($ToksSql)) AS BIGINT) AS nd
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, nt, (nd * 1000) // nt AS q
+         |  FROM d WHERE nt > 0),
+         |hist AS (
+         |  SELECT q.q, CAST(sum(nt) AS BIGINT) AS bucket_tokens
+         |  FROM q GROUP BY 1),
+         |cuts AS (
+         |  SELECT q AS cq, prev, cum <= 10000 AS full_bucket
+         |  FROM (
+         |    SELECT q, bucket_tokens,
+         |           CAST(sum(bucket_tokens) OVER (ORDER BY q DESC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS BIGINT) AS cum,
+         |           CAST(sum(bucket_tokens) OVER (ORDER BY q DESC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS BIGINT) - bucket_tokens AS prev
+         |    FROM hist)
+         |  WHERE prev < 10000),
+         |kept AS (
+         |  SELECT source, nt FROM (
+         |    SELECT q.source, q.nt, cuts.full_bucket, cuts.prev,
+         |           CAST(sum(q.nt) OVER (PARTITION BY q.q
+         |             ORDER BY q.doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS BIGINT) AS bucket_cum
+         |    FROM q JOIN cuts ON q.q = cuts.cq)
+         |  WHERE full_bucket OR prev + bucket_cum <= 10000)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY 1""".stripMargin,
+
+    "q220_quality_quantiles" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len($ToksSql) AS BIGINT) AS nt,
+         |         CAST(len(list_distinct($ToksSql)) AS BIGINT) AS nd
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, (nd * 1000) // nt AS q
+         |  FROM d WHERE nt > 0)
+         |SELECT doc_id, source, q,
+         |       CASE WHEN n > 1 THEN ((r - 1) * 1000) // (n - 1)
+         |            ELSE 500 END AS pctl_permille
+         |FROM (
+         |  SELECT doc_id, source, q,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY q, doc_id) AS BIGINT) AS r,
+         |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM q)""".stripMargin,
+
+    "q221_signal_kappa" ->
+      s"""WITH d AS (
+         |  SELECT CAST(len($ToksSql) AS BIGINT) AS nt,
+         |         CAST(len(list_distinct($ToksSql)) AS BIGINT) AS nd
+         |  FROM documents),
+         |sig AS (
+         |  SELECT nt >= 20 AS a, (nd * 1000) // nt >= 500 AS b
+         |  FROM d WHERE nt > 0),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS agree,
+         |         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         |         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b1
+         |  FROM sig)
+         |SELECT n, agree, a1, b1,
+         |       CAST(n * agree - a1 * b1 - (n - a1) * (n - b1) AS BIGINT)
+         |         AS num,
+         |       CAST(n * n - a1 * b1 - (n - a1) * (n - b1) AS BIGINT)
+         |         AS den,
+         |       CAST(floor((n * agree - a1 * b1 - (n - a1) * (n - b1))
+         |         * CAST(1000000 AS DOUBLE)
+         |         / (n * n - a1 * b1 - (n - a1) * (n - b1)) + 0.5)
+         |         AS BIGINT) AS kappa_micro
+         |FROM agg""".stripMargin,
 
     "q217_fold_leakage" ->
       s"""WITH sh AS (
