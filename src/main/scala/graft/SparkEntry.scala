@@ -2879,13 +2879,20 @@ object SparkEntry {
         .select(col("q").as("cq"), col("prev"),
           (col("cum") <= budget).as("full_bucket"))
       val tagged = docs.join(broadcast(cuts), col("q") === col("cq"))
+      // full buckets NEVER touch a window — they flow map-side straight
+      // into the final partial agg; only the single boundary bucket
+      // (full_bucket = false survives the cuts filter exactly once)
+      // shuffles for its per-doc cumsum
+      val full = tagged.filter(col("full_bucket"))
+        .select(col("source"), col("nt"))
       val boundaryW = Window.partitionBy(col("q"))
         .orderBy(col("doc_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
+      val boundary = tagged.filter(!col("full_bucket"))
         .withColumn("bucket_cum", sum(col("nt")).over(boundaryW))
-        .filter(col("full_bucket") ||
-          col("prev") + col("bucket_cum") <= budget)
+        .filter(col("prev") + col("bucket_cum") <= budget)
+        .select(col("source"), col("nt"))
+      full.unionByName(boundary)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
     }),
