@@ -343,6 +343,18 @@ class SimilaritySpec extends SparkTestBase {
     r.map(_._1) should not contain 13L
   }
 
+  test("incrementalSemDedup: empty batch and sub-nCells corpus degenerate cleanly") {
+    val emb = bundles(16).toDF("vec_id", "embedding")
+    val empty = emb.filter(col("vec_id") < 0)
+    // empty delivery against a standing corpus: no pairs, no crash
+    Similarity.incrementalSemDedup(emb, empty, 2, 990000L).count() shouldBe 0L
+    // corpus smaller than nCells: centroid sample is just smaller
+    val tiny = bundles(16).take(1).toDF("vec_id", "embedding")
+    val r = Similarity.incrementalSemDedup(tiny,
+      bundles(16).drop(1).take(2).toDF("vec_id", "embedding"), 8, 990000L)
+    r.count() should be >= 0L
+  }
+
   test("maxSimTopK: hand-computed late-interaction scores on 3-vector docs") {
     // 4 docs × 3 vectors, deterministic tilts
     val vecs = (0 until 12).map { i =>
