@@ -77,17 +77,35 @@ object BmpCodec {
   def decode(bytes: Array[Byte]): Option[PpmImage] = {
     if (bytes == null || bytes.length < 54) return None
     if (bytes(0) != 'B' || bytes(1) != 'M') return None
-    val pixelOff = u32(bytes, 10)
-    val dibSize = u32(bytes, 14)
+    decodeDib(bytes, dibOff = 14, pixelOffIn = u32(bytes, 10).toInt,
+      halveHeight = false)
+  }
+
+  /** DIB-only core, shared with [[IcoCodec]] (whose images are BMPs
+    * without the 14-byte file header): `dibOff` locates the
+    * BITMAPINFOHEADER, `pixelOffIn < 0` means "pixels start right after
+    * the palette" (the ICO layout), and `halveHeight` applies the ICO
+    * convention of a doubled height field (XOR raster + AND mask — the
+    * mask is ignored, alpha-drop policy).
+    */
+  private[operators] def decodeDib(bytes: Array[Byte], dibOff: Int,
+                                   pixelOffIn: Int,
+                                   halveHeight: Boolean): Option[PpmImage] = {
+    if (dibOff < 0 || dibOff + 40 > bytes.length) return None
+    val dibSize = u32(bytes, dibOff)
     // BITMAPINFOHEADER and the V2..V5 extensions; CORE (12) not emitted
     // by anything modern enough to reach a training corpus
-    if (dibSize < 40 || 14 + dibSize > bytes.length) return None
-    val width = i32(bytes, 18)
-    val heightRaw = i32(bytes, 22)
-    val planes = u16(bytes, 26)
-    val bpp = u16(bytes, 28)
-    val compression = u32(bytes, 30)
-    val clrUsed = u32(bytes, 46)
+    if (dibSize < 40 || dibOff + dibSize > bytes.length) return None
+    val width = i32(bytes, dibOff + 4)
+    val heightRaw0 = i32(bytes, dibOff + 8)
+    val planes = u16(bytes, dibOff + 12)
+    val bpp = u16(bytes, dibOff + 14)
+    val compression = u32(bytes, dibOff + 16)
+    val clrUsed = u32(bytes, dibOff + 32)
+    val heightRaw =
+      if (!halveHeight) heightRaw0
+      else if (heightRaw0 % 2 != 0) return None
+      else heightRaw0 / 2
     val topDown = heightRaw < 0
     val height = math.abs(heightRaw)
     if (width <= 0 || height <= 0 || planes != 1) return None
@@ -104,10 +122,10 @@ object BmpCodec {
         if (bpp != 16 && bpp != 32) return None
         // masks live right after the 40-byte header (or in the V4 fields —
         // same offset either way)
-        if (bytes.length < 14 + 40 + 12) return None
-        val r = maskOf(u32(bytes, 54)).getOrElse(return None)
-        val g = maskOf(u32(bytes, 58)).getOrElse(return None)
-        val b = maskOf(u32(bytes, 62)).getOrElse(return None)
+        if (bytes.length < dibOff + 40 + 12) return None
+        val r = maskOf(u32(bytes, dibOff + 40)).getOrElse(return None)
+        val g = maskOf(u32(bytes, dibOff + 44)).getOrElse(return None)
+        val b = maskOf(u32(bytes, dibOff + 48)).getOrElse(return None)
         if (r.bits == 0 || g.bits == 0 || b.bits == 0) return None
         Some((r, g, b))
       case _ => return None
@@ -115,7 +133,8 @@ object BmpCodec {
 
     // palette (BGRA quads) for <=8 bpp, located after the DIB header
     // (+12 for the BITFIELDS mask block when dibSize == 40)
-    val palOff = 14 + dibSize.toInt + (if (compression == 3L && dibSize == 40) 12 else 0)
+    val palOff = dibOff + dibSize.toInt +
+      (if (compression == 3L && dibSize == 40) 12 else 0)
     val palette: Array[Int] =
       if (bpp <= 8) {
         val n = if (clrUsed > 0) clrUsed.toInt else 1 << bpp
@@ -136,7 +155,9 @@ object BmpCodec {
       out(o + 2) = (rgb & 0xff).toByte
     }
 
-    val off = pixelOff.toInt
+    val off =
+      if (pixelOffIn >= 0) pixelOffIn
+      else palOff + (if (palette != null) 4 * palette.length else 0)
     if (off < 0 || off > bytes.length) return None
 
     if (compression == 1L || compression == 2L) {

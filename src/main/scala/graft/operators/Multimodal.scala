@@ -53,6 +53,7 @@ object Multimodal {
       .orElse(BmpCodec.decode(payload))
       .orElse(GifCodec.decode(payload))
       .orElse(TiffCodec.decode(payload))
+      .orElse(IcoCodec.decode(payload))
 
   /** FALLBACK pseudo-decode for payloads outside the real-codec set
     * (arithmetic-coded JPEG, perceptual audio, genuinely corrupt

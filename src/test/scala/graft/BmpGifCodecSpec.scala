@@ -316,6 +316,81 @@ class BmpGifCodecSpec extends SparkTestBase {
     frames(1).frame_bytes.take(3).map(_ & 0xff).toSeq shouldBe Seq(0, 255, 0)
   }
 
+  // ---------- ICO ----------
+
+  /** ICO with given entries: (w, h, payload). */
+  private def buildIco(entries: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(le16(0)); o.write(le16(1)); o.write(le16(entries.length))
+    var off = 6 + 16 * entries.length
+    for ((w, h, payload) <- entries) {
+      o.write(if (w >= 256) 0 else w); o.write(if (h >= 256) 0 else h)
+      o.write(0); o.write(0)
+      o.write(le16(1)); o.write(le16(32))
+      o.write(le32(payload.length)); o.write(le32(off))
+      off += payload.length
+    }
+    entries.foreach { case (_, _, p) => o.write(p) }
+    o.toByteArray
+  }
+
+  /** Headerless DIB for ICO: doubled height, XOR 24-bit rows + AND mask. */
+  private def icoDib(w: Int, h: Int, xorRows: Array[Byte]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(le32(40)); o.write(le32(w)); o.write(le32(2 * h))
+    o.write(le16(1)); o.write(le16(24)); o.write(le32(0))
+    o.write(le32(0)); o.write(le32(0)); o.write(le32(0))
+    o.write(le32(0)); o.write(le32(0))
+    o.write(xorRows)
+    val maskStride = ((w + 31) / 32) * 4
+    o.write(new Array[Byte](maskStride * h)) // AND mask (ignored)
+    o.toByteArray
+  }
+
+  test("ICO: headerless DIB entry decodes (doubled height, AND mask ignored)") {
+    // 2x1 icon: red, green (bottom-up single row, BGR)
+    val xor = Array[Byte](0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0)
+    val ico = buildIco(Seq((2, 1, icoDib(2, 1, xor))))
+    val img = graft.operators.IcoCodec.decode(ico).get
+    img.width shouldBe 2; img.height shouldBe 1
+    px(img, 0, 0) shouldBe ((255, 0, 0))
+    px(img, 1, 0) shouldBe ((0, 255, 0))
+  }
+
+  test("ICO: largest entry wins; PNG entries route through PngCodec") {
+    val xorSmall = Array[Byte](0, 0, 255.toByte, 0)
+    val small = icoDib(1, 1, xorSmall)
+    val xorBig = Array[Byte](
+      0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0,
+      255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte, 0, 0)
+    val big = icoDib(2, 2, xorBig)
+    val img = graft.operators.IcoCodec.decode(
+      buildIco(Seq((1, 1, small), (2, 2, big)))).get
+    img.width shouldBe 2; img.height shouldBe 2
+    // bottom-up: first XOR row is the bottom
+    px(img, 0, 1) shouldBe ((255, 0, 0))
+    px(img, 1, 1) shouldBe ((0, 255, 0))
+    px(img, 0, 0) shouldBe ((0, 0, 255))
+    px(img, 1, 0) shouldBe ((255, 255, 255))
+    // PNG-in-ICO (Vista layout): reuse PngCodec's encoder via Multimodal
+    val pngBytes = graft.operators.PngCodec.encode(
+      graft.operators.PpmCodec.PpmImage(1, 1,
+        Array[Byte](7, 8, 9)))
+    val img2 = graft.operators.IcoCodec.decode(
+      buildIco(Seq((1, 1, pngBytes)))).get
+    px(img2, 0, 0) shouldBe ((7, 8, 9))
+  }
+
+  test("ICO rejection: cursors, zero entries, out-of-bounds offsets") {
+    val xor = Array[Byte](0, 0, 255.toByte, 0)
+    val good = buildIco(Seq((1, 1, icoDib(1, 1, xor))))
+    val cursor = good.clone(); cursor(2) = 2 // type 2 = cursor
+    graft.operators.IcoCodec.decode(cursor) shouldBe None
+    val zero = good.clone(); zero(4) = 0
+    graft.operators.IcoCodec.decode(zero) shouldBe None
+    graft.operators.IcoCodec.decode(good.take(good.length - 9)) shouldBe None
+  }
+
   test("BMP/GIF fuzz: random, bit-flipped, truncated payloads never throw") {
     val rng = new scala.util.Random(20260814L)
     val pal = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
@@ -337,6 +412,7 @@ class BmpGifCodecSpec extends SparkTestBase {
       noException should be thrownBy BmpCodec.decode(p)
       noException should be thrownBy GifCodec.decode(p)
       noException should be thrownBy GifCodec.frames(p)
+      noException should be thrownBy graft.operators.IcoCodec.decode(p)
     }
   }
 }
