@@ -2956,8 +2956,12 @@ object SparkEntry {
           (col("n") * col("n") - col("a1") * col("b1")
             - (col("n") - col("a1")) * (col("n") - col("b1"))).as("den"))
         .withColumn("kappa_micro",
-          floor(col("num") * lit(1000000L).cast("double") / col("den") + 0.5)
-            .cast("long"))
+          // den = 0 (a constant signal, pe = 1) leaves kappa undefined:
+          // pin 0 on BOTH engines — Spark would cast NaN silently while
+          // DuckDB errors on the cast (review finding)
+          when(col("den") =!= 0L,
+            floor(col("num") * lit(1000000L).cast("double") / col("den")
+              + 0.5).cast("long")).otherwise(0L))
     }),
 
     // §2.7 — cross-fold near-dup leakage report (round 5): q213's
@@ -3035,8 +3039,7 @@ object SparkEntry {
     // pair join runs on the bounded |days| aggregate frame, never events
     "q215_mann_kendall" -> ((s, dir) => {
       val daily = events(s, dir)
-        .groupBy((unix_micros(col("ts")) / lit(86400000000L)).cast("long")
-          .as("d"))
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
         .agg(count(lit(1)).as("n"))
       val sgn = when(col("b.n") > col("a.n"), 1L)
         .when(col("b.n") < col("a.n"), -1L).otherwise(0L)
@@ -3063,8 +3066,7 @@ object SparkEntry {
     "q216_theil_sen" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = events(s, dir)
-        .groupBy((unix_micros(col("ts")) / lit(86400000000L)).cast("long")
-          .as("d"))
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
         .agg(count(lit(1)).as("n"))
       val slopes = daily.as("a").join(daily.as("b"),
           col("a.d") < col("b.d"))
@@ -6008,10 +6010,11 @@ object SparkEntry {
          |         AS num,
          |       CAST(n * n - a1 * b1 - (n - a1) * (n - b1) AS BIGINT)
          |         AS den,
-         |       CAST(floor((n * agree - a1 * b1 - (n - a1) * (n - b1))
-         |         * CAST(1000000 AS DOUBLE)
-         |         / (n * n - a1 * b1 - (n - a1) * (n - b1)) + 0.5)
-         |         AS BIGINT) AS kappa_micro
+         |       CASE WHEN n * n - a1 * b1 - (n - a1) * (n - b1) = 0 THEN 0
+         |            ELSE CAST(floor((n * agree - a1 * b1
+         |              - (n - a1) * (n - b1)) * CAST(1000000 AS DOUBLE)
+         |              / (n * n - a1 * b1 - (n - a1) * (n - b1)) + 0.5)
+         |              AS BIGINT) END AS kappa_micro
          |FROM agg""".stripMargin,
 
     "q217_fold_leakage" ->

@@ -77,7 +77,12 @@ object BmpCodec {
   def decode(bytes: Array[Byte]): Option[PpmImage] = {
     if (bytes == null || bytes.length < 54) return None
     if (bytes(0) != 'B' || bytes(1) != 'M') return None
-    decodeDib(bytes, dibOff = 14, pixelOffIn = u32(bytes, 10).toInt,
+    // bfOffBits is u32: a >=2^31 value must reject here, not wrap to a
+    // negative Int and silently take the ICO computed-offset branch
+    // (review finding)
+    val po = u32(bytes, 10)
+    if (po > bytes.length) return None
+    decodeDib(bytes, dibOff = 14, pixelOffIn = po.toInt,
       halveHeight = false)
   }
 
@@ -215,6 +220,10 @@ object BmpCodec {
     } else {
       val stride = ((width.toLong * bpp + 31) / 32 * 4).toInt
       if (off + stride.toLong * height > bytes.length) return None
+      // hoisted out of the pixel loop: no per-pixel tuple allocation
+      // (review finding); BI_RGB 16bpp defaults to the 5-5-5 layout
+      val (m16r, m16g, m16b) = masks.getOrElse(
+        (Mask(10, 5), Mask(5, 5), Mask(0, 5)))
       var y = 0
       while (y < height) {
         val rowOff = off + y * stride
@@ -237,9 +246,8 @@ object BmpCodec {
               palette(idx)
             case 16 =>
               val px = u16(bytes, rowOff + 2 * x).toLong
-              val (mr, mg, mb) = masks.getOrElse(
-                (Mask(10, 5), Mask(5, 5), Mask(0, 5))) // BI_RGB 5-5-5
-              (mr.extract(px) << 16) | (mg.extract(px) << 8) | mb.extract(px)
+              (m16r.extract(px) << 16) | (m16g.extract(px) << 8) |
+                m16b.extract(px)
             case 24 =>
               val o = rowOff + 3 * x
               ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)

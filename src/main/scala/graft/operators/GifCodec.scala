@@ -142,7 +142,10 @@ object GifCodec {
         case _ => return None
       }
     }
-    Some(out.result())
+    // loop left normally only when maxFrames was reached; running out of
+    // bytes WITHOUT the 0x3B trailer is a truncated stream (contract:
+    // Some only on clean termination — review finding)
+    if (count >= maxFrames) Some(out.result()) else None
   }
 
   private def u16(b: Array[Byte], off: Int): Int =

@@ -122,8 +122,11 @@ object TiffCodec {
       e += 1
     }
 
-    if (width <= 0 || height <= 0 || width * height > PngCodec.MaxPixels)
-      return None
+    // bound each dimension BEFORE multiplying: two u32s can overflow a
+    // Long product and sneak past the pixel ceiling (review finding)
+    if (width <= 0 || height <= 0 ||
+      width > PngCodec.MaxPixels || height > PngCodec.MaxPixels ||
+      width * height > PngCodec.MaxPixels) return None
     if (planar != 1) return None
     if (stripOffsets == null || stripCounts == null ||
       stripOffsets.length != stripCounts.length) return None

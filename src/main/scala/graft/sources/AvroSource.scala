@@ -79,38 +79,75 @@ object AvroSource {
               new SeekableByteArrayInput(bytes),
               new GenericDatumReader[GenericRecord]())
             try {
+              // resolve field positions ONCE per file (the writer schema
+              // is fixed per OCF) — not per record (review finding)
+              val pos: Array[Int] = fieldNames.map { n =>
+                val f = reader.getSchema.getField(n)
+                if (f == null) -1 else f.pos()
+              }
               while (reader.hasNext) {
                 val rec = reader.next()
                 rows += Row.fromSeq(fieldNames.indices.map { i =>
-                  val f = rec.getSchema.getField(fieldNames(i))
-                  if (f == null) null
-                  else convert(rec.get(f.pos()), fieldTypes(i))
+                  if (pos(i) < 0) null
+                  else convert(rec.get(pos(i)), fieldTypes(i))
                 })
               }
             } finally reader.close()
           } catch {
-            case _: Throwable => rows.clear() // PERMISSIVE: corrupt file → 0 rows
+            // PERMISSIVE: corrupt OR schema-incompatible file → 0 rows
+            // (convert throws on a writer/reader type mismatch, so the
+            // mismatch can never smuggle a wrong-typed value into the
+            // Row encoder and fail the job downstream — review finding)
+            case _: Throwable => rows.clear()
           }
           rows
         }
       }(Encoders.row(schema))
   }
 
-  private def convert(v: AnyRef, t: DataType): Any = v match {
-    case null => null
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case s: String => s
-    case b: java.nio.ByteBuffer =>
-      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case other => (t, other) match {
-      case (LongType, i: java.lang.Integer) => i.longValue()
-      case (LongType, l: java.lang.Long) => l.longValue()
-      case (IntegerType, i: java.lang.Integer) => i.intValue()
-      case (DoubleType, d: java.lang.Double) => d.doubleValue()
-      case (DoubleType, f: java.lang.Float) => f.doubleValue()
-      case (FloatType, f: java.lang.Float) => f.floatValue()
-      case (BooleanType, b: java.lang.Boolean) => b.booleanValue()
-      case _ => other
+  /** Strict conversion keyed on the TARGET type: anything that does not
+    * coerce cleanly throws, which the per-file catch converts into the
+    * zero-rows PERMISSIVE outcome.
+    */
+  private def convert(v: AnyRef, t: DataType): Any =
+    if (v == null) null
+    else t match {
+      case StringType => v match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case s: String => s
+        case _ => incompatible(v, t)
+      }
+      case LongType => v match {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long => l.longValue()
+        case _ => incompatible(v, t)
+      }
+      case IntegerType => v match {
+        case i: java.lang.Integer => i.intValue()
+        case _ => incompatible(v, t)
+      }
+      case DoubleType => v match {
+        case d: java.lang.Double => d.doubleValue()
+        case fl: java.lang.Float => fl.doubleValue()
+        case _ => incompatible(v, t)
+      }
+      case FloatType => v match {
+        case fl: java.lang.Float => fl.floatValue()
+        case _ => incompatible(v, t)
+      }
+      case BooleanType => v match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _ => incompatible(v, t)
+      }
+      case BinaryType => v match {
+        case b: java.nio.ByteBuffer =>
+          val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+        case _ => incompatible(v, t)
+      }
+      case _ => incompatible(v, t)
     }
-  }
+
+  private def incompatible(v: AnyRef, t: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"avro value of ${v.getClass.getSimpleName} does not coerce to $t")
 }
