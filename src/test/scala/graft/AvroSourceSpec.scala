@@ -77,6 +77,25 @@ class AvroSourceSpec extends SparkTestBase {
     out.isNullAt(1) shouldBe true
   }
 
+  test("writer/reader type mismatch takes the PERMISSIVE arm, never the encoder (review pin)") {
+    val dir = Files.createTempDirectory("avro5").toString
+    writeOcf(s"$dir/good.avro", Seq((1L, "ok", 1.0, true)))
+    // a second file whose doc_id is a STRING: decodes fine as Avro but
+    // cannot coerce to LongType — must contribute zero rows, not blow up
+    // the job at the Row encoder
+    val strSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"Doc2","fields":[
+        |  {"name":"doc_id","type":"string"}]}""".stripMargin)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](strSchema))
+    w.create(strSchema, new java.io.File(s"$dir/str.avro"))
+    val r = new GenericData.Record(strSchema)
+    r.put("doc_id", "not-a-long"); w.append(r); w.close()
+    val rows = AvroSource.read(spark, dir,
+      StructType(Seq(StructField("doc_id", LongType)))).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
+
   test("PERMISSIVE file handling: corrupt files yield zero rows; badFiles lists them") {
     val dir = Files.createTempDirectory("avro4").toString
     writeOcf(s"$dir/good.avro", Seq((1L, "ok", 1.0, true)))

@@ -391,6 +391,23 @@ class BmpGifCodecSpec extends SparkTestBase {
     graft.operators.IcoCodec.decode(good.take(good.length - 9)) shouldBe None
   }
 
+  test("BMP pixel offset >= 2^31 rejects instead of wrapping (review pin)") {
+    val good = buildBmp(1, 1, 24, 0, null, Array[Byte](1, 2, 3, 0))
+    val mut = good.clone()
+    mut(10) = 0; mut(11) = 0; mut(12) = 0; mut(13) = 0x80.toByte // 0x80000000
+    BmpCodec.decode(mut) shouldBe None
+  }
+
+  test("GIF stream ending without the trailer rejects (review pin)") {
+    val pal = Array(0xff0000, 0x00ff00)
+    val good = buildGif(2, 1, pal, Array(Clear, 0, 1, Eoi))
+    GifCodec.decode(good).isDefined shouldBe true
+    // drop ONLY the trailing 0x3B: frame data is complete but the stream
+    // is truncated — frames() must say None, not silently accept
+    (good.last & 0xff) shouldBe 0x3b
+    GifCodec.frames(good.dropRight(1)) shouldBe None
+  }
+
   test("BMP/GIF fuzz: random, bit-flipped, truncated payloads never throw") {
     val rng = new scala.util.Random(20260814L)
     val pal = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)

@@ -171,6 +171,23 @@ class TiffCodecSpec extends SparkTestBase {
       Array[Byte](1, 2))) shouldBe None
   }
 
+  test("dimension-field overflow rejects instead of allocating (review pin)") {
+    // width and height both 0xFFFFFFFF: the Long product overflows past
+    // the MaxPixels guard unless each dimension is bounded first
+    val good = buildTiff(true, 2, 1, 1, Seq(8), 1, 1, Array[Byte](1, 2))
+    // IFD entries are sorted by tag; 256 (width) is first, 257 second.
+    // entry layout: offset 10 + 12*i, value at +8
+    val mut = good.clone()
+    def pokeU32(off: Int, v: Long): Unit = {
+      mut(off) = (v & 0xff).toByte; mut(off + 1) = ((v >> 8) & 0xff).toByte
+      mut(off + 2) = ((v >> 16) & 0xff).toByte
+      mut(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    pokeU32(10 + 8, 0xFFFFFFFFL)      // width
+    pokeU32(10 + 12 + 8, 0xFFFFFFFFL) // height
+    TiffCodec.decode(mut) shouldBe None
+  }
+
   test("TIFF fuzz: random, bit-flipped, truncated payloads never throw") {
     val rng = new scala.util.Random(20260815L)
     val seeds = Seq(
