@@ -2846,6 +2846,40 @@ object SparkEntry {
           (col("n_hits") * lit(200L)).as("recall_permille"))
     }),
 
+    // §2.9 — PMI collocation mining (round 5): the phrase-discovery pass
+    // (tokenizer vocab candidates, NER-free entity hints) — top bigrams
+    // by pointwise mutual information over the corpus bigram stream,
+    // min-support 5. The PMI RANKING is the exact integer
+    // (10⁶·N·c_ab) div (c_a·c_b) — no log, no doubles, so top-20 is
+    // hash-stable with an (a, b) tie-break; margins aggregate from the
+    // BIGRAM-VOCAB frame (never the corpus), the stream shuffles once
+    // on (a, b), and the top-k is a TakeOrdered. 64-bit headroom:
+    // 10⁶·N·c_ab needs N·c_ab ≤ 9.2×10¹² (decimal(38) beyond — documented)
+    "q222_collocations" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokensWs(col("text"))
+      val n = size(toks)
+      val stream = t(s, dir, "documents")
+        .select(explode(zip_with(
+          slice(toks, lit(1), greatest(n - 1, lit(0))),
+          slice(toks, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      // vocab-sized frame consumed by totals + both margins + the probe
+      val counts = stream.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint()
+      val tot = counts.agg(sum(col("c_ab")).as("nn"))
+      val ma = counts.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+      val mb = counts.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
+      counts.filter(col("c_ab") >= 5L)
+        .join(ma, Seq("a")).join(mb, Seq("b"))
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("c_ab"),
+          expr("(1000000 * nn * c_ab) div (c_a * c_b)").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
     // §2.9 — token-budget data selection with bounded-frame threshold
     // refinement (round 5): pick the highest-quality docs (lexical
     // diversity permille, min-id tie-break) until a 10k-token budget is
@@ -5933,6 +5967,29 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q222_collocations" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $ToksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT toks[CAST(r.i AS INT)] AS a,
+         |         toks[CAST(r.i AS INT) + 1] AS b
+         |  FROM d, unnest(range(1, len(toks))) AS r(i)),
+         |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+         |      FROM bg GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nn FROM c),
+         |ma AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM c GROUP BY 1),
+         |mb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM c GROUP BY 1)
+         |SELECT a, b, c_ab, pmi_micro FROM (
+         |  SELECT c.a, c.b, c.c_ab,
+         |         (1000000 * tot.nn * c.c_ab) // (ma.c_a * mb.c_b)
+         |           AS pmi_micro
+         |  FROM c
+         |  JOIN ma ON c.a = ma.a
+         |  JOIN mb ON c.b = mb.b
+         |  CROSS JOIN tot
+         |  WHERE c.c_ab >= 5)
+         |ORDER BY pmi_micro DESC, a, b LIMIT 20""".stripMargin,
 
     "q219_budget_select" ->
       s"""WITH d AS (
