@@ -163,4 +163,37 @@ class PlanShapeSpec extends SparkTestBase {
     // a global window would plan Exchange SinglePartition above the sort
     plan("q113_rfm_scores") should not include "SinglePartition"
   }
+
+  test("q208: one assignment pass feeds all three consumers (checkpointed)") {
+    // without the checkpoint Catalyst re-derives the broadcast-NL +
+    // argmin subtree three times — three corpus scans at 100 TB
+    val p = plan("q208_semdedup")
+    p should not include "Scan parquet"
+    p should include("Scan ExistingRDD")
+  }
+
+  test("q210: probe bags broadcast; corpus vectors never hash-shuffle wide rows") {
+    val p = plan("q210_maxsim_topk")
+    p should include("BroadcastNestedLoopJoin") // intended: 3 probe docs
+    p should include("HashAggregate") // partial max/sum combine map-side
+  }
+
+  test("q219: no global doc sort — the threshold lives on the histogram frame") {
+    // the only windows run on the bounded quality histogram and the
+    // single boundary bucket; a global quality-ordered cumsum would plan
+    // a SinglePartition sort over corpus rows followed by a window over
+    // doc-grain data. The histogram window IS single-partition (bounded
+    // ≤1001 rows) — assert the corpus side stays partial-agg shaped.
+    val p = plan("q219_budget_select")
+    p should include("BroadcastHashJoin") // cuts frame broadcasts back
+    p should include("HashAggregate")
+  }
+
+  test("q222: top-k is TakeOrdered, margins join at vocab scale") {
+    val p = plan("q222_collocations")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+    // counts are checkpointed: the explode runs once
+    p should include("Scan ExistingRDD")
+  }
 }
