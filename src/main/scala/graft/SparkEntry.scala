@@ -3037,30 +3037,10 @@ object SparkEntry {
     // after the per-source length aggregate runs on the bounded
     // |distinct lengths| frame
     "q218_ks_lengths" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val a = docs.filter(col("source") === "src0")
-        .groupBy(col("n_chars").as("x")).agg(count(lit(1)).as("ca"))
-      val b = docs.filter(col("source") === "src1")
-        .groupBy(col("n_chars").as("x")).agg(count(lit(1)).as("cb"))
-      val merged = a.join(b, Seq("x"), "full_outer")
-        .select(col("x"), coalesce(col("ca"), lit(0L)).as("ca"),
-          coalesce(col("cb"), lit(0L)).as("cb"))
-      val cum = Window.orderBy(col("x"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy()
-      val scored = merged
-        .withColumn("c1", sum(col("ca")).over(cum))
-        .withColumn("c2", sum(col("cb")).over(cum))
-        .withColumn("n_a", sum(col("ca")).over(tot))
-        .withColumn("n_b", sum(col("cb")).over(tot))
-        .withColumn("d", abs(col("n_b") * col("c1") - col("n_a") * col("c2")))
-      scored
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("d").desc, col("x").asc)))
-        .filter(col("r") === 1)
-        .select(col("n_a"), col("n_b"), col("x").as("x_at_max"),
-          col("d").as("d_scaled"))
+      Quality.ksScaled(
+        docs.filter(col("source") === "src0").select(col("n_chars").as("x")),
+        docs.filter(col("source") === "src1").select(col("n_chars").as("x")))
     }),
 
     // §2.6 — Mann-Kendall trend test on daily volumes (round 5): the

@@ -92,4 +92,36 @@ object Quality {
         s"stack(${checks.length}, $stackArgs) AS (check_name, n_violations)"))
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** Exact-integer two-sample Kolmogorov–Smirnov distance between the
+    * `x` columns of two frames (q218's statistic, factored for reuse by
+    * the streaming drift gate): D is kept as the integer
+    * max |n_b·C_a(x) − n_a·C_b(x)| over the observed support — scaled by
+    * n_a·n_b, no division ever happens — with the argmax tie-broken to
+    * the smallest x. Everything after the per-side value aggregates runs
+    * on the bounded |distinct values| frame. Output one row:
+    * (n_a, n_b, x_at_max, d_scaled).
+    */
+  def ksScaled(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = a.groupBy(col("x")).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(col("x")).agg(count(lit(1)).as("cb"))
+    val merged = ca.join(cb, Seq("x"), "full_outer")
+      .select(col("x"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val cum = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    merged
+      .withColumn("c1", sum(col("ca")).over(cum))
+      .withColumn("c2", sum(col("cb")).over(cum))
+      .withColumn("n_a", sum(col("ca")).over(tot))
+      .withColumn("n_b", sum(col("cb")).over(tot))
+      .withColumn("d", abs(col("n_b") * col("c1") - col("n_a") * col("c2")))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        Window.orderBy(col("d").desc, col("x").asc)))
+      .filter(col("r") === 1)
+      .select(col("n_a"), col("n_b"), col("x").as("x_at_max"),
+        col("d").as("d_scaled"))
+  }
 }

@@ -153,6 +153,30 @@ object StreamingPipeline {
           corpus(), batch, nCells, threshMicro), id)
       }
 
+  /** Streaming distribution-drift gate: each delivery's `x` column is
+    * tested against a standing reference distribution with the
+    * exact-integer two-sample KS distance
+    * ([[graft.operators.Quality.ksScaled]], q218's statistic) — the
+    * ingest-time shape-drift monitor that catches a supplier silently
+    * changing its export (lengths, prices, latencies) BEFORE the batch
+    * lands. The report row carries (n_a, n_b, x_at_max, d_scaled);
+    * alerting thresholds (e.g. d_scaled > α·n_a·n_b) stay with the
+    * caller, exactly like the near-dup gate leaves quarantine policy to
+    * its `onFlagged`. The reference thunk re-evaluates per delivery so
+    * an accepted delivery can fold into the baseline between batches.
+    */
+  def driftGateStream(spark: SparkSession, inputDir: String,
+                      schema: StructType, reference: () => DataFrame,
+                      checkpointDir: String)
+                     (onReport: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onReport(graft.operators.Quality.ksScaled(reference(), batch), id)
+      }
+
   /** Streaming upsert materialization: each micro-batch of changelog rows
     * (`k, v, op` — the [[graft.operators.Cdc]] shape) folds into a standing
     * keyed parquet table via [[graft.operators.Cdc.applyChangelog]] and a

@@ -232,6 +232,33 @@ class StreamingPipelineSpec extends SparkTestBase {
     flagged.sorted shouldBe Seq((14L, 2L, "corpus"))
   }
 
+  test("driftGateStream reports the exact KS distance per delivery") {
+    val xSchema = StructType(Seq(StructField("x", LongType)))
+    // reference: 1,1,2,3 → CDF steps at 1 (2/4), 2 (3/4), 3 (4/4)
+    val ref = Seq(1L, 1L, 2L, 3L).toDF("x")
+    val dir = Files.createTempDirectory("driftgate").toString
+    val input = s"$dir/in"
+    // delivery 1: identical distribution scaled ×2 → D = 0
+    Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 3L).toDF("x")
+      .repartition(1).write.parquet(input)
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def run() = StreamingPipeline.runOnce(
+      StreamingPipeline.driftGateStream(spark, input, xSchema,
+        () => ref, s"$dir/ckpt") { (rep, _) =>
+        reports ++= rep.select("n_a", "n_b", "x_at_max", "d_scaled")
+          .as[(Long, Long, Long, Long)].collect()
+      })
+    run()
+    reports.toSeq shouldBe Seq((4L, 8L, 1L, 0L))
+    // delivery 2: shifted up by 10 → maximum separation at x = 3:
+    // C_ref(3) = 4 of 4, C_batch(3) = 0 of 4 → |4·4 − 4·0| = 16
+    reports.clear()
+    Seq(11L, 11L, 12L, 13L).toDF("x")
+      .repartition(1).write.mode("append").parquet(input)
+    run()
+    reports.toSeq shouldBe Seq((4L, 4L, 3L, 16L))
+  }
+
   test("micro-batched streaming aggregation equals the one-shot batch result") {
     // the exactly-once equivalence contract: an aggregation fed one file
     // per micro-batch must converge to the same totals as a single batch
