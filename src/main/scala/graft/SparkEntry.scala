@@ -2846,6 +2846,42 @@ object SparkEntry {
           (col("n_hits") * lit(200L)).as("recall_permille"))
     }),
 
+    // §2.6 — pairwise KS drift matrix across ALL sources (round 5): the
+    // shape-drift complement of q201's TV mix matrix and q218's single
+    // pair — every (source_a < source_b) cell carries the exact-integer
+    // scaled KS distance over doc lengths plus its permille
+    // normalization. The per-source CDFs build ONCE over the shared
+    // support grid (|distinct lengths| × |sources| rows, both bounded),
+    // the pair stage joins on the support value so it is
+    // |lengths|·|sources|² at worst — never doc-grain
+    "q223_ks_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars").as("x"))
+        .agg(count(lit(1)).as("c"))
+      val grid = counts.select(col("x")).distinct()
+        .crossJoin(counts.select(col("source")).distinct())
+      val filled = grid.join(counts, Seq("source", "x"), "left")
+        .select(col("source"), col("x"),
+          coalesce(col("c"), lit(0L)).as("c0"))
+      val cum = Window.partitionBy(col("source")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = filled
+        .withColumn("cd", sum(col("c0")).over(cum))
+        .withColumn("n", sum(col("c0")).over(
+          Window.partitionBy(col("source"))))
+        .select(col("source"), col("x"), col("cd"), col("n"))
+      cdf.as("a").join(cdf.as("b"),
+          col("a.x") === col("b.x") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          abs(col("b.n") * col("a.cd") - col("a.n") * col("b.cd")).as("d"))
+        .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+        .agg(max(col("d")).as("d_scaled"))
+        .withColumn("d_permille",
+          expr("(1000 * d_scaled) div (n_a * n_b)"))
+    }),
+
     // §2.9 — PMI collocation mining (round 5): the phrase-discovery pass
     // (tokenizer vocab candidates, NER-free entity hints) — top bigrams
     // by pointwise mutual information over the corpus bigram stream,
@@ -5947,6 +5983,36 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q223_ks_matrix" ->
+      """WITH counts AS (
+        |  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, v.x
+        |  FROM (SELECT DISTINCT source FROM counts) s
+        |  CROSS JOIN (SELECT DISTINCT x FROM counts) v),
+        |filled AS (
+        |  SELECT g.source, g.x, coalesce(c.c, 0) AS c0
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.source = c.source AND g.x = c.x),
+        |cdf AS (
+        |  SELECT source, x,
+        |         CAST(sum(c0) OVER (PARTITION BY source ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cd,
+        |         CAST(sum(c0) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM filled)
+        |SELECT src_a, src_b, n_a, n_b, d_scaled,
+        |       (1000 * d_scaled) // (n_a * n_b) AS d_permille
+        |FROM (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         a.n AS n_a, b.n AS n_b,
+        |         CAST(max(abs(b.n * a.cd - a.n * b.cd)) AS BIGINT)
+        |           AS d_scaled
+        |  FROM cdf a JOIN cdf b
+        |    ON a.x = b.x AND a.source < b.source
+        |  GROUP BY 1, 2, 3, 4)""".stripMargin,
 
     "q222_collocations" ->
       s"""WITH d AS (
