@@ -91,6 +91,15 @@ object SparkEntry {
   // generated oracle SQL, so the two sides cannot drift
   private val Bm25Terms = Seq("table", "row", "join")
 
+  // q225: ONE fixed merge table (a tokenizer is a deployment ARTIFACT,
+  // not a function of the data being tokenized) drives both the Spark
+  // fold over `graft_pair_merge` and the generated DuckDB replace-chain
+  // oracle, so the two sides cannot drift. Applied in list order.
+  private val BpeAppliedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("o", "r"),
+    ("e", "n"), ("t", "i"))
+
   // q121: ONE expression string drives both the Spark side and the oracle
   // so the checksum definitions cannot drift. Every step reduces mod
   // 1e9+7 before the next multiply, so intermediates stay < 1.4e11 —
@@ -2854,6 +2863,97 @@ object SparkEntry {
     // support grid (|distinct lengths| × |sources| rows, both bounded),
     // the pair stage joins on the support value so it is
     // |lengths|·|sources|² at worst — never doc-grain
+    // §2.9 — hashing-trick document vectorization (round 5: Weinberger
+    // et al.'s feature hashing — the embedding-free sparse doc vector
+    // every linear-model curation classifier trains on at corpus scale;
+    // token → 256 md5-hex buckets with a ±1 sign bit from the next hex
+    // char, feature value = EXACT signed occurrence sum, zero cells
+    // dropped for sparsity. One explode + one map-side-combining
+    // (doc, bucket) shuffle — no vocabulary state, which is the entire
+    // point of the hashing trick at 100 TB vocab cardinalities
+    "q224_feature_hashing" -> ((s, dir) => {
+      val h = md5(col("tok"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokensWs(col("text")))
+            .as("tok"))
+        .select(col("doc_id"), substring(h, 1, 2).as("bucket"),
+          when(substring(h, 3, 1) < "8", 1L).otherwise(-1L).as("sgn"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sgn")).as("w"))
+        .filter(col("w") =!= 0L)
+    }),
+
+    // §2.9 — BPE tokenizer APPLICATION (round 5: the encode side of
+    // q83's trainer, the last step a pretraining pipeline runs before
+    // writing token shards — apply a FIXED merge table in rank order and
+    // report the corpus subword frequencies. Encoding runs on the
+    // DISTINCT alphabetic vocabulary (one word-count shuffle, the
+    // encode itself is map-side `graft_pair_merge` folds on the
+    // vocab-sized frame — never per corpus token), counts re-attach by
+    // weight, top-30 by (count desc, subword). The oracle replays the
+    // same merges as a leftmost-nonoverlapping replace chain over
+    // delimiter-wrapped symbols — proven equivalent to the kernel's
+    // single-pass scan — so the codegen'd merge kernel gets a full
+    // DuckDB row (q83's training loop stays rows-only by nature)
+    "q225_bpe_encode" -> ((s, dir) => {
+      val chars = expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+      val enc = BpeAppliedMerges.foldLeft(chars) { case (acc, (l, r)) =>
+        call_function("graft_pair_merge", acc, lit(l), lit(r))
+      }
+      t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokensWs(col("text")))
+          .as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .select(explode(enc).as("subword"), col("c"))
+        .groupBy(col("subword")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("subword").asc)
+        .limit(30)
+    }),
+
+    // §2.6 — threshold-trimmed mean (round 5: the robust central
+    // tendency beside q74's median+MAD — per order priority, the mean of
+    // totalprice cents within the exact interpolated [p10, p90] band;
+    // thresholds from ONE bounded percentile aggregate broadcast back
+    // (q62's two-scan pattern — never a per-group rank window over the
+    // fact table), the trimmed mean an exact integer div. Spark
+    // `percentile` ≡ DuckDB `quantile_cont` bit-for-bit on integral
+    // inputs (q37/q138's established bridge)
+    "q226_trimmed_mean" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("priority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val th = o.groupBy(col("priority")).agg(
+        expr("percentile(cents, 0.1)").as("lo"),
+        expr("percentile(cents, 0.9)").as("hi"))
+      o.join(broadcast(th), Seq("priority"))
+        .filter(col("cents") >= col("lo") && col("cents") <= col("hi"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("sum_cents"))
+        .withColumn("trimmed_mean_cents", expr("sum_cents div n_kept"))
+    }),
+
+    // §2.6 — Fano-factor burstiness screen (round 5: variance-to-mean of
+    // each event type's daily volume — Poisson arrivals read ~1, bursty
+    // feeds read >1, metronomic bots read <1; the dispersion complement
+    // of q85's spike flags and q147's autocorrelation. The three sums
+    // (n, Σc, Σc²) are exact BIGINTs over the bounded day×type frame, the
+    // factor the exact integer micro-ratio (10⁶·(n·Σc² − (Σc)²)) div (n·Σc)
+    // — no doubles anywhere. Headroom: daily counts ≤ ~10⁵ even at
+    // cluster scale keep 10⁶·n·Σc² far under 2⁶³
+    "q227_fano_burstiness" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .withColumn("fano_micro",
+          expr("(1000000 * (n_days * s2 - s1 * s1)) div (n_days * s1)"))
+    }),
+
     "q223_ks_matrix" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val counts = t(s, dir, "documents")
@@ -5983,6 +6083,74 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q224_feature_hashing" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, md5(t) AS h
+         |  FROM (SELECT doc_id, unnest($ToksSql) AS t FROM documents))
+         |SELECT doc_id, substr(h, 1, 2) AS bucket,
+         |       CAST(sum(CASE WHEN substr(h, 3, 1) < '8'
+         |                     THEN 1 ELSE -1 END) AS BIGINT) AS w
+         |FROM f GROUP BY 1, 2
+         |HAVING sum(CASE WHEN substr(h, 3, 1) < '8'
+         |                THEN 1 ELSE -1 END) <> 0""".stripMargin,
+
+    "q225_bpe_encode" -> {
+      // the same merge list replayed as a replace chain over
+      // chr(1)tok chr(2)-wrapped symbols: matches are leftmost
+      // non-overlapping and adjacent pairs share no characters, which is
+      // exactly the kernel's single-pass scan (see PairMerge.scala)
+      val wrapped =
+        "chr(1) || array_to_string(string_split(word, ''), " +
+          "chr(2)||chr(1)) || chr(2)"
+      val chain = BpeAppliedMerges.foldLeft(wrapped) { case (acc, (l, r)) =>
+        s"replace($acc, chr(1)||'$l'||chr(2)||chr(1)||'$r'||chr(2), " +
+          s"chr(1)||'$l$r'||chr(2))"
+      }
+      s"""WITH w AS (
+         |  SELECT t AS word, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($ToksSql) AS t FROM documents)
+         |  WHERE regexp_full_match(t, '[a-z]+')
+         |  GROUP BY 1),
+         |enc AS (SELECT $chain AS s, c FROM w)
+         |SELECT subword, CAST(sum(c) AS BIGINT) AS cnt
+         |FROM (SELECT unnest(string_split(substr(s, 2, length(s) - 2),
+         |                    chr(2)||chr(1))) AS subword, c
+         |      FROM enc)
+         |GROUP BY 1
+         |ORDER BY cnt DESC, subword ASC LIMIT 30""".stripMargin
+    },
+
+    "q226_trimmed_mean" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |th AS (
+        |  SELECT priority, quantile_cont(cents, 0.1) AS lo,
+        |         quantile_cont(cents, 0.9) AS hi
+        |  FROM o GROUP BY 1)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |         AS trimmed_mean_cents
+        |FROM o JOIN th USING (priority)
+        |WHERE cents >= lo AND cents <= hi
+        |GROUP BY 1""".stripMargin,
+
+    "q227_fano_burstiness" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, n_days, s1, s2,
+        |       (1000000 * (n_days * s2 - s1 * s1)) // (n_days * s1)
+        |         AS fano_micro
+        |FROM (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(c) AS BIGINT) AS s1,
+        |         CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM d GROUP BY 1)""".stripMargin,
 
     "q223_ks_matrix" ->
       """WITH counts AS (

@@ -45,6 +45,39 @@ class BpeTrainerSpec extends SparkTestBase {
     enc("lower") shouldBe Array("low", "e", "r")
   }
 
+  test("q225's fixed-merge encode matches hand-derived tokenizations") {
+    // the q225 catalog query folds graft_pair_merge over a FIXED merge
+    // list ((t,h),(th,e),(i,n),(a,n),(an,d),(e,r),(o,n),(r,e),(a,t),
+    // (o,r),(e,n),(t,i)); hand cases pin the in-order fold semantics the
+    // DuckDB replace-chain oracle replays
+    val out = SparkEntry.queries("q225_bpe_encode")(
+      spark, "/root/testdata/sf0.001")
+    // "the" must collapse to one subword through the chained (t,h)+(th,e)
+    // merges — its count equals the corpus frequency of the word itself
+    val rows = out.as[(String, Long)].collect().toMap
+    val theCount = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") === "the").count()
+    if (rows.contains("the")) rows("the") shouldBe theCount
+    // fold semantics on canonical words, independent of the corpus
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    val fixed = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+      ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+      ("o", "r"), ("e", "n"), ("t", "i"))
+    val enc = fixed.foldLeft(chars) { case (acc, (l, r)) =>
+      call_function("graft_pair_merge", acc, lit(l), lit(r))
+    }
+    val got = Seq("there", "and", "thin", "banana").toDF("word")
+      .select(col("word"), enc.as("toks"))
+      .as[(String, Array[String])].collect().toMap
+    got("there") shouldBe Array("the", "re")  // (t,h),(th,e) then (r,e)
+    got("and") shouldBe Array("and")          // (a,n) then (an,d)
+    got("thin") shouldBe Array("th", "in")    // (t,h) beats later (t,i)
+    got("banana") shouldBe Array("b", "an", "an", "a") // leftmost pairs
+  }
+
   test("merges is deterministic across re-runs") {
     BpeTrainer.trainMerges(corpus, 3) shouldBe BpeTrainer.trainMerges(corpus, 3)
   }

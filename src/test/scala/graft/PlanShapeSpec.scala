@@ -196,4 +196,28 @@ class PlanShapeSpec extends SparkTestBase {
     // counts are checkpointed: the explode runs once
     p should include("Scan ExistingRDD")
   }
+
+  test("q224: stateless hashing — no vocabulary join, one partial agg") {
+    // the entire point of the hashing trick: NO dictionary state exists,
+    // so the plan is explode → project → partial/final HashAggregate
+    // with zero joins of any kind
+    val p = plan("q224_feature_hashing")
+    p should include("HashAggregate")
+    p should not include "Join"
+  }
+
+  test("q225: encode folds run on the vocab frame; top-k is TakeOrdered") {
+    val p = plan("q225_bpe_encode")
+    p should include("TakeOrderedAndProject")
+    p should include("graft_pair_merge") // the codegen'd merge kernel
+    p should not include "Join" // vocab carries its own weights
+  }
+
+  test("q226: trim thresholds broadcast back — no per-group rank window") {
+    // q62's two-scan pattern: percentile aggregate + broadcast join;
+    // a rank-window formulation would put a Window over order rows
+    val p = plan("q226_trimmed_mean")
+    p should include("BroadcastHashJoin")
+    p should not include "Window"
+  }
 }

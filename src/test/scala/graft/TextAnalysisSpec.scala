@@ -296,6 +296,31 @@ class TextAnalysisSpec extends SparkTestBase {
       (4L, 1L, 0L), (5L, 3L, 0L))
   }
 
+  test("q224 feature hashing matches a driver-side md5 replication") {
+    // replicate bucket/sign from first principles (java MessageDigest,
+    // not Spark's md5) for one real document, so the query's hashing
+    // convention is pinned independently of the engine
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val doc = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].head()
+    val expected = doc._2.split(" ").filter(_.nonEmpty).toSeq
+      .map(t => md5hex(t))
+      .groupBy(h => h.substring(0, 2))
+      .map { case (b, hs) =>
+        b -> hs.map(h => if (h.charAt(2) < '8') 1L else -1L).sum
+      }
+      .filter(_._2 != 0L)
+    val got = SparkEntry.queries("q224_feature_hashing")(
+        spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") === doc._1)
+      .as[(Long, String, Long)].collect()
+      .map { case (_, b, w) => b -> w }.toMap
+    got shouldBe expected
+  }
+
   test("editDistancePairs plan: candidates come from an equi-join, no block key") {
     val df = (1 to 50).map(i => (i.toLong, s"part name number $i"))
       .toDF("item_id", "name")
