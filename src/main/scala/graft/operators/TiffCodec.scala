@@ -16,16 +16,24 @@ import graft.operators.PpmCodec.PpmImage
   *    byte kept — the shared depth-rescale convention)
   *  - BitsPerSample 1/4/8 gray (bit-replication scale), 8-bit RGB and
   *    palette; SamplesPerPixel 1 or 3 (extra samples rejected)
-  *  - Compression 1 (none) and 32773 (PackBits — the genuinely
-  *    compressed arm: literal runs, replicate runs, -128 no-ops,
-  *    per-strip byte budget enforced)
+  *  - Compression 1 (none), 32773 (PackBits — literal runs, replicate
+  *    runs, -128 no-ops, per-strip byte budget enforced) and 5 (LZW —
+  *    the compression behind most real archival TIFFs: MSB-first bit
+  *    packing, ClearCode 256 / EOI 257, 9→12-bit codes with TIFF's
+  *    EARLY-CHANGE width bump at table size 511/1023/2047 — one entry
+  *    before GIF's 512/1024/2048, the classic interop trap — and a
+  *    per-strip restart)
+  *  - Predictor 2 (horizontal differencing, tag 317) on 8-bit samples —
+  *    the layout LZW TIFFs almost always pair with, undone sample-wise
+  *    per row after decompression
   *  - strip layout via StripOffsets/StripByteCounts/RowsPerStrip,
   *    chunky PlanarConfiguration only
   *
   * None (never a garbage raster) on: bad magic, truncated IFDs or
   * strips, unsupported photometric/compression/planar combinations,
-  * PackBits overruns, palette indices past the ColorMap, or dimensions
-  * beyond the shared [[PngCodec.MaxPixels]] ceiling.
+  * PackBits/LZW overruns or malformed code streams, palette indices
+  * past the ColorMap, or dimensions beyond the shared
+  * [[PngCodec.MaxPixels]] ceiling.
   */
 object TiffCodec {
 
@@ -44,6 +52,99 @@ object TiffCodec {
 
   private val TNone = 1
   private val TPackBits = 32773
+  private val TLzw = 5
+
+  /** TIFF-variant LZW: decode one strip's code stream into exactly
+    * `need` bytes. MSB-first bit order; ClearCode 256, EOI 257, first
+    * dictionary entry 258; the code width bumps EARLY — when the next
+    * free entry is 511/1023/2047 (TIFF 6.0's off-by-one vs GIF, which
+    * bumps at 512/1024/2048). Returns None on any malformed stream:
+    * out-of-range codes, a first code that isn't a literal, overrun past
+    * `need`, or stream exhaustion before `need` bytes are produced.
+    */
+  private def lzwDecode(b: Array[Byte], off: Int, cnt: Int,
+                        need: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](need)
+    var o = 0
+    // dictionary as (prefix code, appended byte); roots are implicit
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var old = -1
+    var bitPos = 0L
+    val bitEnd = cnt.toLong * 8
+    val buf = new Array[Byte](4096) // expansion scratch, longest string
+
+    def readCode(): Int = {
+      if (bitPos + width > bitEnd) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val p = off + ((bitPos + i) >>> 3).toInt
+        val bit = (b(p) >>> (7 - ((bitPos + i) & 7))) & 1
+        v = (v << 1) | bit
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+
+    // expand `code` into buf tail-first; returns (startIndex, firstByte)
+    def expand(code: Int): Int = {
+      var i = buf.length
+      var c = code
+      while (c >= 258) {
+        i -= 1; buf(i) = append(c); c = prefix(c)
+        if (i == 0) return -1 // cycle guard (corrupt table)
+      }
+      i -= 1; buf(i) = c.toByte
+      i
+    }
+
+    while (o < need) {
+      val code = readCode()
+      if (code < 0 || code == 257) return None // exhausted / early EOI
+      if (code == 256) {
+        next = 258; width = 9; old = -1
+      } else if (old == -1) {
+        if (code > 255) return None // first code after clear: literal only
+        out(o) = code.toByte; o += 1
+        old = code
+      } else {
+        if (code > next) return None
+        val start =
+          if (code == next) { // KwKwK: old's string + its first byte
+            val s = expand(old)
+            if (s < 0) return None
+            val first = buf(s)
+            val ln = buf.length - s
+            if (s == 0) return None
+            System.arraycopy(buf, s, buf, s - 1, ln)
+            buf(buf.length - 1) = first
+            s - 1
+          } else {
+            val s = expand(code)
+            if (s < 0) return None
+            s
+          }
+        val ln = buf.length - start
+        if (o + ln > need) return None
+        System.arraycopy(buf, start, out, o, ln)
+        o += ln
+        if (next < 4096) {
+          prefix(next) = old; append(next) = buf(start)
+          next += 1
+        }
+        // TIFF early change: bump when the NEXT entry hits 511/1023/2047
+        if (next == 511 && width == 9) width = 10
+        else if (next == 1023 && width == 10) width = 11
+        else if (next == 2047 && width == 11) width = 12
+        old = code
+      }
+    }
+    Some(out)
+  }
 
   def decode(bytes: Array[Byte]): Option[PpmImage] = {
     if (bytes == null || bytes.length < 8) return None
@@ -68,6 +169,7 @@ object TiffCodec {
     var samplesPerPixel = 1
     var planar = 1
     var colorMap: Array[Int] = null
+    var predictor = 1
 
     def values(typ: Int, count: Long, at: Int): Option[Array[Long]] = {
       val size = typ match {
@@ -115,6 +217,7 @@ object TiffCodec {
         case 278 => rowsPerStrip = one.getOrElse(return None)
         case 279 => stripCounts = values(typ, count, valAt).getOrElse(return None)
         case 284 => planar = one.getOrElse(return None).toInt
+        case 317 => predictor = one.getOrElse(return None).toInt
         case 320 =>
           colorMap = values(typ, count, valAt).getOrElse(return None).map(_.toInt)
         case _ => // resolution, software, … ignored
@@ -130,7 +233,9 @@ object TiffCodec {
     if (planar != 1) return None
     if (stripOffsets == null || stripCounts == null ||
       stripOffsets.length != stripCounts.length) return None
-    if (compression != TNone && compression != TPackBits) return None
+    if (compression != TNone && compression != TPackBits &&
+      compression != TLzw) return None
+    if (predictor != 1 && predictor != 2) return None
 
     val w = width.toInt; val h = height.toInt
     val (spp, bps) = (samplesPerPixel, bits)
@@ -143,6 +248,8 @@ object TiffCodec {
       case _ => false
     }
     if (!ok) return None
+    // horizontal differencing is only defined here for full-byte samples
+    if (predictor == 2 && !bps.forall(_ == 8)) return None
 
     // bits per row (chunky), byte-padded per TIFF row rules
     val bitsPerPixel = bps.sum
@@ -162,6 +269,10 @@ object TiffCodec {
       if (compression == TNone) {
         if (cnt < need) return None
         System.arraycopy(bytes, off.toInt, raster, (row * rowBytes).toInt, need)
+      } else if (compression == TLzw) {
+        val dec = lzwDecode(bytes, off.toInt, cnt.toInt, need)
+          .getOrElse(return None)
+        System.arraycopy(dec, 0, raster, (row * rowBytes).toInt, need)
       } else {
         // PackBits: n in [0,127] → copy n+1 literal; n in [-127,-1] →
         // repeat next byte 1-n times; -128 no-op
@@ -189,6 +300,22 @@ object TiffCodec {
       si += 1
     }
     if (row < h) return None
+
+    // undo horizontal differencing: each sample is stored as the delta
+    // from the same sample one pixel left, per row (mod-256 accumulate)
+    if (predictor == 2) {
+      var y = 0
+      while (y < h) {
+        val ro = (y * rowBytes).toInt
+        var x = spp
+        val lim = w * spp
+        while (x < lim) {
+          raster(ro + x) = (raster(ro + x) + raster(ro + x - spp)).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
 
     val out = new Array[Byte](w * h * 3)
     val invert = photometric == 0

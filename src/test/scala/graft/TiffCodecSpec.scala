@@ -25,13 +25,15 @@ class TiffCodecSpec extends SparkTestBase {
   private def buildTiff(le: Boolean, w: Int, h: Int, photometric: Int,
                         bits: Seq[Int], spp: Int, compression: Int,
                         strip: Array[Byte],
-                        colorMap: Array[Int] = null): Array[Byte] = {
+                        colorMap: Array[Int] = null,
+                        predictor: Int = 1): Array[Byte] = {
     val b = new Builder(le)
     b.w8(if (le) 'I' else 'M'); b.w8(if (le) 'I' else 'M')
     b.w16(42); b.w32(8) // IFD at 8
     val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
     // we lay out: [header 8][IFD][bits array if >2][colormap][strip]
-    val nBase = 9 + (if (colorMap != null) 1 else 0)
+    val nBase = 9 + (if (colorMap != null) 1 else 0) +
+      (if (predictor != 1) 1 else 0)
     val ifdSize = 2 + 12 * nBase + 4
     var heap = 8 + ifdSize
     val bitsOff = heap
@@ -55,6 +57,7 @@ class TiffCodecSpec extends SparkTestBase {
     entries += ((278, 4, 1L, h.toLong))
     entries += ((279, 4, 1L, strip.length.toLong))
     if (colorMap != null) entries += ((320, 3, colorMap.length.toLong, cmOff.toLong))
+    if (predictor != 1) entries += ((317, 3, 1L, predictor.toLong))
     b.w16(entries.length)
     for ((tag, typ, cnt, v) <- entries.sortBy(_._1)) {
       b.w16(tag); b.w16(typ); b.w32(cnt)
@@ -157,6 +160,149 @@ class TiffCodecSpec extends SparkTestBase {
     (0 until 3).map(x => px(img, x, 1)._1) shouldBe Seq(40, 50, 60)
   }
 
+  /** Reference TIFF-LZW encoder for roundtrip pinning: MSB-first bits,
+    * Clear 256 / EOI 257, dictionary from 258, and the decoder-tracking
+    * EARLY width bump (the width the decoder reads the NEXT code with
+    * changes once ITS table reaches 511/1023/2047 entries — the encoder
+    * mirrors that by simulating the decoder's entry count, which lags
+    * the encoder's own table by exactly one entry).
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    var width = 9
+    var nextDec = 258
+    var emitted = 0
+    def put(code: Int): Unit = {
+      var i = width - 1
+      while (i >= 0) { bits += (((code >>> i) & 1) == 1); i -= 1 }
+    }
+    def emit(code: Int): Unit = {
+      put(code); emitted += 1
+      if (emitted >= 2) { // the decoder adds an entry per code after its first
+        nextDec += 1
+        if (nextDec == 511) width = 10
+        else if (nextDec == 1023) width = 11
+        else if (nextDec == 2047) width = 12
+      }
+    }
+    put(256) // clear
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextEnc = 258
+    var cur = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      dict.get((cur, b)) match {
+        case Some(c) => cur = c
+        case None =>
+          emit(cur)
+          if (nextEnc < 4096) { dict((cur, b)) = nextEnc; nextEnc += 1 }
+          cur = b
+      }
+      i += 1
+    }
+    emit(cur)
+    put(257) // EOI
+    val out = new Array[Byte]((bits.length + 7) / 8)
+    bits.indices.foreach { j =>
+      if (bits(j)) out(j >> 3) = (out(j >> 3) | (0x80 >>> (j & 7))).toByte
+    }
+    out
+  }
+
+  test("LZW: hand-packed KwKwK stream decodes; encoder reproduces it") {
+    // gray row [7,7,7,8]: codes 256,7,258,8,257 — 258 arrives BEFORE the
+    // decoder has defined it (the KwKwK case: old '7' + its first char).
+    // Hand-packed at 9 bits each: 100000000 000000111 100000010
+    // 000001000 100000001 → 80 01 E0 40 88 08
+    val expect = Array(0x80, 0x01, 0xE0, 0x40, 0x88, 0x08).map(_.toByte)
+    val data = Array[Byte](7, 7, 7, 8)
+    lzwEncode(data) shouldBe expect
+    val img = TiffCodec.decode(buildTiff(true, 4, 1, 1, Seq(8), 1, 5, expect)).get
+    (0 until 4).map(x => px(img, x, 0)._1) shouldBe Seq(7, 7, 7, 8)
+  }
+
+  test("LZW roundtrips gray and RGB in both byte orders") {
+    val rng = new scala.util.Random(7L)
+    // repetitive + random mix so the dictionary genuinely builds
+    val gray = (Array.fill(300)(42.toByte) ++
+      Array.tabulate(200)(i => (i % 7).toByte) ++
+      Array.fill(100)(rng.nextInt(256).toByte))
+    for (le <- Seq(true, false)) {
+      val g = TiffCodec.decode(
+        buildTiff(le, 60, 10, 1, Seq(8), 1, 5, lzwEncode(gray))).get
+      (0 until 60).map(x => px(g, x, 3)._1) shouldBe
+        (0 until 60).map(x => gray(3 * 60 + x) & 0xff)
+      val rgb = Array.tabulate(90)(i => ((i * 37) % 256).toByte)
+      val c = TiffCodec.decode(
+        buildTiff(le, 6, 5, 2, Seq(8, 8, 8), 3, 5, lzwEncode(rgb))).get
+      px(c, 2, 1) shouldBe ((rgb(24) & 0xff, rgb(25) & 0xff, rgb(26) & 0xff))
+    }
+  }
+
+  test("LZW width bump at the 511-entry EARLY boundary (not GIF's 512)") {
+    // 300 distinct-pair bytes force >253 dictionary adds, driving the
+    // decoder across the 9→10-bit switch; a decoder bumping one code
+    // late (GIF timing) desyncs and must NOT reproduce the data
+    val data = Array.tabulate(600)(i => ((i * 131 + (i >> 3)) % 256).toByte)
+    val img = TiffCodec.decode(
+      buildTiff(true, 60, 10, 1, Seq(8), 1, 5, lzwEncode(data))).get
+    (0 until 60).map(x => px(img, x, 9)._1) shouldBe
+      (0 until 60).map(x => data(9 * 60 + x) & 0xff)
+  }
+
+  test("predictor 2 undoes horizontal differencing (plain + LZW, gray + RGB)") {
+    // gray 4×2: stored deltas per row
+    val orig = Array[Byte](10, 20, 15, 15, 100.toByte, 90, 95, 95)
+    val deltas = Array[Byte](10, 10, -5, 0, 100.toByte, -10, 5, 0)
+    val plain = TiffCodec.decode(
+      buildTiff(true, 4, 2, 1, Seq(8), 1, 1, deltas, predictor = 2)).get
+    (0 until 4).map(x => px(plain, x, 0)._1) shouldBe Seq(10, 20, 15, 15)
+    (0 until 4).map(x => px(plain, x, 1)._1) shouldBe Seq(100, 90, 95, 95)
+    val lzw = TiffCodec.decode(
+      buildTiff(false, 4, 2, 1, Seq(8), 1, 5, lzwEncode(deltas), predictor = 2)).get
+    (0 until 4).map(x => px(lzw, x, 1)._1) shouldBe Seq(100, 90, 95, 95)
+    // RGB: the delta is against the SAME SAMPLE one pixel left (stride 3)
+    val rgbDeltas = Array[Byte](10, 20, 30, 5, -4, 1)
+    val rgbImg = TiffCodec.decode(
+      buildTiff(true, 2, 1, 2, Seq(8, 8, 8), 3, 1, rgbDeltas, predictor = 2)).get
+    px(rgbImg, 0, 0) shouldBe ((10, 20, 30))
+    px(rgbImg, 1, 0) shouldBe ((15, 16, 31))
+    // mod-256 wraparound accumulates exactly
+    val wrap = TiffCodec.decode(buildTiff(true, 2, 1, 1, Seq(8), 1, 1,
+      Array[Byte](200.toByte, 100), predictor = 2)).get
+    px(wrap, 1, 0)._1 shouldBe ((200 + 100) & 0xff)
+  }
+
+  test("LZW/predictor strictness: malformed streams and modes reject") {
+    // predictor 2 on sub-byte samples is undefined here
+    TiffCodec.decode(buildTiff(true, 8, 1, 1, Seq(4), 1, 1,
+      Array.fill[Byte](4)(0x11), predictor = 2)) shouldBe None
+    // predictor other than 1/2
+    TiffCodec.decode(buildTiff(true, 2, 1, 1, Seq(8), 1, 1,
+      Array[Byte](1, 2), predictor = 3)) shouldBe None
+    val good = lzwEncode(Array[Byte](7, 7, 7, 8))
+    // truncated code stream exhausts before the strip fills
+    TiffCodec.decode(buildTiff(true, 4, 1, 1, Seq(8), 1, 5,
+      good.take(2))) shouldBe None
+    // first post-clear code must be a literal: 256,258,… rejects
+    // (hand-packed: 100000000 100000010 → 80 40 80)
+    val badFirst = Array(0x80, 0x40, 0x80).map(_.toByte)
+    TiffCodec.decode(buildTiff(true, 4, 1, 1, Seq(8), 1, 5,
+      badFirst)) shouldBe None
+    // a code past the defined table (256,7,300 — table holds ≤258) rejects
+    val bad = {
+      val bits = Seq(256, 7, 300).flatMap(c =>
+        (8 to 0 by -1).map(i => ((c >>> i) & 1) == 1))
+      val out = new Array[Byte]((bits.length + 7) / 8)
+      bits.indices.foreach { j =>
+        if (bits(j)) out(j >> 3) = (out(j >> 3) | (0x80 >>> (j & 7))).toByte
+      }
+      out
+    }
+    TiffCodec.decode(buildTiff(true, 4, 1, 1, Seq(8), 1, 5, bad)) shouldBe None
+  }
+
   test("structural rejection: bad magic, truncation, unsupported modes") {
     val good = buildTiff(true, 2, 1, 1, Seq(8), 1, 1, Array[Byte](1, 2))
     TiffCodec.decode("XX".getBytes ++ good.drop(2)) shouldBe None
@@ -164,8 +310,8 @@ class TiffCodecSpec extends SparkTestBase {
     // planar=2 (separate planes) is out of scope — patch tag 284 in
     TiffCodec.decode(buildTiff(true, 2, 1, 5, Seq(8), 1, 1,
       Array[Byte](1, 2))) shouldBe None // photometric 5 (CMYK-ish)
-    TiffCodec.decode(buildTiff(true, 2, 1, 1, Seq(8), 1, 5,
-      Array[Byte](1, 2))) shouldBe None // LZW: out of scope
+    TiffCodec.decode(buildTiff(true, 2, 1, 1, Seq(8), 1, 2,
+      Array[Byte](1, 2))) shouldBe None // CCITT G3: out of scope
     // strip shorter than the raster
     TiffCodec.decode(buildTiff(true, 4, 2, 1, Seq(8), 1, 1,
       Array[Byte](1, 2))) shouldBe None
@@ -192,15 +338,18 @@ class TiffCodecSpec extends SparkTestBase {
     val rng = new scala.util.Random(20260815L)
     val seeds = Seq(
       buildTiff(true, 2, 2, 2, Seq(8, 8, 8), 3, 1, Array.fill[Byte](12)(7)),
-      buildTiff(false, 8, 1, 1, Seq(8), 1, 32773, Array[Byte](1, 1, 2, -4, 3, -128, 0, 9)))
+      buildTiff(false, 8, 1, 1, Seq(8), 1, 32773, Array[Byte](1, 1, 2, -4, 3, -128, 0, 9)),
+      buildTiff(true, 4, 2, 1, Seq(8), 1, 5,
+        lzwEncode(Array[Byte](10, 10, -5, 0, 100.toByte, -10, 5, 0)),
+        predictor = 2))
     val payloads =
       (1 to 200).map(_ => Array.fill(rng.nextInt(200))(rng.nextInt().toByte)) ++
-      (1 to 200).map { _ =>
-        val b = seeds(rng.nextInt(2)).clone()
+      (1 to 300).map { _ =>
+        val b = seeds(rng.nextInt(seeds.length)).clone()
         b(rng.nextInt(b.length)) = rng.nextInt().toByte; b
       } ++
-      (1 to 100).map { _ =>
-        val s = seeds(rng.nextInt(2)); s.take(rng.nextInt(s.length))
+      (1 to 150).map { _ =>
+        val s = seeds(rng.nextInt(seeds.length)); s.take(rng.nextInt(s.length))
       }
     payloads.foreach { p =>
       noException should be thrownBy TiffCodec.decode(p)
