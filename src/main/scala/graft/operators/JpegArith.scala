@@ -24,7 +24,7 @@ package graft.operators
   * "fixed" ~0.5 bin used for AC sign decisions (self-looping, no
   * switch), per Table F.5's note.
   */
-private[operators] object JpegArith {
+private[graft] object JpegArith {
 
   // ITU T.81 Table D.3: Qe estimate, next index after an MPS / LPS
   // renormalization, and the MPS-switch flag, transcribed column by

@@ -8,14 +8,18 @@ import graft.operators.PpmCodec.PpmImage
   * with PPM, PNG, and now JPEG decoding for real, every raster format the
   * synthetic corpus carries reaches actual pixels inside the container.
   *
-  * Scope (the dominant real-corpus shape): baseline sequential DCT
-  * (SOF0), 8-bit samples, Huffman entropy coding, grayscale or YCbCr with
-  * sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:2:0), restart
-  * markers, 8- or 16-bit quantization tables. Progressive (SOF2),
-  * arithmetic coding, and 12-bit payloads return None and take the
-  * documented fallback arm. Output is normalized to the same 3-byte-RGB
-  * [[PpmImage]] the PPM and PNG paths produce, so features / resize /
-  * frame ops downstream stay format-agnostic.
+  * Scope: baseline sequential DCT (SOF0) with Huffman entropy coding,
+  * extended sequential at 8 or 12 bits under Huffman (SOF1) AND under
+  * T.81 Annex D arithmetic coding (SOF9 — the QM coder and the F.2.4
+  * statistical models live in [[JpegArith]]), and progressive Huffman
+  * (SOF2: spectral selection + successive approximation); grayscale or
+  * YCbCr with sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:2:0),
+  * restart markers, 8- or 16-bit quantization tables, DAC conditioning.
+  * Progressive-ARITHMETIC (SOF10), lossless, and hierarchical frames
+  * return None and take the documented fallback arm. Output is
+  * normalized to the same 3-byte-RGB [[PpmImage]] the PPM and PNG paths
+  * produce, so features / resize / frame ops downstream stay
+  * format-agnostic.
   *
   * Decode path per ITU T.81 (public spec): marker scan → DQT/DHT/SOF0/SOS
   * parse → per-MCU Huffman decode (DC predict + extend, AC run/size, EOB,
@@ -205,11 +209,17 @@ object JpegCodec {
     bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8 &&
       (bytes(2) & 0xFF) == 0xFF
 
-  /** Decode one JPEG payload to RGB pixels — baseline (SOF0) or
-    * progressive (SOF2: spectral selection + successive approximation,
-    * multi-scan) — or None if the payload is outside the supported
-    * subset (arithmetic-coded, 12-bit, >2 sampling factors, truncated,
-    * corrupt).
+  /** Decode one JPEG payload to RGB pixels — baseline (SOF0), extended
+    * sequential Huffman (SOF1, 8/12-bit), progressive (SOF2: spectral
+    * selection + successive approximation, multi-scan), or sequential
+    * ARITHMETIC (SOF9, 8/12-bit, QM-coded) — or None if the payload is
+    * outside the supported subset (progressive-arithmetic, lossless,
+    * hierarchical, >2 sampling factors, structurally truncated or
+    * corrupt). Arithmetic entropy-bit damage is a special case: the QM
+    * stream has no invalid-code redundancy and end-of-data IS the
+    * zero-feed regime, so a flipped payload bit can decode to a
+    * different image rather than None (guarded only by the runaway
+    * magnitude-category check) — inherent to the format, pinned in spec.
     */
   def decode(bytes: Array[Byte]): Option[PpmImage] = {
     if (!isJpeg(bytes)) return None
@@ -221,9 +231,14 @@ object JpegCodec {
     var height = 0
     var restartInterval = 0
     var progressive = false
+    var arithmetic = false
     var precision = 8
     var prog: ProgState = null
     var pos = 2
+    // DAC conditioning (B.2.4.3): DC (L, U) and AC Kx per table id
+    val dcCondL = Array(0, 0, 0, 0)
+    val dcCondU = Array(1, 1, 1, 1)
+    val acCondK = Array(5, 5, 5, 5)
 
     def u16(at: Int) = ((bytes(at) & 0xFF) << 8) | (bytes(at + 1) & 0xFF)
 
@@ -276,17 +291,20 @@ object JpegCodec {
               if (tc == 0) dcTabs(th) = h else acTabs(th) = h
               p += 17 + n
             }
-          case 0xC0 | 0xC1 | 0xC2 => // SOF0 / SOF1 ext. seq. / SOF2 prog.
+          case 0xC0 | 0xC1 | 0xC2 | 0xC9 => // SOF0/1 seq., SOF2 prog., SOF9 arith.
             if (comps != null) return None // second frame header
             if (len < 8) return None
             precision = bytes(seg) & 0xFF
             // baseline and progressive are 8-bit by definition (T.81
-            // tables B.2/B.3); extended sequential (SOF1) adds the
-            // 12-bit sample arm — output normalizes back to 8-bit by
-            // keeping the high byte (the PngCodec 16-bit convention)
-            if (precision != 8 && !(precision == 12 && marker == 0xC1))
+            // tables B.2/B.3); extended sequential (SOF1 Huffman, SOF9
+            // arithmetic) adds the 12-bit sample arm — output normalizes
+            // back to 8-bit by keeping the high byte (the PngCodec
+            // 16-bit convention)
+            if (precision != 8 &&
+              !(precision == 12 && (marker == 0xC1 || marker == 0xC9)))
               return None
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             height = u16(seg + 1)
             width = u16(seg + 3)
             val n = bytes(seg + 5) & 0xFF
@@ -304,9 +322,26 @@ object JpegCodec {
               if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) return None
               c
             }
+          case 0xCC => // DAC: arithmetic conditioning tables
+            var p = seg
+            while (p + 1 < pos + 2 + len) {
+              val tc = (bytes(p) & 0xF0) >> 4
+              val tb = bytes(p) & 0x0F
+              val cs = bytes(p + 1) & 0xFF
+              if (tb > 3 || tc > 1) return None
+              if (tc == 0) {
+                val l = cs & 0x0F; val u = cs >> 4
+                if (l > u) return None // B.2.4.3: 0 <= L <= U <= 15
+                dcCondL(tb) = l; dcCondU(tb) = u
+              } else {
+                if (cs < 1 || cs > 63) return None
+                acCondK(tb) = cs
+              }
+              p += 2
+            }
           case m if m >= 0xC1 && m <= 0xCF && m != 0xC2 && m != 0xC4 &&
-              m != 0xC8 && m != 0xCC =>
-            return None // extended / arithmetic / hierarchical: out of scope
+              m != 0xC8 && m != 0xC9 =>
+            return None // prog.-arith. / lossless / hierarchical: out of scope
           case 0xDD =>
             if (len < 4) return None
             restartInterval = u16(seg)
@@ -329,7 +364,11 @@ object JpegCodec {
             }
             if (!progressive) {
               if (ns != comps.length) return None
-              return decodeScan(bytes, pos + 2 + len, comps, quant, dcTabs,
+              return if (arithmetic)
+                decodeScanArith(bytes, pos + 2 + len, comps, quant,
+                  dcCondL, dcCondU, acCondK, width, height,
+                  restartInterval, precision)
+              else decodeScan(bytes, pos + 2 + len, comps, quant, dcTabs,
                 acTabs, width, height, restartInterval, precision)
             }
             val ss = bytes(seg + 1 + 2 * ns) & 0xFF
@@ -453,6 +492,167 @@ object JpegCodec {
       mcu += 1
     }
 
+    Some(assemble(comps, planes, planeW, width, height))
+  }
+
+  /** Sequential arithmetic-coded scan (SOF9) per ITU T.81 F.2.4: the QM
+    * decoder (JpegArith) drives the DC difference model (zero/sign/
+    * magnitude-category/bits with the (L,U)-conditioned context from the
+    * PREVIOUS diff, Table F.4 bin layout: contexts 0-19, category chain
+    * from 20, magnitude bits at +14) and the AC model (per-k EOB and
+    * significance bins at 3(k-1), fixed ~0.5 sign bin, shared category
+    * chains at 189/217 split by the Kx conditioning). Statistics adapt
+    * across the whole scan and reset at restart markers, which also
+    * re-initialize the coder — exactly the encoder's view.
+    */
+  private def decodeScanArith(bytes: Array[Byte], start: Int,
+                              comps: Array[Component],
+                              quant: Array[Array[Int]],
+                              dcCondL: Array[Int], dcCondU: Array[Int],
+                              acCondK: Array[Int],
+                              width: Int, height: Int,
+                              restartInterval: Int,
+                              precision: Int): Option[PpmImage] = {
+    val half = (1 << (precision - 1)).toDouble
+    val maxSample = (1 << precision) - 1
+    val downShift = precision - 8
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(i => new Array[Byte](planeW(i) * planeH(i))).toArray
+
+    val dec = new JpegArith.Decoder(bytes, start)
+    dec.init()
+    // per-table statistics areas (Table F.3: DC 64 bins, AC 256 bins)
+    val dcStats = Array.fill(4)(new Array[Byte](64))
+    val acStats = Array.fill(4)(new Array[Byte](256))
+    val fixedBin = Array(JpegArith.FixedBin)
+    val dcContext = new Array[Int](comps.length)
+    val dcPred = new Array[Int](comps.length)
+    val coeff = new Array[Int](64)
+    val block = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    var rstCount = 0
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!dec.restart(rstCount)) return None
+        rstCount += 1
+        java.util.Arrays.fill(dcPred, 0)
+        java.util.Arrays.fill(dcContext, 0)
+        dcStats.foreach(java.util.Arrays.fill(_, 0.toByte))
+        acStats.foreach(java.util.Arrays.fill(_, 0.toByte))
+        fixedBin(0) = JpegArith.FixedBin
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = quant(c.tq)
+        val dst = dcStats(c.dcTable)
+        val ast = acStats(c.acTable)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coeff, 0)
+            // --- DC difference (F.2.4.1) ---
+            var st = dcContext(ci)
+            if (dec.decode(dst, st) == 0) dcContext(ci) = 0
+            else {
+              val sign = dec.decode(dst, st + 1)
+              st += 2 + sign
+              var m = 0
+              if (dec.decode(dst, st) != 0) {
+                m = 1
+                st = 20
+                while (dec.decode(dst, st) != 0) {
+                  m <<= 1
+                  if (m == 0x8000) return None // runaway category: corrupt
+                  st += 1
+                }
+              }
+              // conditioning category for the NEXT block (F.1.4.4.1.2)
+              dcContext(ci) =
+                if (m < ((1 << dcCondL(c.dcTable)) >> 1)) 0
+                else if (m > ((1 << dcCondU(c.dcTable)) >> 1)) 12 + sign * 4
+                else 4 + sign * 4
+              var v = m
+              st += 14
+              var bit = m >> 1
+              while (bit != 0) {
+                if (dec.decode(dst, st) != 0) v |= bit
+                bit >>= 1
+              }
+              v += 1
+              dcPred(ci) += (if (sign != 0) -v else v)
+            }
+            coeff(0) = dcPred(ci) * q(0)
+            // --- AC coefficients (F.2.4.2) ---
+            var k = 1
+            var open = true
+            while (open && k <= 63) {
+              var ast0 = 3 * (k - 1)
+              if (dec.decode(ast, ast0) != 0) open = false // EOB
+              else {
+                while (dec.decode(ast, ast0 + 1) == 0) {
+                  ast0 += 3; k += 1
+                  if (k > 63) return None
+                }
+                val sign = dec.decode(fixedBin, 0)
+                var st2 = ast0 + 2
+                var m = 0
+                if (dec.decode(ast, st2) != 0) {
+                  m = 1
+                  st2 = if (k <= acCondK(c.acTable)) 189 else 217
+                  while (dec.decode(ast, st2) != 0) {
+                    m <<= 1
+                    if (m == 0x8000) return None
+                    st2 += 1
+                  }
+                }
+                var v = m
+                st2 += 14
+                var bit = m >> 1
+                while (bit != 0) {
+                  if (dec.decode(ast, st2) != 0) v |= bit
+                  bit >>= 1
+                }
+                v += 1
+                coeff(Zigzag(k)) = (if (sign != 0) -v else v) * q(k)
+                k += 1
+              }
+            }
+            var i = 0
+            while (i < 64) { block(i) = coeff(i).toDouble; i += 1 }
+            val px = idct(block)
+            val plane = planes(ci)
+            val pw = planeW(ci)
+            val ox = (mx * c.h + bx) * 8
+            val oy = (my * c.v + by) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val s = math.round(px(y * 8 + x) + half).toInt
+                val cl = if (s < 0) 0 else if (s > maxSample) maxSample else s
+                plane((oy + y) * pw + ox + x) = (cl >> downShift).toByte
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
     Some(assemble(comps, planes, planeW, width, height))
   }
 
@@ -1005,6 +1205,208 @@ object JpegCodec {
       mcu += 1
     }
     bw.flush()
+    m(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode RGB pixels as a sequential ARITHMETIC-coded (SOF9) JFIF
+    * JPEG: the same flat quantization and DCT coefficients as [[encode]]
+    * driven through the T.81 Annex D QM coder and the F.2.4 statistical
+    * models (JpegArith) — so a correct arithmetic decode reproduces the
+    * baseline decode of the same image BIT-FOR-BIT, which is what the
+    * spec asserts. Emits a DAC marker carrying the (L, U) DC and Kx AC
+    * conditioning so non-default conditioning round-trips too. Component
+    * Y uses conditioning table 0, Cb/Cr table 1 (the Annex K table-id
+    * convention the Huffman encoder uses).
+    */
+  def encodeArith(img: PpmImage, subsample: Boolean = false,
+                  restartInterval: Int = 0,
+                  dcL: Int = 0, dcU: Int = 1, acK: Int = 5): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { out.write(0xFF); out.write(b) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+
+    m(0xD8) // SOI
+    m(0xDB); u16(2 + 1 + 64); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    if (restartInterval > 0) { m(0xDD); u16(4); u16(restartInterval) }
+    m(0xCC); u16(2 + 2 * 4) // DAC: DC 0/1 with (L,U), AC 0/1 with Kx
+    out.write(0x00); out.write((dcU << 4) | dcL)
+    out.write(0x01); out.write((dcU << 4) | dcL)
+    out.write(0x10); out.write(acK)
+    out.write(0x11); out.write(acK)
+    val hv = if (subsample) 0x22 else 0x11
+    m(0xC9) // SOF9: extended sequential, arithmetic
+    u16(8 + 3 * 3); out.write(8); u16(img.height); u16(img.width); out.write(3)
+    out.write(1); out.write(hv); out.write(0)
+    out.write(2); out.write(0x11); out.write(0)
+    out.write(3); out.write(0x11); out.write(0)
+    m(0xDA); u16(2 + 1 + 2 * 3 + 3); out.write(3) // SOS: Tc/Ta = cond ids
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+
+    val hMax = if (subsample) 2 else 1
+    val mcusX = (img.width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (img.height + 8 * hMax - 1) / (8 * hMax)
+    def px(x: Int, y: Int, ch: Int): Double = {
+      val cx = math.min(math.max(x, 0), img.width - 1)
+      val cy = math.min(math.max(y, 0), img.height - 1)
+      img.pixels((cy * img.width + cx) * 3 + ch) & 0xFF
+    }
+    def ycc(x: Int, y: Int): (Double, Double, Double) = {
+      val (r, g, b) = (px(x, y, 0), px(x, y, 1), px(x, y, 2))
+      (0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+    }
+
+    val enc = new JpegArith.Encoder
+    val dcStats = Array.fill(2)(new Array[Byte](64))
+    val acStats = Array.fill(2)(new Array[Byte](256))
+    val fixedBin = Array(JpegArith.FixedBin)
+    val dcContext = new Array[Int](3)
+    val dcPred = new Array[Int](3)
+
+    def encodeBlockArith(samples: Array[Double], ci: Int): Unit = {
+      val f = fdct(samples)
+      val zz = new Array[Int](64)
+      var i = 0
+      while (i < 64) { zz(i) = math.round(f(Zigzag(i))).toInt; i += 1 }
+      val tb = if (ci == 0) 0 else 1
+      val dst = dcStats(tb)
+      val ast = acStats(tb)
+      // --- DC difference (F.1.4.1 statistical model) ---
+      val diff = zz(0) - dcPred(ci)
+      dcPred(ci) = zz(0)
+      var st = dcContext(ci)
+      if (diff == 0) { enc.encode(dst, st, 0); dcContext(ci) = 0 }
+      else {
+        enc.encode(dst, st, 1)
+        val sign = if (diff < 0) 1 else 0
+        enc.encode(dst, st + 1, sign)
+        st += 2 + sign
+        var v = math.abs(diff) - 1
+        var mm = 0
+        if (v != 0) {
+          enc.encode(dst, st, 1)
+          mm = 1
+          var v2 = v
+          st = 20
+          v2 >>= 1
+          while (v2 != 0) { enc.encode(dst, st, 1); mm <<= 1; st += 1; v2 >>= 1 }
+        }
+        enc.encode(dst, st, 0) // category terminator
+        dcContext(ci) =
+          if (mm < ((1 << dcL) >> 1)) 0
+          else if (mm > ((1 << dcU) >> 1)) 12 + sign * 4
+          else 4 + sign * 4
+        st += 14
+        var bit = mm >> 1
+        while (bit != 0) {
+          enc.encode(dst, st, if ((bit & v) != 0) 1 else 0)
+          bit >>= 1
+        }
+      }
+      // --- AC coefficients (F.1.4.2 statistical model) ---
+      var ke = 63
+      while (ke > 0 && zz(ke) == 0) ke -= 1
+      var k = 1
+      while (k <= ke) {
+        var st2 = 3 * (k - 1)
+        enc.encode(ast, st2, 0) // not EOB
+        while (zz(k) == 0) { enc.encode(ast, st2 + 1, 0); st2 += 3; k += 1 }
+        enc.encode(ast, st2 + 1, 1)
+        val raw = zz(k)
+        enc.encode(fixedBin, 0, if (raw < 0) 1 else 0)
+        st2 += 2
+        var v = math.abs(raw) - 1
+        var mm = 0
+        if (v != 0) {
+          enc.encode(ast, st2, 1)
+          mm = 1
+          var v2 = v
+          st2 = if (k <= acK) 189 else 217
+          v2 >>= 1
+          while (v2 != 0) { enc.encode(ast, st2, 1); mm <<= 1; st2 += 1; v2 >>= 1 }
+        }
+        enc.encode(ast, st2, 0)
+        st2 += 14
+        var bit = mm >> 1
+        while (bit != 0) {
+          enc.encode(ast, st2, if ((bit & v) != 0) 1 else 0)
+          bit >>= 1
+        }
+        k += 1
+      }
+      if (ke < 63) enc.encode(ast, 3 * (k - 1), 1) // EOB decision
+    }
+
+    var rstCount = 0
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        enc.flushSegment()
+        enc.appendMarker(0xD0 + (rstCount % 8))
+        rstCount += 1
+        java.util.Arrays.fill(dcPred, 0)
+        java.util.Arrays.fill(dcContext, 0)
+        dcStats.foreach(java.util.Arrays.fill(_, 0.toByte))
+        acStats.foreach(java.util.Arrays.fill(_, 0.toByte))
+        fixedBin(0) = JpegArith.FixedBin
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      val samples = new Array[Double](64)
+      if (!subsample) {
+        var ci = 0
+        while (ci < 3) {
+          var i = 0
+          while (i < 64) {
+            val (yv, cb, cr) = ycc(mx * 8 + i % 8, my * 8 + i / 8)
+            samples(i) = (if (ci == 0) yv else if (ci == 1) cb else cr) - 128.0
+            i += 1
+          }
+          encodeBlockArith(samples, ci)
+          ci += 1
+        }
+      } else {
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            var i = 0
+            while (i < 64) {
+              samples(i) =
+                ycc(mx * 16 + bx * 8 + i % 8, my * 16 + by * 8 + i / 8)._1 - 128.0
+              i += 1
+            }
+            encodeBlockArith(samples, 0)
+            bx += 1
+          }
+          by += 1
+        }
+        var ci = 1
+        while (ci <= 2) {
+          var i = 0
+          while (i < 64) {
+            val sx = mx * 16 + (i % 8) * 2
+            val sy = my * 16 + (i / 8) * 2
+            val cs = Seq((sx, sy), (sx + 1, sy), (sx, sy + 1), (sx + 1, sy + 1))
+              .map(p => if (ci == 1) ycc(p._1, p._2)._2 else ycc(p._1, p._2)._3)
+            samples(i) = cs.sum / 4.0 - 128.0
+            i += 1
+          }
+          encodeBlockArith(samples, ci)
+          ci += 1
+        }
+      }
+      mcu += 1
+    }
+    enc.flushSegment()
+    out.write(enc.bytes)
     m(0xD9) // EOI
     out.toByteArray
   }

@@ -230,6 +230,165 @@ class JpegCodecSpec extends SparkTestBase {
     }
   }
 
+  test("arithmetic (SOF9) decode equals baseline decode bit-for-bit") {
+    // same flat quant + DCT coefficients, entropy layer swapped for the
+    // T.81 Annex D QM coder — any decode divergence is a real bug
+    for (img <- Seq(gradient(24, 17), noise(19, 13, 20260814L))) {
+      val base = JpegCodec.decode(JpegCodec.encode(img)).get
+      val ar = JpegCodec.decode(JpegCodec.encodeArith(img)).get
+      ar.width shouldBe base.width
+      ar.height shouldBe base.height
+      assert(ar.pixels.sameElements(base.pixels))
+    }
+  }
+
+  test("arithmetic 4:2:0 and restart markers decode bit-for-bit") {
+    val img = gradient(20, 11)
+    val base = JpegCodec.decode(JpegCodec.encode(img, subsample = true)).get
+    val ar = JpegCodec.decode(
+      JpegCodec.encodeArith(img, subsample = true)).get
+    assert(ar.pixels.sameElements(base.pixels))
+    // restarts flush the coder, reset the statistics AND the DC
+    // conditioning contexts; coefficients are unchanged, so the decode
+    // still equals the unrestarted baseline decode
+    val img2 = noise(32, 24, 5L)
+    val b2 = JpegCodec.decode(JpegCodec.encode(img2)).get
+    val a2 = JpegCodec.decode(
+      JpegCodec.encodeArith(img2, restartInterval = 3)).get
+    assert(a2.pixels.sameElements(b2.pixels))
+  }
+
+  test("arithmetic non-default DAC conditioning (L, U, Kx) round-trips") {
+    val img = noise(16, 16, 99L)
+    val base = JpegCodec.decode(JpegCodec.encode(img)).get
+    for ((l, u, k) <- Seq((0, 0, 1), (1, 2, 20), (0, 3, 63))) {
+      val a = JpegCodec.decode(
+        JpegCodec.encodeArith(img, dcL = l, dcU = u, acK = k)).get
+      assert(a.pixels.sameElements(base.pixels),
+        s"conditioning (L=$l, U=$u, Kx=$k) diverged")
+    }
+  }
+
+  test("QM coder: random decision streams round-trip bit-exactly") {
+    // the raw Annex D coder, below the JPEG statistical models: skewed
+    // random decisions across shared adaptive bins plus the fixed bin —
+    // estimator states adapt identically on both sides by construction,
+    // so every decision must come back exactly
+    import graft.operators.JpegArith
+    val rng = new scala.util.Random(20260814L)
+    val n = 5000
+    val ctx = Array.fill(n)(rng.nextInt(9))
+    val bits = Array.tabulate(n) { i =>
+      if (ctx(i) == 8) rng.nextInt(2) // fixed bin: fair coin
+      else if (rng.nextInt(10) < (if (ctx(i) % 2 == 0) 9 else 3)) 0 else 1
+    }
+    val encSt = new Array[Byte](9); encSt(8) = JpegArith.FixedBin
+    val enc = new JpegArith.Encoder
+    (0 until n).foreach(i => enc.encode(encSt, ctx(i), bits(i)))
+    enc.flushSegment()
+    val data = enc.bytes ++ Array(0xFF.toByte, 0xD9.toByte)
+    val decSt = new Array[Byte](9); decSt(8) = JpegArith.FixedBin
+    val dec = new JpegArith.Decoder(data, 0)
+    dec.init()
+    (0 until n).foreach { i =>
+      dec.decode(decSt, ctx(i)) shouldBe bits(i)
+    }
+    decSt shouldBe encSt // estimator trajectories identical
+  }
+
+  test("Table D.3 estimator invariants hold") {
+    import graft.operators.JpegArith
+    JpegArith.Qe.length shouldBe 114
+    JpegArith.Qe(0) shouldBe 0x5A1D
+    // fixed bin: self-looping, non-switching, ~0.5 estimate
+    JpegArith.Qe(113) shouldBe 0x5A1D
+    JpegArith.Nmps(113) shouldBe 113
+    JpegArith.Nlps(113) shouldBe 113
+    JpegArith.Sw(113) shouldBe false
+    for (i <- 0 to 112) {
+      // MPS renorms drift toward MORE skew (smaller Qe), always
+      JpegArith.Qe(JpegArith.Nmps(i)) should be <= JpegArith.Qe(i)
+      // LPS renorms drift toward LESS skew — except at a chain head,
+      // where the MPS sense flips instead (the switch states)
+      if (!JpegArith.Sw(i))
+        JpegArith.Qe(JpegArith.Nlps(i)) should be >= JpegArith.Qe(i)
+    }
+    // switch states are exactly the chain heads of Table D.3
+    JpegArith.Sw.zipWithIndex.filter(_._1).map(_._2) shouldBe
+      Array(0, 14, 36, 64, 80, 88, 95, 105, 110, 112)
+  }
+
+  test("12-bit SOF9: arithmetic DC-only block, hand-assembled headers") {
+    // the 12-bit twin of the SOF1 test on the arithmetic path: gray
+    // single block, DC diff 1024 through the F.2.4.1 model (nonzero,
+    // positive, category chain to 1024, ten zero magnitude bits), EOB on
+    // every AC position. Flat IDCT value 1024/8 = 128 -> +2048 level
+    // shift = 2176 -> >>4 = 136, exactly the SOF1 expectation.
+    import graft.operators.JpegArith
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int) = { out.write(0xFF); out.write(b) }
+    def u16(v: Int) = { out.write(v >> 8); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xDB); u16(67); out.write(0x00); (0 until 64).foreach(_ => out.write(1))
+    m(0xC9); u16(11); out.write(12); u16(8); u16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xDA); u16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val enc = new JpegArith.Encoder
+    val dst = new Array[Byte](64)
+    val ast = new Array[Byte](256)
+    // DC diff = +1024: S0=1, sign=0, category chain at SP then 20..,
+    // v-1 = 1023 -> chain of nine 1s, terminator, nine magnitude bits
+    enc.encode(dst, 0, 1) // nonzero
+    enc.encode(dst, 1, 0) // positive
+    var v = 1023
+    var mm = 0
+    enc.encode(dst, 2, 1); mm = 1
+    var st = 20
+    var v2 = v >> 1
+    while (v2 != 0) { enc.encode(dst, st, 1); mm <<= 1; st += 1; v2 >>= 1 }
+    enc.encode(dst, st, 0)
+    st += 14
+    var bit = mm >> 1
+    while (bit != 0) { enc.encode(dst, st, if ((bit & v) != 0) 1 else 0); bit >>= 1 }
+    enc.encode(ast, 0, 1) // EOB at k=1
+    enc.flushSegment()
+    out.write(enc.bytes)
+    m(0xD9)
+    val img = JpegCodec.decode(out.toByteArray).get
+    img.width shouldBe 8
+    img.pixels.foreach(p => (p & 0xFF) shouldBe 136)
+  }
+
+  test("arithmetic corrupt payloads never throw; structural damage rejects") {
+    val good = JpegCodec.encodeArith(gradient(16, 16))
+    JpegCodec.decode(good) should not be None // sanity
+    // structural: truncated header, lying dims
+    JpegCodec.decode(good.take(20)) shouldBe None
+    val sof = good.indices.find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC9).get
+    val lying = good.clone()
+    (5 to 8).foreach(o => lying(sof + o) = 0xFF.toByte)
+    JpegCodec.decode(lying) shouldBe None
+    // progressive-arithmetic (SOF10) stays out of scope
+    val sof10 = good.clone(); sof10(sof + 1) = 0xCA.toByte
+    JpegCodec.decode(sof10) shouldBe None
+    // entropy-bit corruption: arithmetic coding has no Huffman-style
+    // invalid-code redundancy and end-of-data is the zero-feed regime by
+    // spec, so a flipped bit may decode to a DIFFERENT image — the
+    // contract here is no-throw plus the runaway-category guard
+    val rng = new scala.util.Random(31L)
+    (1 to 400).foreach { _ =>
+      val bad = good.clone()
+      bad(rng.nextInt(bad.length)) = rng.nextInt(256).toByte
+      noException should be thrownBy JpegCodec.decode(bad)
+    }
+    (1 to 100).foreach { _ =>
+      noException should be thrownBy
+        JpegCodec.decode(good.take(rng.nextInt(good.length)))
+    }
+  }
+
   test("out-of-scope and corrupt payloads are rejected, never thrown") {
     JpegCodec.decode(Array[Byte]()) shouldBe None
     JpegCodec.decode("not a jpeg".getBytes) shouldBe None
