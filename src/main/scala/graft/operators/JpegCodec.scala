@@ -8,18 +8,18 @@ import graft.operators.PpmCodec.PpmImage
   * with PPM, PNG, and now JPEG decoding for real, every raster format the
   * synthetic corpus carries reaches actual pixels inside the container.
   *
-  * Scope: baseline sequential DCT (SOF0) with Huffman entropy coding,
-  * extended sequential at 8 or 12 bits under Huffman (SOF1) AND under
-  * T.81 Annex D arithmetic coding (SOF9 — the QM coder and the F.2.4
-  * statistical models live in [[JpegArith]]), and progressive Huffman
-  * (SOF2: spectral selection + successive approximation); grayscale or
-  * YCbCr with sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:2:0),
-  * restart markers, 8- or 16-bit quantization tables, DAC conditioning.
-  * Progressive-ARITHMETIC (SOF10), lossless, and hierarchical frames
-  * return None and take the documented fallback arm. Output is
-  * normalized to the same 3-byte-RGB [[PpmImage]] the PPM and PNG paths
-  * produce, so features / resize / frame ops downstream stay
-  * format-agnostic.
+  * Scope — the COMPLETE T.81 DCT frame family: baseline sequential
+  * (SOF0) and extended sequential at 8 or 12 bits (SOF1) under Huffman,
+  * progressive Huffman (SOF2: spectral selection + successive
+  * approximation), sequential ARITHMETIC (SOF9, 8/12-bit) and
+  * progressive ARITHMETIC (SOF10) — the QM coder and the F.2.4/G.2
+  * statistical models live in [[JpegArith]]; grayscale or YCbCr with
+  * sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:2:0), restart
+  * markers, 8- or 16-bit quantization tables, DAC conditioning. Only
+  * the non-DCT frames (lossless, hierarchical) return None and take
+  * the documented fallback arm. Output is normalized to the same
+  * 3-byte-RGB [[PpmImage]] the PPM and PNG paths produce, so features /
+  * resize / frame ops downstream stay format-agnostic.
   *
   * Decode path per ITU T.81 (public spec): marker scan → DQT/DHT/SOF0/SOS
   * parse → per-MCU Huffman decode (DC predict + extend, AC run/size, EOB,
@@ -212,10 +212,10 @@ object JpegCodec {
   /** Decode one JPEG payload to RGB pixels — baseline (SOF0), extended
     * sequential Huffman (SOF1, 8/12-bit), progressive (SOF2: spectral
     * selection + successive approximation, multi-scan), or sequential
-    * ARITHMETIC (SOF9, 8/12-bit, QM-coded) — or None if the payload is
-    * outside the supported subset (progressive-arithmetic, lossless,
-    * hierarchical, >2 sampling factors, structurally truncated or
-    * corrupt). Arithmetic entropy-bit damage is a special case: the QM
+    * ARITHMETIC (SOF9, 8/12-bit, QM-coded), or progressive ARITHMETIC
+    * (SOF10) — or None if the payload is outside the supported subset
+    * (lossless, hierarchical, >2 sampling factors, structurally
+    * truncated or corrupt). Arithmetic entropy-bit damage is a special case: the QM
     * stream has no invalid-code redundancy and end-of-data IS the
     * zero-feed regime, so a flipped payload bit can decode to a
     * different image rather than None (guarded only by the runaway
@@ -291,7 +291,9 @@ object JpegCodec {
               if (tc == 0) dcTabs(th) = h else acTabs(th) = h
               p += 17 + n
             }
-          case 0xC0 | 0xC1 | 0xC2 | 0xC9 => // SOF0/1 seq., SOF2 prog., SOF9 arith.
+          case 0xC0 | 0xC1 | 0xC2 | 0xC9 | 0xCA =>
+            // SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic
+            // sequential, SOF10 arithmetic progressive
             if (comps != null) return None // second frame header
             if (len < 8) return None
             precision = bytes(seg) & 0xFF
@@ -303,8 +305,8 @@ object JpegCodec {
             if (precision != 8 &&
               !(precision == 12 && (marker == 0xC1 || marker == 0xC9)))
               return None
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
+            progressive = marker == 0xC2 || marker == 0xCA
+            arithmetic = marker == 0xC9 || marker == 0xCA
             height = u16(seg + 1)
             width = u16(seg + 3)
             val n = bytes(seg + 5) & 0xFF
@@ -340,8 +342,8 @@ object JpegCodec {
               p += 2
             }
           case m if m >= 0xC1 && m <= 0xCF && m != 0xC2 && m != 0xC4 &&
-              m != 0xC8 && m != 0xC9 =>
-            return None // prog.-arith. / lossless / hierarchical: out of scope
+              m != 0xC8 && m != 0xC9 && m != 0xCA =>
+            return None // lossless / hierarchical: out of scope
           case 0xDD =>
             if (len < 4) return None
             restartInterval = u16(seg)
@@ -379,8 +381,13 @@ object JpegCodec {
             if (se > 63 || ss > se || ah > 13 || al > 13) return None
             if (ah != 0 && ah != al + 1) return None // refine one bit/scan
             if (prog == null) prog = new ProgState(comps, width, height)
-            val end = decodeProgScan(bytes, pos + 2 + len, prog, comps,
-              scanIdx, ss, se, ah, al, restartInterval, dcTabs, acTabs)
+            val end =
+              if (arithmetic)
+                decodeProgScanArith(bytes, pos + 2 + len, prog, comps,
+                  scanIdx, ss, se, ah, al, restartInterval,
+                  dcCondL, dcCondU, acCondK)
+              else decodeProgScan(bytes, pos + 2 + len, prog, comps,
+                scanIdx, ss, se, ah, al, restartInterval, dcTabs, acTabs)
             if (end < 0) return None
             posOverride = end
           case _ => // APPn / COM / unknown: skip
@@ -720,6 +727,207 @@ object JpegCodec {
     val coefs: Array[Array[Int]] =
       comps.indices.map(i => new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
     var sawScan = false
+  }
+
+  /** Decode ONE progressive ARITHMETIC scan (SOF10) into the coefficient
+    * store, per T.81 G.2: the DC-first scan runs the F.2.4.1 difference
+    * model in the point-transformed (>> Al) domain, DC refinement is one
+    * fixed-bin decision per block, the AC-first scan is the sequential
+    * F.2.4.2 model band-limited to [Ss, Se] with values scaled by Al
+    * (no EOB runs — the arithmetic EOB decision is per block), and AC
+    * refinement walks the band with the history-conditioned three-bin
+    * layout (EOB decision beyond the history's last nonzero index,
+    * correction bit at +2 for already-nonzero positions, significance at
+    * +1 plus a fixed-bin sign for newly-nonzero ones). Statistics are
+    * fresh per scan and reset at restarts, as is the coder. Returns the
+    * byte offset of the terminating marker's 0xFF, or -1 on corruption.
+    */
+  private def decodeProgScanArith(bytes: Array[Byte], start: Int,
+                                  st: ProgState, comps: Array[Component],
+                                  scan: Array[Int], ss: Int, se: Int,
+                                  ah: Int, al: Int, restartInterval: Int,
+                                  dcCondL: Array[Int], dcCondU: Array[Int],
+                                  acCondK: Array[Int]): Int = {
+    val dec = new JpegArith.Decoder(bytes, start)
+    dec.init()
+    val dcStats = Array.fill(4)(new Array[Byte](64))
+    val acStats = Array.fill(4)(new Array[Byte](256))
+    val fixedBin = Array(JpegArith.FixedBin)
+    val dcContext = new Array[Int](comps.length)
+    val dcPred = new Array[Int](comps.length)
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    def resetAll(): Unit = {
+      java.util.Arrays.fill(dcPred, 0)
+      java.util.Arrays.fill(dcContext, 0)
+      dcStats.foreach(java.util.Arrays.fill(_, 0.toByte))
+      acStats.foreach(java.util.Arrays.fill(_, 0.toByte))
+      fixedBin(0) = JpegArith.FixedBin
+    }
+
+    if (ss == 0) {
+      if (se != 0) return -1
+      val interleaved = scan.length > 1
+      val unitsX = if (interleaved) st.mcusX else st.compBlocksW(scan(0))
+      val unitsY = if (interleaved) st.mcusY else st.compBlocksH(scan(0))
+      val nUnits = unitsX * unitsY
+      var unit = 0
+      var rstCount = 0
+      while (unit < nUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!dec.restart(rstCount)) return -1
+          rstCount += 1
+          resetAll()
+        }
+        val ux = unit % unitsX
+        val uy = unit / unitsX
+        var si = 0
+        while (si < scan.length) {
+          val ci = scan(si)
+          val c = comps(ci)
+          val coef = st.coefs(ci)
+          val gridW = st.blocksW(ci)
+          val hh = if (interleaved) c.h else 1
+          val vv = if (interleaved) c.v else 1
+          var by = 0
+          while (by < vv) {
+            var bx = 0
+            while (bx < hh) {
+              val bX = if (interleaved) ux * c.h + bx else ux
+              val bY = if (interleaved) uy * c.v + by else uy
+              val base = (bY * gridW + bX) * 64
+              if (ah == 0) { // DC first: diff model in the >> Al domain
+                val dst = dcStats(c.dcTable)
+                var stx = dcContext(ci)
+                if (dec.decode(dst, stx) == 0) dcContext(ci) = 0
+                else {
+                  val sign = dec.decode(dst, stx + 1)
+                  stx += 2 + sign
+                  var m = 0
+                  if (dec.decode(dst, stx) != 0) {
+                    m = 1
+                    stx = 20
+                    while (dec.decode(dst, stx) != 0) {
+                      m <<= 1
+                      if (m == 0x8000) return -1
+                      stx += 1
+                    }
+                  }
+                  dcContext(ci) =
+                    if (m < ((1 << dcCondL(c.dcTable)) >> 1)) 0
+                    else if (m > ((1 << dcCondU(c.dcTable)) >> 1)) 12 + sign * 4
+                    else 4 + sign * 4
+                  var v = m
+                  stx += 14
+                  var bit = m >> 1
+                  while (bit != 0) {
+                    if (dec.decode(dst, stx) != 0) v |= bit
+                    bit >>= 1
+                  }
+                  v += 1
+                  dcPred(ci) += (if (sign != 0) -v else v)
+                }
+                coef(base) = dcPred(ci) << al
+              } else { // DC refinement: one fixed-bin bit per block
+                if (dec.decode(fixedBin, 0) != 0) coef(base) |= p1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        unit += 1
+      }
+    } else {
+      if (scan.length != 1) return -1
+      val ci = scan(0)
+      val c = comps(ci)
+      val coef = st.coefs(ci)
+      val gridW = st.blocksW(ci)
+      val ast = acStats(c.acTable)
+      val kx = acCondK(c.acTable)
+      val unitsX = st.compBlocksW(ci)
+      val nUnits = unitsX * st.compBlocksH(ci)
+      var unit = 0
+      var rstCount = 0
+      while (unit < nUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!dec.restart(rstCount)) return -1
+          rstCount += 1
+          resetAll()
+        }
+        val base = ((unit / unitsX) * gridW + unit % unitsX) * 64
+        if (ah == 0) { // first scan of the band, values scaled by Al
+          var k = ss
+          var open = true
+          while (open && k <= se) {
+            var st0 = 3 * (k - 1)
+            if (dec.decode(ast, st0) != 0) open = false // EOB
+            else {
+              while (dec.decode(ast, st0 + 1) == 0) {
+                st0 += 3; k += 1
+                if (k > se) return -1
+              }
+              val sign = dec.decode(fixedBin, 0)
+              var st2 = st0 + 2
+              var m = 0
+              if (dec.decode(ast, st2) != 0) {
+                m = 1
+                st2 = if (k <= kx) 189 else 217
+                while (dec.decode(ast, st2) != 0) {
+                  m <<= 1
+                  if (m == 0x8000) return -1
+                  st2 += 1
+                }
+              }
+              var v = m
+              st2 += 14
+              var bit = m >> 1
+              while (bit != 0) {
+                if (dec.decode(ast, st2) != 0) v |= bit
+                bit >>= 1
+              }
+              v += 1
+              coef(base + Zigzag(k)) = (if (sign != 0) -v else v) << al
+              k += 1
+            }
+          }
+        } else { // AC refinement (G.1.3.3)
+          var kex = se
+          while (kex >= ss && coef(base + Zigzag(kex)) == 0) kex -= 1
+          var k = ss
+          var eob = false
+          while (k <= se && !eob) {
+            val st0 = 3 * (k - 1)
+            if (k > kex && dec.decode(ast, st0) != 0) eob = true
+            else {
+              var stw = st0
+              var resolved = false
+              while (!resolved) {
+                val idx = base + Zigzag(k)
+                if (coef(idx) != 0) {
+                  if (dec.decode(ast, stw + 2) != 0 && (coef(idx) & p1) == 0)
+                    coef(idx) += (if (coef(idx) >= 0) p1 else m1)
+                  resolved = true
+                } else if (dec.decode(ast, stw + 1) != 0) {
+                  coef(idx) = if (dec.decode(fixedBin, 0) != 0) m1 else p1
+                  resolved = true
+                } else {
+                  stw += 3; k += 1
+                  if (k > se) return -1
+                }
+              }
+              k += 1
+            }
+          }
+        }
+        unit += 1
+      }
+    }
+    st.sawScan = true
+    dec.segmentEnd
   }
 
   /** Decode ONE progressive scan into the coefficient store. Returns the
@@ -1527,7 +1735,7 @@ object JpegCodec {
         val interleaved = scomps.length > 1
         val unitsX = if (interleaved) mcusX else compBlocksW(scomps.head)
         val unitsY = if (interleaved) mcusY else compBlocksH(scomps.head)
-        val dcPred = new Array[Int](3)
+        val dcPred = new Array[Int](3) // scan-local: T.81 G.1.2.1
         var unit = 0
         while (unit < unitsX * unitsY) {
           val ux = unit % unitsX
@@ -1651,6 +1859,259 @@ object JpegCodec {
         flushEobrun()
       }
       bw.flush()
+    }
+    m(0xD9)
+    out.toByteArray
+  }
+
+  /** Encode RGB pixels as a PROGRESSIVE ARITHMETIC-coded (SOF10) JFIF
+    * JPEG following the same `script` shape as [[encodeProgressive]] —
+    * same flat quantization and DCT coefficients, entropy layer swapped
+    * for the T.81 G.2 progressive arithmetic models (DC diff in the
+    * >> Al domain, fixed-bin DC refinement, band-limited AC first scans,
+    * history-conditioned AC refinement) — so a correct decode reproduces
+    * the baseline decode of the same image BIT-FOR-BIT. Default
+    * conditioning (L=0, U=1, Kx=5); statistics fresh per scan.
+    */
+  def encodeProgressiveArith(img: PpmImage,
+                             script: Seq[(Seq[Int], Int, Int, Int, Int)],
+                             subsample: Boolean = false): Array[Byte] = {
+    val hMax = if (subsample) 2 else 1
+    val mcusX = (img.width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (img.height + 8 * hMax - 1) / (8 * hMax)
+    val compH = Array(hMax, 1, 1)
+    val blocksW = compH.map(h => mcusX * h)
+    val blocksH = compH.map(h => mcusY * h)
+    val compBlocksW = compH.map(h => ((img.width * h + hMax - 1) / hMax + 7) / 8)
+    val compBlocksH = compH.map(h => ((img.height * h + hMax - 1) / hMax + 7) / 8)
+
+    def px(x: Int, y: Int, ch: Int): Double = {
+      val cx = math.min(math.max(x, 0), img.width - 1)
+      val cy = math.min(math.max(y, 0), img.height - 1)
+      img.pixels((cy * img.width + cx) * 3 + ch) & 0xFF
+    }
+    def ycc(x: Int, y: Int): (Double, Double, Double) = {
+      val (r, g, b) = (px(x, y, 0), px(x, y, 1), px(x, y, 2))
+      (0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+    }
+    val coefs: Array[Array[Array[Int]]] = (0 until 3).map { ci =>
+      val outB = new Array[Array[Int]](blocksW(ci) * blocksH(ci))
+      val samples = new Array[Double](64)
+      var bY = 0
+      while (bY < blocksH(ci)) {
+        var bX = 0
+        while (bX < blocksW(ci)) {
+          var i = 0
+          while (i < 64) {
+            val x = bX * 8 + i % 8
+            val y = bY * 8 + i / 8
+            samples(i) = (ci match {
+              case 0 => ycc(x, y)._1
+              case _ if !subsample => if (ci == 1) ycc(x, y)._2 else ycc(x, y)._3
+              case _ =>
+                val cs = Seq((2 * x, 2 * y), (2 * x + 1, 2 * y),
+                  (2 * x, 2 * y + 1), (2 * x + 1, 2 * y + 1))
+                  .map(p => if (ci == 1) ycc(p._1, p._2)._2 else ycc(p._1, p._2)._3)
+                cs.sum / 4.0
+            }) - 128.0
+            i += 1
+          }
+          val f = fdct(samples)
+          val zz = new Array[Int](64)
+          var k = 0
+          while (k < 64) { zz(k) = math.round(f(Zigzag(k))).toInt; k += 1 }
+          outB(bY * blocksW(ci) + bX) = zz
+          bX += 1
+        }
+        bY += 1
+      }
+      outB
+    }.toArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { out.write(0xFF); out.write(b) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xDB); u16(2 + 1 + 64); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    m(0xCA) // SOF10
+    u16(8 + 3 * 3); out.write(8); u16(img.height); u16(img.width); out.write(3)
+    out.write(1); out.write((compH(0) << 4) | compH(0)); out.write(0)
+    out.write(2); out.write(0x11); out.write(0)
+    out.write(3); out.write(0x11); out.write(0)
+
+    script.foreach { case (scomps, ss, se, ah, al) =>
+      require(scomps.nonEmpty && scomps.forall(c => c >= 0 && c < 3))
+      require(ss >= 0 && ss <= se && se <= 63)
+      require(ss > 0 || se == 0, "DC scans are (0,0); AC scans start at 1")
+      require(ss == 0 || scomps.length == 1, "AC scans take one component")
+      m(0xDA); u16(2 + 1 + 2 * scomps.length + 3); out.write(scomps.length)
+      scomps.foreach { ci =>
+        out.write(ci + 1)
+        out.write(((if (ci == 0) 0 else 1) << 4) | (if (ci == 0) 0 else 1))
+      }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+
+      val enc = new JpegArith.Encoder
+      val dcStats = Array.fill(2)(new Array[Byte](64))
+      val acStats = Array.fill(2)(new Array[Byte](256))
+      val fixedBin = Array(JpegArith.FixedBin)
+      val dcContext = new Array[Int](3)
+      val dcPred = new Array[Int](3)
+
+      if (ss == 0) {
+        val interleaved = scomps.length > 1
+        val unitsX = if (interleaved) mcusX else compBlocksW(scomps.head)
+        val unitsY = if (interleaved) mcusY else compBlocksH(scomps.head)
+        var unit = 0
+        while (unit < unitsX * unitsY) {
+          val ux = unit % unitsX
+          val uy = unit / unitsX
+          scomps.foreach { ci =>
+            val tb = if (ci == 0) 0 else 1
+            val dst = dcStats(tb)
+            val hh = if (interleaved) compH(ci) else 1
+            var by = 0
+            while (by < hh) {
+              var bx = 0
+              while (bx < hh) {
+                val bX = if (interleaved) ux * compH(ci) + bx else ux
+                val bY = if (interleaved) uy * compH(ci) + by else uy
+                val dc = coefs(ci)(bY * blocksW(ci) + bX)(0)
+                if (ah == 0) { // F.1.4.1 model on the >> Al values
+                  val vAl = dc >> al
+                  val diff = vAl - dcPred(ci)
+                  dcPred(ci) = vAl
+                  var st = dcContext(ci)
+                  if (diff == 0) { enc.encode(dst, st, 0); dcContext(ci) = 0 }
+                  else {
+                    enc.encode(dst, st, 1)
+                    val sign = if (diff < 0) 1 else 0
+                    enc.encode(dst, st + 1, sign)
+                    st += 2 + sign
+                    val v = math.abs(diff) - 1
+                    var mm = 0
+                    if (v != 0) {
+                      enc.encode(dst, st, 1)
+                      mm = 1
+                      var v2 = v >> 1
+                      st = 20
+                      while (v2 != 0) {
+                        enc.encode(dst, st, 1); mm <<= 1; st += 1; v2 >>= 1
+                      }
+                    }
+                    enc.encode(dst, st, 0)
+                    dcContext(ci) =
+                      if (mm < ((1 << 0) >> 1)) 0 // L = 0
+                      else if (mm > ((1 << 1) >> 1)) 12 + sign * 4 // U = 1
+                      else 4 + sign * 4
+                    st += 14
+                    var bit = mm >> 1
+                    while (bit != 0) {
+                      enc.encode(dst, st, if ((bit & v) != 0) 1 else 0)
+                      bit >>= 1
+                    }
+                  }
+                } else enc.encode(fixedBin, 0, (dc >> al) & 1)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          unit += 1
+        }
+      } else {
+        val ci = scomps.head
+        val tb = if (ci == 0) 0 else 1
+        val ast = acStats(tb)
+        val kxCond = 5
+        var unit = 0
+        while (unit < compBlocksW(ci) * compBlocksH(ci)) {
+          val zz = coefs(ci)((unit / compBlocksW(ci)) * blocksW(ci) +
+            unit % compBlocksW(ci))
+          if (ah == 0) { // band first scan
+            def sv(k: Int): Int = {
+              val v = zz(k)
+              if (v < 0) -((-v) >> al) else v >> al
+            }
+            var ke = se
+            while (ke >= ss && sv(ke) == 0) ke -= 1
+            var k = ss
+            while (k <= ke) {
+              var st0 = 3 * (k - 1)
+              enc.encode(ast, st0, 0) // not EOB
+              while (sv(k) == 0) { enc.encode(ast, st0 + 1, 0); st0 += 3; k += 1 }
+              enc.encode(ast, st0 + 1, 1)
+              val raw = sv(k)
+              enc.encode(fixedBin, 0, if (raw < 0) 1 else 0)
+              var st2 = st0 + 2
+              val v = math.abs(raw) - 1
+              var mm = 0
+              if (v != 0) {
+                enc.encode(ast, st2, 1)
+                mm = 1
+                var v2 = v >> 1
+                st2 = if (k <= kxCond) 189 else 217
+                while (v2 != 0) {
+                  enc.encode(ast, st2, 1); mm <<= 1; st2 += 1; v2 >>= 1
+                }
+              }
+              enc.encode(ast, st2, 0)
+              st2 += 14
+              var bit = mm >> 1
+              while (bit != 0) {
+                enc.encode(ast, st2, if ((bit & v) != 0) 1 else 0)
+                bit >>= 1
+              }
+              k += 1
+            }
+            if (ke < se) enc.encode(ast, 3 * (k - 1), 1) // EOB decision
+          } else { // band refinement
+            val t = new Array[Int](64)
+            var kex = ss - 1
+            var ke = ss - 1
+            var k = ss
+            while (k <= se) {
+              t(k) = math.abs(zz(k)) >> al
+              if (t(k) > 1) kex = k // history (precision Ah) nonzero
+              if (t(k) != 0) ke = k // something to transmit at this k
+              k += 1
+            }
+            k = ss
+            var eob = false
+            while (k <= se && !eob) {
+              val st0 = 3 * (k - 1)
+              if (k > kex) {
+                if (k > ke) { enc.encode(ast, st0, 1); eob = true }
+                else enc.encode(ast, st0, 0)
+              }
+              if (!eob) {
+                var stw = st0
+                var resolved = false
+                while (!resolved) {
+                  if (t(k) > 1) { // correction bit for nonzero history
+                    enc.encode(ast, stw + 2, t(k) & 1)
+                    resolved = true
+                  } else if (t(k) == 1) { // newly significant
+                    enc.encode(ast, stw + 1, 1)
+                    enc.encode(fixedBin, 0, if (zz(k) < 0) 1 else 0)
+                    resolved = true
+                  } else {
+                    enc.encode(ast, stw + 1, 0)
+                    stw += 3; k += 1
+                  }
+                }
+                k += 1
+              }
+            }
+          }
+          unit += 1
+        }
+      }
+      enc.flushSegment()
+      out.write(enc.bytes)
     }
     m(0xD9)
     out.toByteArray

@@ -318,6 +318,41 @@ class JpegCodecSpec extends SparkTestBase {
       Array(0, 14, 36, 64, 80, 88, 95, 105, 110, 112)
   }
 
+  test("progressive-arithmetic (SOF10) decode equals baseline bit-for-bit") {
+    // both scripts, 4:4:4 and 4:2:0, gradient and noise — the same
+    // coefficients through the G.2 progressive arithmetic models must
+    // land exactly where baseline Huffman puts them
+    for (img <- Seq(gradient(24, 17), noise(19, 13, 20260815L))) {
+      val base = JpegCodec.decode(JpegCodec.encode(img)).get
+      for (script <- Seq(scriptSpectral, scriptSuccessive)) {
+        val pa = JpegCodec.decode(
+          JpegCodec.encodeProgressiveArith(img, script)).get
+        assert(pa.pixels.sameElements(base.pixels),
+          s"script with ${script.length} scans diverged")
+      }
+    }
+    val img420 = noise(20, 11, 7L)
+    val base420 = JpegCodec.decode(JpegCodec.encode(img420, subsample = true)).get
+    val pa420 = JpegCodec.decode(JpegCodec.encodeProgressiveArith(
+      img420, scriptSuccessive, subsample = true)).get
+    assert(pa420.pixels.sameElements(base420.pixels))
+  }
+
+  test("SOF10 fuzz: corrupt progressive-arithmetic payloads never throw") {
+    val good = JpegCodec.encodeProgressiveArith(gradient(16, 16), scriptSuccessive)
+    JpegCodec.decode(good) should not be None
+    val rng = new scala.util.Random(77L)
+    (1 to 300).foreach { _ =>
+      val bad = good.clone()
+      bad(rng.nextInt(bad.length)) = rng.nextInt(256).toByte
+      noException should be thrownBy JpegCodec.decode(bad)
+    }
+    (1 to 100).foreach { _ =>
+      noException should be thrownBy
+        JpegCodec.decode(good.take(rng.nextInt(good.length)))
+    }
+  }
+
   test("12-bit SOF9: arithmetic DC-only block, hand-assembled headers") {
     // the 12-bit twin of the SOF1 test on the arithmetic path: gray
     // single block, DC diff 1024 through the F.2.4.1 model (nonzero,
