@@ -2863,6 +2863,92 @@ object SparkEntry {
     // support grid (|distinct lengths| × |sources| rows, both bounded),
     // the pair stage joins on the support value so it is
     // |lengths|·|sources|² at worst — never doc-grain
+    // §2.2 — per-source column fill-rate scorecard (round 5: the
+    // data-vendor completeness report — for every (source, column), the
+    // row count, nulls, EMPTY values (blank-trimmed strings / non-positive
+    // numerics: present but useless, the gap null counting misses), and
+    // the exact fill permille. One conditional-aggregate shuffle on the
+    // bounded source key; the wide→long melt is a zero-shuffle stack over
+    // the per-source aggregate row
+    "q228_fill_rates" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("nu_text"),
+          sum(when(col("text").isNotNull &&
+            length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("em_text"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("nu_lang"),
+          sum(when(col("lang").isNotNull &&
+            length(trim(col("lang"))) === 0, 1L).otherwise(0L)).as("em_lang"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("nu_nc"),
+          sum(when(col("n_chars").isNotNull && col("n_chars") <= 0, 1L)
+            .otherwise(0L)).as("em_nc"))
+        .select(col("source"), col("n_rows"),
+          expr("stack(3, 'text', nu_text, em_text, 'lang', nu_lang, em_lang," +
+            " 'n_chars', nu_nc, em_nc) AS (col_name, n_null, n_empty)"))
+        .withColumn("fill_permille",
+          expr("(1000 * (n_rows - n_null - n_empty)) div n_rows"))
+    }),
+
+    // §2.7 — text-vs-semantic dedup disagreement audit (round 5: the
+    // two dedup families measured against each other on the id-aligned
+    // corpus — pairs flagged by exact character-shingle Jaccard (q19's
+    // engine), by within-cell embedding cosine (q208's pair stage), or
+    // by BOTH. sem_only is what SemDeDup adds over surface dedup
+    // (paraphrases, re-encodings); text_only is what embedding recall
+    // misses — the calibration every curation stack needs before
+    // trusting either signal alone. Both pair engines stay blocked
+    // (lang×length band / quantizer cell); the reconciliation is a
+    // narrow full-outer on the (a, b) key
+    "q229_dedup_disagreement" -> ((s, dir) => {
+      val txt = graft.operators.Dedup
+        .ngramJaccardPairs(t(s, dir, "documents"), 0.6)
+        .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"),
+          lit(true).as("text_dup"))
+      val sem = graft.operators.Similarity
+        .semDupPairs(t(s, dir, "embeddings"), nCells = 16,
+          threshMicro = 350000L)
+        .select(col("a"), col("b"), lit(true).as("sem_dup"))
+      txt.join(sem, Seq("a", "b"), "full_outer")
+        .select(when(col("text_dup") && col("sem_dup"), "both")
+          .when(col("text_dup"), "text_only")
+          .otherwise("sem_only").as("signal"))
+        .groupBy(col("signal"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // §2.9 — tokenizer compression fairness (round 5: Petrov et al.'s
+    // observation that a tokenizer's merge table compresses its training
+    // language best — per language, alphabetic-word chars per emitted
+    // subword under q225's FIXED (English-leaning) merge table, as the
+    // exact integer milli-ratio; the multilinguality dashboard behind
+    // per-language token-budget costing. Encode runs once per distinct
+    // (lang, word) — a ≤|langs|×vocab frame — with counts re-attached by
+    // weight; the report is a bounded |langs| rollup
+    "q230_compression_ratio" -> ((s, dir) => {
+      val chars = expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+      val enc = BpeAppliedMerges.foldLeft(chars) { case (acc, (l, r)) =>
+        call_function("graft_pair_merge", acc, lit(l), lit(r))
+      }
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.functions.TextFunctions.tokensWs(col("text")))
+            .as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+        .select(col("lang"), col("c"),
+          length(col("word")).cast("long").as("len"),
+          size(enc).cast("long").as("ns"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_words"),
+          sum(col("len") * col("c")).as("n_chars"),
+          sum(col("ns") * col("c")).as("n_subwords"))
+        .withColumn("chars_per_subword_milli",
+          expr("(1000 * n_chars) div n_subwords"))
+    }),
+
     // §2.9 — hashing-trick document vectorization (round 5: Weinberger
     // et al.'s feature hashing — the embedding-free sparse doc vector
     // every linear-model curation classifier trains on at corpus scale;
@@ -6083,6 +6169,104 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q228_fill_rates" ->
+      """WITH a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) AS nu_text,
+        |    CAST(count(*) FILTER (WHERE text IS NOT NULL
+        |         AND length(trim(text)) = 0) AS BIGINT) AS em_text,
+        |    CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT) AS nu_lang,
+        |    CAST(count(*) FILTER (WHERE lang IS NOT NULL
+        |         AND length(trim(lang)) = 0) AS BIGINT) AS em_lang,
+        |    CAST(count(*) FILTER (WHERE n_chars IS NULL) AS BIGINT) AS nu_nc,
+        |    CAST(count(*) FILTER (WHERE n_chars IS NOT NULL
+        |         AND n_chars <= 0) AS BIGINT) AS em_nc
+        |  FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT source, n_rows, 'text' AS col_name,
+        |         nu_text AS n_null, em_text AS n_empty FROM a
+        |  UNION ALL
+        |  SELECT source, n_rows, 'lang', nu_lang, em_lang FROM a
+        |  UNION ALL
+        |  SELECT source, n_rows, 'n_chars', nu_nc, em_nc FROM a)
+        |SELECT source, n_rows, col_name, n_null, n_empty,
+        |       (1000 * (n_rows - n_null - n_empty)) // n_rows
+        |         AS fill_permille
+        |FROM m""".stripMargin,
+
+    "q229_dedup_disagreement" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |txt AS (
+         |  SELECT a, b FROM (
+         |    SELECT x.doc_id AS a, y.doc_id AS b,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jac
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jac >= 0.6),
+         |sampled AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+         |           AS cell,
+         |         embedding AS cv
+         |  FROM sampled),
+         |asg AS (
+         |  SELECT vec_id, cell, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM (
+         |    SELECT e.vec_id, c.cell, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY list_reduce(
+         |             list_transform(list_zip(e.embedding, c.cv),
+         |               s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                  * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |             (acc, x) -> acc + x), c.cell) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1),
+         |sem AS (
+         |  SELECT y.vec_id AS a, x.vec_id AS b
+         |  FROM asg x JOIN asg y
+         |    ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |  WHERE CAST(floor(${dotSql("y.embedding", "x.embedding")}
+         |          / (y.nrm * x.nrm) * 1e6 + 0.5) AS BIGINT) >= 350000)
+         |SELECT signal, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+         |  SELECT CASE WHEN t.a IS NOT NULL AND s.a IS NOT NULL THEN 'both'
+         |              WHEN t.a IS NOT NULL THEN 'text_only'
+         |              ELSE 'sem_only' END AS signal
+         |  FROM txt t FULL OUTER JOIN sem s ON t.a = s.a AND t.b = s.b)
+         |GROUP BY 1""".stripMargin,
+
+    "q230_compression_ratio" -> {
+      val wrapped =
+        "chr(1) || array_to_string(string_split(word, ''), " +
+          "chr(2)||chr(1)) || chr(2)"
+      val chain = BpeAppliedMerges.foldLeft(wrapped) { case (acc, (l, r)) =>
+        s"replace($acc, chr(1)||'$l'||chr(2)||chr(1)||'$r'||chr(2), " +
+          s"chr(1)||'$l$r'||chr(2))"
+      }
+      s"""WITH w AS (
+         |  SELECT lang, t AS word, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT lang, unnest($ToksSql) AS t FROM documents)
+         |  WHERE regexp_full_match(t, '[a-z]+')
+         |  GROUP BY 1, 2),
+         |enc AS (
+         |  SELECT lang, c, CAST(length(word) AS BIGINT) AS len,
+         |         CAST(len(string_split(substr(s, 2, length(s) - 2),
+         |                   chr(2)||chr(1))) AS BIGINT) AS ns
+         |  FROM (SELECT lang, word, c, $chain AS s FROM w))
+         |SELECT lang, n_words, n_chars, n_subwords,
+         |       (1000 * n_chars) // n_subwords AS chars_per_subword_milli
+         |FROM (
+         |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
+         |         CAST(sum(len * c) AS BIGINT) AS n_chars,
+         |         CAST(sum(ns * c) AS BIGINT) AS n_subwords
+         |  FROM enc GROUP BY 1)""".stripMargin
+    },
 
     "q224_feature_hashing" ->
       s"""WITH f AS (

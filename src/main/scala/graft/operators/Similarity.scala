@@ -440,18 +440,36 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("embedding"),
         vnorm(col("embedding")).as("nrm"))
       .localCheckpoint()
-    val dup = asg.as("x").join(asg.as("y"),
-        col("x.cell") === col("y.cell") &&
-          col("y.vec_id") < col("x.vec_id"))
-      .filter(floor(cosineWithNorms(col("y.embedding"), col("x.embedding"),
-          col("y.nrm"), col("x.nrm")) * 1e6 + 0.5).cast("long")
-        >= threshMicro)
-      .select(col("x.vec_id").as("vec_id")).distinct()
+    val dup = semPairsOf(asg, threshMicro)
+      .select(col("b").as("vec_id")).distinct()
       .withColumn("pruned", lit(true))
     asg.join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("pruned"), lit(false)).as("pruned"))
   }
+
+  /** The raw within-cell duplicate PAIRS behind [[semDedup]] — (a, b,
+    * cos_micro) with a < b, cell-blocked, same micro-rounded threshold —
+    * for audits that compare the semantic signal against other dedup
+    * families (q229). Same one-shuffle shape as semDedup's dup stage.
+    */
+  def semDupPairs(emb: DataFrame, nCells: Int, threshMicro: Long): DataFrame =
+    semPairsOf(
+      detAssign(emb, nCells)
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          vnorm(col("embedding")).as("nrm"))
+        .localCheckpoint(),
+      threshMicro)
+
+  private def semPairsOf(asg: DataFrame, threshMicro: Long): DataFrame =
+    asg.as("x").join(asg.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .select(col("y.vec_id").as("a"), col("x.vec_id").as("b"),
+        floor(cosineWithNorms(col("y.embedding"), col("x.embedding"),
+          col("y.nrm"), col("x.nrm")) * 1e6 + 0.5).cast("long")
+          .as("cos_micro"))
+      .filter(col("cos_micro") >= threshMicro)
 
   /** Prototypicality ranking (the SSL-prototypes pruning signal, Sorscher
     * et al. 2022): cosine of each vector to its [[detAssign]] centroid,

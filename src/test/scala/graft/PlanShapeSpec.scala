@@ -213,6 +213,21 @@ class PlanShapeSpec extends SparkTestBase {
     p should not include "Join" // vocab carries its own weights
   }
 
+  test("q229: both pair engines stay blocked — no cartesian anywhere") {
+    val p = plan("q229_dedup_disagreement")
+    p should not include "CartesianProduct"
+    p should include("graft_sorted_intersect_count") // exact-jaccard kernel
+  }
+
+  test("q230: encode folds stay on the (lang, word) vocab frame") {
+    val q = SparkEntry.queries("q230_compression_ratio")(
+      spark, "/root/testdata/sf0.001").queryExecution
+    // the merge kernel rides the aggregate's result projection, which the
+    // physical toString elides — assert it on the optimized logical plan
+    q.optimizedPlan.toString should include("graft_pair_merge")
+    q.executedPlan.toString should not include "Join" // weights ride along
+  }
+
   test("q226: trim thresholds broadcast back — no per-group rank window") {
     // q62's two-scan pattern: percentile aggregate + broadcast join;
     // a rank-window formulation would put a Window over order rows

@@ -267,6 +267,22 @@ class SimilaritySpec extends SparkTestBase {
       m.filter(_._2._2 == false).keys.min shouldBe m.keys.min }
   }
 
+  test("semDupPairs is the pair table behind semDedup's pruned set") {
+    val emb = bundles(16).toDF("vec_id", "embedding")
+    val pairs = Similarity.semDupPairs(emb, 2, 990000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // orientation: a < b always; threshold honored
+    pairs.foreach { case (a, b, cm) =>
+      a should be < b
+      cm should be >= 990000L
+    }
+    // pruned(vec) ⇔ vec appears as the HIGHER id of some pair
+    val prunedFromPairs = pairs.map(_._2).toSet
+    val pruned = Similarity.semDedup(emb, 2, 990000L)
+      .filter("pruned").collect().map(_.getLong(0)).toSet
+    prunedFromPairs shouldBe pruned
+  }
+
   test("semDedup is repartition-invariant") {
     val emb = bundles(16).toDF("vec_id", "embedding")
     val a = Similarity.semDedup(emb, 2, 990000L).collect().toSet
