@@ -175,7 +175,8 @@ object Multimodal {
 
   /** REAL audio decode/feature stage: RIFF/WAVE payloads across the full
     * [[WavCodec]] format dispatch (PCM 8/16/24/32, float32, G.711 A/μ-law,
-    * IMA ADPCM, EXTENSIBLE) parse into sample arrays and scale-free
+    * IMA ADPCM, EXTENSIBLE), AIFF/AIFF-C ([[AiffCodec]]), and lossless
+    * FLAC ([[FlacCodec]]) parse into sample arrays and scale-free
     * signal features (RMS, zero-crossing rate, peak). Payloads outside
     * that set — now only perceptual codecs (MP3/AAC/Vorbis; see
     * [[audioMeta]] for the MP3 metadata rung) — take the marked
@@ -191,7 +192,8 @@ object Multimodal {
         octet_length(col("payload")).as("n_bytes"))
       .as[(Long, Array[Byte], Int)]
       .mapPartitions(_.map { case (id, payload, n) =>
-        WavCodec.decode(payload).orElse(AiffCodec.decode(payload)) match {
+        WavCodec.decode(payload).orElse(AiffCodec.decode(payload))
+          .orElse(FlacCodec.decode(payload)) match {
           case Some(a) =>
             val (rms, zcr, peak) = WavCodec.features(a)
             AudioFeature(id, n, a.sampleRate, a.channels, a.nFrames,
@@ -211,8 +213,8 @@ object Multimodal {
 
   /** Audio TRIAGE stage — the metadata pass a corpus pipeline runs before
     * deciding what to decode: container identification plus rate /
-    * channels / duration for WAV (full [[WavCodec]] dispatch,
-    * `pcm_decodable = true`) and MP3 ([[Mp3Codec]]'s strict frame walk —
+    * channels / duration for WAV (full [[WavCodec]] dispatch), AIFF, and
+    * FLAC (all `pcm_decodable = true`) and MP3 ([[Mp3Codec]]'s strict frame walk —
     * real duration and average bitrate without PCM synthesis,
     * `pcm_decodable = false` because Layer III spectral decode is the
     * declared fallback arm). Unknown payloads report `container =
@@ -227,7 +229,8 @@ object Multimodal {
       .as[(Long, Array[Byte], Int)]
       .mapPartitions(_.map { case (id, payload, n) =>
         WavCodec.decode(payload).map(("wav", _))
-          .orElse(AiffCodec.decode(payload).map(("aiff", _))) match {
+          .orElse(AiffCodec.decode(payload).map(("aiff", _)))
+          .orElse(FlacCodec.decode(payload).map(("flac", _))) match {
           case Some((container, a)) =>
             AudioMeta(id, n, container, a.sampleRate, a.channels,
               if (a.sampleRate == 0) 0L
