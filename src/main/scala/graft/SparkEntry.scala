@@ -91,6 +91,13 @@ object SparkEntry {
   // generated oracle SQL, so the two sides cannot drift
   private val Bm25Terms = Seq("table", "row", "join")
 
+  // q231: the truncated-RBO weight table (p = 0.9, depth 20) — the
+  // geometric weights are computed ONCE here and embedded as literals in
+  // BOTH the Spark frame and the oracle's VALUES list, so no runtime
+  // pow() (libm, engine-divergent) ever executes
+  private val RboWeightsMicro: Seq[Long] =
+    (1 to 20).map(d => math.round(1e6 * 0.1 * math.pow(0.9, d - 1)))
+
   // q225: ONE fixed merge table (a tokenizer is a deployment ARTIFACT,
   // not a function of the data being tokenized) drives both the Spark
   // fold over `graft_pair_merge` and the generated DuckDB replace-chain
@@ -2863,6 +2870,70 @@ object SparkEntry {
     // support grid (|distinct lengths| × |sources| rows, both bounded),
     // the pair stage joins on the support value so it is
     // |lengths|·|sources|² at worst — never doc-grain
+    // §2.6 — rank-biased overlap between two rankings (round 5: Webber
+    // et al.'s top-weighted ranking-agreement metric — the eval-harness
+    // complement of q153's RRF fusion: where RRF COMBINES the revenue
+    // and breadth rankings, RBO MEASURES how much they agree, weighting
+    // depth d by (1−p)·p^(d−1). Truncated at depth 20 with p = 0.9;
+    // the geometric weights are build-time literals shared with the
+    // oracle, per-depth terms integer-div once, and the ranks rank the
+    // PART AGGREGATE (bounded catalog, q137's documented exemption).
+    // Output: the per-depth agreement curve with the cumulative RBO
+    "q231_rbo_rankings" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val agg = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(expr("sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))")
+          .as("cents"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .localCheckpoint() // one aggregate pass feeds both rankings
+      val ra = agg.withColumn("ra", row_number().over(
+          Window.orderBy(col("cents").desc, col("l_partkey").asc)))
+        .filter(col("ra") <= 20).select(col("l_partkey"), col("ra"))
+      val rb = agg.withColumn("rb", row_number().over(
+          Window.orderBy(col("n_orders").desc, col("l_partkey").asc)))
+        .filter(col("rb") <= 20).select(col("l_partkey"), col("rb"))
+      // a part contributes to overlap at every depth >= max(ra, rb)
+      val m = ra.join(rb, Seq("l_partkey"))
+        .select(greatest(col("ra"), col("rb")).as("m"))
+      val depths = RboWeightsMicro.zipWithIndex
+        .map { case (w, i) => ((i + 1).toLong, w) }.toDF("d", "w_micro")
+      depths.join(m, col("m") <= col("d"), "left")
+        .groupBy(col("d"), col("w_micro"))
+        .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("overlap"))
+        .withColumn("term_micro", expr("(w_micro * overlap) div d"))
+        .withColumn("rbo_cum_micro", sum(col("term_micro")).over(
+          Window.orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
+    // §2.9 — web-domain provenance stats (round 5: the per-domain volume
+    // report every web-corpus pipeline runs before domain-level dedup /
+    // filtering (C4, RefinedWeb) — URLs extracted from text, aggregated
+    // by host. The synthetic corpus carries no URLs, so q56's
+    // deterministic-injection pattern plants them keyed by doc_id —
+    // the extraction regex and the share arithmetic are what's under
+    // test. One explode + one bounded domain-key shuffle + a 1-row total
+    "q232_domain_stats" -> ((s, dir) => {
+      val re = "https?://([A-Za-z0-9.-]+)"
+      val aug = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see http://site"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com/page"), col("doc_id").cast("string")))
+            .otherwise(lit(""))))
+      val hits = aug.select(col("doc_id"),
+          explode(expr(s"regexp_extract_all(text, '$re', 1)")).as("domain"))
+      val byDomain = hits.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      val tot = byDomain.agg(sum(col("n_urls")).as("t"))
+      byDomain.crossJoin(broadcast(tot))
+        .select(col("domain"), col("n_urls"), col("n_docs"),
+          expr("(1000 * n_urls) div t").as("url_share_permille"))
+    }),
+
     // §2.2 — per-source column fill-rate scorecard (round 5: the
     // data-vendor completeness report — for every (source, column), the
     // row count, nulls, EMPTY values (blank-trimmed strings / non-positive
@@ -6169,6 +6240,65 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q231_rbo_rankings" -> {
+      val valuesList = RboWeightsMicro.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"""WITH agg AS (
+         |  SELECT l_partkey,
+         |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+         |           AS BIGINT)) AS BIGINT) AS cents,
+         |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+         |  FROM lineitem GROUP BY 1),
+         |ra AS (
+         |  SELECT l_partkey, ra FROM (
+         |    SELECT l_partkey, row_number() OVER
+         |      (ORDER BY cents DESC, l_partkey ASC) AS ra FROM agg)
+         |  WHERE ra <= 20),
+         |rb AS (
+         |  SELECT l_partkey, rb FROM (
+         |    SELECT l_partkey, row_number() OVER
+         |      (ORDER BY n_orders DESC, l_partkey ASC) AS rb FROM agg)
+         |  WHERE rb <= 20),
+         |m AS (
+         |  SELECT greatest(ra.ra, rb.rb) AS m
+         |  FROM ra JOIN rb USING (l_partkey)),
+         |w(d, w_micro) AS (VALUES $valuesList)
+         |SELECT d, w_micro, overlap, term_micro,
+         |       CAST(sum(term_micro) OVER (ORDER BY d
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS rbo_cum_micro
+         |FROM (
+         |  SELECT CAST(w.d AS BIGINT) AS d,
+         |         CAST(w.w_micro AS BIGINT) AS w_micro,
+         |         CAST(count(m.m) AS BIGINT) AS overlap,
+         |         (CAST(w.w_micro AS BIGINT) * count(m.m))
+         |           // CAST(w.d AS BIGINT) AS term_micro
+         |  FROM w LEFT JOIN m ON m.m <= w.d
+         |  GROUP BY w.d, w.w_micro)""".stripMargin
+    },
+
+    "q232_domain_stats" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || CASE WHEN doc_id % 3 = 0
+        |           THEN ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+        |                || '.example.com/page' || CAST(doc_id AS VARCHAR)
+        |           ELSE '' END AS text
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(text,
+        |           'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+        |  FROM aug),
+        |bd AS (
+        |  SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM hits GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_urls) AS BIGINT) AS t FROM bd)
+        |SELECT domain, n_urls, n_docs,
+        |       (1000 * n_urls) // t AS url_share_permille
+        |FROM bd, tot""".stripMargin,
 
     "q228_fill_rates" ->
       """WITH a AS (
