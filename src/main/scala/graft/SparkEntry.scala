@@ -2870,6 +2870,60 @@ object SparkEntry {
     // support grid (|distinct lengths| × |sources| rows, both bounded),
     // the pair stage joins on the support value so it is
     // |lengths|·|sources|² at worst — never doc-grain
+    // §2.6 — 3-itemset support mining (round 5: the Apriori step above
+    // q157's 2-itemset rules — top part TRIPLES co-purchased in one
+    // order. Triples expand MAP-SIDE from each order's sorted distinct
+    // basket via nested sequence-transforms (C(k,3) of the BOUNDED
+    // basket, q183's measured cost frame), so the shuffle carries
+    // (triple, partial count) — never triple rows; the oracle takes the
+    // independent three-way self-join formulation. Top-15 by support
+    // with a full (p1, p2, p3) tie-break
+    "q233_triple_itemsets" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+        .filter(size(col("items")) >= 3)
+      val triples = expr(
+        """flatten(flatten(transform(sequence(1, size(items) - 2), i ->
+          |  transform(sequence(i + 1, size(items) - 1), j ->
+          |    transform(sequence(j + 1, CAST(size(items) AS BIGINT)), k ->
+          |      struct(element_at(items, CAST(i AS INT)) AS p1,
+          |             element_at(items, CAST(j AS INT)) AS p2,
+          |             element_at(items, CAST(k AS INT)) AS p3))))))
+          |""".stripMargin)
+      baskets.select(explode(triples).as("t"))
+        .select(col("t.p1"), col("t.p2"), col("t.p3"))
+        .groupBy(col("p1"), col("p2"), col("p3"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("p1").asc, col("p2").asc,
+          col("p3").asc)
+        .limit(15)
+    }),
+
+    // §2.6 — SQL-facade gate (round 5: the operator library driven
+    // end-to-end THROUGH `spark.sql` over GraftSql's `graft_<query>`
+    // views — per language, how many dedup-exact keepers survive and how
+    // many of them are low-stopword docs, joining two registered
+    // operator views to a base table inside one SQL statement. This puts
+    // the BI-style interface itself (view registration, cross-view
+    // Catalyst planning) into the driver's correctness gate; the oracle
+    // restates BOTH operators' semantics from first principles in SQL
+    "q234_sql_facade" -> ((s, dir) => {
+      GraftSql.registerOperators(s, dir,
+        only = Set("q18_dedup_exact", "q15_quality_score"))
+      s.sql(
+        """SELECT d.lang,
+          |       CAST(count(*) AS BIGINT) AS n_keepers,
+          |       CAST(sum(CASE WHEN q.stopword_ratio < 0.05
+          |                     THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_low_stopword
+          |FROM graft_q18_dedup_exact k
+          |JOIN documents d ON k.doc_id = d.doc_id
+          |JOIN graft_q15_quality_score q ON q.doc_id = k.doc_id
+          |GROUP BY d.lang""".stripMargin)
+    }),
+
     // §2.6 — rank-biased overlap between two rankings (round 5: Webber
     // et al.'s top-weighted ranking-agreement metric — the eval-harness
     // complement of q153's RRF fusion: where RRF COMBINES the revenue
@@ -6239,6 +6293,37 @@ object SparkEntry {
          |       CAST(200 * count(t.neighbor_id) AS BIGINT) AS recall_permille
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
+         |GROUP BY 1""".stripMargin,
+
+    "q233_triple_itemsets" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT p1, p2, p3, support FROM (
+        |  SELECT a.pk AS p1, b2.pk AS p2, c.pk AS p3,
+        |         CAST(count(*) AS BIGINT) AS support
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |           JOIN b c  ON a.ok = c.ok AND b2.pk < c.pk
+        |  GROUP BY 1, 2, 3)
+        |WHERE support >= 2
+        |ORDER BY support DESC, p1, p2, p3 LIMIT 15""".stripMargin,
+
+    "q234_sql_facade" ->
+      s"""WITH keepers AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5($NormSql) AS fp FROM documents)
+         |  GROUP BY fp),
+         |quality AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter($ToksSql,
+         |              x -> list_contains(['the','a','of','to','in','is','and'], x))) AS DOUBLE)
+         |           / len($ToksSql) AS stopword_ratio
+         |  FROM documents)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_keepers,
+         |       CAST(count(*) FILTER (WHERE q.stopword_ratio < 0.05)
+         |         AS BIGINT) AS n_low_stopword
+         |FROM keepers k
+         |JOIN documents d ON k.doc_id = d.doc_id
+         |JOIN quality q ON q.doc_id = k.doc_id
          |GROUP BY 1""".stripMargin,
 
     "q231_rbo_rankings" -> {
