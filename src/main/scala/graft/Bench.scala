@@ -102,7 +102,17 @@ object Bench {
     // heavy hitters is two scan-shaped aggregate passes; PQ encode is
     // broadcast-codebook map-side scoring + one argmin shuffle
     "q194_link_scores", "q197_segment_jaccard_docs", "q204_heavy_hitters",
-    "q205_pq_encode")
+    "q205_pq_encode",
+    // round-5 continuation linear-claim additions: feature hashing and
+    // BPE encode/compression are scan-shaped explodes into map-side-
+    // combining aggregates (no joins at all); fill rates is one bounded
+    // conditional aggregate; domain stats is one explode + bounded
+    // domain shuffle; triple mining's C(k,3) fan-out is bounded by the
+    // basket (q183's frame), so its shuffles carry counts, not triples.
+    // q229 stays OUT (it composes q19's by-design-quadratic exact pair
+    // engine, the q141 rule)
+    "q224_feature_hashing", "q225_bpe_encode", "q228_fill_rates",
+    "q230_compression_ratio", "q232_domain_stats", "q233_triple_itemsets")
 
   /** True iff every `<md5>  <rows>  <name>.parquet` line of the committed
     * manifest (tools/sf1_manifest.txt, written by tools/gen_sf1.py) matches

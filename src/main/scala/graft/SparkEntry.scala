@@ -2870,6 +2870,128 @@ object SparkEntry {
     // support grid (|distinct lengths| × |sources| rows, both bounded),
     // the pair stage joins on the support value so it is
     // |lengths|·|sources|² at worst — never doc-grain
+    // §2.6 — binary-segmentation changepoints (round 5: q143's CUSUM
+    // argmax recursed one level — the global level-shift day splits the
+    // series, then each side runs the same exact-integer statistic under
+    // a segment-partitioned window, yielding up to three candidate
+    // shifts ranked by their own deviations. All windows ride the
+    // bounded |days| aggregate frame; the level-1 split broadcasts as a
+    // 1-row frame; ties break to the earliest day so the recursion is a
+    // pure function of the data
+    "q235_binary_segmentation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // consumed by both levels
+      val w = Window.orderBy(col("d"))
+      val sc = daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("s_i", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = sc.groupBy().agg(max(col("i")).as("nd"), sum(col("n")).as("tt"))
+      val l1 = sc.crossJoin(broadcast(tot))
+        .select(col("d"),
+          abs(col("nd") * col("s_i") - col("i") * col("tt")).as("stat_scaled"))
+        .orderBy(col("stat_scaled").desc, col("d").asc)
+        .limit(1)
+        .localCheckpoint() // feeds the output AND the level-2 split
+      val seg = daily.crossJoin(broadcast(l1.select(col("d").as("cp1"))))
+        .withColumn("segment",
+          when(col("d") <= col("cp1"), "left").otherwise("right"))
+      val w2 = Window.partitionBy(col("segment")).orderBy(col("d"))
+      val sc2 = seg
+        .withColumn("i", row_number().over(w2).cast("long"))
+        .withColumn("s_i", sum(col("n")).over(
+          w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot2 = sc2.groupBy(col("segment"))
+        .agg(max(col("i")).as("nd"), sum(col("n")).as("tt"))
+      val rk = Window.partitionBy(col("segment"))
+        .orderBy(col("stat_scaled").desc, col("d").asc)
+      val l2 = sc2.join(broadcast(tot2), Seq("segment"))
+        .select(col("segment"), col("d"),
+          abs(col("nd") * col("s_i") - col("i") * col("tt")).as("stat_scaled"))
+        .withColumn("r", row_number().over(rk))
+        .filter(col("r") === 1)
+        .select(lit(2L).as("level"), col("segment"), col("d").as("cp_date"),
+          col("stat_scaled"))
+      l1.select(lit(1L).as("level"), lit("all").as("segment"),
+          col("d").as("cp_date"), col("stat_scaled"))
+        .unionByName(l2)
+    }),
+
+    // §2.6 — Lorenz curve of customer revenue (round 5: the
+    // full-distribution decile table behind q184's Gini scalar — revenue
+    // deciles of the customer aggregate with exact cumulative cents and
+    // share permille, the "what share do the bottom k own" read-off.
+    // Deciles come from an ntile over the CUSTOMER AGGREGATE (q137's
+    // documented exemption), every sum an exact BIGINT
+    "q236_lorenz_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))")
+          .as("cents"))
+      val dw = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+      val dec = cust.withColumn("decile", ntile(10).over(dw).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("dec_cents"))
+      val cw = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("cum_cents", sum(col("dec_cents")).over(cw))
+        .crossJoin(broadcast(dec.groupBy().agg(sum(col("dec_cents")).as("t"))))
+        .select(col("decile"), col("n_cust"), col("dec_cents"),
+          col("cum_cents"),
+          expr("(1000 * cum_cents) div t").as("cum_share_permille"))
+    }),
+
+    // §2.9 — Burrows' Delta style distance between sources (round 5: the
+    // classic stylometry metric — for the corpus's top-20 words, each
+    // source's usage rate standardizes against the cross-source
+    // mean/stddev, and a source pair's delta is the mean absolute
+    // difference of those z-scores. Rates are exact integer ppm; the
+    // only doubles are the final sqrt (IEEE-exact, the q115/q198
+    // argument) and the z subtraction, micro-rounded once per cell
+    // before the pair stage so both engines difference identical
+    // integers. All frames bounded: 20 words × |sources|
+    "q237_burrows_delta" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokensWs(col("text")))
+            .as("w"))
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(20)
+        .select(col("w"))
+      val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+      val rates = toks.join(broadcast(top), Seq("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cw"))
+      // DENSE word × source grid: absent cells are genuine zero rates
+      val grid = top.crossJoin(srcTot)
+        .join(rates, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          expr("(1000000 * coalesce(cw, 0)) div nt").as("ppm"))
+      val stats = grid.groupBy(col("w"))
+        .agg(count(lit(1)).as("k"), sum(col("ppm")).as("s1"),
+          sum(col("ppm") * col("ppm")).as("s2"))
+        .filter(col("k") * col("s2") > col("s1") * col("s1")) // nonzero var
+      // z = (k·ppm − s1) / sqrt(k·s2 − s1²): the population z-score with
+      // mean s1/k and std sqrt(k·s2 − s1²)/k, cleared of divisions
+      val z = grid.join(broadcast(stats), Seq("w"))
+        .select(col("source"), col("w"),
+          floor((col("ppm") * col("k") - col("s1")).cast("double") /
+            sqrt((col("k") * col("s2") - col("s1") * col("s1"))
+              .cast("double")) * 1e6 + 0.5)
+            .cast("long").as("z_micro"))
+      z.as("a").join(z.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          abs(col("a.z_micro") - col("b.z_micro")).as("dz"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_words"),
+          expr("sum(dz) div count(1)").as("delta_micro"))
+    }),
+
     // §2.6 — 3-itemset support mining (round 5: the Apriori step above
     // q157's 2-itemset rules — top part TRIPLES co-purchased in one
     // order. Triples expand MAP-SIDE from each order's sorted distinct
@@ -6294,6 +6416,116 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q235_binary_segmentation" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |sc AS (
+        |  SELECT d, n,
+        |         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |         CAST(sum(n) OVER (ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS s_i
+        |  FROM daily),
+        |tot AS (SELECT CAST(max(i) AS BIGINT) AS nd,
+        |               CAST(sum(n) AS BIGINT) AS tt FROM sc),
+        |l1 AS (
+        |  SELECT d, abs(nd * s_i - i * tt) AS stat_scaled
+        |  FROM sc, tot
+        |  ORDER BY stat_scaled DESC, d ASC LIMIT 1),
+        |seg AS (
+        |  SELECT daily.d, daily.n,
+        |         CASE WHEN daily.d <= l1.d THEN 'left' ELSE 'right' END
+        |           AS segment
+        |  FROM daily, l1),
+        |sc2 AS (
+        |  SELECT segment, d, n,
+        |         CAST(row_number() OVER (PARTITION BY segment ORDER BY d)
+        |           AS BIGINT) AS i,
+        |         CAST(sum(n) OVER (PARTITION BY segment ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS s_i
+        |  FROM seg),
+        |tot2 AS (
+        |  SELECT segment, CAST(max(i) AS BIGINT) AS nd,
+        |         CAST(sum(n) AS BIGINT) AS tt
+        |  FROM sc2 GROUP BY 1),
+        |l2 AS (
+        |  SELECT segment, d, stat_scaled FROM (
+        |    SELECT sc2.segment, sc2.d,
+        |           abs(tot2.nd * sc2.s_i - sc2.i * tot2.tt) AS stat_scaled,
+        |           row_number() OVER (PARTITION BY sc2.segment
+        |             ORDER BY abs(tot2.nd * sc2.s_i - sc2.i * tot2.tt) DESC,
+        |                      sc2.d ASC) AS r
+        |    FROM sc2 JOIN tot2 USING (segment))
+        |  WHERE r = 1)
+        |SELECT CAST(1 AS BIGINT) AS level, 'all' AS segment,
+        |       d AS cp_date, stat_scaled FROM l1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), segment, d, stat_scaled FROM l2""".stripMargin,
+
+    "q236_lorenz_curve" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |dec AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY cents ASC, o_custkey ASC)
+        |           AS BIGINT) AS decile,
+        |         cents
+        |  FROM cust),
+        |agg AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |         CAST(sum(cents) AS BIGINT) AS dec_cents
+        |  FROM dec GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dec_cents) AS BIGINT) AS t FROM agg)
+        |SELECT decile, n_cust, dec_cents,
+        |       CAST(sum(dec_cents) OVER (ORDER BY decile
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_cents,
+        |       (1000 * CAST(sum(dec_cents) OVER (ORDER BY decile
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT)) // t AS cum_share_permille
+        |FROM agg, tot""".stripMargin,
+
+    "q237_burrows_delta" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest($ToksSql) AS w FROM documents),
+         |top AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(*) AS c FROM toks GROUP BY 1)
+         |  ORDER BY c DESC, w ASC LIMIT 20),
+         |srctot AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS nt
+         |  FROM toks GROUP BY 1),
+         |rates AS (
+         |  SELECT t.source, t.w, CAST(count(*) AS BIGINT) AS cw
+         |  FROM toks t JOIN top USING (w) GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT s.source, top.w,
+         |         (1000000 * coalesce(r.cw, 0)) // s.nt AS ppm
+         |  FROM top CROSS JOIN srctot s
+         |  LEFT JOIN rates r ON r.source = s.source AND r.w = top.w),
+         |stats AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS k,
+         |         CAST(sum(ppm) AS BIGINT) AS s1,
+         |         CAST(sum(ppm * ppm) AS BIGINT) AS s2
+         |  FROM grid GROUP BY 1
+         |  HAVING count(*) * sum(ppm * ppm) > sum(ppm) * sum(ppm)),
+         |z AS (
+         |  SELECT g.source, g.w,
+         |         CAST(floor(CAST(g.ppm * st.k - st.s1 AS DOUBLE)
+         |           / sqrt(CAST(st.k * st.s2 - st.s1 * st.s1 AS DOUBLE))
+         |           * 1e6 + 0.5) AS BIGINT) AS z_micro
+         |  FROM grid g JOIN stats st USING (w))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(abs(a.z_micro - b.z_micro)) AS BIGINT)
+         |         // CAST(count(*) AS BIGINT) AS delta_micro
+         |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
 
     "q233_triple_itemsets" ->
       """WITH b AS (
