@@ -2870,6 +2870,90 @@ object SparkEntry {
     // support grid (|distinct lengths| × |sources| rows, both bounded),
     // the pair stage joins on the support value so it is
     // |lengths|·|sources|² at worst — never doc-grain
+    // §2.6 — Kaplan–Meier customer survival curve (round 5: the
+    // censoring-aware churn analysis a naive "share still active"
+    // cannot do — tenure = first→last order days, customers whose last
+    // order falls within 30 days of the dataset horizon are CENSORED
+    // (still at risk, not churned), and the survivor function is the
+    // K-M product limit S_t = S_{t-1}·(r_t − d_t)/r_t over event
+    // tenures. The product is an inherently sequential recurrence —
+    // q173's bounded-fold pattern over the ≤|tenure days| aggregate
+    // frame, in exact integer micros so the recursive-CTE oracle twin is
+    // bit-identical; risk sets come from one cumulative window on the
+    // same frame
+    "q238_survival_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val horizon = o.agg(max(to_date(col("o_orderdate"))).as("h"))
+      val ten = o.groupBy(col("o_custkey"))
+        .agg(to_date(min(col("o_orderdate"))).as("f"),
+          to_date(max(col("o_orderdate"))).as("l"))
+        .crossJoin(broadcast(horizon))
+        .select(datediff(col("l"), col("f")).cast("long").as("tenure"),
+          (datediff(col("h"), col("l")) > 30).as("churned"))
+      val byT = ten.groupBy(col("tenure"))
+        .agg(count(lit(1)).as("n_t"),
+          sum(when(col("churned"), 1L).otherwise(0L)).as("d_t"))
+      val tot = byT.agg(sum(col("n_t")).as("n"))
+      val w = Window.orderBy(col("tenure"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = byT.crossJoin(broadcast(tot))
+        .withColumn("left_by_t", sum(col("n_t")).over(w))
+        .select(col("tenure"), col("n_t"), col("d_t"),
+          (col("n") - col("left_by_t") + col("n_t")).as("at_risk"))
+      risk.agg(sort_array(collect_list(struct(col("tenure"), col("n_t"),
+          col("d_t"), col("at_risk")))).as("a"))
+        .select(explode(expr(
+          """aggregate(a,
+            |  cast(array() as array<struct<tenure:bigint,n_t:bigint,
+            |    d_t:bigint,at_risk:bigint,surv_micro:bigint>>),
+            |  (acc, x) -> concat(acc, array(named_struct(
+            |    'tenure', x.tenure, 'n_t', x.n_t, 'd_t', x.d_t,
+            |    'at_risk', x.at_risk,
+            |    'surv_micro',
+            |      (CASE WHEN size(acc) = 0 THEN 1000000
+            |        ELSE element_at(acc, -1).surv_micro END
+            |       * (x.at_risk - x.d_t)) div x.at_risk))))""".stripMargin))
+          .as("r"))
+        .select(col("r.tenure").as("tenure"), col("r.n_t").as("n_t"),
+          col("r.d_t").as("d_t"), col("r.at_risk").as("at_risk"),
+          col("r.surv_micro").as("surv_micro"))
+    }),
+
+    // §2.9 — readability scoring (round 5: the Flesch reading-ease
+    // family as an exact-integer curation signal — sentences from
+    // terminal-punctuation splits, syllables as vowel GROUPS per word
+    // (the standard dependency-free heuristic), and the score in micros
+    // by cross-multiplication: 206835000 − 1015000·(words/sentences) −
+    // 84600000·(syllables/words), each ratio micro-scaled BEFORE its
+    // weight so both engines divide identical integers. Per-source
+    // rollup of the per-doc frame; everything map-side + one bounded
+    // source aggregate
+    "q239_readability" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokensWs(col("text"))
+      val d = t(s, dir, "documents").select(col("source"),
+          size(toks).cast("long").as("n_words"),
+          greatest(size(split(col("text"), "[.!?]+")) - 1, lit(1))
+            .cast("long").as("n_sents"),
+          expr("""CAST(aggregate(
+            |  filter(split(lower(text), ' '), x -> x != ''),
+            |  0L, (acc, w) -> acc + greatest(
+            |    length(regexp_replace(w, '[aeiouy]+', 'V')) -
+            |    length(replace(regexp_replace(w, '[aeiouy]+', 'V'), 'V', '')),
+            |    1)) AS BIGINT)""".stripMargin)
+            .as("n_syll"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch_micro",
+          expr("206835000 - (1015 * ((1000000 * n_words) div n_sents))" +
+            " div 1000 - (84600 * ((1000000 * n_syll) div n_words))" +
+            " div 1000"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_syll")).as("sylls"),
+          expr("sum(flesch_micro) div count(1)").as("mean_flesch_micro"))
+    }),
+
     // §2.6 — binary-segmentation changepoints (round 5: q143's CUSUM
     // argmax recursed one level — the global level-shift day splits the
     // series, then each side runs the same exact-integer statistic under
@@ -6416,6 +6500,63 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q238_survival_curve" ->
+      """WITH RECURSIVE ten AS (
+        |  SELECT CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+        |           max(CAST(o_orderdate AS DATE))) AS BIGINT) AS tenure,
+        |         date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |           (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) > 30
+        |           AS churned
+        |  FROM orders GROUP BY o_custkey),
+        |byt AS (
+        |  SELECT tenure, CAST(count(*) AS BIGINT) AS n_t,
+        |         CAST(count(*) FILTER (WHERE churned) AS BIGINT) AS d_t
+        |  FROM ten GROUP BY 1),
+        |risk AS (
+        |  SELECT tenure, n_t, d_t,
+        |         CAST((SELECT sum(n_t) FROM byt) - sum(n_t)
+        |           OVER (ORDER BY tenure
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           + n_t AS BIGINT) AS at_risk,
+        |         CAST(row_number() OVER (ORDER BY tenure) AS BIGINT) AS i
+        |  FROM byt),
+        |s AS (
+        |  SELECT i, tenure, n_t, d_t, at_risk,
+        |         (1000000 * (at_risk - d_t)) // at_risk AS surv_micro
+        |  FROM risk WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.i, r.tenure, r.n_t, r.d_t, r.at_risk,
+        |         (s.surv_micro * (r.at_risk - r.d_t)) // r.at_risk
+        |  FROM risk r JOIN s ON r.i = s.i + 1)
+        |SELECT tenure, n_t, d_t, at_risk, surv_micro FROM s""".stripMargin,
+
+    "q239_readability" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |         CAST(len($ToksSql) AS BIGINT) AS n_words,
+         |         CAST(greatest(len(string_split_regex(text, '[.!?]+')) - 1,
+         |           1) AS BIGINT) AS n_sents,
+         |         CAST(list_reduce(list_prepend(0, list_transform(
+         |           list_filter(string_split(lower(text), ' '), x -> x != ''),
+         |           w -> greatest(
+         |             length(regexp_replace(w, '[aeiouy]+', 'V', 'g')) -
+         |             length(replace(regexp_replace(w, '[aeiouy]+', 'V', 'g'),
+         |               'V', '')), 1))), (a, b) -> a + b) AS BIGINT) AS n_syll
+         |  FROM documents),
+         |f AS (
+         |  SELECT source, n_words, n_syll,
+         |         206835000
+         |           - (1015 * ((1000000 * n_words) // n_sents)) // 1000
+         |           - (84600 * ((1000000 * n_syll) // n_words)) // 1000
+         |           AS flesch_micro
+         |  FROM d WHERE n_words > 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS words,
+         |       CAST(sum(n_syll) AS BIGINT) AS sylls,
+         |       CAST(sum(flesch_micro) AS BIGINT)
+         |         // CAST(count(*) AS BIGINT) AS mean_flesch_micro
+         |FROM f GROUP BY 1""".stripMargin,
 
     "q235_binary_segmentation" ->
       """WITH daily AS (
