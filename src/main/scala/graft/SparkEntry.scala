@@ -2870,6 +2870,72 @@ object SparkEntry {
     // support grid (|distinct lengths| × |sources| rows, both bounded),
     // the pair stage joins on the support value so it is
     // |lengths|·|sources|² at worst — never doc-grain
+    // §2.9 — dataset nutrition label (round 5: the "datasheets for
+    // datasets" summary card — ONE long-form report with the corpus's
+    // headline numbers: volume, token mass, language/source spread,
+    // exact-duplicate mass, and length profile; every metric an exact
+    // integer from TWO scans (the raw aggregate + the fingerprint
+    // dedup), melted into labeled rows by a zero-shuffle stack over the
+    // 1-row aggregate. The first thing a data consumer reads, and a
+    // single query a release pipeline can gate on
+    "q240_nutrition_label" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokensWs(col("text"))
+      val base = t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("n_chars"))
+      val keep = t(s, dir, "documents")
+        .select(graft.functions.TextFunctions.fingerprint(col("text"))
+          .as("fp"))
+        .agg(countDistinct(col("fp")).as("n_unique"))
+      base.crossJoin(broadcast(keep))
+        .select(expr("stack(7," +
+          " 'docs', n_docs," +
+          " 'tokens', n_tokens," +
+          " 'languages', n_langs," +
+          " 'sources', n_sources," +
+          " 'chars', n_chars," +
+          " 'exact_dup_docs', n_docs - n_unique," +
+          " 'dup_permille', (1000 * (n_docs - n_unique)) div n_docs" +
+          ") AS (metric, value)"))
+    }),
+
+    // §2.6 — one-step-ahead forecast backtest (round 5: the eval loop of
+    // the forecasting family — each day's actual volume against the
+    // PREVIOUS day's q173-style EMA as the one-step forecast, with exact
+    // absolute errors and the final MAE; "how good is the smoother as a
+    // predictor", answered with zero lookahead by construction. Same
+    // bounded sorted-fold as q173, errors fold in the same pass
+    "q241_forecast_backtest" -> ((s, dir) => {
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+      daily.agg(sort_array(collect_list(struct(col("d"), col("cents"))))
+          .as("a"))
+        .select(explode(expr(
+          """aggregate(a,
+            |  cast(array() as array<struct<d:date,cents:bigint,
+            |    forecast_cents:bigint,abs_err:bigint,ema:bigint>>),
+            |  (acc, x) -> concat(acc, array(named_struct(
+            |    'd', x.d, 'cents', x.cents,
+            |    'forecast_cents',
+            |      CASE WHEN size(acc) = 0 THEN CAST(-1 AS BIGINT)
+            |           ELSE element_at(acc, -1).ema END,
+            |    'abs_err',
+            |      CASE WHEN size(acc) = 0 THEN CAST(-1 AS BIGINT)
+            |           ELSE abs(x.cents - element_at(acc, -1).ema) END,
+            |    'ema',
+            |      CASE WHEN size(acc) = 0 THEN x.cents
+            |           ELSE (20 * x.cents + 80 * element_at(acc, -1).ema)
+            |                  div 100 END))))""".stripMargin)).as("r"))
+        .select(col("r.d").as("d"), col("r.cents").as("cents"),
+          col("r.forecast_cents").as("forecast_cents"),
+          col("r.abs_err").as("abs_err"))
+        .filter(col("forecast_cents") >= 0) // day 1 has no forecast
+    }),
+
     // §2.6 — Kaplan–Meier customer survival curve (round 5: the
     // censoring-aware churn analysis a naive "share still active"
     // cannot do — tenure = first→last order days, customers whose last
@@ -6500,6 +6566,51 @@ object SparkEntry {
          |FROM fk LEFT JOIN tk t
          |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    "q240_nutrition_label" ->
+      s"""WITH base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
+         |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM documents),
+         |keep AS (
+         |  SELECT CAST(count(DISTINCT md5($NormSql)) AS BIGINT) AS n_unique
+         |  FROM documents),
+         |m AS (
+         |  SELECT 'docs' AS metric, n_docs AS value FROM base
+         |  UNION ALL SELECT 'tokens', n_tokens FROM base
+         |  UNION ALL SELECT 'languages', n_langs FROM base
+         |  UNION ALL SELECT 'sources', n_sources FROM base
+         |  UNION ALL SELECT 'chars', n_chars FROM base
+         |  UNION ALL SELECT 'exact_dup_docs', base.n_docs - keep.n_unique
+         |            FROM base, keep
+         |  UNION ALL SELECT 'dup_permille',
+         |            (1000 * (base.n_docs - keep.n_unique)) // base.n_docs
+         |            FROM base, keep)
+         |SELECT metric, value FROM m""".stripMargin,
+
+    "q241_forecast_backtest" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |idx AS (SELECT d, cents,
+        |               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |        FROM daily),
+        |e AS (
+        |  SELECT i, d, cents, CAST(-1 AS BIGINT) AS forecast_cents,
+        |         CAST(-1 AS BIGINT) AS abs_err, cents AS ema
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.d, idx.cents, e.ema,
+        |         abs(idx.cents - e.ema),
+        |         (20 * idx.cents + 80 * e.ema) // 100
+        |  FROM idx JOIN e ON idx.i = e.i + 1)
+        |SELECT d, cents, forecast_cents, abs_err
+        |FROM e WHERE forecast_cents >= 0""".stripMargin,
 
     "q238_survival_curve" ->
       """WITH RECURSIVE ten AS (
