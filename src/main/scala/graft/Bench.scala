@@ -112,7 +112,15 @@ object Bench {
     // q229 stays OUT (it composes q19's by-design-quadratic exact pair
     // engine, the q141 rule)
     "q224_feature_hashing", "q225_bpe_encode", "q228_fill_rates",
-    "q230_compression_ratio", "q232_domain_stats", "q233_triple_itemsets")
+    "q230_compression_ratio", "q232_domain_stats", "q233_triple_itemsets",
+    // round-5 third-session linear-claim additions: survival/readability/
+    // NB-confusion are grain-aggregate or token-join shapes (scan-linear);
+    // t-closeness and Mann-Whitney reduce to bounded domain/value frames
+    // after one customer/doc-grain aggregate. The day-grain forecast folds
+    // (q241/q244/q245) stay OUT: they are job-launch-floor-bound at every
+    // SF, so the rung would measure overhead, not scaling
+    "q238_survival_curve", "q239_readability", "q242_t_closeness",
+    "q243_mann_whitney", "q246_nb_confusion")
 
   /** True iff every `<md5>  <rows>  <name>.parquet` line of the committed
     * manifest (tools/sf1_manifest.txt, written by tools/gen_sf1.py) matches

@@ -2936,6 +2936,206 @@ object SparkEntry {
         .filter(col("forecast_cents") >= 0) // day 1 has no forecast
     }),
 
+    // §2.6 — t-closeness audit (round 5: the third leg of the privacy
+    // family after k-anonymity q76 and l-diversity q151): per QI group
+    // (market segment), the ordered Earth-Mover's Distance between the
+    // group's sensitive-attribute distribution (nation, ordered by key)
+    // and the global one — EMD = Σ_v |cum_g(v)/n_g − cum_all(v)/N| /
+    // (m−1), kept exact by cross-multiplication: the per-value term is
+    // |N·cum_g − n_g·cum_all| (a BIGINT), and the single normalization
+    // happens once per group at PERMILLE scale (micro would overflow
+    // int64 at n_g·N·1e6 ≈ 1e20 for million-customer groups — the scale
+    // choice is the overflow headroom). Everything after the two
+    // customer-grain aggregates runs on the |segments|×|nations| domain
+    // grid (bounded), so the windows never touch corpus-grain data
+    "q242_t_closeness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "customer")
+      val cells = c.groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+      val gl = c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("g_cnt"))
+      val segTot = c.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_g"))
+      val tot = c.agg(count(lit(1)).as("n"),
+        countDistinct(col("c_nationkey")).as("m"))
+      val grid = segTot.crossJoin(broadcast(gl)) // bounded domain frame
+        .join(broadcast(cells), Seq("c_mktsegment", "c_nationkey"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val wg = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_nationkey"))
+      grid
+        .withColumn("cum_g", sum(col("cnt")).over(wg))
+        .withColumn("cum_all", sum(col("g_cnt")).over(wg))
+        .crossJoin(broadcast(tot)) // 1-row (N, m)
+        .withColumn("term",
+          abs(col("n") * col("cum_g") - col("n_g") * col("cum_all")))
+        .groupBy(col("c_mktsegment"), col("n_g"), col("n"), col("m"))
+        .agg(sum(col("term")).as("emd_num"))
+        .select(col("c_mktsegment"), col("n_g"),
+          expr("(1000 * emd_num) div (n_g * n * (m - 1))")
+            .as("emd_permille"))
+        .withColumn("exceeds_t", col("emd_permille") > 200)
+    }),
+
+    // §2.6 — Mann–Whitney U rank-sum test (round 5: the nonparametric
+    // two-sample location test beside Welch q115 / KS q218 — "do src0 and
+    // src1 docs differ in length?", answered from ranks so outliers can't
+    // dominate). Ranks come from the VALUE-grain frame (group by length,
+    // one cumulative window over ≤|distinct lengths| rows), with ties
+    // taking the midrank; everything stays integer by carrying DOUBLED
+    // ranks (min_rank + max_rank is exactly 2·midrank), so U is exact at
+    // half-unit scale: u2_a = 2·R_A − n_a(n_a+1), u2_a + u2_b = 2·n_a·n_b
+    "q243_mann_whitney" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars"))
+      val byVal = d.groupBy(col("n_chars"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("cnt_a"))
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal
+        .withColumn("cum", sum(col("cnt")).over(w)) // bounded value frame
+        .withColumn("rank2", col("cum") - col("cnt") + 1 + col("cum"))
+        .agg(sum(col("cnt_a")).as("n_a"),
+          sum(col("cnt") - col("cnt_a")).as("n_b"),
+          sum(col("cnt_a") * col("rank2")).as("r2_a"))
+        .select(col("n_a"), col("n_b"),
+          (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u2_a"))
+        .withColumn("u2_b", lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
+        .withColumn("u2_min", least(col("u2_a"), col("u2_b")))
+    }),
+
+    // §2.6 — Holt linear-trend smoothing (round 5: q173's EMA grown a
+    // trend state — level l_t = (α·x + (1−α)(l+b)) and trend
+    // b_t = (β(l_t−l_prev) + (1−β)b_prev), α=0.2 β=0.1 as exact permille
+    // weights over integer cents; the trend can go NEGATIVE, which is
+    // safe because Spark's `div` and DuckDB's `//` both truncate toward
+    // zero (verified), so the recurrences stay bit-identical). Same
+    // bounded sorted-fold over the day-grain aggregate as the EMA family;
+    // the last row also carries the h-step-ahead forecast l+h·b
+    "q244_holt_trend" -> ((s, dir) => {
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+      daily.agg(sort_array(collect_list(struct(col("d"), col("cents"))))
+          .as("a"))
+        .select(explode(expr(
+          """aggregate(a,
+            |  cast(array() as array<struct<d:date,cents:bigint,
+            |    level_cents:bigint,trend_cents:bigint>>),
+            |  (acc, x) -> concat(acc, array(CASE WHEN size(acc) = 0
+            |    THEN named_struct('d', x.d, 'cents', x.cents,
+            |      'level_cents', x.cents, 'trend_cents', CAST(0 AS BIGINT))
+            |    ELSE named_struct('d', x.d, 'cents', x.cents,
+            |      'level_cents',
+            |        (200 * x.cents + 800 * (element_at(acc, -1).level_cents
+            |          + element_at(acc, -1).trend_cents)) div 1000,
+            |      'trend_cents',
+            |        (100 * ((200 * x.cents
+            |            + 800 * (element_at(acc, -1).level_cents
+            |              + element_at(acc, -1).trend_cents)) div 1000
+            |          - element_at(acc, -1).level_cents)
+            |         + 900 * element_at(acc, -1).trend_cents) div 1000)
+            |    END)))""".stripMargin)).as("r"))
+        .select(col("r.d").as("d"), col("r.cents").as("cents"),
+          col("r.level_cents").as("level_cents"),
+          col("r.trend_cents").as("trend_cents"))
+        .withColumn("forecast_7d_cents",
+          col("level_cents") + lit(7L) * col("trend_cents"))
+    }),
+
+    // §2.6 — forecast bake-off (round 5: q241's backtest generalized to
+    // MODEL SELECTION — naive lag-1, seasonal-naive lag-7, and the α=0.2
+    // EMA score the same daily series one-step-ahead, and the answer is
+    // one MAE row per method over the days where ALL THREE are defined
+    // (same eval window, or the comparison is meaningless). Lags are
+    // windows on the bounded day frame; the EMA forecast is the q241
+    // fold; errors stay exact integer cents and the mean divides once
+    "q245_forecast_bakeoff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+      val ema = daily
+        .agg(sort_array(collect_list(struct(col("d"), col("cents"))))
+          .as("a"))
+        .select(explode(expr(
+          """aggregate(a,
+            |  cast(array() as array<struct<d:date,cents:bigint,ema:bigint>>),
+            |  (acc, x) -> concat(acc, array(named_struct(
+            |    'd', x.d, 'cents', x.cents,
+            |    'ema', CASE WHEN size(acc) = 0 THEN x.cents
+            |      ELSE (20 * x.cents + 80 * element_at(acc, -1).ema)
+            |        div 100 END))))""".stripMargin)).as("r"))
+        .select(col("r.d").as("d"), col("r.cents").as("cents"),
+          col("r.ema").as("ema"))
+      val w = Window.orderBy(col("d")) // bounded day frame
+      val lagged = ema
+        .withColumn("f_naive", lag(col("cents"), 1).over(w))
+        .withColumn("f_seasonal", lag(col("cents"), 7).over(w))
+        .withColumn("f_ema", lag(col("ema"), 1).over(w))
+        .filter(col("f_seasonal").isNotNull) // lag-7 defined ⇒ all defined
+      lagged
+        .select(expr("stack(3," +
+          " 'naive_lag1', abs(cents - f_naive)," +
+          " 'seasonal_lag7', abs(cents - f_seasonal)," +
+          " 'ema_02', abs(cents - f_ema)) AS (method, abs_err)"))
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("sum(abs_err) div count(1)").as("mae_cents"))
+    }),
+
+    // §2.9 — Naive-Bayes source-separability audit (round 5: "can a
+    // bag-of-words model tell the sources apart?" — the resubstitution
+    // confusion matrix of a multinomial NB classifier trained on the
+    // corpus itself, a standard leakage/mixture diagnostic). Laplace-
+    // smoothed log-likelihoods in INTEGER BITS (q99's bitlen trick:
+    // bits(t|s) = bitlen(T_s + V) − bitlen(c_st + 1)), decomposed so
+    // ABSENT (token, source) pairs never materialize: score_s =
+    // n_toks·(bitlen(T_s+V) − 1) − Σ_matched (bitlen(c_st+1) − 1) — the
+    // unmatched tokens' bitlen(1)=1 terms fold into the closed form, so
+    // the only corpus-grain join is tokens⋈per-source-counts on token
+    // (the existing Zipf-split applies at scale), and the doc×source
+    // grid is a bounded ×|sources| fan-out of the doc frame. Prediction
+    // is argmin bits (ties → lexicographically first source)
+    "q246_nb_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.TextFunctions.tokensWs(col("text")))
+            .as("token"))
+      val cst = toks.groupBy(col("token"), col("source").as("cls"))
+        .agg(count(lit(1)).as("c"))
+      val totals = cst.groupBy(col("cls")).agg(sum(col("c")).as("t_s"))
+      val vocab = cst.agg(countDistinct(col("token")).as("v"))
+      val clsBits = totals.crossJoin(broadcast(vocab))
+        .select(col("cls"),
+          (length(bin(col("t_s") + col("v"))) - 1).cast("long")
+            .as("base_bits")) // bitlen(T_s+V) − 1, per class
+      val adj = toks.join(cst.withColumnRenamed("cls", "m_cls"),
+          Seq("token"))
+        .groupBy(col("doc_id"), col("m_cls"))
+        .agg(sum((length(bin(col("c") + 1)) - 1).cast("long")).as("adj"))
+      val docFrame = toks.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_toks"))
+      val scored = docFrame.as("df").crossJoin(broadcast(clsBits)) // ×|sources|
+        .join(adj.as("aj"),
+          col("df.doc_id") === col("aj.doc_id") &&
+            col("cls") === col("m_cls"),
+          "left")
+        .select(col("df.doc_id").as("doc_id"), col("source"), col("cls"),
+          (col("n_toks") * col("base_bits") -
+            coalesce(col("adj"), lit(0L))).as("score_bits"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_bits").asc, col("cls").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("source").as("true_source"),
+          col("cls").as("pred_source"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // §2.6 — Kaplan–Meier customer survival curve (round 5: the
     // censoring-aware churn analysis a naive "share still active"
     // cannot do — tenure = first→last order days, customers whose last
@@ -6611,6 +6811,166 @@ object SparkEntry {
         |  FROM idx JOIN e ON idx.i = e.i + 1)
         |SELECT d, cents, forecast_cents, abs_err
         |FROM e WHERE forecast_cents >= 0""".stripMargin,
+
+    "q242_t_closeness" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |gl AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS g_cnt
+        |  FROM customer GROUP BY 1),
+        |segtot AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_g
+        |  FROM customer GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS m
+        |        FROM customer),
+        |grid AS (
+        |  SELECT s.c_mktsegment, s.n_g, g.c_nationkey, g.g_cnt,
+        |         COALESCE(c.cnt, 0) AS cnt
+        |  FROM segtot s CROSS JOIN gl g
+        |  LEFT JOIN cells c ON s.c_mktsegment = c.c_mktsegment
+        |                   AND g.c_nationkey = c.c_nationkey),
+        |cum AS (
+        |  SELECT c_mktsegment, n_g,
+        |         sum(cnt) OVER w AS cum_g, sum(g_cnt) OVER w AS cum_all
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_nationkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT c_mktsegment, n_g,
+        |         CAST(sum(abs(tot.n * cum_g - n_g * cum_all)) AS BIGINT)
+        |           AS emd_num,
+        |         max(tot.n) AS n, max(tot.m) AS m
+        |  FROM cum CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT c_mktsegment, n_g,
+        |       (1000 * emd_num) // (n_g * n * (m - 1)) AS emd_permille,
+        |       (1000 * emd_num) // (n_g * n * (m - 1)) > 200 AS exceeds_t
+        |FROM agg""".stripMargin,
+
+    "q243_mann_whitney" ->
+      """WITH d AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |byval AS (
+        |  SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT)
+        |           AS cnt_a
+        |  FROM d GROUP BY 1),
+        |ranked AS (
+        |  SELECT cnt, cnt_a,
+        |         sum(cnt) OVER (ORDER BY n_chars
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM byval),
+        |agg AS (
+        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |         CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+        |         CAST(sum(cnt_a * (cum - cnt + 1 + cum)) AS BIGINT) AS r2_a
+        |  FROM ranked)
+        |SELECT n_a, n_b,
+        |       r2_a - n_a * (n_a + 1) AS u2_a,
+        |       2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+        |       least(r2_a - n_a * (n_a + 1),
+        |             2 * n_a * n_b - (r2_a - n_a * (n_a + 1))) AS u2_min
+        |FROM agg""".stripMargin,
+
+    "q244_holt_trend" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |idx AS (SELECT d, cents,
+        |               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |        FROM daily),
+        |h AS (
+        |  SELECT i, d, cents, cents AS level_cents,
+        |         CAST(0 AS BIGINT) AS trend_cents
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.d, idx.cents,
+        |         (200 * idx.cents
+        |           + 800 * (h.level_cents + h.trend_cents)) // 1000,
+        |         (100 * ((200 * idx.cents
+        |             + 800 * (h.level_cents + h.trend_cents)) // 1000
+        |           - h.level_cents)
+        |          + 900 * h.trend_cents) // 1000
+        |  FROM idx JOIN h ON idx.i = h.i + 1)
+        |SELECT d, cents, level_cents, trend_cents,
+        |       level_cents + 7 * trend_cents AS forecast_7d_cents
+        |FROM h""".stripMargin,
+
+    "q245_forecast_bakeoff" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |idx AS (SELECT d, cents,
+        |               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |        FROM daily),
+        |e AS (
+        |  SELECT i, d, cents, cents AS ema FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.d, idx.cents, (20 * idx.cents + 80 * e.ema) // 100
+        |  FROM idx JOIN e ON idx.i = e.i + 1),
+        |lagged AS (
+        |  SELECT cents,
+        |         lag(cents, 1) OVER (ORDER BY d) AS f_naive,
+        |         lag(cents, 7) OVER (ORDER BY d) AS f_seasonal,
+        |         lag(ema, 1) OVER (ORDER BY d) AS f_ema
+        |  FROM e),
+        |m AS (
+        |  SELECT 'naive_lag1' AS method, abs(cents - f_naive) AS abs_err
+        |  FROM lagged WHERE f_seasonal IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'seasonal_lag7', abs(cents - f_seasonal)
+        |  FROM lagged WHERE f_seasonal IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'ema_02', abs(cents - f_ema)
+        |  FROM lagged WHERE f_seasonal IS NOT NULL)
+        |SELECT method, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(abs_err) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |         AS mae_cents
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "q246_nb_confusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest($ToksSql) AS token FROM documents),
+         |cst AS (
+         |  SELECT token, source AS cls, CAST(count(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY 1, 2),
+         |totals AS (SELECT cls, CAST(sum(c) AS BIGINT) AS t_s
+         |           FROM cst GROUP BY 1),
+         |vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+         |          FROM cst),
+         |clsbits AS (
+         |  SELECT cls,
+         |         CAST(length(format('{:b}', t_s + v)) - 1 AS BIGINT)
+         |           AS base_bits
+         |  FROM totals CROSS JOIN vocab),
+         |adj AS (
+         |  SELECT t.doc_id, c.cls,
+         |         CAST(sum(length(format('{:b}', c.c + 1)) - 1) AS BIGINT)
+         |           AS adj
+         |  FROM toks t JOIN cst c ON t.token = c.token
+         |  GROUP BY 1, 2),
+         |docframe AS (
+         |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks
+         |  FROM toks GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.doc_id, d.source, b.cls,
+         |         d.n_toks * b.base_bits - COALESCE(a.adj, 0) AS score_bits
+         |  FROM docframe d CROSS JOIN clsbits b
+         |  LEFT JOIN adj a ON d.doc_id = a.doc_id AND b.cls = a.cls),
+         |pred AS (
+         |  SELECT doc_id, source, cls,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score_bits ASC, cls ASC) AS rk
+         |  FROM scored)
+         |SELECT source AS true_source, cls AS pred_source,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
 
     "q238_survival_curve" ->
       """WITH RECURSIVE ten AS (
