@@ -8,16 +8,18 @@ import graft.operators.PpmCodec.PpmImage
   * with PPM, PNG, and now JPEG decoding for real, every raster format the
   * synthetic corpus carries reaches actual pixels inside the container.
   *
-  * Scope — the COMPLETE T.81 DCT frame family: baseline sequential
-  * (SOF0) and extended sequential at 8 or 12 bits (SOF1) under Huffman,
-  * progressive Huffman (SOF2: spectral selection + successive
-  * approximation), sequential ARITHMETIC (SOF9, 8/12-bit) and
+  * Scope — the complete T.81 DCT frame family plus lossless Huffman:
+  * baseline sequential (SOF0) and extended sequential at 8 or 12 bits
+  * (SOF1) under Huffman, progressive Huffman (SOF2: spectral selection +
+  * successive approximation), sequential ARITHMETIC (SOF9, 8/12-bit) and
   * progressive ARITHMETIC (SOF10) — the QM coder and the F.2.4/G.2
-  * statistical models live in [[JpegArith]]; grayscale or YCbCr with
-  * sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:2:0), restart
-  * markers, 8- or 16-bit quantization tables, DAC conditioning. Only
-  * the non-DCT frames (lossless, hierarchical) return None and take
-  * the documented fallback arm. Output is normalized to the same
+  * statistical models live in [[JpegArith]] — and LOSSLESS Huffman
+  * (SOF3, Annex H: seven-predictor residual coding at 8..16 bits,
+  * bit-exact); grayscale or YCbCr with sampling factors 1 or 2 per axis
+  * (4:4:4, 4:2:2, 4:2:0), restart markers, 8- or 16-bit quantization
+  * tables, DAC conditioning. Only arithmetic lossless (SOF11) and the
+  * hierarchical process return None and take the documented fallback
+  * arm. Output is normalized to the same
   * 3-byte-RGB [[PpmImage]] the PPM and PNG paths produce, so features /
   * resize / frame ops downstream stay format-agnostic.
   *
@@ -211,11 +213,12 @@ object JpegCodec {
 
   /** Decode one JPEG payload to RGB pixels — baseline (SOF0), extended
     * sequential Huffman (SOF1, 8/12-bit), progressive (SOF2: spectral
-    * selection + successive approximation, multi-scan), or sequential
-    * ARITHMETIC (SOF9, 8/12-bit, QM-coded), or progressive ARITHMETIC
+    * selection + successive approximation, multi-scan), LOSSLESS Huffman
+    * (SOF3: predictive, 8..16-bit, bit-exact), sequential ARITHMETIC
+    * (SOF9, 8/12-bit, QM-coded), or progressive ARITHMETIC
     * (SOF10) — or None if the payload is outside the supported subset
-    * (lossless, hierarchical, >2 sampling factors, structurally
-    * truncated or corrupt). Arithmetic entropy-bit damage is a special case: the QM
+    * (arithmetic lossless, hierarchical, >2 sampling factors,
+    * structurally truncated or corrupt). Arithmetic entropy-bit damage is a special case: the QM
     * stream has no invalid-code redundancy and end-of-data IS the
     * zero-feed regime, so a flipped payload bit can decode to a
     * different image rather than None (guarded only by the runaway
@@ -232,6 +235,7 @@ object JpegCodec {
     var restartInterval = 0
     var progressive = false
     var arithmetic = false
+    var lossless = false
     var precision = 8
     var prog: ProgState = null
     var pos = 2
@@ -291,18 +295,23 @@ object JpegCodec {
               if (tc == 0) dcTabs(th) = h else acTabs(th) = h
               p += 17 + n
             }
-          case 0xC0 | 0xC1 | 0xC2 | 0xC9 | 0xCA =>
-            // SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic
-            // sequential, SOF10 arithmetic progressive
+          case 0xC0 | 0xC1 | 0xC2 | 0xC3 | 0xC9 | 0xCA =>
+            // SOF0/1 sequential, SOF2 progressive, SOF3 lossless,
+            // SOF9 arithmetic sequential, SOF10 arithmetic progressive
             if (comps != null) return None // second frame header
             if (len < 8) return None
             precision = bytes(seg) & 0xFF
+            lossless = marker == 0xC3
             // baseline and progressive are 8-bit by definition (T.81
             // tables B.2/B.3); extended sequential (SOF1 Huffman, SOF9
-            // arithmetic) adds the 12-bit sample arm — output normalizes
+            // arithmetic) adds the 12-bit sample arm; lossless (SOF3)
+            // allows 2..16 — 8..16 supported here (sub-byte lossless is
+            // vanishingly rare; declared subset) — output normalizes
             // back to 8-bit by keeping the high byte (the PngCodec
             // 16-bit convention)
-            if (precision != 8 &&
+            if (lossless) {
+              if (precision < 8 || precision > 16) return None
+            } else if (precision != 8 &&
               !(precision == 12 && (marker == 0xC1 || marker == 0xC9)))
               return None
             progressive = marker == 0xC2 || marker == 0xCA
@@ -322,6 +331,9 @@ object JpegCodec {
               val c = Component(bytes(at) & 0xFF, (bytes(at + 1) & 0xF0) >> 4,
                 bytes(at + 1) & 0x0F, bytes(at + 2) & 0xFF)
               if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) return None
+              // lossless subsampling (H.2) is essentially unused in the
+              // wild; the supported SOF3 subset is 1x1 components
+              if (lossless && (c.h != 1 || c.v != 1)) return None
               c
             }
           case 0xCC => // DAC: arithmetic conditioning tables
@@ -341,9 +353,9 @@ object JpegCodec {
               }
               p += 2
             }
-          case m if m >= 0xC1 && m <= 0xCF && m != 0xC2 && m != 0xC4 &&
-              m != 0xC8 && m != 0xC9 && m != 0xCA =>
-            return None // lossless / hierarchical: out of scope
+          case m if m >= 0xC1 && m <= 0xCF && m != 0xC2 && m != 0xC3 &&
+              m != 0xC4 && m != 0xC8 && m != 0xC9 && m != 0xCA =>
+            return None // arithmetic lossless / hierarchical: out of scope
           case 0xDD =>
             if (len < 4) return None
             restartInterval = u16(seg)
@@ -364,6 +376,20 @@ object JpegCodec {
               scanIdx(i) = ci
               i += 1
             }
+            val ss = bytes(seg + 1 + 2 * ns) & 0xFF
+            val se = bytes(seg + 2 + 2 * ns) & 0xFF
+            val ahal = bytes(seg + 3 + 2 * ns) & 0xFF
+            val ah = (ahal >> 4) & 0x0F
+            val al = ahal & 0x0F
+            if (lossless) {
+              // H.1: Ss = predictor selector 1..7, Se = 0, Ah = 0,
+              // Al = point transform Pt (< sample precision)
+              if (ns != comps.length) return None
+              if (ss < 1 || ss > 7 || se != 0 || ah != 0 ||
+                al > precision - 1) return None
+              return decodeLosslessScan(bytes, pos + 2 + len, comps, dcTabs,
+                ss, al, restartInterval, precision, width, height)
+            }
             if (!progressive) {
               if (ns != comps.length) return None
               return if (arithmetic)
@@ -373,11 +399,6 @@ object JpegCodec {
               else decodeScan(bytes, pos + 2 + len, comps, quant, dcTabs,
                 acTabs, width, height, restartInterval, precision)
             }
-            val ss = bytes(seg + 1 + 2 * ns) & 0xFF
-            val se = bytes(seg + 2 + 2 * ns) & 0xFF
-            val ahal = bytes(seg + 3 + 2 * ns) & 0xFF
-            val ah = (ahal >> 4) & 0x0F
-            val al = ahal & 0x0F
             if (se > 63 || ss > se || ah > 13 || al > 13) return None
             if (ah != 0 && ah != al + 1) return None // refine one bit/scan
             if (prog == null) prog = new ProgState(comps, width, height)
@@ -702,6 +723,112 @@ object JpegCodec {
       y += 1
     }
     PpmImage(width, height, out)
+  }
+
+  // ---- lossless (SOF3) decoding ------------------------------------------
+
+  /** Lossless-process scan (T.81 Annex H): Huffman-coded prediction
+    * residuals — the DC tables code the difference's magnitude category
+    * (0..16; category 16 means +32768 with NO appended bits, H.1.2.2),
+    * followed by the category's EXTEND bits. Prediction per H.1.2.1: the
+    * scan's Ss selects one of seven fixed predictors over the causal
+    * neighbors Ra (left) / Rb (above) / Rc (above-left); the first sample
+    * (and the first sample after every restart, which resets prediction
+    * state like a scan start) predicts from 2^(P−Pt−1), the rest of the
+    * first line from Ra, later line starts from Rb. Reconstruction is
+    * (prediction + diff) mod 2^16 exactly as encoded — THE bit-exact
+    * path of the family (no DCT, no quantization) — then the point
+    * transform restores <<Pt and output keeps the high byte (the shared
+    * >8-bit convention). Components are 1x1 (frame-checked), so the
+    * interleaved MCU is one sample per component in raster order;
+    * 3-component output is direct RGB (T.81 defines no color transform
+    * for the lossless process, and JFIF's YCbCr convention is specific
+    * to the DCT processes).
+    */
+  private def decodeLosslessScan(bytes: Array[Byte], start: Int,
+                                 comps: Array[Component], dcTabs: Array[Huff],
+                                 predictor: Int, pt: Int,
+                                 restartInterval: Int, precision: Int,
+                                 width: Int, height: Int): Option[PpmImage] = {
+    comps.foreach { c => if (dcTabs(c.dcTable) == null) return None }
+    val n = comps.length
+    if (n != 1 && n != 3) return None
+    val total = width * height
+    val planes = Array.ofDim[Int](n, total)
+    val br = new BitReader(bytes, start)
+    val defaultPred = 1 << (precision - pt - 1)
+    // restart resets prediction state exactly like a scan start: the next
+    // sample of every component predicts from the default
+    val resetNext = new Array[Boolean](n)
+    java.util.Arrays.fill(resetNext, true)
+    var rstCount = 0
+    var sampleIdx = 0 // one interleaved MCU per pixel position
+    while (sampleIdx < total) {
+      if (restartInterval > 0 && sampleIdx > 0 &&
+        sampleIdx % restartInterval == 0) {
+        if (!br.restart(rstCount)) return None
+        rstCount += 1
+        java.util.Arrays.fill(resetNext, true)
+      }
+      val x = sampleIdx % width
+      val y = sampleIdx / width
+      var ci = 0
+      while (ci < n) {
+        val t = br.decodeHuff(dcTabs(comps(ci).dcTable))
+        if (t < 0 || t > 16) return None
+        val diff =
+          if (t == 16) 32768 // H.1.2.2: no appended bits
+          else if (t == 0) 0
+          else {
+            val v = br.receive(t)
+            if (v < 0) return None
+            extend(v, t)
+          }
+        val p = planes(ci)
+        val px =
+          if (resetNext(ci)) { resetNext(ci) = false; defaultPred }
+          else if (y == 0) p(x - 1) // rest of the first line: Ra
+          else if (x == 0) p((y - 1) * width) // line start: Rb
+          else {
+            val ra = p(y * width + x - 1)
+            val rb = p((y - 1) * width + x)
+            val rc = p((y - 1) * width + x - 1)
+            predictor match {
+              case 1 => ra
+              case 2 => rb
+              case 3 => rc
+              case 4 => ra + rb - rc
+              case 5 => ra + ((rb - rc) >> 1)
+              case 6 => rb + ((ra - rc) >> 1)
+              case _ => (ra + rb) >> 1
+            }
+          }
+        p(y * width + x) = (px + diff) & 0xFFFF // H.1.2.1: modulo 2^16
+        ci += 1
+      }
+      sampleIdx += 1
+    }
+    // point-transform restore then high byte; corrupt streams can leave
+    // out-of-range samples after the mod-2^16 wrap — clamp, never throw
+    val shift = precision - 8
+    def to8(v: Int): Byte = {
+      val s = (v << pt) >> shift
+      (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+    }
+    val out = new Array[Byte](total * 3)
+    var i = 0
+    while (i < total) {
+      if (n == 1) {
+        val g = to8(planes(0)(i))
+        out(3 * i) = g; out(3 * i + 1) = g; out(3 * i + 2) = g
+      } else {
+        out(3 * i) = to8(planes(0)(i))
+        out(3 * i + 1) = to8(planes(1)(i))
+        out(3 * i + 2) = to8(planes(2)(i))
+      }
+      i += 1
+    }
+    Some(PpmImage(width, height, out))
   }
 
   // ---- progressive (SOF2) decoding ---------------------------------------
@@ -1411,6 +1538,107 @@ object JpegCodec {
         }
       }
       mcu += 1
+    }
+    bw.flush()
+    m(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode pixels as a LOSSLESS (SOF3) JPEG — the reference encoder for
+    * the decoder's bit-exact roundtrip spec. One Huffman table coding all
+    * 17 difference categories at a flat 5 bits (valid canonical: 17 < 2^5,
+    * max code short of the all-ones reserve), any predictor 1..7, optional
+    * point transform and restarts; precision > 8 upshifts the 8-bit input
+    * so the decoder's high-byte convention restores it exactly. Gray
+    * emits one component; color emits the three channels DIRECTLY (no
+    * YCbCr — T.81 defines no color transform for the lossless process).
+    * Prediction state mirrors decodeLosslessScan exactly (default after
+    * scan start / restart, Ra on the first line, Rb at line starts).
+    */
+  def encodeLossless(img: PpmImage, gray: Boolean = false,
+                     predictor: Int = 1, precision: Int = 8, pt: Int = 0,
+                     restartInterval: Int = 0): Array[Byte] = {
+    require(predictor >= 1 && predictor <= 7, "predictor 1..7")
+    require(precision >= 8 && precision <= 16, "precision 8..16")
+    require(pt >= 0 && pt < precision, "point transform < precision")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { out.write(0xFF); out.write(b) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    val n = if (gray) 1 else 3
+
+    m(0xD8) // SOI
+    val dcBits = Array(0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = (0 to 16).toArray
+    m(0xC4); u16(2 + 1 + 16 + 17); out.write(0x00) // DHT: DC table 0
+    dcBits.foreach(out.write); dcVals.foreach(out.write)
+    if (restartInterval > 0) { m(0xDD); u16(4); u16(restartInterval) }
+    m(0xC3) // SOF3
+    u16(8 + 3 * n); out.write(precision); u16(img.height); u16(img.width)
+    out.write(n)
+    (0 until n).foreach { i =>
+      out.write(i + 1); out.write(0x11); out.write(0)
+    }
+    m(0xDA); u16(6 + 2 * n); out.write(n) // SOS
+    (0 until n).foreach { i => out.write(i + 1); out.write(0x00) }
+    out.write(predictor); out.write(0); out.write(pt)
+
+    val dc = codes(dcBits, dcVals)
+    val bw = new BitWriter(out)
+    val total = img.width * img.height
+    val planes = Array.ofDim[Int](n, total) // reconstructed (post-Pt) samples
+    val resetNext = new Array[Boolean](n)
+    java.util.Arrays.fill(resetNext, true)
+    var rstCount = 0
+    var sampleIdx = 0
+    while (sampleIdx < total) {
+      if (restartInterval > 0 && sampleIdx > 0 &&
+        sampleIdx % restartInterval == 0) {
+        bw.flush()
+        m(0xD0 + (rstCount % 8))
+        rstCount += 1
+        java.util.Arrays.fill(resetNext, true)
+      }
+      val x = sampleIdx % img.width
+      val y = sampleIdx / img.width
+      var ci = 0
+      while (ci < n) {
+        val raw = img.pixels(3 * sampleIdx + (if (gray) 0 else ci)) & 0xFF
+        val sample = (raw << (precision - 8)) >> pt
+        val p = planes(ci)
+        val px =
+          if (resetNext(ci)) { resetNext(ci) = false; 1 << (precision - pt - 1) }
+          else if (y == 0) p(x - 1)
+          else if (x == 0) p((y - 1) * img.width)
+          else {
+            val ra = p(y * img.width + x - 1)
+            val rb = p((y - 1) * img.width + x)
+            val rc = p((y - 1) * img.width + x - 1)
+            predictor match {
+              case 1 => ra
+              case 2 => rb
+              case 3 => rc
+              case 4 => ra + rb - rc
+              case 5 => ra + ((rb - rc) >> 1)
+              case 6 => rb + ((ra - rc) >> 1)
+              case _ => (ra + rb) >> 1
+            }
+          }
+        var diff = (sample - px) & 0xFFFF
+        if (diff >= 32768) diff -= 65536 // to [-32768, 32767]
+        if (diff == -32768) { // ≡ +32768 mod 2^16: category 16, no bits
+          val (c16, l16) = dc(16)
+          bw.write(c16, l16)
+        } else {
+          val t = category(diff)
+          val (c0, l0) = dc(t)
+          bw.write(c0, l0)
+          if (t > 0)
+            bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        }
+        p(y * img.width + x) = sample
+        ci += 1
+      }
+      sampleIdx += 1
     }
     bw.flush()
     m(0xD9) // EOI

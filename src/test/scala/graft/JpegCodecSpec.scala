@@ -442,6 +442,115 @@ class JpegCodecSpec extends SparkTestBase {
     JpegCodec.decode(lying) shouldBe None
   }
 
+  test("hand-assembled 2x2 lossless (SOF3) stream decodes to the exact samples") {
+    // Pinned against the PUBLIC T.81 Annex H spec, independent of our
+    // encoder: one DC table with all 17 categories at a flat 5 bits
+    // (canonical: symbol i = code i), predictor 1, P=8, Pt=0. Samples
+    // [[100,105],[98,103]]: s00 predicts from 2^7=128 (diff -28: cat 5,
+    // bits -28+31=3), s01 from Ra=100 (diff 5: cat 3, bits 101), s10
+    // from Rb=100 (diff -2: cat 2, bits -2+3=1), s11 from Ra=98 (diff 5).
+    // Bits 00101'00011 00011'101 00010'01 00011'101 + 1-pad =
+    // 28 C7 44 8E FF(stuffed 00).
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int) = { out.write(0xFF); out.write(b) }
+    def u16(v: Int) = { out.write(v >> 8); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xC4); u16(2 + 1 + 16 + 17); out.write(0x00)
+    Seq(0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 to 16).foreach(out.write)
+    m(0xC3); u16(11); out.write(8); u16(2); u16(2); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xDA); u16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(1); out.write(0); out.write(0) // Ss=predictor 1, Se=0, Pt=0
+    Seq(0x28, 0xC7, 0x44, 0x8E, 0xFF, 0x00).foreach(out.write)
+    m(0xD9)
+    val img = JpegCodec.decode(out.toByteArray).get
+    img.width shouldBe 2
+    img.height shouldBe 2
+    img.pixels.grouped(3).map(_(0) & 0xFF).toSeq shouldBe Seq(100, 105, 98, 103)
+    // gray replicates across RGB
+    img.pixels.grouped(3).foreach(p => (p(1) & 0xFF) shouldBe (p(0) & 0xFF))
+  }
+
+  test("lossless (SOF3) round-trips BIT-EXACT across all 7 predictors, gray and RGB") {
+    for (img <- Seq(gradient(13, 10), noise(16, 9, 20260814L));
+         pred <- 1 to 7) {
+      val rgb = JpegCodec.decode(JpegCodec.encodeLossless(img, gray = false,
+        predictor = pred)).get
+      rgb.width shouldBe img.width
+      rgb.height shouldBe img.height
+      rgb.pixels shouldBe img.pixels // lossless: EXACT, not near-lossless
+      val g = JpegCodec.decode(JpegCodec.encodeLossless(img, gray = true,
+        predictor = pred)).get
+      // gray path keeps channel 0 and replicates
+      g.pixels.grouped(3).zip(img.pixels.grouped(3)).foreach {
+        case (got, want) =>
+          (got(0) & 0xFF) shouldBe (want(0) & 0xFF)
+          got(1) shouldBe got(0)
+          got(2) shouldBe got(0)
+      }
+    }
+  }
+
+  test("lossless 12/16-bit precision and point transform restore the expected bytes") {
+    val img = noise(11, 7, 99L)
+    // >8-bit: encoder upshifts, decoder keeps the high byte -> exact
+    for (p <- Seq(12, 16)) {
+      val dec = JpegCodec.decode(JpegCodec.encodeLossless(img,
+        precision = p, predictor = 4)).get
+      dec.pixels shouldBe img.pixels
+    }
+    // point transform Pt=1 drops exactly the low bit
+    val pt1 = JpegCodec.decode(JpegCodec.encodeLossless(img, pt = 1,
+      predictor = 7)).get
+    pt1.pixels.zip(img.pixels).foreach { case (got, want) =>
+      (got & 0xFF) shouldBe (want & 0xFE)
+    }
+  }
+
+  test("lossless restart markers reset prediction and still round-trip exactly") {
+    val img = noise(10, 10, 7L)
+    for (ri <- Seq(1, 7, 64)) {
+      val enc = JpegCodec.encodeLossless(img, predictor = 5,
+        restartInterval = ri)
+      JpegCodec.decode(enc).get.pixels shouldBe img.pixels
+    }
+    // a missing RST marker (stream spliced past it) must reject, not wrap
+    val enc = JpegCodec.encodeLossless(img, predictor = 1, restartInterval = 7)
+    val rstAt = enc.indices.find(i => (enc(i) & 0xFF) == 0xFF &&
+      (enc(i + 1) & 0xFF) >= 0xD0 && (enc(i + 1) & 0xFF) <= 0xD7).get
+    val spliced = enc.take(rstAt) ++ enc.drop(rstAt + 2)
+    JpegCodec.decode(spliced) shouldBe None
+  }
+
+  test("lossless corrupt payloads never throw; invalid scan params reject") {
+    val good = JpegCodec.encodeLossless(gradient(12, 8), predictor = 4)
+    JpegCodec.decode(good) should not be None // sanity
+    val sos = good.indices.find(i => (good(i) & 0xFF) == 0xFF &&
+      (good(i + 1) & 0xFF) == 0xDA).get
+    // Ss outside 1..7 / nonzero Se / nonzero Ah: all invalid for lossless
+    for ((off, v) <- Seq((7, 0), (7, 8), (8, 63), (9, 0x10))) {
+      val bad = good.clone()
+      bad(sos + off) = v.toByte
+      JpegCodec.decode(bad) shouldBe None
+    }
+    // arithmetic lossless (SOF11) stays out of scope
+    val sof = good.indices.find(i => (good(i) & 0xFF) == 0xFF &&
+      (good(i + 1) & 0xFF) == 0xC3).get
+    val sof11 = good.clone(); sof11(sof + 1) = 0xCB.toByte
+    JpegCodec.decode(sof11) shouldBe None
+    val rng = new scala.util.Random(53L)
+    (1 to 300).foreach { _ =>
+      val bad = good.clone()
+      bad(rng.nextInt(bad.length)) = rng.nextInt(256).toByte
+      noException should be thrownBy JpegCodec.decode(bad)
+    }
+    (1 to 100).foreach { _ =>
+      noException should be thrownBy
+        JpegCodec.decode(good.take(rng.nextInt(good.length)))
+    }
+  }
+
   test("decodeFeatures marks JPEG payloads decoded=true with real dimensions") {
     val jpeg = JpegCodec.encode(gradient(16, 8))
     val ppmEq = PpmCodec.encode(gradient(16, 8))
