@@ -175,6 +175,32 @@ object SparkEntry {
        |SELECT node, rank_micro FROM r$iters""".stripMargin
   }
 
+  /** DuckDB twin of Graph.labelPropagation: the same synchronous rounds
+    * unrolled as chained CTEs — per round, neighbor-label frequencies then
+    * the per-node argmax with the (count DESC, label ASC) tie-break.
+    */
+  private def lpaOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""f$k AS (
+         |  SELECT e.src AS node, l.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM e JOIN l${k - 1} l ON e.dst = l.node
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |             ORDER BY c DESC, label ASC) AS rk
+         |    FROM f$k) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$steps
+       |SELECT node, label FROM l$iters""".stripMargin
+  }
+
   /** DuckDB twin of Graph.kCoreSurvivors: the same `rounds` synchronized
     * peel rounds unrolled as chained CTEs (keep nodes with deg >= k,
     * restrict edges to surviving endpoints, recompute degrees), ending
@@ -3134,6 +3160,83 @@ object SparkEntry {
         .groupBy(col("source").as("true_source"),
           col("cls").as("pred_source"))
         .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // §2.6 — degree assortativity of the co-purchase graph (round 5: do
+    // popular parts co-occur with popular parts (assortative, r > 0) or
+    // with niche ones (hub-and-spoke, r < 0)? — the one-number structure
+    // diagnostic that says whether q110/q154/q174's graph family runs on
+    // a social-style or a star-style topology). Pearson r over the edge
+    // endpoint degree pairs: the six moments are EXACT BIGINTs from one
+    // edge⋈degree⋈degree pass, cast to double only inside the final
+    // closed form — identical operand order in both engines, and IEEE
+    // sqrt/mul/div are correctly rounded, so even the double is
+    // hash-comparable. Degrees join back by key (two broadcast-or-shuffle
+    // equi-joins on the node key), never a matrix
+    "q247_assortativity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      edges
+        .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("m"), col("sxy"),
+          expr("(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+            " / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+            " * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)" +
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))")
+            .as("assortativity"))
+    }),
+
+    // §2.6 — label-propagation communities (round 5: the community
+    // SCREEN over the co-purchase graph, beside q45's exact connected
+    // components (which merge everything touching) and q174's k-core
+    // (which keeps only the dense core) — LPA finds the majority-vote
+    // clusters in between. Synchronous schedule + smallest-label
+    // tie-break = deterministic, 3 fixed rounds like q110's rank loop;
+    // per round one dst-key join, one (node,label) count, one per-node
+    // argmax window — linear in |E|
+    "q248_label_propagation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      Graph.labelPropagation(edges, 3)
+    }),
+
+    // §2.9 — canary-string contamination scan (round 5: the secret-leak /
+    // eval-contamination screen run before any release — for each entry
+    // of a bounded canary list, how many documents contain it and how
+    // many times in total. One corpus scan with a ×|canaries| broadcast
+    // fan-out (the bounded-domain pattern); occurrence counts by the
+    // exact replace-length identity, so both engines count overlapping-
+    // free occurrences identically. The real pipeline swaps the literal
+    // list for the release's actual canaries — the SHAPE is the operator
+    "q249_canary_scan" -> ((s, dir) => {
+      val canaries = Seq("fast table", "scan slow", "window table",
+        "zebra quantum")
+      val c = s.range(1)
+        .select(explode(array(canaries.map(lit(_)): _*)).as("canary"))
+      t(s, dir, "documents").crossJoin(broadcast(c))
+        .groupBy(col("canary"))
+        .agg(
+          count(when(expr("instr(text, canary)") > 0, 1)).as("n_docs"),
+          sum(expr("(length(text) - length(replace(text, canary, '')))" +
+            " div length(canary)").cast("long")).as("n_occurrences"))
     }),
 
     // §2.6 — Kaplan–Meier customer survival curve (round 5: the
@@ -6971,6 +7074,45 @@ object SparkEntry {
          |SELECT source AS true_source, cls AS pred_source,
          |       CAST(count(*) AS BIGINT) AS n_docs
          |FROM pred WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+
+    "q247_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |      FROM e GROUP BY 1),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(dx.deg) AS BIGINT) AS sx,
+        |         CAST(sum(dy.deg) AS BIGINT) AS sy,
+        |         CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy,
+        |         CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+        |         CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy
+        |  FROM e JOIN d dx ON e.src = dx.node JOIN d dy ON e.dst = dy.node)
+        |SELECT m, sxy,
+        |       (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         AS assortativity
+        |FROM mo""".stripMargin,
+
+    "q248_label_propagation" -> lpaOracleSql(3),
+
+    "q249_canary_scan" ->
+      """WITH c AS (
+        |  SELECT unnest(['fast table', 'scan slow', 'window table',
+        |                 'zebra quantum']) AS canary)
+        |SELECT canary,
+        |       CAST(count(*) FILTER (WHERE instr(text, canary) > 0)
+        |         AS BIGINT) AS n_docs,
+        |       CAST(sum((length(text) - length(replace(text, canary, '')))
+        |         // length(canary)) AS BIGINT) AS n_occurrences
+        |FROM documents CROSS JOIN c
+        |GROUP BY 1""".stripMargin,
 
     "q238_survival_curve" ->
       """WITH RECURSIVE ten AS (

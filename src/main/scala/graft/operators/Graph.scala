@@ -84,6 +84,43 @@ object Graph {
     deg.filter(col("deg") >= k).select(col("src").as("node"), col("deg"))
   }
 
+  /** Synchronous label-propagation community detection over UNDIRECTED
+    * distinct symmetric edges (src, dst): every node starts labeled with
+    * its own id, and each round every node adopts the most frequent label
+    * among its NEIGHBORS (ties to the smallest label — with the
+    * synchronous schedule this makes the whole run a pure function of the
+    * edge set, unlike the asynchronous textbook variant whose result
+    * depends on visit order). Fixed `iters` rounds (the DuckDB twin
+    * unrolls the same rounds); LPA's classic oscillation risk on
+    * bipartite-ish structure is bounded by the fixed round count — this
+    * is the community SCREEN, not a converged partition.
+    *
+    * Scale: each round is one edge⋈labels equi-join on the dst key, one
+    * map-side-combining (node, label) count, and one per-node argmax
+    * window partitioned by node — all linear in |E| with no fan-out
+    * beyond the label-frequency frame; checkpointed per round so lineage
+    * stays flat, like the peel/rank loops above.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "labelPropagation needs iters >= 1")
+    import org.apache.spark.sql.expressions.Window
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val freq = edges
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("label").asc)
+      labels = freq.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Per-node triangle participation counts over an UNDIRECTED distinct
     * edge list `(a, b)` with `a < b` — the local clustering signal that
     * separates genuine communities from star-shaped hubs in a
