@@ -3239,6 +3239,88 @@ object SparkEntry {
             " div length(canary)").cast("long")).as("n_occurrences"))
     }),
 
+    // §2.6 — sketch SET ALGEBRA: audience overlap between every event-type
+    // pair (round 5: q41's single-sketch contract extended to the union /
+    // intersection operations a sketch layer actually serves — "how many
+    // users did A and B share?" answered from per-type HLL sketches via
+    // register-wise union + inclusion-exclusion, WITHOUT rescanning the
+    // fact table per pair). One corpus pass builds |types| sketches and
+    // exact counts; one user-grain self-join on user_id (fan-out bounded
+    // by the type count per user) gives the exact pair intersections the
+    // contract checks against; the pair stage is the bounded |types|²
+    // grid. Oracle pattern: exact values + literal-TRUE bounds, like q41
+    // — the intersect bound scales with |A|+|B| because inclusion-
+    // exclusion compounds the union's relative error
+    "q250_audience_overlap" -> ((s, dir) => {
+      val rsd = 0.05
+      val du = events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint() // feeds the sketch pass AND the exact pair pass
+      val sk = events(s, dir).groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("hll"),
+          countDistinct(col("user_id")).as("exact"))
+      val inter = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.exact").as("exact_a"), col("b.exact").as("exact_b"),
+          col("a.hll").as("hll_a"), col("b.hll").as("hll_b"))
+        .join(inter, Seq("type_a", "type_b"), "left")
+        .withColumn("exact_intersect",
+          coalesce(col("exact_intersect"), lit(0L)))
+        .withColumn("exact_union",
+          col("exact_a") + col("exact_b") - col("exact_intersect"))
+        .withColumn("est_union",
+          hll_sketch_estimate(hll_union(col("hll_a"), col("hll_b"))))
+        .withColumn("est_intersect",
+          hll_sketch_estimate(col("hll_a"))
+            + hll_sketch_estimate(col("hll_b")) - col("est_union"))
+        .select(col("type_a"), col("type_b"), col("exact_a"),
+          col("exact_b"), col("exact_union"), col("exact_intersect"),
+          (abs(col("est_union") - col("exact_union"))
+            <= lit(3 * rsd) * col("exact_union")).as("union_in_bound"),
+          (abs(col("est_intersect") - col("exact_intersect"))
+            <= lit(3 * rsd) * (col("exact_a") + col("exact_b")))
+            .as("intersect_in_bound"))
+    }),
+
+    // §2.7 — entity resolution by RECIPROCAL best match (round 5: the
+    // one-to-one assignment step the pair-generating dedup family stops
+    // short of — two "catalogs" (even / odd partkeys), candidates from a
+    // type-noun block + Levenshtein ≤ 3, and a pair survives only if each
+    // side is the other's rank-1 candidate under (distance ASC, key ASC).
+    // Two windows over the blocked candidate frame — the deterministic
+    // greedy core of record linkage; blocking keeps the candidate volume
+    // |block|², never |catalog|²
+    "q251_reciprocal_match" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          substring_index(col("p_name"), " ", -1).as("blk"))
+      val a = p.filter(col("p_partkey") % 2 === 0)
+        .select(col("blk"), col("p_partkey").as("a_key"),
+          col("p_name").as("a_name"))
+      val b = p.filter(col("p_partkey") % 2 === 1)
+        .select(col("blk"), col("p_partkey").as("b_key"),
+          col("p_name").as("b_name"))
+      val cand = a.join(b, Seq("blk"))
+        .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("lev") <= 3)
+      val wa = Window.partitionBy(col("a_key"))
+        .orderBy(col("lev").asc, col("b_key").asc)
+      val wb = Window.partitionBy(col("b_key"))
+        .orderBy(col("lev").asc, col("a_key").asc)
+      cand.withColumn("ra", row_number().over(wa))
+        .withColumn("rb", row_number().over(wb))
+        .filter(col("ra") === 1 && col("rb") === 1)
+        .select(col("a_key"), col("b_key"), col("lev"))
+    }),
+
     // §2.6 — Kaplan–Meier customer survival curve (round 5: the
     // censoring-aware churn analysis a naive "share still active"
     // cannot do — tenure = first→last order days, customers whose last
@@ -7113,6 +7195,49 @@ object SparkEntry {
         |         // length(canary)) AS BIGINT) AS n_occurrences
         |FROM documents CROSS JOIN c
         |GROUP BY 1""".stripMargin,
+
+    "q250_audience_overlap" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |ex AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS exact
+        |  FROM du GROUP BY 1),
+        |inter AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS exact_intersect
+        |  FROM du x JOIN du y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       a.exact AS exact_a, b.exact AS exact_b,
+        |       a.exact + b.exact - COALESCE(i.exact_intersect, 0)
+        |         AS exact_union,
+        |       COALESCE(i.exact_intersect, 0) AS exact_intersect,
+        |       TRUE AS union_in_bound,
+        |       TRUE AS intersect_in_bound
+        |FROM ex a JOIN ex b ON a.event_type < b.event_type
+        |LEFT JOIN inter i
+        |  ON i.type_a = a.event_type AND i.type_b = b.event_type""".stripMargin,
+
+    "q251_reciprocal_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |         split_part(p_name, ' ', -1) AS blk
+        |  FROM part),
+        |cand AS (
+        |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+        |  FROM p a JOIN p b
+        |    ON a.blk = b.blk AND a.p_partkey % 2 = 0 AND b.p_partkey % 2 = 1
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |r AS (
+        |  SELECT a_key, b_key, lev,
+        |         row_number() OVER (PARTITION BY a_key
+        |           ORDER BY lev ASC, b_key ASC) AS ra,
+        |         row_number() OVER (PARTITION BY b_key
+        |           ORDER BY lev ASC, a_key ASC) AS rb
+        |  FROM cand)
+        |SELECT a_key, b_key, lev FROM r WHERE ra = 1 AND rb = 1""".stripMargin,
 
     "q238_survival_curve" ->
       """WITH RECURSIVE ten AS (
