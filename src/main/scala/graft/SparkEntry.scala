@@ -3321,6 +3321,73 @@ object SparkEntry {
         .select(col("a_key"), col("b_key"), col("lev"))
     }),
 
+    // §2.6 — additive seasonal decomposition (round 5: the classic
+    // trend + weekday-seasonal + residual split of the daily revenue
+    // series, the STL-shaped view behind q152's weekday mix and the
+    // forecast family — trend is the CENTERED 7-day mean (defined only
+    // where the window is full, the textbook edge rule), seasonal is the
+    // per-weekday mean of the detrended series, residual is what's left.
+    // Weekday comes from an epoch-anchored day-mod-7 (identical integer
+    // arithmetic in both engines — the engines' dayofweek() conventions
+    // differ, so neither is used); every division is an exact integer
+    // div on the bounded day frame
+    "q252_seasonal_decompose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+      val w = Window.orderBy(col("d")) // bounded day frame
+      val tw = w.rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("nd", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("trend_cents",
+          when(col("i") >= 4 && col("i") <= col("nd") - 3,
+            expr("sum(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING" +
+              " AND 3 FOLLOWING) div 7")))
+        .withColumn("wd",
+          pmod(datediff(col("d"), lit("1970-01-05").cast("date")), lit(7)))
+      val seasonal = trended.filter(col("trend_cents").isNotNull)
+        .groupBy(col("wd"))
+        .agg(expr("sum(cents - trend_cents) div count(1)")
+          .as("seasonal_cents"))
+      trended.filter(col("trend_cents").isNotNull)
+        .join(broadcast(seasonal), Seq("wd")) // 7-row weekday profile
+        .select(col("d"), col("cents"), col("trend_cents"),
+          col("seasonal_cents"),
+          (col("cents") - col("trend_cents") - col("seasonal_cents"))
+            .as("residual_cents"))
+    }),
+
+    // §2.6 — Wald–Wolfowitz runs test (round 5: "is the daily series'
+    // up/down pattern random, trending, or oscillating?" — the
+    // nonparametric randomness screen beside q147's autocorrelation and
+    // q215's Mann-Kendall. Moves binarize deterministically (diff > 0 is
+    // up, diff ≤ 0 is down), runs count sign CHANGES through one lag
+    // window on the bounded day frame, and the null-expected run count
+    // 2·n1·n2/(n1+n2) + 1 comes out in exact integer micros by
+    // cross-multiplication
+    "q253_runs_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+      val w = Window.orderBy(col("d"))
+      daily
+        .withColumn("diff", col("cents") - lag(col("cents"), 1).over(w))
+        .filter(col("diff").isNotNull)
+        .withColumn("up", (col("diff") > 0).cast("long"))
+        .withColumn("chg",
+          when(lag(col("up"), 1).over(w).isNull, 0L)
+            .otherwise((col("up") =!= lag(col("up"), 1).over(w)).cast("long")))
+        .agg(sum(col("up")).as("n_up"),
+          sum(lit(1L) - col("up")).as("n_down"),
+          (sum(col("chg")) + 1).as("n_runs"))
+        .withColumn("exp_runs_micro",
+          expr("(2000000 * n_up * n_down) div (n_up + n_down) + 1000000"))
+    }),
+
     // §2.6 — Kaplan–Meier customer survival curve (round 5: the
     // censoring-aware churn analysis a naive "share still active"
     // cannot do — tenure = first→last order days, customers whose last
@@ -7238,6 +7305,61 @@ object SparkEntry {
         |           ORDER BY lev ASC, a_key ASC) AS rb
         |  FROM cand)
         |SELECT a_key, b_key, lev FROM r WHERE ra = 1 AND rb = 1""".stripMargin,
+
+    "q252_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tr AS (
+        |  SELECT d, cents,
+        |         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |         CAST(count(*) OVER () AS BIGINT) AS nd,
+        |         CAST(sum(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+        |           AND 3 FOLLOWING) AS BIGINT) AS w7,
+        |         CAST((d - DATE '1970-01-05') % 7 AS INTEGER) AS wd
+        |  FROM daily),
+        |td AS (
+        |  SELECT d, cents, wd, w7 // 7 AS trend_cents
+        |  FROM tr WHERE i >= 4 AND i <= nd - 3),
+        |se AS (
+        |  SELECT wd,
+        |         CAST(sum(cents - trend_cents) AS BIGINT)
+        |           // CAST(count(*) AS BIGINT) AS seasonal_cents
+        |  FROM td GROUP BY 1)
+        |SELECT td.d, td.cents, td.trend_cents, se.seasonal_cents,
+        |       td.cents - td.trend_cents - se.seasonal_cents
+        |         AS residual_cents
+        |FROM td JOIN se USING (wd)""".stripMargin,
+
+    "q253_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT d, cents - lag(cents) OVER (ORDER BY d) AS diff
+        |  FROM daily),
+        |u AS (
+        |  SELECT d, CAST(diff > 0 AS BIGINT) AS up
+        |  FROM m WHERE diff IS NOT NULL),
+        |c AS (
+        |  SELECT up,
+        |         CASE WHEN lag(up) OVER (ORDER BY d) IS NULL THEN 0
+        |              WHEN up <> lag(up) OVER (ORDER BY d) THEN 1
+        |              ELSE 0 END AS chg
+        |  FROM u),
+        |agg AS (
+        |  SELECT CAST(sum(up) AS BIGINT) AS n_up,
+        |         CAST(sum(1 - up) AS BIGINT) AS n_down,
+        |         CAST(sum(chg) + 1 AS BIGINT) AS n_runs
+        |  FROM c)
+        |SELECT n_up, n_down, n_runs,
+        |       (2000000 * n_up * n_down) // (n_up + n_down) + 1000000
+        |         AS exp_runs_micro
+        |FROM agg""".stripMargin,
 
     "q238_survival_curve" ->
       """WITH RECURSIVE ten AS (

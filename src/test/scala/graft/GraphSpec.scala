@@ -36,6 +36,22 @@ class GraphSpec extends SparkTestBase {
     total should be > 3990000L
   }
 
+  test("labelPropagation: barbell graph separates its two triangles") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4. Hand-stepped
+    // synchronous rounds with the (count DESC, label ASC) tie-break:
+    // r1 = (2,1,1,3,4,4), r2 = (1,1,1,4,3,3), r3 = (1,1,1,3,3,3) —
+    // each triangle settles on its own min-id label despite the bridge
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.labelPropagation(edges, 3).as[(Long, Long)].collect().toMap
+    r shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L)
+    // intermediate round pinned too: the synchronous schedule is the
+    // determinism contract, so r1 must be exactly the hand computation
+    val r1 = Graph.labelPropagation(edges, 1).as[(Long, Long)].collect().toMap
+    r1 shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L)
+  }
+
   test("kCoreSurvivors: K4 with a tail peels the tail in cascading rounds") {
     // K4 on {1,2,3,4} + tail 4-5-6: degrees 3,3,3,4,2,1. The 3-core is
     // the K4 — but reaching it takes TWO synchronized rounds (5 and 6
