@@ -3388,6 +3388,69 @@ object SparkEntry {
           expr("(2000000 * n_up * n_down) div (n_up + n_down) + 1000000"))
     }),
 
+    // §2.9 — filter-threshold calibration sweep (round 5: before a
+    // curation filter ships, the sweep that PICKS its threshold — for
+    // ten cut points on the unique-token-ratio quality signal, the
+    // surviving doc count, surviving token mass, and mean length. One
+    // doc-grain scan computes the signal; the sweep is a ×10 broadcast
+    // threshold fan-out (bounded-domain pattern) into one aggregate, so
+    // ten candidate filters cost one corpus pass, not ten. Thresholds
+    // where nothing survives drop out identically in both engines
+    "q254_threshold_sweep" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokensWs(col("text"))
+      val d = t(s, dir, "documents")
+        .select(col("n_chars"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"))
+        .filter(col("n_toks") > 0)
+        .withColumn("score_pm", expr("(1000 * n_uniq) div n_toks"))
+      val th = s.range(0, 10)
+        .select((col("id") * 100).as("threshold_pm"))
+      d.crossJoin(broadcast(th))
+        .filter(col("score_pm") >= col("threshold_pm"))
+        .groupBy(col("threshold_pm"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          expr("sum(n_chars) div count(1)").as("mean_chars"))
+    }),
+
+    // §2.8 — embedding snapshot drift (round 5: "did the embedding
+    // distribution move between two model/corpus snapshots?" — the
+    // monitoring query an embedding pipeline runs per refresh. Snapshots
+    // are the even/odd vec_id halves; per (label, dim), the snapshot
+    // MEAN in exact integer micros (per-element micro-rounding makes the
+    // float sum order-independent, the same trick as ExactAgg.cents), so
+    // the per-label squared-L2 shift is an exact BIGINT and the cosine
+    // between mean vectors is one deterministic double expression over
+    // exact integers (identical operand order in both engines). Shapes:
+    // one posexplode scan, one (label, snapshot, dim) aggregate — the
+    // bounded |labels|×2×|dims| grid carries everything after
+    "q255_embedding_drift" -> ((s, dir) => {
+      val x = t(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("snap"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+      val cell = x.groupBy(col("label"), col("snap"), col("dim"))
+        .agg(sum(graft.functions.ExactAgg.scaledLong(col("v"), 1000000L))
+          .as("sm"), count(lit(1)).as("n"))
+        .withColumn("mean_micro", expr("sm div n"))
+      val a = cell.filter(col("snap") === 0)
+        .select(col("label"), col("dim"), col("mean_micro").as("ma"))
+      val b = cell.filter(col("snap") === 1)
+        .select(col("label"), col("dim"), col("mean_micro").as("mb"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_dims"),
+          sum(col("ma") * col("mb")).as("dot"),
+          sum(col("ma") * col("ma")).as("na2"),
+          sum(col("mb") * col("mb")).as("nb2"),
+          sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+            .as("l2sq_micro2"))
+        .select(col("label"), col("n_dims"), col("l2sq_micro2"),
+          expr("CAST(dot AS DOUBLE)" +
+            " / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))")
+            .as("mean_cosine"))
+    }),
+
     // §2.6 — Kaplan–Meier customer survival curve (round 5: the
     // censoring-aware churn analysis a naive "share still active"
     // cannot do — tenure = first→last order days, customers whose last
@@ -7359,6 +7422,56 @@ object SparkEntry {
         |SELECT n_up, n_down, n_runs,
         |       (2000000 * n_up * n_down) // (n_up + n_down) + 1000000
         |         AS exp_runs_micro
+        |FROM agg""".stripMargin,
+
+    "q254_threshold_sweep" ->
+      s"""WITH d AS (
+         |  SELECT n_chars,
+         |         CAST(len($ToksSql) AS BIGINT) AS n_toks,
+         |         CAST(len(list_distinct($ToksSql)) AS BIGINT) AS n_uniq
+         |  FROM documents),
+         |sc AS (
+         |  SELECT n_chars, n_toks, (1000 * n_uniq) // n_toks AS score_pm
+         |  FROM d WHERE n_toks > 0),
+         |th AS (
+         |  SELECT CAST(unnest(generate_series(0, 9)) * 100 AS BIGINT)
+         |    AS threshold_pm)
+         |SELECT threshold_pm,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_chars) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |         AS mean_chars
+         |FROM sc CROSS JOIN th
+         |WHERE score_pm >= threshold_pm
+         |GROUP BY 1""".stripMargin,
+
+    "q255_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT label, vec_id % 2 AS snap,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cell AS (
+        |  SELECT label, snap, dim,
+        |         CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |           // CAST(count(*) AS BIGINT) AS mean_micro
+        |  FROM x GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.label, a.mean_micro AS ma, b.mean_micro AS mb
+        |  FROM cell a JOIN cell b
+        |    ON a.label = b.label AND a.dim = b.dim
+        |   AND a.snap = 0 AND b.snap = 1),
+        |agg AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+        |         CAST(sum(ma * mb) AS BIGINT) AS dot,
+        |         CAST(sum(ma * ma) AS BIGINT) AS na2,
+        |         CAST(sum(mb * mb) AS BIGINT) AS nb2,
+        |         CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS l2sq_micro2
+        |  FROM j GROUP BY 1)
+        |SELECT label, n_dims, l2sq_micro2,
+        |       CAST(dot AS DOUBLE)
+        |         / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+        |         AS mean_cosine
         |FROM agg""".stripMargin,
 
     "q238_survival_curve" ->
