@@ -137,7 +137,7 @@ object JpegCodec {
   }
 
   /** Entropy-segment bit reader: unstuffs 0xFF00, stops at markers. */
-  private final class BitReader(data: Array[Byte], var pos: Int) {
+  private[operators] final class BitReader(data: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nBits = 0
     var hitMarker = false
@@ -197,12 +197,12 @@ object JpegCodec {
   }
 
   /** DC-difference / AC-value sign extension (T.81 F.2.2.1 EXTEND). */
-  private def extend(v: Int, t: Int): Int =
+  private[operators] def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
   // ---- decoder -----------------------------------------------------------
 
-  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+  private[operators] final case class Component(id: Int, h: Int, v: Int, tq: Int) {
     var dcTable = 0
     var acTable = 0
   }
@@ -353,9 +353,24 @@ object JpegCodec {
               }
               p += 2
             }
+          case 0xDE => // DHP: delegate to the hierarchical (Annex J) driver
+            if (comps != null) return None // DHP after a frame header
+            if (len < 8) return None
+            val p = bytes(seg) & 0xFF
+            val hh = u16(seg + 1)
+            val ww = u16(seg + 3)
+            val nf = bytes(seg + 5) & 0xFF
+            if (ww <= 0 || hh <= 0 || (nf != 1 && nf != 3)) return None
+            if (ww.toLong * hh.toLong > PngCodec.MaxPixels) return None
+            if (len < 8 + 3 * nf) return None
+            val ids = Array.tabulate(nf)(i => bytes(seg + 6 + 3 * i) & 0xFF)
+            return JpegHier.decodeFrom(bytes, pos + 2 + len, p, ww, hh, ids,
+              quant, dcTabs, acTabs, restartInterval)
           case m if m >= 0xC1 && m <= 0xCF && m != 0xC2 && m != 0xC3 &&
               m != 0xC4 && m != 0xC8 && m != 0xC9 && m != 0xCA =>
-            return None // arithmetic lossless / hierarchical: out of scope
+            // differential SOFs outside a hierarchical sequence,
+            // arithmetic lossless (SOF11): out of scope
+            return None
           case 0xDD =>
             if (len < 4) return None
             restartInterval = u16(seg)
@@ -1317,8 +1332,8 @@ object JpegCodec {
   private val DcLumaVals = (0 to 11).toArray
   private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
   private val DcChromaVals = (0 to 11).toArray
-  private val AcLumaBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
-  private val AcLumaVals: Array[Int] = Array(
+  private[operators] val AcLumaBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private[operators] val AcLumaVals: Array[Int] = Array(
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
@@ -1351,7 +1366,7 @@ object JpegCodec {
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
 
   /** (code, length) per symbol from the DHT layout — encoder side. */
-  private def codes(counts: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+  private[operators] def codes(counts: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
     var code = 0
     var k = 0
     val out = Map.newBuilder[Int, (Int, Int)]
@@ -1370,7 +1385,7 @@ object JpegCodec {
     out.result()
   }
 
-  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+  private[operators] final class BitWriter(out: java.io.ByteArrayOutputStream) {
     private var acc = 0
     private var n = 0
     def write(code: Int, len: Int): Unit = {
@@ -1389,7 +1404,7 @@ object JpegCodec {
     def flush(): Unit = if (n > 0) { write((1 << (8 - n)) - 1, 8 - n) } // pad 1s
   }
 
-  private def category(v: Int): Int = {
+  private[operators] def category(v: Int): Int = {
     var t = 0
     var a = math.abs(v)
     while (a > 0) { t += 1; a >>= 1 }

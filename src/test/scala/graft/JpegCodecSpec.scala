@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{JpegCodec, Multimodal, PpmCodec}
+import graft.operators.{JpegCodec, JpegHier, Multimodal, PpmCodec}
 import graft.operators.PpmCodec.PpmImage
 
 class JpegCodecSpec extends SparkTestBase {
@@ -540,6 +540,69 @@ class JpegCodecSpec extends SparkTestBase {
     val sof11 = good.clone(); sof11(sof + 1) = 0xCB.toByte
     JpegCodec.decode(sof11) shouldBe None
     val rng = new scala.util.Random(53L)
+    (1 to 300).foreach { _ =>
+      val bad = good.clone()
+      bad(rng.nextInt(bad.length)) = rng.nextInt(256).toByte
+      noException should be thrownBy JpegCodec.decode(bad)
+    }
+    (1 to 100).foreach { _ =>
+      noException should be thrownBy
+        JpegCodec.decode(good.take(rng.nextInt(good.length)))
+    }
+  }
+
+  test("hierarchical (DHP) lossless pyramid round-trips BIT-EXACT at 1-3 levels") {
+    for (img <- Seq(gradient(16, 16), noise(24, 8, 20260815L));
+         levels <- 1 to 3; gray <- Seq(false, true)) {
+      val enc = JpegHier.encodeHierarchical(img, gray = gray, levels = levels)
+      val dec = JpegCodec.decode(enc).get
+      dec.width shouldBe img.width
+      dec.height shouldBe img.height
+      if (!gray) dec.pixels shouldBe img.pixels
+      else dec.pixels.grouped(3).zip(img.pixels.grouped(3)).foreach {
+        case (got, want) =>
+          (got(0) & 0xFF) shouldBe (want(0) & 0xFF)
+          got(1) shouldBe got(0); got(2) shouldBe got(0)
+      }
+    }
+  }
+
+  test("hierarchical DCT pyramid reconstructs within the flat-quant bound") {
+    for (img <- Seq(gradient(16, 16), gradient(32, 16))) {
+      val enc = JpegHier.encodeHierarchical(img, levels = 2, dct = true)
+      val dec = JpegCodec.decode(enc).get
+      dec.width shouldBe img.width
+      dec.height shouldBe img.height
+      // base frame q=1 DCT error + one EXP-interpolated differential
+      // refinement at q=2: each stage contributes ~±2 rounding
+      maxErr(img, dec) should be <= 6
+    }
+  }
+
+  test("hierarchical structural violations reject; corrupt payloads never throw") {
+    val good = JpegHier.encodeHierarchical(gradient(16, 16), levels = 2)
+    JpegCodec.decode(good) should not be None // sanity
+    def findMarker(b: Array[Byte], mk: Int, from: Int = 2): Int =
+      b.indices.drop(from).find(i => (b(i) & 0xFF) == 0xFF &&
+        i + 1 < b.length && (b(i + 1) & 0xFF) == mk).get
+    // a second NON-differential frame where the refinement should be
+    val c7 = findMarker(good, 0xC7)
+    val bad1 = good.clone(); bad1(c7 + 1) = 0xC3.toByte
+    JpegCodec.decode(bad1) shouldBe None
+    // differential lossless must use predictor selector 0: patch Ss
+    val sos2 = findMarker(good, 0xDA, c7)
+    val bad2 = good.clone()
+    bad2(sos2 + 2 + 4 + 2 * 3) = 1 // Ss byte of the second SOS
+    JpegCodec.decode(bad2) shouldBe None
+    // differential SOFs outside a hierarchical sequence reject
+    val plain = JpegCodec.encode(gradient(8, 8))
+    val sof0 = findMarker(plain, 0xC0)
+    for (diffMarker <- Seq(0xC5, 0xC7)) {
+      val mut = plain.clone(); mut(sof0 + 1) = diffMarker.toByte
+      JpegCodec.decode(mut) shouldBe None
+    }
+    // fuzz: flipped bytes and truncations never throw
+    val rng = new scala.util.Random(67L)
     (1 to 300).foreach { _ =>
       val bad = good.clone()
       bad(rng.nextInt(bad.length)) = rng.nextInt(256).toByte
