@@ -3292,16 +3292,20 @@ object SparkEntry {
     // §2.7 — entity resolution by RECIPROCAL best match (round 5: the
     // one-to-one assignment step the pair-generating dedup family stops
     // short of — two "catalogs" (even / odd partkeys), candidates from a
-    // type-noun block + Levenshtein ≤ 3, and a pair survives only if each
-    // side is the other's rank-1 candidate under (distance ASC, key ASC).
-    // Two windows over the blocked candidate frame — the deterministic
-    // greedy core of record linkage; blocking keeps the candidate volume
-    // |block|², never |catalog|²
+    // (first-letter, type-noun) block + Levenshtein ≤ 3, and a pair
+    // survives only if each side is the other's rank-1 candidate under
+    // (distance ASC, key ASC). Two windows over the blocked candidate
+    // frame — the deterministic greedy core of record linkage; blocking
+    // keeps the candidate volume Σ|block|², never |catalog|² — the
+    // type-noun alone left blocks of |catalog|/5 (13.7 s at sf0.1, and
+    // quadratic growth at scale); adding the adjective's first letter
+    // cuts each block ~20x, the standard multi-attribute blocking move
     "q251_reciprocal_match" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val p = t(s, dir, "part")
         .select(col("p_partkey"), col("p_name"),
-          substring_index(col("p_name"), " ", -1).as("blk"))
+          concat_ws("|", substring(col("p_name"), 1, 1),
+            substring_index(col("p_name"), " ", -1)).as("blk"))
       val a = p.filter(col("p_partkey") % 2 === 0)
         .select(col("blk"), col("p_partkey").as("a_key"),
           col("p_name").as("a_name"))
@@ -3412,6 +3416,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
           expr("sum(n_chars) div count(1)").as("mean_chars"))
+    }),
+
+    // §2.9 — quantile normalization of per-source length distributions
+    // (round 5: the batch-effect correction — map each source's length
+    // values onto the GLOBAL length distribution so downstream
+    // length-sensitive filters treat sources uniformly; the rank-based
+    // distribution alignment used for cross-batch harmonization). Works
+    // at VALUE grain, never doc grain: source CDF cells (|sources| ×
+    // |distinct lengths|) map to the minimal global value whose CDF
+    // reaches the cell's source-relative rank — the exact integer
+    // cross-multiplied condition cumAll(v)·n_s ≥ cum_s·N. The mapping
+    // join is bounded-frame × bounded-frame (value grain squared at
+    // worst), independent of corpus row count
+    "q256_quantile_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      val glob = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+        .withColumn("cum_all", sum(col("c"))
+          .over(Window.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("n_chars").as("v"), col("cum_all"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      val cells = d.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum_s", sum(col("c"))
+          .over(Window.partitionBy(col("source")).orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val segN = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      cells.join(broadcast(segN), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .join(broadcast(glob),
+          col("cum_all") * col("n_s") >= col("cum_s") * col("n"))
+        .groupBy(col("source"), col("n_chars"), col("c"))
+        .agg(min(col("v")).as("mapped_chars"))
     }),
 
     // §2.8 — embedding snapshot drift (round 5: "did the embedding
@@ -7352,7 +7390,8 @@ object SparkEntry {
     "q251_reciprocal_match" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name,
-        |         split_part(p_name, ' ', -1) AS blk
+        |         substring(p_name, 1, 1) || '|' ||
+        |           split_part(p_name, ' ', -1) AS blk
         |  FROM part),
         |cand AS (
         |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
@@ -7444,6 +7483,30 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q256_quantile_normalize" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |gcdf AS (
+        |  SELECT n_chars AS v,
+        |         CAST(sum(count(*)) OVER (ORDER BY n_chars
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_all
+        |  FROM d GROUP BY n_chars),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |cells AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(count(*)) OVER (PARTITION BY source
+        |           ORDER BY n_chars
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_s
+        |  FROM d GROUP BY source, n_chars),
+        |segn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |         FROM d GROUP BY 1)
+        |SELECT cells.source, cells.n_chars, cells.c,
+        |       CAST(min(gcdf.v) AS BIGINT) AS mapped_chars
+        |FROM cells JOIN segn USING (source) CROSS JOIN tot
+        |JOIN gcdf ON gcdf.cum_all * segn.n_s >= cells.cum_s * tot.n
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q255_embedding_drift" ->
       """WITH x AS (
