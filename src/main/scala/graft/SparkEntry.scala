@@ -3226,18 +3226,9 @@ object SparkEntry {
     // exact replace-length identity, so both engines count overlapping-
     // free occurrences identically. The real pipeline swaps the literal
     // list for the release's actual canaries — the SHAPE is the operator
-    "q249_canary_scan" -> ((s, dir) => {
-      val canaries = Seq("fast table", "scan slow", "window table",
-        "zebra quantum")
-      val c = s.range(1)
-        .select(explode(array(canaries.map(lit(_)): _*)).as("canary"))
-      t(s, dir, "documents").crossJoin(broadcast(c))
-        .groupBy(col("canary"))
-        .agg(
-          count(when(expr("instr(text, canary)") > 0, 1)).as("n_docs"),
-          sum(expr("(length(text) - length(replace(text, canary, '')))" +
-            " div length(canary)").cast("long")).as("n_occurrences"))
-    }),
+    "q249_canary_scan" -> ((s, dir) =>
+      TextAnalysis.canaryScan(t(s, dir, "documents"),
+        Seq("fast table", "scan slow", "window table", "zebra quantum"))),
 
     // §2.6 — sketch SET ALGEBRA: audience overlap between every event-type
     // pair (round 5: q41's single-sketch contract extended to the union /

@@ -536,4 +536,26 @@ object TextAnalysis {
         count(when(col("c") === 1L, 1)).as("n_hapax"))
       .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tokens"))
       .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_types"))
+
+  /** Canary-string contamination scan: for each canary of a bounded
+    * list, documents containing it and total occurrence count — the
+    * secret-leak / eval-contamination screen run before any release.
+    * One corpus scan with a ×|canaries| broadcast fan-out; occurrence
+    * counts use the exact replace-length identity (non-overlapping
+    * occurrences, identical in any engine). Backs `q249` and the
+    * streaming ingest gate ([[graft.streaming.StreamingPipeline
+    * .canaryGateStream]]), which runs the same scan per micro-batch.
+    */
+  def canaryScan(docs: DataFrame, canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty && canaries.forall(_.nonEmpty),
+      "canaries must be non-empty strings")
+    val c = docs.sparkSession.range(1)
+      .select(explode(array(canaries.map(lit(_)): _*)).as("canary"))
+    docs.crossJoin(broadcast(c))
+      .groupBy(col("canary"))
+      .agg(
+        count(when(expr("instr(text, canary)") > 0, 1)).as("n_docs"),
+        sum(expr("(length(text) - length(replace(text, canary, '')))" +
+          " div length(canary)").cast("long")).as("n_occurrences"))
+  }
 }

@@ -177,6 +177,30 @@ object StreamingPipeline {
         onReport(graft.operators.Quality.ksScaled(reference(), batch), id)
       }
 
+  /** Streaming canary-contamination gate: every micro-batch delivery is
+    * scanned for the release's canary strings BEFORE it can land — the
+    * ingest-time arm of [[graft.operators.TextAnalysis.canaryScan]]
+    * (q249's batch screen), completing the contamination story the same
+    * way the near-dup and drift gates do for duplication and shape.
+    * `onReport` receives the per-canary (n_docs, n_occurrences) frame
+    * per batch; quarantine policy (reject the delivery on any hit, strip
+    * the flagged docs, page someone) stays with the caller, like every
+    * gate here. The scan is one pass over the batch with a bounded
+    * broadcast fan-out — per-delivery cost is linear in delivery bytes,
+    * independent of the standing corpus.
+    */
+  def canaryGateStream(spark: SparkSession, inputDir: String,
+                       schema: StructType, canaries: Seq[String],
+                       checkpointDir: String)
+                      (onReport: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onReport(graft.operators.TextAnalysis.canaryScan(batch, canaries), id)
+      }
+
   /** Streaming upsert materialization: each micro-batch of changelog rows
     * (`k, v, op` — the [[graft.operators.Cdc]] shape) folds into a standing
     * keyed parquet table via [[graft.operators.Cdc.applyChangelog]] and a

@@ -259,6 +259,33 @@ class StreamingPipelineSpec extends SparkTestBase {
     reports.toSeq shouldBe Seq((4L, 4L, 3L, 16L))
   }
 
+  test("canaryGateStream reports exact canary hits per delivery") {
+    val dSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = Files.createTempDirectory("canarygate").toString
+    val input = s"$dir/in"
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def run() = StreamingPipeline.runOnce(
+      StreamingPipeline.canaryGateStream(spark, input, dSchema,
+        Seq("SECRET", "eval42"), s"$dir/ckpt") { (rep, _) =>
+        reports ++= rep.select("canary", "n_docs", "n_occurrences")
+          .as[(String, Long, Long)].collect()
+      })
+    // delivery 1: one doc with two SECRETs, one clean
+    Seq((1L, "a SECRET and another SECRET"), (2L, "clean text"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(input)
+    run()
+    reports.sortBy(_._1).toSeq shouldBe
+      Seq(("SECRET", 1L, 2L), ("eval42", 0L, 0L))
+    // delivery 2: only the NEW file is scanned (checkpointed source)
+    reports.clear()
+    Seq((3L, "eval42 leaked here"), (4L, "eval42 eval42"))
+      .toDF("doc_id", "text").repartition(1).write.mode("append").parquet(input)
+    run()
+    reports.sortBy(_._1).toSeq shouldBe
+      Seq(("SECRET", 0L, 0L), ("eval42", 2L, 3L))
+  }
+
   test("micro-batched streaming aggregation equals the one-shot batch result") {
     // the exactly-once equivalence contract: an aggregation fed one file
     // per micro-batch must converge to the same totals as a single batch
