@@ -3409,6 +3409,34 @@ object SparkEntry {
           expr("sum(n_chars) div count(1)").as("mean_chars"))
     }),
 
+    // §2.9 — dedup savings report (round 5: the ROI statement for the
+    // dedup family — per source, raw vs post-exact-dedup doc and token
+    // mass, with inflation in exact ppm. "Keeper" is the canonical
+    // min-doc_id per fingerprint ACROSS the whole corpus (cross-source
+    // duplicates credit the keeper's source, so per-source savings sum
+    // to the corpus savings); one fingerprint shuffle + one argmin,
+    // the q18 shape with token mass riding along
+    "q257_dedup_savings" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = graft.functions.TextFunctions.tokensWs(col("text"))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+          size(toks).cast("long").as("n_toks"))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val tagged = d.withColumn("keeper", row_number().over(w) === 1)
+      tagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("raw_docs"),
+          sum(col("n_toks")).as("raw_tokens"),
+          count(when(col("keeper"), 1)).as("kept_docs"),
+          sum(when(col("keeper"), col("n_toks")).otherwise(0L))
+            .as("kept_tokens"))
+        .withColumn("doc_inflation_ppm",
+          expr("(1000000 * (raw_docs - kept_docs)) div raw_docs"))
+        .withColumn("token_inflation_ppm",
+          expr("(1000000 * (raw_tokens - kept_tokens)) div raw_tokens"))
+    }),
+
     // §2.9 — quantile normalization of per-source length distributions
     // (round 5: the batch-effect correction — map each source's length
     // values onto the GLOBAL length distribution so downstream
@@ -7474,6 +7502,31 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q257_dedup_savings" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, md5($NormSql) AS fp,
+         |         CAST(len($ToksSql) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |tagged AS (
+         |  SELECT source, n_toks,
+         |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+         |           AS keeper
+         |  FROM d),
+         |agg AS (
+         |  SELECT source,
+         |         CAST(count(*) AS BIGINT) AS raw_docs,
+         |         CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+         |         CAST(count(*) FILTER (WHERE keeper) AS BIGINT) AS kept_docs,
+         |         CAST(COALESCE(sum(n_toks) FILTER (WHERE keeper), 0)
+         |           AS BIGINT) AS kept_tokens
+         |  FROM tagged GROUP BY 1)
+         |SELECT source, raw_docs, raw_tokens, kept_docs, kept_tokens,
+         |       (1000000 * (raw_docs - kept_docs)) // raw_docs
+         |         AS doc_inflation_ppm,
+         |       (1000000 * (raw_tokens - kept_tokens)) // raw_tokens
+         |         AS token_inflation_ppm
+         |FROM agg""".stripMargin,
 
     "q256_quantile_normalize" ->
       """WITH d AS (SELECT source, n_chars FROM documents),
