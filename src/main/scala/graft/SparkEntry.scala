@@ -3409,6 +3409,63 @@ object SparkEntry {
           expr("sum(n_chars) div count(1)").as("mean_chars"))
     }),
 
+    // §2.6 — growth accounting (round 5: the product-analytics quad —
+    // per week, how many active users are NEW (first week ever),
+    // RETAINED (active the week before), RESURRECTED (returning after a
+    // gap), and how many CHURNED out of the previous week (previous
+    // actives − retained). Week = Monday-anchored epoch-day div 7
+    // (identical integers both engines); per-user lag over the
+    // (user, week) distinct frame, then a week-grain rollup joined to
+    // its own lag — everything after the distinct is user-week grain
+    "q258_growth_accounting" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val uw = events(s, dir)
+        .select(col("user_id"),
+          (datediff(to_date(col("ts")), lit("1970-01-05").cast("date"))
+            .cast("long") / 7).cast("long").as("wk"))
+        .distinct()
+      val lagged = uw.withColumn("prev_wk",
+        lag(col("wk"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("wk"))))
+      val byWk = lagged.groupBy(col("wk"))
+        .agg(count(lit(1)).as("actives"),
+          count(when(col("prev_wk").isNull, 1)).as("new_users"),
+          count(when(col("prev_wk") === col("wk") - 1, 1)).as("retained"),
+          count(when(col("prev_wk").isNotNull &&
+            col("prev_wk") < col("wk") - 1, 1)).as("resurrected"))
+      val w = Window.orderBy(col("wk")) // bounded week frame
+      byWk
+        .withColumn("prev_actives", lag(col("actives"), 1).over(w))
+        .withColumn("churned",
+          when(col("prev_actives").isNull, 0L)
+            .otherwise(col("prev_actives") - col("retained")))
+        .select(col("wk"), col("actives"), col("new_users"),
+          col("retained"), col("resurrected"), col("churned"))
+    }),
+
+    // §2.6 — DAU/WAU stickiness (round 5: the engagement-intensity
+    // ratio — per week, mean daily actives over weekly actives in exact
+    // permille: (1000·Σ_day dau) div (n_days·wau). Two distinct-count
+    // grains from one scan; the permille cross-multiplies so no
+    // division happens before the final bounded frame
+    "q259_stickiness" -> ((s, dir) => {
+      val base = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .withColumn("wk",
+          (datediff(col("d"), lit("1970-01-05").cast("date"))
+            .cast("long") / 7).cast("long"))
+      val daily = base.select(col("wk"), col("d"), col("user_id")).distinct()
+        .groupBy(col("wk"), col("d")).agg(count(lit(1)).as("dau"))
+        .groupBy(col("wk"))
+        .agg(sum(col("dau")).as("dau_sum"), count(lit(1)).as("n_days"))
+      val weekly = base.select(col("wk"), col("user_id")).distinct()
+        .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+      daily.join(weekly, Seq("wk"))
+        .select(col("wk"), col("n_days"), col("dau_sum"), col("wau"),
+          expr("(1000 * dau_sum) div (n_days * wau)")
+            .as("stickiness_permille"))
+    }),
+
     // §2.9 — dedup savings report (round 5: the ROI statement for the
     // dedup family — per source, raw vs post-exact-dedup doc and token
     // mass, with inflation in exact ppm. "Keeper" is the canonical
@@ -7502,6 +7559,51 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q258_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS BIGINT)
+        |           AS wk
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, wk,
+        |         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+        |  FROM uw),
+        |bywk AS (
+        |  SELECT wk,
+        |         CAST(count(*) AS BIGINT) AS actives,
+        |         CAST(count(*) FILTER (WHERE prev_wk IS NULL) AS BIGINT)
+        |           AS new_users,
+        |         CAST(count(*) FILTER (WHERE prev_wk = wk - 1) AS BIGINT)
+        |           AS retained,
+        |         CAST(count(*) FILTER (WHERE prev_wk IS NOT NULL
+        |           AND prev_wk < wk - 1) AS BIGINT) AS resurrected
+        |  FROM lagged GROUP BY 1)
+        |SELECT wk, actives, new_users, retained, resurrected,
+        |       CASE WHEN lag(actives) OVER (ORDER BY wk) IS NULL THEN 0
+        |            ELSE lag(actives) OVER (ORDER BY wk) - retained END
+        |         AS churned
+        |FROM bywk""".stripMargin,
+
+    "q259_stickiness" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |         CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS BIGINT)
+        |           AS wk
+        |  FROM events),
+        |daily AS (
+        |  SELECT wk, CAST(sum(dau) AS BIGINT) AS dau_sum,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |  FROM (SELECT wk, d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM base GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |weekly AS (
+        |  SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM base GROUP BY 1)
+        |SELECT wk, n_days, dau_sum, wau,
+        |       (1000 * dau_sum) // (n_days * wau) AS stickiness_permille
+        |FROM daily JOIN weekly USING (wk)""".stripMargin,
 
     "q257_dedup_savings" ->
       s"""WITH d AS (
