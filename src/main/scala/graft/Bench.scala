@@ -120,7 +120,15 @@ object Bench {
     // (q241/q244/q245) stay OUT: they are job-launch-floor-bound at every
     // SF, so the rung would measure overhead, not scaling
     "q238_survival_curve", "q239_readability", "q242_t_closeness",
-    "q243_mann_whitney", "q246_nb_confusion")
+    "q243_mann_whitney", "q246_nb_confusion",
+    // late third-session linear claims: LPA rounds are |E|-linear (the
+    // q110/q174 iterative-graph band), dedup-savings is one fingerprint
+    // shuffle (q18's shape), growth accounting and stickiness are
+    // (user, week)-grain distinct + bounded rollups. q251 stays OUT: its
+    // candidate volume is Σ|block|² over a FIXED-cardinality block key,
+    // so it is quadratic-by-blocking at the rung (the q19/q47 rule)
+    "q248_label_propagation", "q257_dedup_savings",
+    "q258_growth_accounting", "q259_stickiness")
 
   /** True iff every `<md5>  <rows>  <name>.parquet` line of the committed
     * manifest (tools/sf1_manifest.txt, written by tools/gen_sf1.py) matches
