@@ -3409,6 +3409,18 @@ object SparkEntry {
           expr("sum(n_chars) div count(1)").as("mean_chars"))
     }),
 
+    // §2.9 — language-ID confusion audit (round 5: the eval harness FOR
+    // an operator of this library — q16's marker-word classifier scored
+    // against the corpus's lang labels as a confusion matrix, the
+    // heuristic-quality report a curation pipeline reviews before
+    // trusting the classifier's routing decisions. Same scan shape as
+    // q16 (per-row marker counting + argmax), collapsed to the bounded
+    // |langs|² grid
+    "q260_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"))
+        .groupBy(col("lang").as("true_lang"), col("guessed_lang"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // §2.6 — growth accounting (round 5: the product-analytics quad —
     // per week, how many active users are NEW (first week ever),
     // RETAINED (active the week before), RESURRECTED (returning after a
@@ -7559,6 +7571,29 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q260_langid_confusion" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, lang,
+         |         len(list_filter($ToksSql, x -> list_contains(['the','a','is','and','of'], x))) AS score_en,
+         |         len(list_filter($ToksSql, x -> list_contains(['der','die','das','und','ist'], x))) AS score_de,
+         |         len(list_filter($ToksSql, x -> list_contains(['el','los','es','y','que'], x))) AS score_es,
+         |         len(list_filter($ToksSql, x -> list_contains(['le','les','est','et','une'], x))) AS score_fr,
+         |         len(list_filter($ToksSql, x -> list_contains(['de','shi','le','bu','wo'], x))) AS score_zh
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang,
+         |    CASE
+         |      WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+         |      WHEN score_de > 0 AND score_de > score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |      WHEN score_es > 0 AND score_es > score_en AND score_es > score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |      WHEN score_fr > 0 AND score_fr > score_en AND score_fr > score_de AND score_fr > score_es AND score_fr >= score_zh THEN 'fr'
+         |      WHEN score_zh > 0 AND score_zh > score_en AND score_zh > score_de AND score_zh > score_es AND score_zh > score_fr THEN 'zh'
+         |      ELSE 'unknown' END AS guessed_lang
+         |  FROM x)
+         |SELECT lang AS true_lang, guessed_lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM g GROUP BY 1, 2""".stripMargin,
 
     "q258_growth_accounting" ->
       """WITH uw AS (

@@ -141,4 +141,30 @@ class KernelPropertySpec extends SparkTestBase {
       assert(ex.distinct.length == ex.length)
     }
   }
+
+  test("property: canaryScan occurrence identity == brute non-overlapping count") {
+    // the replace-length identity counts LEFTMOST non-overlapping
+    // occurrences — exactly what a sequential indexOf walk counts
+    def brute(text: String, needle: String): Long = {
+      var i = 0; var n = 0L
+      while ({ i = text.indexOf(needle, i); i >= 0 }) { n += 1; i += needle.length }
+      n
+    }
+    val alphabet = "abab "
+    val canaries = Seq("ab", "aba", "b a")
+    val docs = (1 to 120).map { i =>
+      (i.toLong, Array.fill(rng.nextInt(40))(
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    }
+    val got = graft.operators.TextAnalysis.canaryScan(
+      docs.toDF("doc_id", "text"), canaries)
+      .as[(String, Long, Long)].collect()
+      .map { case (c, d, o) => c -> (d, o) }.toMap
+    canaries.foreach { c =>
+      val expOcc = docs.map(d => brute(d._2, c)).sum
+      val expDocs = docs.count(d => d._2.contains(c)).toLong
+      assert(got(c) == ((expDocs, expOcc)),
+        s"canary '$c': got ${got(c)}, want ($expDocs, $expOcc)")
+    }
+  }
 }
