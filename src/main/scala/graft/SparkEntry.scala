@@ -3409,6 +3409,83 @@ object SparkEntry {
           expr("sum(n_chars) div count(1)").as("mean_chars"))
     }),
 
+    // §2.6 — ABC inventory classification (round 5: the operations
+    // classic behind q137's Pareto scalar — every part classed A/B/C by
+    // cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest), exact by
+    // cross-multiplication (5·cum ≤ 4·total, 20·cum ≤ 19·total); the
+    // rank/cumsum window runs over the part AGGREGATE under q137's
+    // documented exemption, ties broken by partkey
+    "q261_abc_classification" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(ExactAgg.cents(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+      val w = Window.orderBy(col("revenue_cents").desc, col("p_partkey"))
+      rev
+        .withColumn("cum_cents", sum(col("revenue_cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total_cents", sum(col("revenue_cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("p_partkey"), col("revenue_cents"),
+          when(col("cum_cents") * 5 <= col("total_cents") * 4, "A")
+            .when(col("cum_cents") * 20 <= col("total_cents") * 19, "B")
+            .otherwise("C").as("abc_class"))
+    }),
+
+    // §2.6 — calendar seasonal index (round 5: month-of-year demand
+    // index over the SEVEN-year order history — per calendar month, the
+    // mean per-month-instance revenue against the overall mean, exact
+    // at permille scale by cross-multiplication (permille not micro: at
+    // 10× rows the micro numerator cents·N·1e6 would overflow int64 —
+    // the same headroom choice as q242). Partial calendar coverage
+    // (the last year ends mid-year) is handled by normalizing each
+    // month by ITS instance count, not an assumed year count
+    "q262_seasonal_index" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(month(col("o_orderdate")).cast("long").as("m"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          ExactAgg.cents(col("o_totalprice")).as("cents"))
+      val byM = o.groupBy(col("m"))
+        .agg(sum(col("cents")).as("cents_m"),
+          countDistinct(col("y")).as("n_m"))
+      val tot = byM.agg(sum(col("cents_m")).as("total"),
+        sum(col("n_m")).as("n_total"))
+      byM.crossJoin(broadcast(tot)) // 1-row totals over the 12-row frame
+        .select(col("m"), col("cents_m"), col("n_m"),
+          expr("(1000 * cents_m * n_total) div (n_m * total)")
+            .as("index_permille"))
+    }),
+
+    // §2.6 — customer-value segment migration (round 5: q113's monetary
+    // quartiles computed per PERIOD (orders split at the seven-year
+    // midpoint) and crossed into the migration matrix — who moved up,
+    // who lapsed, who arrived; the lifecycle report behind retention
+    // planning. Quartiles are ntile-4 over each period's customer
+    // AGGREGATE (q137's exemption, (monetary desc, custkey) total
+    // order); customers absent from a period carry quartile 0 via the
+    // full outer join, so arrivals and lapses are first-class cells
+    "q263_segment_migration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cut = lit("1998-06-01").cast("date")
+      val o = t(s, dir, "orders")
+      def quartiles(df: DataFrame, alias: String): DataFrame = {
+        val agg = df.groupBy(col("o_custkey"))
+          .agg(sum(ExactAgg.cents(col("o_totalprice"))).as("monetary"))
+        agg.withColumn(alias, ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("o_custkey")))
+          .cast("long"))
+          .select(col("o_custkey"), col(alias))
+      }
+      val early = quartiles(o.filter(col("o_orderdate") < cut), "q_early")
+      val late = quartiles(o.filter(col("o_orderdate") >= cut), "q_late")
+      early.join(late, Seq("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("q_early"), lit(0L)).as("q_early"),
+          coalesce(col("q_late"), lit(0L)).as("q_late"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
     // §2.9 — language-ID confusion audit (round 5: the eval harness FOR
     // an operator of this library — q16's marker-word classifier scored
     // against the corpus's lang labels as a confusion matrix, the
@@ -7571,6 +7648,66 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q261_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS p_partkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |           * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT p_partkey, revenue_cents,
+        |         CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC,
+        |           p_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |           ROW) AS BIGINT) AS cum_cents,
+        |         CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_cents
+        |  FROM rev)
+        |SELECT p_partkey, revenue_cents,
+        |       CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+        |            WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
+
+    "q262_seasonal_index" ->
+      """WITH o AS (
+        |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+        |         CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |bym AS (
+        |  SELECT m, CAST(sum(cents) AS BIGINT) AS cents_m,
+        |         CAST(count(DISTINCT y) AS BIGINT) AS n_m
+        |  FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents_m) AS BIGINT) AS total,
+        |               CAST(sum(n_m) AS BIGINT) AS n_total FROM bym)
+        |SELECT m, cents_m, n_m,
+        |       (1000 * cents_m * n_total) // (n_m * total) AS index_permille
+        |FROM bym CROSS JOIN tot""".stripMargin,
+
+    "q263_segment_migration" ->
+      """WITH early AS (
+        |  SELECT o_custkey,
+        |         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+        |           AS BIGINT) AS q_early
+        |  FROM (SELECT o_custkey,
+        |          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS monetary
+        |        FROM orders WHERE o_orderdate < DATE '1998-06-01'
+        |        GROUP BY 1)),
+        |late AS (
+        |  SELECT o_custkey,
+        |         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+        |           AS BIGINT) AS q_late
+        |  FROM (SELECT o_custkey,
+        |          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS monetary
+        |        FROM orders WHERE o_orderdate >= DATE '1998-06-01'
+        |        GROUP BY 1))
+        |SELECT COALESCE(e.q_early, 0) AS q_early,
+        |       COALESCE(l.q_late, 0) AS q_late,
+        |       CAST(count(*) AS BIGINT) AS n_customers
+        |FROM early e FULL OUTER JOIN late l USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q260_langid_confusion" ->
       s"""WITH x AS (
