@@ -3486,7 +3486,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
-    // §2.9 — language-ID confusion audit (round 5: the eval harness FOR
+    // §2.9 — character-entropy screen (round 5: the char-level
+    // degenerate-text signal under q57's word-level repetition and
+    // q99's token surprisal — per doc, Σ c·(bitlen(n) − bitlen(c)) over
+    // its character counts, the integer-bits entropy approximation
+    // (within 1 bit/term of Σ c·log2(n/c), q99's trick applied
+    // per-document): near-zero bits/char marks single-char floods and
+    // run-on repetition that token-level screens miss. One
+    // (doc, char)-grain aggregate from the explode — linear in corpus
+    // chars, no joins
+    "q264_char_entropy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cc = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c"))
+          .over(Window.partitionBy(col("doc_id"))))
+      cc.groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_chars"),
+          count(lit(1)).as("n_distinct_chars"),
+          sum((col("c") * (length(bin(col("n"))) - length(bin(col("c")))))
+            .cast("long")).as("entropy_bits_x"))
+        .withColumn("millibits_per_char",
+          expr("(1000 * entropy_bits_x) div n_chars"))
+    }),
     // an operator of this library — q16's marker-word classifier scored
     // against the corpus's lang labels as a confusion matrix, the
     // heuristic-quality report a curation pipeline reviews before
@@ -7648,6 +7674,25 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q264_char_entropy" ->
+      """WITH cc AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM documents)
+        |  WHERE ch != '' GROUP BY 1, 2),
+        |w AS (
+        |  SELECT doc_id, ch, c,
+        |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |  FROM cc)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |       CAST(sum(c * (length(format('{:b}', n))
+        |         - length(format('{:b}', c)))) AS BIGINT) AS entropy_bits_x,
+        |       (1000 * CAST(sum(c * (length(format('{:b}', n))
+        |         - length(format('{:b}', c)))) AS BIGINT))
+        |         // CAST(max(n) AS BIGINT) AS millibits_per_char
+        |FROM w GROUP BY 1""".stripMargin,
 
     "q261_abc_classification" ->
       """WITH rev AS (
