@@ -3486,6 +3486,59 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — year-over-year growth report (round 5: revenue per order
+    // year with the YoY delta in exact permille — the elementary trend
+    // report under q89's fitted slope; one year-grain aggregate, one lag
+    // on the bounded year frame, cross-multiplied permille (years with
+    // no predecessor emit NULL growth, identically in both engines)
+    "q265_yoy_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byY = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .agg(sum(ExactAgg.cents(col("o_totalprice"))).as("cents"))
+      byY
+        .withColumn("prev_cents", lag(col("cents"), 1)
+          .over(Window.orderBy(col("y"))))
+        .select(col("y"), col("cents"), col("prev_cents"),
+          expr("(1000 * (cents - prev_cents)) div prev_cents")
+            .as("yoy_permille"))
+    }),
+
+    // §2.6 — change-contribution decomposition (round 5: the "why did
+    // revenue move" answer — the last full year's delta vs the year
+    // before, split by customer nation: each nation's exact delta cents
+    // and its share of the TOTAL move in permille (shares can exceed
+    // 1000 or go negative when nations move against the trend — that IS
+    // the insight). Nation dim broadcasts; two conditional sums in one
+    // fact pass; the decomposition identity Σ nation deltas = total
+    // delta holds exactly in integer cents
+    "q266_change_contribution" -> ((s, dir) => {
+      val (y1, y2) = (2000, 2001)
+      val cust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val byNation = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(y1, y2))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === y1,
+            ExactAgg.cents(col("o_totalprice"))).otherwise(0L))
+            .as("cents_y1"),
+          sum(when(year(col("o_orderdate")) === y2,
+            ExactAgg.cents(col("o_totalprice"))).otherwise(0L))
+            .as("cents_y2"))
+        .withColumn("delta_cents", col("cents_y2") - col("cents_y1"))
+      val tot = byNation.agg(sum(col("delta_cents")).as("total_delta"))
+      byNation.crossJoin(broadcast(tot))
+        .select(col("nation"), col("cents_y1"), col("cents_y2"),
+          col("delta_cents"),
+          expr("(1000 * delta_cents) div total_delta")
+            .as("share_of_move_permille"))
+    }),
+
     // §2.9 — character-entropy screen (round 5: the char-level
     // degenerate-text signal under q57's word-level repetition and
     // q99's token surprisal — per doc, Σ c·(bitlen(n) − bitlen(c)) over
@@ -7674,6 +7727,40 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q265_yoy_growth" ->
+      """WITH byy AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT y, cents,
+        |       lag(cents) OVER (ORDER BY y) AS prev_cents,
+        |       (1000 * (cents - lag(cents) OVER (ORDER BY y)))
+        |         // lag(cents) OVER (ORDER BY y) AS yoy_permille
+        |FROM byy""".stripMargin,
+
+    "q266_change_contribution" ->
+      """WITH bynation AS (
+        |  SELECT n_name AS nation,
+        |         CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 2000
+        |           THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS cents_y1,
+        |         CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 2001
+        |           THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS cents_y2
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (2000, 2001)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents_y2 - cents_y1) AS BIGINT)
+        |          AS total_delta FROM bynation)
+        |SELECT nation, cents_y1, cents_y2,
+        |       cents_y2 - cents_y1 AS delta_cents,
+        |       (1000 * (cents_y2 - cents_y1)) // total_delta
+        |         AS share_of_move_permille
+        |FROM bynation CROSS JOIN tot""".stripMargin,
 
     "q264_char_entropy" ->
       """WITH cc AS (
