@@ -175,11 +175,13 @@ object SparkEntry {
        |SELECT node, rank_micro FROM r$iters""".stripMargin
   }
 
-  /** DuckDB twin of Graph.labelPropagation: the same synchronous rounds
-    * unrolled as chained CTEs — per round, neighbor-label frequencies then
-    * the per-node argmax with the (count DESC, label ASC) tie-break.
+  /** Chained-CTE body for Graph.labelPropagation's DuckDB twin: the
+    * co-purchase edge set, l0 = identity labels, then `iters` synchronous
+    * rounds (neighbor-label frequencies, per-node argmax with the
+    * (count DESC, label ASC) tie-break). Composable — q248 selects the
+    * final labels, q268 builds modularity on top of them.
     */
-  private def lpaOracleSql(iters: Int): String = {
+  private def lpaCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""f$k AS (
          |  SELECT e.src AS node, l.label, CAST(count(*) AS BIGINT) AS c
@@ -192,14 +194,16 @@ object SparkEntry {
          |             ORDER BY c DESC, label ASC) AS rk
          |    FROM f$k) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-       |$steps
-       |SELECT node, label FROM l$iters""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def lpaOracleSql(iters: Int): String =
+    s"WITH ${lpaCtes(iters)}\nSELECT node, label FROM l$iters"
 
   /** DuckDB twin of Graph.kCoreSurvivors: the same `rounds` synchronized
     * peel rounds unrolled as chained CTEs (keep nodes with deg >= k,
@@ -3484,6 +3488,67 @@ object SparkEntry {
         .groupBy(coalesce(col("q_early"), lit(0L)).as("q_early"),
           coalesce(col("q_late"), lit(0L)).as("q_late"))
         .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // §2.6 — frequency-weighted median (round 5: the weighted-percentile
+    // primitive — per brand, the median retail price PER SHIPPED UNIT
+    // (each line weighted by its quantity), via the engine's native
+    // frequency argument so the fact table is never row-expanded; the
+    // oracle row-expands with generate_series and must agree. Doubled-
+    // median trick (q74's family): 2·median = a+b is exactly integral
+    // on integer cents, so the output is hash-exact despite the
+    // interpolated midpoint
+    "q267_weighted_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"),
+            ExactAgg.cents(col("p_retailprice")).as("retail_cents"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("qty", floor(col("l_quantity") + lit(0.5)).cast("long"))
+      li.groupBy(col("p_brand"))
+        .agg(sum(col("qty")).as("total_units"),
+          (percentile(col("retail_cents"), lit(0.5), col("qty")) * 2)
+            .cast("long").as("med2_cents"))
+    }),
+
+    // §2.6 — community modularity (round 5: the quality score FOR q248's
+    // label-propagation partition — Newman's Q over the co-purchase
+    // graph, kept exact by clearing denominators: with E2 = symmetric
+    // edge rows (2m), Q·E2² = Σ_c (E2·intra_c − d_c²), all BIGINTs; the
+    // permille view divides once (permille not micro — at 10× rows the
+    // micro numerator crosses int64). Same per-round machinery as q248,
+    // then two label joins onto the edge frame and one community-grain
+    // aggregate
+    "q268_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+        .localCheckpoint() // feeds LPA rounds, degrees, AND the intra join
+      val labels = Graph.labelPropagation(edges, 3)
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val dC = deg.join(labels, Seq("node"))
+        .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+      val intra = edges
+        .join(labels.select(col("node").as("src"), col("label").as("ls")),
+          Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("label").as("ld")),
+          Seq("dst"))
+        .filter(col("ls") === col("ld"))
+        .groupBy(col("ls").as("label")).agg(count(lit(1)).as("intra_c"))
+      val e2 = edges.agg(count(lit(1)).as("e2"))
+      dC.join(intra, Seq("label"), "left")
+        .withColumn("intra_c", coalesce(col("intra_c"), lit(0L)))
+        .crossJoin(broadcast(e2))
+        .agg(max(col("e2")).as("e2"),
+          count(lit(1)).as("n_communities"),
+          sum(col("e2") * col("intra_c") - col("d_c") * col("d_c"))
+            .as("q_scaled"))
+        .withColumn("q_permille",
+          expr("(1000 * q_scaled) div (e2 * e2)"))
     }),
 
     // §2.6 — year-over-year growth report (round 5: revenue per order
@@ -7727,6 +7792,47 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q267_weighted_median" ->
+      """WITH x AS (
+        |  SELECT p_brand,
+        |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+        |           AS retail_cents,
+        |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |expanded AS (
+        |  SELECT p_brand, retail_cents
+        |  FROM x, unnest(generate_series(1, qty)))
+        |SELECT p_brand,
+        |       (SELECT CAST(sum(qty) AS BIGINT) FROM x x2
+        |        WHERE x2.p_brand = expanded.p_brand) AS total_units,
+        |       CAST(quantile_cont(retail_cents, 0.5) * 2 AS BIGINT)
+        |         AS med2_cents
+        |FROM expanded GROUP BY 1""".stripMargin,
+
+    "q268_modularity" ->
+      s"""WITH ${lpaCtes(3)},
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM e GROUP BY 1),
+         |dc AS (
+         |  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_c
+         |  FROM deg d JOIN l3 l ON d.node = l.node GROUP BY 1),
+         |intra AS (
+         |  SELECT ls.label, CAST(count(*) AS BIGINT) AS intra_c
+         |  FROM e JOIN l3 ls ON e.src = ls.node
+         |         JOIN l3 ld ON e.dst = ld.node
+         |  WHERE ls.label = ld.label GROUP BY 1),
+         |e2t AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM e),
+         |agg AS (
+         |  SELECT max(e2t.e2) AS e2,
+         |         CAST(count(*) AS BIGINT) AS n_communities,
+         |         CAST(sum(e2t.e2 * COALESCE(i.intra_c, 0)
+         |           - dc.d_c * dc.d_c) AS BIGINT) AS q_scaled
+         |  FROM dc LEFT JOIN intra i ON dc.label = i.label
+         |  CROSS JOIN e2t)
+         |SELECT e2, n_communities, q_scaled,
+         |       (1000 * q_scaled) // (e2 * e2) AS q_permille
+         |FROM agg""".stripMargin,
 
     "q265_yoy_growth" ->
       """WITH byy AS (
