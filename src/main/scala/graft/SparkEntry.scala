@@ -3490,6 +3490,65 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — k-hop neighborhood with minimum hop labels (round 5: the
+    // bounded BFS the graph family lacked between single-edge joins and
+    // full components — "every part within 2 co-purchase hops of the
+    // seed set, labeled by its closest distance". Each hop is one
+    // edge⋈frontier equi-join + distinct; the min-hop label is a union
+    // + min aggregate, so a node reached at several depths keeps the
+    // closest (the BFS invariant), all exact
+    "q269_khop_neighborhood" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+        .localCheckpoint() // both hop joins read it
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") < 10)
+      def expand(frontier: DataFrame): DataFrame = edges
+        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      val h1 = expand(seeds)
+      val h2 = expand(h1)
+      seeds.select(col("node"), lit(0L).as("hop"))
+        .unionByName(h1.select(col("node"), lit(1L).as("hop")))
+        .unionByName(h2.select(col("node"), lit(2L).as("hop")))
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+    }),
+
+    // §2.8 — MRR retrieval eval (round 5: mean-reciprocal-rank scoring
+    // of the exact kNN as a same-label retriever — per probe, the rank
+    // of the FIRST top-10 neighbor sharing the probe's label, with the
+    // reciprocal kept exact by the 2520 trick (lcm(1..10), so 2520/rank
+    // is an integer for every k ≤ 10; no-hit probes score 0). The
+    // eval-harness leg beside q170's majority vote and q211's
+    // recall@k; the probe set is bounded, the candidate pass is the
+    // audited q22 brute shape
+    "q270_mrr_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 32), 10)
+      val hits = knn
+        .join(broadcast(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"))), Seq("neighbor_id"))
+        .join(broadcast(emb.select(col("vec_id").as("query_id"),
+          col("label").as("own_label"))), Seq("query_id"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+      val first = hits.filter(col("n_label") === col("own_label"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("rank").cast("long").as("first_hit_rank"))
+      emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("own_label"))
+        .join(first, Seq("query_id"), "left")
+        .select(col("query_id"), col("own_label"),
+          coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
+          coalesce(expr("2520 div first_hit_rank"), lit(0L))
+            .as("rr_x2520"))
+    }),
+
     // §2.6 — frequency-weighted median (round 5: the weighted-percentile
     // primitive — per brand, the median retail price PER SHIPPED UNIT
     // (each line weighted by its quantity), via the engine's native
@@ -7792,6 +7851,46 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q269_khop_neighborhood" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src < 10),
+        |h1 AS (SELECT DISTINCT e.dst AS node
+        |       FROM e JOIN seeds s ON e.src = s.node),
+        |h2 AS (SELECT DISTINCT e.dst AS node
+        |       FROM e JOIN h1 ON e.src = h1.node)
+        |SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM (
+        |  SELECT node, 0 AS hop FROM seeds
+        |  UNION ALL SELECT node, 1 FROM h1
+        |  UNION ALL SELECT node, 2 FROM h2)
+        |GROUP BY 1""".stripMargin,
+
+    "q270_mrr_knn" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS own_label,
+         |         c.vec_id AS neighbor_id, c.label AS n_label,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |           AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 32 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, own_label, n_label,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored),
+         |hit AS (
+         |  SELECT query_id, CAST(min(rank) AS BIGINT) AS first_hit_rank
+         |  FROM ranked WHERE rank <= 10 AND n_label = own_label
+         |  GROUP BY 1)
+         |SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS own_label,
+         |       COALESCE(h.first_hit_rank, 0) AS first_hit_rank,
+         |       CASE WHEN h.first_hit_rank IS NULL THEN 0
+         |            ELSE 2520 // h.first_hit_rank END AS rr_x2520
+         |FROM e q LEFT JOIN hit h ON q.vec_id = h.query_id
+         |WHERE q.vec_id < 32""".stripMargin,
 
     "q267_weighted_median" ->
       """WITH x AS (
