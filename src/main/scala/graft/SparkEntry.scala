@@ -3490,6 +3490,62 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — revenue concentration HHI (round 5: the antitrust-style
+    // Herfindahl index over customer revenue shares, the square-law
+    // companion to q184's Gini and q137's Pareto — HHI = Σ share_i².
+    // total² (and even 1e6·c²) overflow int64 at catalog scale, so each
+    // customer's share floors to ppm FIRST and the squares sum from
+    // there: hhi_ppm = (Σ share_ppm²) div 1e6 — floor-per-customer, but
+    // DETERMINISTIC and identical in both engines, with bias bounded by
+    // ~2·n_customers·max_share ppm² (sub-ppm here; documented, not
+    // hidden)
+    "q271_revenue_hhi" -> ((s, dir) => {
+      val byC = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(ExactAgg.cents(col("o_totalprice"))).as("c"))
+      val tot = byC.agg(sum(col("c")).as("total"),
+        count(lit(1)).as("n_customers"))
+      byC.crossJoin(broadcast(tot))
+        .select(col("n_customers"), col("total"),
+          expr("(1000000 * c) div total").as("share_ppm"))
+        .groupBy(col("n_customers"), col("total"))
+        .agg(sum(col("share_ppm") * col("share_ppm")).as("sq_sum"))
+        .select(col("n_customers"), col("total"),
+          expr("sq_sum div 1000000").as("hhi_ppm"))
+    }),
+
+    // §2.6 — Simpson's-paradox screen (round 5: nations where the
+    // within-nation quantity↔price association runs AGAINST the pooled
+    // direction — the aggregation-reversal audit that decides whether a
+    // pooled correlation is even meaningful. Only the SIGN of the
+    // covariance numerator n·Σxy − Σx·Σy is needed, which is exact
+    // BIGINT arithmetic (no sqrt, no variance): one conditional-sum
+    // pass at nation grain + a 1-row pooled broadcast; prices in whole
+    // dollars for int64 headroom at 10× rows
+    "q272_simpsons_flip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nation"),
+          floor(col("l_quantity") + lit(0.5)).cast("long").as("x"),
+          expr("CAST(floor(l_extendedprice + 0.5) AS BIGINT)").as("y"))
+      val g = li.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+        .withColumn("group_cov_num",
+          col("n") * col("sxy") - col("sx") * col("sy"))
+      val pooled = g.agg(sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+          sum(col("sy")).as("psy"), sum(col("sxy")).as("psxy"))
+        .select((col("pn") * col("psxy") - col("psx") * col("psy"))
+          .as("pooled_cov_num"))
+      g.crossJoin(broadcast(pooled))
+        .select(col("nation"), col("n"), col("group_cov_num"),
+          col("pooled_cov_num"),
+          (signum(col("group_cov_num")) =!= signum(col("pooled_cov_num")))
+            .as("sign_flips"))
+    }),
+
     // §2.6 — k-hop neighborhood with minimum hop labels (round 5: the
     // bounded BFS the graph family lacked between single-edge joins and
     // full components — "every part within 2 co-purchase hops of the
@@ -7851,6 +7907,44 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q271_revenue_hhi" ->
+      """WITH byc AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS n_customers FROM byc)
+        |SELECT n_customers, total,
+        |       CAST(sum(((1000000 * c) // total) * ((1000000 * c) // total))
+        |         AS BIGINT) // 1000000 AS hhi_ppm
+        |FROM byc CROSS JOIN tot
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q272_simpsons_flip" ->
+      """WITH li AS (
+        |  SELECT s_nationkey AS nation,
+        |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |g AS (
+        |  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM li GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(sum(n) AS BIGINT) * CAST(sum(sxy) AS BIGINT)
+        |         - CAST(sum(sx) AS BIGINT) * CAST(sum(sy) AS BIGINT)
+        |           AS pooled_cov_num
+        |  FROM g)
+        |SELECT nation, n,
+        |       n * sxy - sx * sy AS group_cov_num,
+        |       pooled_cov_num,
+        |       sign(n * sxy - sx * sy) <> sign(pooled_cov_num)
+        |         AS sign_flips
+        |FROM g CROSS JOIN p""".stripMargin,
 
     "q269_khop_neighborhood" ->
       """WITH e AS (
