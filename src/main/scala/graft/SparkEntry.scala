@@ -3490,6 +3490,71 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — new-vs-repeat revenue mix (round 5: the loyalty trend —
+    // per order year, revenue split by whether the order is the
+    // customer's FIRST-ever vs a repeat, with the repeat share in exact
+    // permille; the acquisition-vs-retention read behind q67/q180. One
+    // per-customer min-date window, then a year-grain conditional
+    // aggregate — first orders on the min DATE all count as first (a
+    // same-day tie is genuinely the first day)
+    "q273_new_vs_repeat" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .withColumn("first_date", min(col("o_orderdate"))
+          .over(Window.partitionBy(col("o_custkey"))))
+      o.groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .agg(
+          sum(when(col("o_orderdate") === col("first_date"),
+            ExactAgg.cents(col("o_totalprice"))).otherwise(0L))
+            .as("new_cents"),
+          sum(when(col("o_orderdate") =!= col("first_date"),
+            ExactAgg.cents(col("o_totalprice"))).otherwise(0L))
+            .as("repeat_cents"))
+        .withColumn("repeat_share_permille",
+          expr("(1000 * repeat_cents) div (new_cents + repeat_cents)"))
+    }),
+
+    // §2.6 — relative price dispersion (round 5: the coefficient of
+    // variation per part type — stddev/mean of unit retail prices from
+    // EXACT integer moments (n, Σx, Σx²), with the one IEEE sqrt and
+    // division at the end (q237's convention: correctly-rounded double
+    // ops over exact integers hash-match across engines). Population
+    // variance via the cross-multiplied form n·Σx² − (Σx)²
+    "q274_price_dispersion" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_type"),
+          ExactAgg.cents(col("p_retailprice")).as("x"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("p_type"), col("n"),
+          expr("sx div n").as("mean_cents"),
+          expr("sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+            " / CAST(sx AS DOUBLE)").as("cv"))
+    }),
+
+    // §2.6 — maximum drawdown (round 5: the finance-style worst
+    // peak-to-trough fall of the cumulative daily revenue series — one
+    // cumulative-sum window, one cumulative-max window over it, and the
+    // argmax row of (peak − value), all exact integer cents on the
+    // bounded day frame with earliest-day tie-break
+    "q275_max_drawdown" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .withColumn("peak_cents", max(col("cum_cents")).over(w))
+        .withColumn("drawdown_cents", col("peak_cents") - col("cum_cents"))
+        .orderBy(col("drawdown_cents").desc, col("d").asc)
+        .limit(1)
+        .select(col("d"), col("cum_cents"), col("peak_cents"),
+          col("drawdown_cents"))
+    }),
+
     // §2.6 — revenue concentration HHI (round 5: the antitrust-style
     // Herfindahl index over customer revenue shares, the square-law
     // companion to q184's Gini and q137's Pareto — HHI = Σ share_i².
@@ -7907,6 +7972,66 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q273_new_vs_repeat" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_totalprice,
+        |         min(o_orderdate) OVER (PARTITION BY o_custkey)
+        |           AS first_date
+        |  FROM orders)
+        |SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |       CAST(sum(CASE WHEN o_orderdate = first_date
+        |         THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |         ELSE 0 END) AS BIGINT) AS new_cents,
+        |       CAST(sum(CASE WHEN o_orderdate <> first_date
+        |         THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |         ELSE 0 END) AS BIGINT) AS repeat_cents,
+        |       (1000 * CAST(sum(CASE WHEN o_orderdate <> first_date
+        |         THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |         ELSE 0 END) AS BIGINT))
+        |         // CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |         AS BIGINT)) AS BIGINT) AS repeat_share_permille
+        |FROM o GROUP BY 1""".stripMargin,
+
+    "q274_price_dispersion" ->
+      """WITH x AS (
+        |  SELECT p_type,
+        |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS x
+        |  FROM part),
+        |m AS (
+        |  SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT p_type, n, sx // n AS mean_cents,
+        |       sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         / CAST(sx AS DOUBLE) AS cv
+        |FROM m""".stripMargin,
+
+    "q275_max_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT d,
+        |         CAST(sum(cents) OVER (ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_cents
+        |  FROM daily),
+        |p AS (
+        |  SELECT d, cum_cents,
+        |         CAST(max(cum_cents) OVER (ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS peak_cents
+        |  FROM c)
+        |SELECT d, cum_cents, peak_cents,
+        |       peak_cents - cum_cents AS drawdown_cents
+        |FROM p
+        |ORDER BY drawdown_cents DESC, d ASC
+        |LIMIT 1""".stripMargin,
 
     "q271_revenue_hhi" ->
       """WITH byc AS (
