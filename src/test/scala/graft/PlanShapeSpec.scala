@@ -235,4 +235,18 @@ class PlanShapeSpec extends SparkTestBase {
     p should include("BroadcastHashJoin")
     p should not include "Window"
   }
+
+  test("q267: native frequency-weighted percentile — the fact is never row-expanded") {
+    // the whole point vs the oracle's generate_series formulation: no
+    // Generate (explode) node anywhere; the weight rides the aggregate
+    val p = plan("q267_weighted_median")
+    p should not include "Generate"
+    p should include("percentile")
+  }
+
+  test("q251: candidates come from a hash join on the block key, never a cartesian") {
+    val p = plan("q251_reciprocal_match")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
