@@ -3490,6 +3490,62 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.9 — index of coincidence (round 5: the classic cryptanalysis
+    // text statistic beside q264's entropy — per source, the
+    // probability two random characters match: IC = Σc(c−1) / (n(n−1)).
+    // Both the coincidence count and n are exact BIGINTs from one
+    // (source, char) aggregate; the ratio is ONE deterministic double
+    // division (numerator·denominator would overflow int64 at corpus
+    // scale, and a permille floor would quantize away the signal — the
+    // double division of exact integers is the right arm here)
+    "q276_index_coincidence" -> ((s, dir) => {
+      val cc = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy(col("source"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      cc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * (col("c") - 1)).as("coincidences"))
+        .withColumn("ic",
+          expr("CAST(coincidences AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))"))
+    }),
+
+    // §2.6 — Kendall's tau-b between two daily series (round 5: the
+    // rank-association test between volume and revenue — concordant /
+    // discordant / tied pair counts, ALL exact integers from the
+    // bounded day frame's self-join (|days|² pairs — a frame, not the
+    // fact table). Distinct from Spearman q172 (rank Pearson) and
+    // Mann-Kendall q215 (Kendall vs time); tau-b's denominator needs
+    // sqrt, so the output carries the exact counts and the one
+    // deterministic double
+    "q277_kendall_tau" -> ((s, dir) => {
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x"),
+          sum(graft.functions.ExactAgg.cents(col("value"))).as("y"))
+        .localCheckpoint() // both sides of the bounded pair join
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.d") < col("b.d"))
+        .select((col("a.x") - col("b.x")).as("dx"),
+          (col("a.y") - col("b.y")).as("dy"))
+      pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L))
+            .as("concordant"),
+          sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L))
+            .as("discordant"),
+          // tau-b convention: n1/n2 count ALL pairs tied in that
+          // variable (both-tied pairs count in each)
+          sum(when(col("dx") === 0, 1L).otherwise(0L)).as("ties_x"),
+          sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ties_y"))
+        .withColumn("tau_b",
+          expr("CAST(concordant - discordant AS DOUBLE)" +
+            " / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))" +
+            " * sqrt(CAST(n_pairs - ties_y AS DOUBLE)))"))
+    }),
+
     // §2.6 — new-vs-repeat revenue mix (round 5: the loyalty trend —
     // per order year, revenue split by whether the order is the
     // customer's FIRST-ever vs a repeat, with the repeat share in exact
@@ -7972,6 +8028,45 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q276_index_coincidence" ->
+      """WITH cc AS (
+        |  SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, '')) AS ch
+        |        FROM documents)
+        |  WHERE ch != '' GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(c * (c - 1)) AS BIGINT) AS coincidences
+        |  FROM cc GROUP BY 1)
+        |SELECT source, n, coincidences,
+        |       CAST(coincidences AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS ic
+        |FROM agg""".stripMargin,
+
+    "q277_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(count(*) FILTER (WHERE dx * dy > 0) AS BIGINT)
+        |           AS concordant,
+        |         CAST(count(*) FILTER (WHERE dx * dy < 0) AS BIGINT)
+        |           AS discordant,
+        |         CAST(count(*) FILTER (WHERE dx = 0) AS BIGINT) AS ties_x,
+        |         CAST(count(*) FILTER (WHERE dy = 0) AS BIGINT) AS ties_y
+        |  FROM pairs)
+        |SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+        |       CAST(concordant - discordant AS DOUBLE)
+        |         / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))
+        |          * sqrt(CAST(n_pairs - ties_y AS DOUBLE))) AS tau_b
+        |FROM agg""".stripMargin,
 
     "q273_new_vs_repeat" ->
       """WITH o AS (
