@@ -3490,6 +3490,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — rolling-band anomaly flags (round 5: the Bollinger-style
+    // volatility breakout detector on daily revenue — a day is flagged
+    // when it leaves the ±2σ band of the TRAILING 7-day window, and the
+    // whole test stays EXACT integer arithmetic because the band check
+    // cross-multiplies instead of rooting: |x − S/7| > 2σ ⟺
+    // (7x − S)² > 4·(7Q − S²) with S = Σx, Q = Σx² over the window.
+    // Trailing (not centered) so the flag is computable on arrival day;
+    // first 6 days have no full window and drop out identically
+    "q278_rolling_band_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("d")).rowsBetween(-7, -1)
+      events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("x"))
+        .withColumn("nw", count(lit(1)).over(w))
+        .withColumn("s", sum(col("x")).over(w))
+        .withColumn("q", sum(col("x") * col("x")).over(w))
+        .filter(col("nw") === 7) // full trailing window only
+        .select(col("d"), col("x"), col("s"),
+          ((col("x") * 7 - col("s")) * (col("x") * 7 - col("s"))).as("dev2_x49"),
+          (lit(4L) * (col("q") * 7 - col("s") * col("s"))).as("band2_x49"))
+        .withColumn("is_anomaly", col("dev2_x49") > col("band2_x49"))
+    }),
+
+    // §2.6 — one-sample KS uniformity test (round 5: "is traffic
+    // uniform across the day?" — the empirical CDF of event
+    // minute-of-day against the THEORETICAL uniform CDF, the one-sample
+    // complement of q218/q223's two-sample machinery. Exact by
+    // cross-multiplication: at minute m with cumulative count c,
+    // D·(n·1440) = max |1440·c − n·(m+1)| — all BIGINTs on the bounded
+    // |minutes| frame; the report row carries the argmax minute with
+    // earliest tie-break
+    "q279_ks_uniformity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byMin = events(s, dir)
+        .select(((hour(col("ts")) * 60) + minute(col("ts")))
+          .cast("long").as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byMin
+        .withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(byMin.agg(sum(col("c")).as("n"))))
+        .select(col("m"), col("cum"), col("n"),
+          abs(col("cum") * 1440 - col("n") * (col("m") + 1))
+            .as("d_scaled"))
+        .orderBy(col("d_scaled").desc, col("m").asc)
+        .limit(1)
+    }),
+
     // §2.9 — index of coincidence (round 5: the classic cryptanalysis
     // text statistic beside q264's entropy — per source, the
     // probability two random characters match: IC = Σc(c−1) / (n(n−1)).
@@ -8028,6 +8078,44 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q278_rolling_band_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT d, x,
+        |         CAST(count(*) OVER tw AS BIGINT) AS nw,
+        |         CAST(sum(x) OVER tw AS BIGINT) AS s,
+        |         CAST(sum(x * x) OVER tw AS BIGINT) AS q
+        |  FROM daily
+        |  WINDOW tw AS (ORDER BY d ROWS BETWEEN 7 PRECEDING
+        |                AND 1 PRECEDING))
+        |SELECT d, x, s,
+        |       (x * 7 - s) * (x * 7 - s) AS dev2_x49,
+        |       4 * (q * 7 - s * s) AS band2_x49,
+        |       (x * 7 - s) * (x * 7 - s) > 4 * (q * 7 - s * s)
+        |         AS is_anomaly
+        |FROM w WHERE nw = 7""".stripMargin,
+
+    "q279_ks_uniformity" ->
+      """WITH bymin AS (
+        |  SELECT CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS m,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT m,
+        |         CAST(sum(c) OVER (ORDER BY m
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum,
+        |         CAST((SELECT sum(c) FROM bymin) AS BIGINT) AS n
+        |  FROM bymin)
+        |SELECT m, cum, n, abs(cum * 1440 - n * (m + 1)) AS d_scaled
+        |FROM cum
+        |ORDER BY d_scaled DESC, m ASC
+        |LIMIT 1""".stripMargin,
 
     "q276_index_coincidence" ->
       """WITH cc AS (
