@@ -3490,6 +3490,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.9 — template-structure clusters (round 5: documents sharing
+    // the same STRUCTURAL signature — the sequence of token lengths —
+    // even when the words differ: the form-letter/boilerplate detector
+    // a content-hash dedup (q18, exact words) and shingle near-dup
+    // (q19/q20, shared vocabulary) both miss by design. Signature =
+    // md5 of the comma-joined OPENING token-length sequence (first 10
+    // tokens — form letters share openings; the full-sequence signature
+    // is vacuously unique on any natural corpus, the q165 lesson);
+    // one signature shuffle, clusters of ≥ 2 with the min-doc exemplar
+    "q280_template_clusters" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokensWs(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(",",
+            transform(slice(toks, 1, 10), t => length(t).cast("string"))))
+            .as("sig"))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("exemplar"))
+        .filter(col("n_docs") >= 2)
+    }),
+
     // §2.6 — rolling-band anomaly flags (round 5: the Bollinger-style
     // volatility breakout detector on daily revenue — a day is flagged
     // when it leaves the ±2σ band of the TRAILING 7-day window, and the
@@ -8078,6 +8099,17 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q280_template_clusters" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |         md5(list_aggregate(list_transform(($ToksSql)[1:10],
+         |           t -> CAST(length(t) AS VARCHAR)), 'string_agg', ','))
+         |           AS sig
+         |  FROM documents)
+         |SELECT sig, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(min(doc_id) AS BIGINT) AS exemplar
+         |FROM sig GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     "q278_rolling_band_anomaly" ->
       """WITH daily AS (
