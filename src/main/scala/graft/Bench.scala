@@ -128,7 +128,15 @@ object Bench {
     // candidate volume is Σ|block|² over a FIXED-cardinality block key,
     // so it is quadratic-by-blocking at the rung (the q19/q47 rule)
     "q248_label_propagation", "q257_dedup_savings",
-    "q258_growth_accounting", "q259_stickiness")
+    "q258_growth_accounting", "q259_stickiness",
+    // q261/q273 are fact-grain aggregate + bounded-frame window shapes;
+    // q264/q276 are corpus-char-linear char-grain aggregates — the
+    // heaviest scan shapes among the late additions. The rest of
+    // q260-q280 are bounded-frame/overhead-bound (rung would measure
+    // job floor), and q268/q269 follow the q110/q154 iterative-graph
+    // policy (PLANS.md band, not the per-round rung)
+    "q261_abc_classification", "q264_char_entropy",
+    "q273_new_vs_repeat", "q276_index_coincidence")
 
   /** True iff every `<md5>  <rows>  <name>.parquet` line of the committed
     * manifest (tools/sf1_manifest.txt, written by tools/gen_sf1.py) matches
