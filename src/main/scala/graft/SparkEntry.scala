@@ -3490,6 +3490,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — return-rate trend (round 5: the product-quality time
+    // series — per order quarter, returned-line revenue share in exact
+    // permille; the temporal view of q160's returned-item snapshot,
+    // feeding the forecast/changepoint family. One conditional
+    // aggregate over the lineitem⋈orders join, quarter from exact
+    // date_trunc on both engines
+    "q281_return_rate_trend" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("quarter", col("o_orderdate")).cast("date")
+          .as("q"))
+        .agg(
+          sum(ExactAgg.cents(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_cents"),
+          sum(when(col("l_returnflag") === "R",
+            ExactAgg.cents(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .otherwise(0L)).as("returned_cents"))
+        .withColumn("return_share_permille",
+          expr("(1000 * returned_cents) div total_cents"))
+    }),
+
+    // §2.6 — longest per-user silence (round 5: the dormancy depth
+    // behind q180's reactivation screen — each user's LONGEST gap
+    // between consecutive events in seconds, top-20 by gap; one
+    // per-user lag window + max, exact epoch-second arithmetic,
+    // full tie-break (gap desc, user asc) so the cut is deterministic
+    "q282_longest_silence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("gap_us")).as("max_gap_us"),
+          count(lit(1)).as("n_gaps"))
+        .orderBy(col("max_gap_us").desc, col("user_id").asc)
+        .limit(20)
+    }),
+
     // §2.9 — template-structure clusters (round 5: documents sharing
     // the same STRUCTURAL signature — the sequence of token lengths —
     // even when the words differ: the form-letter/boilerplate detector
@@ -8099,6 +8143,38 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q281_return_rate_trend" ->
+      """SELECT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+        |         AS DATE) AS q,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |         * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R'
+        |         THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |           * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |         AS returned_cents,
+        |       (1000 * CAST(sum(CASE WHEN l_returnflag = 'R'
+        |         THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |           * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT))
+        |         // CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS return_share_permille
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q282_longest_silence" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |       CAST(count(*) AS BIGINT) AS n_gaps
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY max_gap_us DESC, user_id ASC
+        |LIMIT 20""".stripMargin,
 
     "q280_template_clusters" ->
       s"""WITH sig AS (
