@@ -3490,6 +3490,58 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — ACF correlogram (round 5: q147's lag-1 autocorrelation
+    // widened to the lags-1..10 PROFILE — the correlogram an ARIMA
+    // order selection reads. A ×10 lag fan-out on the bounded day frame
+    // (each lag's pairs via one shared sorted window pass, the lag
+    // domain a broadcast 10-row frame), per-lag exact integer moments
+    // and the q147 cross-multiplied numerator/denominators; the one
+    // deterministic double at the end
+    "q283_correlogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("i", row_number()
+          .over(Window.orderBy(col("d"))).cast("long"))
+        .localCheckpoint() // both sides of the lag self-join
+      val lags = s.range(1, 11).select(col("id").as("lag"))
+      daily.as("a").crossJoin(broadcast(lags))
+        .join(daily.as("b"), col("b.i") === col("a.i") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.n")).as("sx"), sum(col("b.n")).as("sy"),
+          sum(col("a.n") * col("b.n")).as("sxy"),
+          sum(col("a.n") * col("a.n")).as("sxx"),
+          sum(col("b.n") * col("b.n")).as("syy"))
+        .select(col("lag"), col("n_pairs"),
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+          expr("CAST(n_pairs * sxy - sx * sy AS DOUBLE)" +
+            " / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))" +
+            " * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))").as("acf"))
+    }),
+
+    // §2.9 — term burstiness (round 5: Church–Gale burstiness — when a
+    // term appears at all, how MANY times does it appear? — tf/df, the
+    // within-document clumping signal that separates topical content
+    // words (bursty) from function words (evenly spread), orthogonal to
+    // raw frequency. Exact integer milli-ratio over the (token, doc)
+    // grain; df ≥ 5 support floor, top-30 with full tie-break
+    "q284_term_burstiness" -> ((s, dir) => {
+      val td = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokensWs(col("text")))
+            .as("token"))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf_doc"))
+      td.groupBy(col("token"))
+        .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+        .withColumn("burstiness_milli", expr("(1000 * tf) div df"))
+        .orderBy(col("burstiness_milli").desc, col("token").asc)
+        .limit(30)
+    }),
+
     // §2.6 — return-rate trend (round 5: the product-quality time
     // series — per order quarter, returned-line revenue share in exact
     // permille; the temporal view of q160's returned-item snapshot,
@@ -8143,6 +8195,45 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q283_correlogram" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT n,
+        |               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |        FROM daily),
+        |lags AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+        |           AS lag),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(a.n) AS BIGINT) AS sx,
+        |         CAST(sum(b.n) AS BIGINT) AS sy,
+        |         CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+        |         CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+        |         CAST(sum(b.n * b.n) AS BIGINT) AS syy
+        |  FROM idx a CROSS JOIN lags JOIN idx b ON b.i = a.i + lag
+        |  GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |       n_pairs * sxy - sx * sy AS num,
+        |       CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |          * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+        |FROM m""".stripMargin,
+
+    "q284_term_burstiness" ->
+      s"""WITH td AS (
+         |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf_doc
+         |  FROM (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT token, CAST(sum(tf_doc) AS BIGINT) AS tf,
+         |         CAST(count(*) AS BIGINT) AS df
+         |  FROM td GROUP BY 1)
+         |SELECT token, tf, df, (1000 * tf) // df AS burstiness_milli
+         |FROM agg WHERE df >= 5
+         |ORDER BY burstiness_milli DESC, token ASC
+         |LIMIT 30""".stripMargin,
 
     "q281_return_rate_trend" ->
       """SELECT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
