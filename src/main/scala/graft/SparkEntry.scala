@@ -3490,6 +3490,72 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.9 — Zipf rank-frequency curve (round 5: the log-free Zipf
+    // check — for the top-50 vocabulary, freq·rank is ~constant under
+    // Zipf's law, so the EXACT product column IS the diagnostic (no
+    // log-log regression, no transcendentals); rank over the vocab
+    // aggregate with full tie-break, plus each rank's share in ppm
+    "q285_zipf_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokensWs(col("text")))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val tot = vocab.agg(sum(col("tf")).as("total"))
+      vocab
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("tf").desc, col("token").asc))
+          .cast("long"))
+        .filter(col("rank") <= 50)
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("token"), col("tf"),
+          (col("tf") * col("rank")).as("freq_rank_product"),
+          expr("(1000000 * tf) div total").as("share_ppm"))
+    }),
+
+    // §2.9 — effective number of sources (round 5: the inverse-Simpson
+    // diversity of the corpus's source mix — "this 20-source corpus
+    // behaves like N equally-sized sources"; the Hill-number view of
+    // q92's share table and the mix-collapse alarm for q114's
+    // allocations. Token-mass shares floor to ppm (q271's int64
+    // headroom trick), eff = 1e12 / Σ share_ppm² at milli scale
+    "q286_effective_sources" -> ((s, dir) => {
+      val byS = t(s, dir, "documents")
+        .select(col("source"),
+          size(graft.functions.TextFunctions.tokensWs(col("text")))
+            .cast("long").as("n_toks"))
+        .groupBy(col("source")).agg(sum(col("n_toks")).as("c"))
+      val tot = byS.agg(sum(col("c")).as("total"),
+        count(lit(1)).as("n_sources"))
+      byS.crossJoin(broadcast(tot))
+        .select(col("n_sources"), col("total"),
+          expr("(1000000 * c) div total").as("share_ppm"))
+        .groupBy(col("n_sources"), col("total"))
+        .agg(sum(col("share_ppm") * col("share_ppm")).as("sq_sum"))
+        .select(col("n_sources"), col("total"),
+          expr("(1000000000000000 ) div sq_sum").as("eff_sources_milli"))
+    }),
+
+    // §2.6 — sample-ratio-mismatch guardrail (round 5: the
+    // experimentation health check run before ANY A/B readout — per
+    // day, the user-parity variant counts and the exact chi-square
+    // numerator (n_a − n_b)² against the 4·(n_a+n_b) bound (≈ |z| > 2
+    // under the 50/50 null, cross-multiplied so no division); a
+    // triggered day means assignment is broken and q115's lift numbers
+    // are meaningless — the guardrail BEFORE the test
+    "q287_srm_guardrail" -> ((s, dir) => {
+      events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .groupBy(col("d"))
+        .agg(
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("dev2", (col("n_a") - col("n_b"))
+          * (col("n_a") - col("n_b")))
+        .withColumn("srm_flag",
+          col("dev2") > lit(4L) * (col("n_a") + col("n_b")))
+    }),
+
     // §2.6 — ACF correlogram (round 5: q147's lag-1 autocorrelation
     // widened to the lags-1..10 PROFILE — the correlogram an ARIMA
     // order selection reads. A ×10 lag fan-out on the bounded day frame
@@ -8195,6 +8261,49 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q285_zipf_curve" ->
+      s"""WITH vocab AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT unnest($ToksSql) AS token FROM documents)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM vocab),
+         |r AS (
+         |  SELECT token, tf,
+         |         CAST(row_number() OVER (ORDER BY tf DESC, token ASC)
+         |           AS BIGINT) AS rank
+         |  FROM vocab)
+         |SELECT rank, token, tf, tf * rank AS freq_rank_product,
+         |       (1000000 * tf) // total AS share_ppm
+         |FROM r CROSS JOIN tot WHERE rank <= 50""".stripMargin,
+
+    "q286_effective_sources" ->
+      s"""WITH bys AS (
+         |  SELECT source, CAST(sum(len($ToksSql)) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+         |               CAST(count(*) AS BIGINT) AS n_sources FROM bys)
+         |SELECT n_sources, total,
+         |       1000000000000000 // CAST(sum(((1000000 * c) // total)
+         |         * ((1000000 * c) // total)) AS BIGINT)
+         |         AS eff_sources_milli
+         |FROM bys CROSS JOIN tot
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q287_srm_guardrail" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |g AS (
+        |  SELECT d,
+        |         CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+        |           AS n_a,
+        |         CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+        |           AS n_b
+        |  FROM du GROUP BY 1)
+        |SELECT d, n_a, n_b,
+        |       (n_a - n_b) * (n_a - n_b) AS dev2,
+        |       (n_a - n_b) * (n_a - n_b) > 4 * (n_a + n_b) AS srm_flag
+        |FROM g""".stripMargin,
 
     "q283_correlogram" ->
       """WITH daily AS (
