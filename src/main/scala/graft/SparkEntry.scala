@@ -3490,6 +3490,76 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — per-nation revenue Gini (round 5: q184's global scalar
+    // made a GROUPED report — within-nation customer inequality, the
+    // drill-down that says whether concentration is global or local.
+    // Same exact formula G = (2Σ(i·xᵢ) − (n+1)Σx)/(n·Σx) with the rank
+    // window PARTITIONED by nation over the customer aggregate; permille
+    // (not micro) is the int64 headroom at 10× rows
+    "q288_gini_by_nation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byC = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"), col("o_custkey"))
+        .agg(sum(ExactAgg.cents(col("o_totalprice"))).as("x"))
+      val w = Window.partitionBy(col("nation"))
+        .orderBy(col("x").asc, col("o_custkey").asc)
+      byC.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("nation"), col("n"),
+          expr("(1000 * (2 * six - (n + 1) * sx)) div (n * sx)")
+            .as("gini_permille"))
+    }),
+
+    // §2.6 — Hoover (Robin Hood) index per the same frame (round 5: the
+    // "share of revenue that would have to move to equalize customers"
+    // — the transfer-interpretable inequality measure beside Gini/HHI.
+    // Deviations work on ppm-floored shares (the q271 headroom trick):
+    // hoover_ppm = Σ|n·share_ppm − 1e6| div (2n), deterministic and
+    // identical in both engines
+    "q289_hoover_index" -> ((s, dir) => {
+      val byC = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(ExactAgg.cents(col("o_totalprice"))).as("c"))
+      val tot = byC.agg(sum(col("c")).as("total"),
+        count(lit(1)).as("n"))
+      byC.crossJoin(broadcast(tot))
+        .select(col("n"),
+          abs(col("n") * expr("(1000000 * c) div total") - lit(1000000L))
+            .as("dev"))
+        .groupBy(col("n")).agg(sum(col("dev")).as("dev_sum"))
+        .select(col("n"),
+          expr("dev_sum div (2 * n)").as("hoover_ppm"))
+    }),
+
+    // §2.6 — quartile coefficient of dispersion (round 5: the robust
+    // relative-spread measure (Q3−Q1)/(Q3+Q1) per market segment on
+    // order totals — EXACT despite interpolation because quartile
+    // positions are dyadic: 4·quantile = 3a+b (or a+3b) is an exact
+    // double on integer cents in BOTH engines, so the ×4 quartiles are
+    // hash-identical BIGINTs and the coefficient is one integer
+    // permille division
+    "q290_quartile_dispersion" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          ExactAgg.cents(col("o_totalprice")).as("cents"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          (percentile(col("cents"), lit(0.25)) * 4).cast("long")
+            .as("q1_x4"),
+          (percentile(col("cents"), lit(0.75)) * 4).cast("long")
+            .as("q3_x4"))
+        .withColumn("qcd_permille",
+          expr("(1000 * (q3_x4 - q1_x4)) div (q3_x4 + q1_x4)"))
+    }),
+
     // §2.9 — Zipf rank-frequency curve (round 5: the log-free Zipf
     // check — for the top-50 vocabulary, freq·rank is ~constant under
     // Zipf's law, so the EXACT product column IS the diagnostic (no
@@ -8261,6 +8331,55 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q288_gini_by_nation" ->
+      """WITH byc AS (
+        |  SELECT c_nationkey AS nation, o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT nation, x,
+        |         CAST(row_number() OVER (PARTITION BY nation
+        |           ORDER BY x ASC, o_custkey ASC) AS BIGINT) AS i
+        |  FROM byc)
+        |SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |       (1000 * (2 * CAST(sum(i * x) AS BIGINT)
+        |         - (CAST(count(*) AS BIGINT) + 1)
+        |           * CAST(sum(x) AS BIGINT)))
+        |         // (CAST(count(*) AS BIGINT) * CAST(sum(x) AS BIGINT))
+        |         AS gini_permille
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q289_hoover_index" ->
+      """WITH byc AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS n FROM byc)
+        |SELECT n,
+        |       CAST(sum(abs(n * ((1000000 * c) // total) - 1000000))
+        |         AS BIGINT) // (2 * n) AS hoover_ppm
+        |FROM byc CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+
+    "q290_quartile_dispersion" ->
+      """WITH x AS (
+        |  SELECT c_mktsegment,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT) AS q1_x4,
+        |       CAST(quantile_cont(cents, 0.75) * 4 AS BIGINT) AS q3_x4,
+        |       (1000 * (CAST(quantile_cont(cents, 0.75) * 4 AS BIGINT)
+        |         - CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT)))
+        |         // (CAST(quantile_cont(cents, 0.75) * 4 AS BIGINT)
+        |           + CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT))
+        |         AS qcd_permille
+        |FROM x GROUP BY 1""".stripMargin,
 
     "q285_zipf_curve" ->
       s"""WITH vocab AS (
