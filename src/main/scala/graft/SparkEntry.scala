@@ -3490,6 +3490,86 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — burstiest users by inter-arrival CV (round 5: the
+    // user-grain burstiness screen beside q227's per-type Fano — the
+    // coefficient of variation of each user's inter-event gaps; CV ≈ 1
+    // is Poisson, ≫ 1 is bursty sessions, ≪ 1 is metronomic botlike
+    // traffic. Exact integer second-grain moments per user, one
+    // deterministic sqrt; ≥ 20-gap support floor, top-20 with
+    // deterministic tie-break
+    "q291_interarrival_cv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("gap_s",
+          expr("(ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id" +
+            " ORDER BY ts_us, event_id)) div 1000000"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sg"),
+          sum(col("gap_s") * col("gap_s")).as("sgg"))
+        .filter(col("n_gaps") >= 20 && col("sg") > 0)
+        .withColumn("cv",
+          expr("sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)" +
+            " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))" +
+            " / CAST(sg AS DOUBLE)"))
+        .orderBy(col("cv").desc, col("user_id").asc)
+        .limit(20)
+    }),
+
+    // §2.6 — quantile treatment effects (round 5: q115's mean lift
+    // widened to the DISTRIBUTION — the A/B delta at Q1/median/Q3, the
+    // "did the treatment move the tail or just the middle?" readout.
+    // Exact despite interpolation: quartile positions are dyadic, so
+    // 4·quantile is an exact double on integer cents (the q290
+    // argument) — every ×4 quantile and every delta is a
+    // hash-identical BIGINT. Variant = user parity, like q115/q287
+    "q292_quantile_effects" -> ((s, dir) => {
+      val e = events(s, dir).filter(col("value").isNotNull)
+        .select((col("user_id") % 2 === 0).as("is_a"),
+          graft.functions.ExactAgg.cents(col("value")).as("cents"))
+      val byV = e.groupBy(col("is_a"))
+        .agg(count(lit(1)).as("n"),
+          (percentile(col("cents"), lit(0.25)) * 4).cast("long").as("q1"),
+          (percentile(col("cents"), lit(0.5)) * 4).cast("long").as("q2"),
+          (percentile(col("cents"), lit(0.75)) * 4).cast("long").as("q3"))
+      val a = byV.filter(col("is_a"))
+        .select(col("n").as("n_a"), col("q1").as("a1"),
+          col("q2").as("a2"), col("q3").as("a3"))
+      val b = byV.filter(!col("is_a"))
+        .select(col("n").as("n_b"), col("q1").as("b1"),
+          col("q2").as("b2"), col("q3").as("b3"))
+      a.crossJoin(b) // 1×1
+        .select(expr("stack(3," +
+          " 250, a1, b1, a1 - b1," +
+          " 500, a2, b2, a2 - b2," +
+          " 750, a3, b3, a3 - b3" +
+          ") AS (quantile_permille, a_x4, b_x4, effect_x4)"))
+    }),
+
+    // §2.6 — FIRST-touch attribution (round 5: completing the
+    // attribution triad — q117 credits the LAST touch, q182 splits
+    // LINEARLY, this credits the user's first-ever touch (the
+    // acquisition-channel view, classically unbounded); q117's exact
+    // window machinery with first() in place of last()
+    "q293_first_touch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("ft_type",
+          first(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel", coalesce(col("ft_type"), lit("unattributed")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+    }),
+
     // §2.6 — per-nation revenue Gini (round 5: q184's global scalar
     // made a GROUPED report — within-nation customer inequality, the
     // drill-down that says whether concentration is global or local.
@@ -8331,6 +8411,68 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q291_interarrival_cv" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         (epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY epoch_us(ts), event_id)) // 1000000
+        |           AS gap_s
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(gap_s) AS BIGINT) AS sg,
+        |         CAST(sum(gap_s * gap_s) AS BIGINT) AS sgg
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, sg, sgg,
+        |       sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+        |         - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |         / CAST(sg AS DOUBLE) AS cv
+        |FROM m WHERE n_gaps >= 20 AND sg > 0
+        |ORDER BY cv DESC, user_id ASC
+        |LIMIT 20""".stripMargin,
+
+    "q292_quantile_effects" ->
+      """WITH e AS (
+        |  SELECT user_id % 2 = 0 AS is_a,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |v AS (
+        |  SELECT is_a,
+        |         CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT) AS q1,
+        |         CAST(quantile_cont(cents, 0.5) * 4 AS BIGINT) AS q2,
+        |         CAST(quantile_cont(cents, 0.75) * 4 AS BIGINT) AS q3
+        |  FROM e GROUP BY 1),
+        |j AS (
+        |  SELECT a.q1 AS a1, a.q2 AS a2, a.q3 AS a3,
+        |         b.q1 AS b1, b.q2 AS b2, b.q3 AS b3
+        |  FROM v a JOIN v b ON a.is_a AND NOT b.is_a)
+        |SELECT CAST(250 AS INT) AS quantile_permille, a1 AS a_x4,
+        |       b1 AS b_x4, a1 - b1 AS effect_x4 FROM j
+        |UNION ALL
+        |SELECT 500, a2, b2, a2 - b2 FROM j
+        |UNION ALL
+        |SELECT 750, a3, b3, a3 - b3 FROM j""".stripMargin,
+
+    "q293_first_touch" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |                THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS ft_type
+        |  FROM e)
+        |SELECT coalesce(ft_type, 'unattributed') AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
 
     "q288_gini_by_nation" ->
       """WITH byc AS (
