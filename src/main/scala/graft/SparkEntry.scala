@@ -3490,6 +3490,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — ratio-metric bias check (round 5: the experimentation
+    // pitfall demo — purchases-per-click per variant computed BOTH ways:
+    // the naive event-level ratio (Σp/Σc, weights heavy users) vs the
+    // correct user-level mean of per-user ratios. Event-level milli is
+    // exact; user-level floors each user's milli-ratio once (q271's
+    // deterministic-floor convention) then takes the exact mean. When
+    // the two disagree, every "conversion rate" dashboard on event
+    // grain is silently user-weight-biased — that divergence is the
+    // report
+    "q294_ratio_metric_bias" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy((col("user_id") % 2 === 0).as("is_a"), col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("p"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c"))
+        .filter(col("c") > 0)
+      perUser.groupBy(col("is_a"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("p")).as("total_p"), sum(col("c")).as("total_c"),
+          sum(expr("(1000 * p) div c")).as("user_milli_sum"))
+        .select(col("is_a"), col("n_users"),
+          expr("(1000 * total_p) div total_c").as("event_level_milli"),
+          expr("user_milli_sum div n_users").as("user_level_milli"))
+    }),
+
+    // §2.9 — effective vocabulary size (round 5: the inverse-Simpson
+    // diversity of the token distribution — "this corpus behaves like N
+    // equally-frequent types", the concentration companion to Heaps
+    // q168 and Zipf q285. The milli scaling uses the exact div/mod
+    // decomposition (q·1000 + (r·1000) div s, with q = T² div S,
+    // r = T² mod S) — no precision traded for the ×1000 headroom, the
+    // reusable exact-rescale trick; T² itself stays in int64 up to
+    // ~3e9 corpus tokens (switch the two products to decimal(38,0)
+    // beyond that — same expressions, both engines)
+    "q295_effective_vocab" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokensWs(col("text")))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("total"),
+          sum(col("tf") * col("tf")).as("sq"))
+        .select(col("n_types"), col("total"),
+          expr("(total * total div sq) * 1000" +
+            " + ((total * total % sq) * 1000) div sq")
+            .as("eff_vocab_milli"))
+    }),
+
     // §2.6 — burstiest users by inter-arrival CV (round 5: the
     // user-grain burstiness screen beside q227's per-type Fano — the
     // coefficient of variation of each user's inter-event gaps; CV ≈ 1
@@ -8411,6 +8460,37 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q294_ratio_metric_bias" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 = 0 AS is_a, user_id,
+        |         CAST(count(*) FILTER (WHERE event_type = 'purchase')
+        |           AS BIGINT) AS p,
+        |         CAST(count(*) FILTER (WHERE event_type = 'click')
+        |           AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT is_a, CAST(count(*) AS BIGINT) AS n_users,
+        |       (1000 * CAST(sum(p) AS BIGINT)) // CAST(sum(c) AS BIGINT)
+        |         AS event_level_milli,
+        |       CAST(sum((1000 * p) // c) AS BIGINT)
+        |         // CAST(count(*) AS BIGINT) AS user_level_milli
+        |FROM pu WHERE c > 0
+        |GROUP BY 1""".stripMargin,
+
+    "q295_effective_vocab" ->
+      s"""WITH v AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT unnest($ToksSql) AS token FROM documents)
+         |  GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |         CAST(sum(tf) AS BIGINT) AS total,
+         |         CAST(sum(tf * tf) AS BIGINT) AS sq
+         |  FROM v)
+         |SELECT n_types, total,
+         |       (total * total // sq) * 1000
+         |         + ((total * total % sq) * 1000) // sq AS eff_vocab_milli
+         |FROM m""".stripMargin,
 
     "q291_interarrival_cv" ->
       """WITH g AS (
