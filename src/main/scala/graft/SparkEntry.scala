@@ -3490,6 +3490,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — U-shaped (position-based) attribution (round 5: the fourth
+    // member of the attribution family — 40% to the first touch, 40% to
+    // the last, 20% split over the middles; exact integer micros with
+    // deterministic remainder placement and per-conversion conservation
+    // by construction (the div remainders fold into the middle pool).
+    // Same touch-frame machinery as q182
+    "q296_u_shaped_attribution" -> ((s, dir) =>
+      Events.uShapedAttribution(events(s, dir),
+        lookbackUs = 7L * 86400L * 1000000L, conv = "purchase")),
+
     // §2.6 — ratio-metric bias check (round 5: the experimentation
     // pitfall demo — purchases-per-click per variant computed BOTH ways:
     // the naive event-level ratio (Σp/Σc, weights heavy users) vs the
@@ -8460,6 +8470,52 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q296_u_shaped_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END
+        |           AS p_cents
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |         last_value(CASE WHEN event_type = 'purchase'
+        |             THEN struct_pack(p_us := ts_us, p_id := event_id,
+        |                              cents := p_cents) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY ts_us DESC, event_id DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS np
+        |  FROM e),
+        |tc AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |         np.p_id AS p_id, np.cents * 1000000 AS total_micro
+        |  FROM t
+        |  WHERE event_type <> 'purchase' AND np IS NOT NULL
+        |    AND np.p_us - ts_us <= 604800000000
+        |    AND np.cents IS NOT NULL),
+        |c AS (
+        |  SELECT event_type, total_micro,
+        |         CAST(count(*) OVER (PARTITION BY user_id, p_id) AS BIGINT)
+        |           AS n,
+        |         CAST(row_number() OVER (PARTITION BY user_id, p_id
+        |                ORDER BY ts_us ASC, event_id ASC) AS BIGINT) AS rk
+        |  FROM tc)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(CASE
+        |         WHEN n = 1 THEN total_micro
+        |         WHEN n = 2 THEN CASE WHEN rk = 1
+        |           THEN total_micro - total_micro // 2
+        |           ELSE total_micro // 2 END
+        |         WHEN rk = 1 OR rk = n THEN (4 * total_micro) // 10
+        |         ELSE (total_micro - 2 * ((4 * total_micro) // 10)) // (n - 2)
+        |           + CASE WHEN rk - 1 <=
+        |               (total_micro - 2 * ((4 * total_micro) // 10)) % (n - 2)
+        |             THEN 1 ELSE 0 END
+        |         END) AS BIGINT) AS credit_micro
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q294_ratio_metric_bias" ->
       """WITH pu AS (

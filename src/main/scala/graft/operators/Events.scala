@@ -264,12 +264,16 @@ object Events {
     * in-window touches simply credit nothing (they are visible in
     * [[lastTouchAttribution]]'s `unattributed` row instead).
     */
-  def linearAttribution(events: DataFrame, lookbackUs: Long,
-                        conv: String): DataFrame = {
+  /** (touch, crediting conversion) pairs shared by the multi-touch
+    * attribution family: each non-conversion event paired with the NEXT
+    * conversion of the same user within the lookback.
+    */
+  private def touchFrame(events: DataFrame, lookbackUs: Long,
+                         conv: String): DataFrame = {
     val wDesc = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val touches = events
+    events
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts_us"),
         when(col("event_type") === conv,
@@ -282,6 +286,11 @@ object Events {
         col("np.cents").isNotNull)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts_us"), col("np.p_id").as("p_id"), col("np.cents").as("cents"))
+  }
+
+  def linearAttribution(events: DataFrame, lookbackUs: Long,
+                        conv: String): DataFrame = {
+    val touches = touchFrame(events, lookbackUs, conv)
     touches
       .withColumn("n", count(lit(1))
         .over(Window.partitionBy(col("user_id"), col("p_id"))))
@@ -290,6 +299,45 @@ object Events {
           .orderBy(col("ts_us").desc, col("event_id").desc)).cast("long"))
       .withColumn("credit_micro", expr(
         "(cents * 1000000) div n + CASE WHEN rk <= (cents * 1000000) % n THEN 1 ELSE 0 END"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_micro")).as("credit_micro"))
+  }
+
+  /** U-shaped (position-based 40/20/40) attribution — the fourth member
+    * of the family after last-touch, first-touch, and linear: the first
+    * and last touches before each conversion take 40% each, the middle
+    * touches split the remaining 20% equally. Exact integer micros with
+    * deterministic remainder placement: a single touch takes everything,
+    * two touches split half-and-half (remainder to the first), and with
+    * n ≥ 3 the ends take (4·total) div 10 each while the middle pool
+    * (total − 2·ends — the div remainders fold into the pool, so per-
+    * conversion conservation is exact by construction) distributes div
+    * (n−2) with the remainder to the EARLIEST middles. Same touch frame
+    * and window shapes as [[linearAttribution]].
+    */
+  def uShapedAttribution(events: DataFrame, lookbackUs: Long,
+                         conv: String): DataFrame = {
+    val touches = touchFrame(events, lookbackUs, conv)
+    touches
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("user_id"), col("p_id"))))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("user_id"), col("p_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)).cast("long"))
+      .withColumn("total_micro", col("cents") * lit(1000000L))
+      .withColumn("credit_micro", expr(
+        """CASE
+          |  WHEN n = 1 THEN total_micro
+          |  WHEN n = 2 THEN CASE WHEN rk = 1
+          |    THEN total_micro - total_micro div 2
+          |    ELSE total_micro div 2 END
+          |  WHEN rk = 1 OR rk = n THEN (4 * total_micro) div 10
+          |  ELSE (total_micro - 2 * ((4 * total_micro) div 10)) div (n - 2)
+          |    + CASE WHEN rk - 1 <=
+          |        (total_micro - 2 * ((4 * total_micro) div 10)) % (n - 2)
+          |      THEN 1 ELSE 0 END
+          |END""".stripMargin))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_touches"),
         sum(col("credit_micro")).as("credit_micro"))
