@@ -3490,6 +3490,147 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — time-decay attribution (round 5: the FIFTH and last member
+    // of the attribution family — each touch's credit decays by half
+    // per day of age at conversion, and with dyadic halving the weights
+    // are EXACT integers: w = 2^(7 − age_days), age clamped to the
+    // 7-day lookback, so Σw and the largest-remainder split stay pure
+    // int64 arithmetic. Same touch frame; credit ∝ w/Σw with the
+    // remainder to the most recent touches (they carry the weight)
+    "q297_time_decay_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val touches = Events.touchFrame(events(s, dir),
+        7L * 86400L * 1000000L, "purchase")
+      val withW = touches
+        .withColumn("age_days",
+          expr("(p_us - ts_us) div 86400000000"))
+        .withColumn("w", expr("CAST(1 AS BIGINT) << (7 - age_days)"))
+      val wp = Window.partitionBy(col("user_id"), col("p_id"))
+      withW
+        .withColumn("sw", sum(col("w")).over(wp))
+        .withColumn("rk", row_number().over(wp
+          .orderBy(col("ts_us").desc, col("event_id").desc)).cast("long"))
+        .withColumn("base", expr("(cents * 1000000 * w) div sw"))
+        .withColumn("rem_total",
+          expr("cents * 1000000 - sum(base) OVER" +
+            " (PARTITION BY user_id, p_id)"))
+        .withColumn("credit_micro",
+          expr("base + CASE WHEN rk <= rem_total THEN 1 ELSE 0 END"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_micro")).as("credit_micro"))
+    }),
+
+    // §2.6 — weekly event-mix drift (round 5: the type-mix total-
+    // variation distance of each week against the OVERALL mix, as a
+    // time series feeding the changepoint family — "which week did the
+    // product change?". Exact cross-multiplied TV at permille on the
+    // bounded week×type grid; the dense grid left-join keeps zero cells
+    // genuine zeros (a type absent in a week IS drift)
+    "q298_weekly_mix_drift" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"),
+          expr("datediff(to_date(ts), DATE '1970-01-05') div 7")
+            .cast("long").as("wk"))
+      val cell = e.groupBy(col("wk"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val wkTot = cell.groupBy(col("wk")).agg(sum(col("c")).as("n_w"))
+      val tyTot = cell.groupBy(col("event_type")).agg(sum(col("c")).as("n_t"))
+      val tot = cell.agg(sum(col("c")).as("n"))
+      wkTot.crossJoin(broadcast(tyTot)) // dense bounded grid
+        .join(cell, Seq("wk", "event_type"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", abs(col("c") * col("n") - col("n_w") * col("n_t")))
+        .groupBy(col("wk"), col("n_w"), col("n"))
+        .agg(sum(col("term")).as("tv_num"))
+        .select(col("wk"), col("n_w"),
+          expr("(1000 * tv_num) div (2 * n_w * n)").as("tv_permille"))
+    }),
+
+    // §2.6 — whale-order revenue share (round 5: per year, the share of
+    // revenue carried by orders above 2× that year's mean order value —
+    // the temporal concentration trend beside the static Gini/HHI/
+    // Pareto family. The threshold is mean-relative (scale-free, the
+    // q188 lesson) and the test cross-multiplies (cents·n > 2·total)
+    // so everything is exact; two passes over the year-grain aggregate
+    // frame plus one conditional re-aggregation
+    "q299_whale_share" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("y"),
+          ExactAgg.cents(col("o_totalprice")).as("cents"))
+      val yr = o.groupBy(col("y"))
+        .agg(sum(col("cents")).as("total"), count(lit(1)).as("n"))
+      o.join(broadcast(yr), Seq("y"))
+        .groupBy(col("y"), col("total"), col("n"))
+        .agg(
+          sum(when(col("cents") * col("n") > col("total") * 2, col("cents"))
+            .otherwise(0L)).as("whale_cents"),
+          sum(when(col("cents") * col("n") > col("total") * 2, 1L)
+            .otherwise(0L)).as("n_whales"))
+        .select(col("y"), col("n"), col("n_whales"),
+          expr("(1000 * whale_cents) div total").as("whale_share_permille"))
+    }),
+
+    // §2.9 — release-gate scorecard (round 5: the composed one-stop
+    // health check a release pipeline actually gates on — four
+    // independent checks from four operators of this library, each a
+    // labeled row with its exact value and verdict: exact-duplicate
+    // mass (q240's arm) under 200‰, canary hits (q249's arm) exactly
+    // zero, effective source diversity (q286's arm) at least 2×1000
+    // milli, and template-cluster mass (q280's arm) under 250‰ of docs.
+    // One corpus scan per check, a 4-row union — the meta-query that
+    // turns the catalog into a GATE
+    "q300_release_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val dup = docs
+        .select(graft.functions.TextFunctions.fingerprint(col("text"))
+          .as("fp"))
+        .agg(countDistinct(col("fp")).as("uniq"))
+        .crossJoin(broadcast(nDocs))
+        .select(lit("dup_permille").as("check"),
+          expr("(1000 * (nd - uniq)) div nd").as("value"))
+      val canary = TextAnalysis.canaryScan(docs,
+          Seq("fast table", "zebra quantum"))
+        .agg(sum(col("n_docs")).as("v"))
+        .select(lit("canary_hit_docs").as("check"),
+          col("v").cast("long").as("value"))
+      val effRow = docs
+        .select(col("source"),
+          size(graft.functions.TextFunctions.tokensWs(col("text")))
+            .cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("c"))
+        .crossJoin(broadcast(docs
+          .select(col("source"),
+            size(graft.functions.TextFunctions.tokensWs(col("text")))
+              .cast("long").as("nt"))
+          .groupBy(col("source")).agg(sum(col("nt")).as("c"))
+          .agg(sum(col("c")).as("total"))))
+        .select(expr("(1000000 * c) div total").as("sp"))
+        .agg(sum(col("sp") * col("sp")).as("sq"))
+        .select(lit("eff_sources_milli").as("check"),
+          expr("1000000000000000 div sq").as("value"))
+      val templ = docs
+        .select(md5(concat_ws(",", transform(
+          slice(graft.functions.TextFunctions.tokensWs(col("text")), 1, 10),
+          t2 => length(t2).cast("string")))).as("sig"))
+        .groupBy(col("sig")).agg(count(lit(1)).as("k"))
+        .filter(col("k") >= 2)
+        .agg(coalesce(sum(col("k")), lit(0L)).as("in_clusters"))
+        .crossJoin(broadcast(nDocs))
+        .select(lit("template_mass_permille").as("check"),
+          expr("(1000 * in_clusters) div nd").as("value"))
+      dup.unionByName(canary).unionByName(effRow).unionByName(templ)
+        .withColumn("pass", expr(
+          """CASE check
+            |  WHEN 'dup_permille' THEN value < 200
+            |  WHEN 'canary_hit_docs' THEN value = 0
+            |  WHEN 'eff_sources_milli' THEN value >= 2000
+            |  ELSE value < 250
+            |END""".stripMargin))
+    }),
+
     // §2.6 — U-shaped (position-based) attribution (round 5: the fourth
     // member of the attribution family — 40% to the first touch, 40% to
     // the last, 20% split over the middles; exact integer micros with
@@ -8470,6 +8611,145 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q297_time_decay_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END
+        |           AS p_cents
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |         last_value(CASE WHEN event_type = 'purchase'
+        |             THEN struct_pack(p_us := ts_us, p_id := event_id,
+        |                              cents := p_cents) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY ts_us DESC, event_id DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS np
+        |  FROM e),
+        |tc AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |         np.p_id AS p_id, np.p_us AS p_us, np.cents AS cents
+        |  FROM t
+        |  WHERE event_type <> 'purchase' AND np IS NOT NULL
+        |    AND np.p_us - ts_us <= 604800000000
+        |    AND np.cents IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, event_id, event_type, ts_us, p_id, cents,
+        |         CAST(1 AS BIGINT)
+        |           << (7 - (p_us - ts_us) // 86400000000) AS w
+        |  FROM tc),
+        |c AS (
+        |  SELECT event_type, cents, w,
+        |         CAST(sum(w) OVER (PARTITION BY user_id, p_id) AS BIGINT)
+        |           AS sw,
+        |         CAST(row_number() OVER (PARTITION BY user_id, p_id
+        |                ORDER BY ts_us DESC, event_id DESC) AS BIGINT)
+        |           AS rk,
+        |         user_id, p_id
+        |  FROM w),
+        |b AS (
+        |  SELECT event_type, rk, user_id, p_id,
+        |         (cents * 1000000 * w) // sw AS base,
+        |         cents * 1000000
+        |           - CAST(sum((cents * 1000000 * w) // sw)
+        |               OVER (PARTITION BY user_id, p_id) AS BIGINT)
+        |           AS rem_total
+        |  FROM c)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(base + CASE WHEN rk <= rem_total THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS credit_micro
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q298_weekly_mix_drift" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS BIGINT)
+        |           AS wk
+        |  FROM events),
+        |cell AS (
+        |  SELECT wk, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |wt AS (SELECT wk, CAST(sum(c) AS BIGINT) AS n_w FROM cell GROUP BY 1),
+        |tt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_t
+        |       FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+        |grid AS (
+        |  SELECT wt.wk, wt.n_w, tt.event_type, tt.n_t,
+        |         COALESCE(cell.c, 0) AS c
+        |  FROM wt CROSS JOIN tt
+        |  LEFT JOIN cell ON wt.wk = cell.wk
+        |               AND tt.event_type = cell.event_type)
+        |SELECT wk, n_w,
+        |       (1000 * CAST(sum(abs(c * tot.n - n_w * n_t)) AS BIGINT))
+        |         // (2 * n_w * tot.n) AS tv_permille
+        |FROM grid CROSS JOIN tot
+        |GROUP BY wk, n_w, tot.n""".stripMargin,
+
+    "q299_whale_share" ->
+      """WITH o AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |yr AS (
+        |  SELECT y, CAST(sum(cents) AS BIGINT) AS total,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM o GROUP BY 1)
+        |SELECT o.y, yr.n,
+        |       CAST(count(*) FILTER (WHERE o.cents * yr.n > yr.total * 2)
+        |         AS BIGINT) AS n_whales,
+        |       (1000 * CAST(sum(CASE WHEN o.cents * yr.n > yr.total * 2
+        |         THEN o.cents ELSE 0 END) AS BIGINT)) // yr.total
+        |         AS whale_share_permille
+        |FROM o JOIN yr ON o.y = yr.y
+        |GROUP BY o.y, yr.n, yr.total""".stripMargin,
+
+    "q300_release_gate" ->
+      s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |dup AS (
+         |  SELECT 'dup_permille' AS "check",
+         |         (1000 * (nd.nd - u.uniq)) // nd.nd AS value
+         |  FROM nd, (SELECT CAST(count(DISTINCT md5($NormSql)) AS BIGINT)
+         |            AS uniq FROM documents) u),
+         |can AS (
+         |  SELECT 'canary_hit_docs' AS "check",
+         |         CAST(count(*) FILTER (WHERE instr(text, 'fast table') > 0)
+         |           + count(*) FILTER (WHERE instr(text, 'zebra quantum') > 0)
+         |           AS BIGINT) AS value
+         |  FROM documents),
+         |bys AS (
+         |  SELECT source, CAST(sum(len($ToksSql)) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1),
+         |bt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM bys),
+         |eff AS (
+         |  SELECT 'eff_sources_milli' AS "check",
+         |         1000000000000000 // CAST(sum(((1000000 * c) // total)
+         |           * ((1000000 * c) // total)) AS BIGINT) AS value
+         |  FROM bys CROSS JOIN bt),
+         |sg AS (
+         |  SELECT md5(list_aggregate(list_transform(($ToksSql)[1:10],
+         |           t -> CAST(length(t) AS VARCHAR)), 'string_agg', ','))
+         |           AS sig
+         |  FROM documents),
+         |tm AS (
+         |  SELECT 'template_mass_permille' AS "check",
+         |         (1000 * COALESCE((SELECT CAST(sum(k) AS BIGINT) FROM (
+         |            SELECT count(*) AS k FROM sg GROUP BY sig
+         |            HAVING count(*) >= 2)), 0)) // nd.nd AS value
+         |  FROM nd),
+         |allrows AS (
+         |  SELECT * FROM dup UNION ALL SELECT * FROM can
+         |  UNION ALL SELECT * FROM eff UNION ALL SELECT * FROM tm)
+         |SELECT "check", value,
+         |       CASE "check"
+         |         WHEN 'dup_permille' THEN value < 200
+         |         WHEN 'canary_hit_docs' THEN value = 0
+         |         WHEN 'eff_sources_milli' THEN value >= 2000
+         |         ELSE value < 250
+         |       END AS pass
+         |FROM allrows""".stripMargin,
 
     "q296_u_shaped_attribution" ->
       """WITH e AS (

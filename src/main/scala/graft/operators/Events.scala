@@ -268,8 +268,8 @@ object Events {
     * attribution family: each non-conversion event paired with the NEXT
     * conversion of the same user within the lookback.
     */
-  private def touchFrame(events: DataFrame, lookbackUs: Long,
-                         conv: String): DataFrame = {
+  private[graft] def touchFrame(events: DataFrame, lookbackUs: Long,
+                                conv: String): DataFrame = {
     val wDesc = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -285,7 +285,8 @@ object Events {
         col("np.p_us") - col("ts_us") <= lookbackUs &&
         col("np.cents").isNotNull)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        col("ts_us"), col("np.p_id").as("p_id"), col("np.cents").as("cents"))
+        col("ts_us"), col("np.p_id").as("p_id"),
+        col("np.p_us").as("p_us"), col("np.cents").as("cents"))
   }
 
   def linearAttribution(events: DataFrame, lookbackUs: Long,
