@@ -3490,6 +3490,87 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — shipping-SLA attainment by priority (round 5: per order
+    // priority, the share of lineitems shipped within 30 days of the
+    // order date in exact permille — the operations SLA report that
+    // turns q188's late-lines screen into a rate; one fact join + one
+    // conditional aggregate on the bounded priority frame
+    "q301_sla_attainment" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30,
+            1L).otherwise(0L)).as("on_time"))
+        .withColumn("sla_permille",
+          expr("(1000 * on_time) div n_lines"))
+    }),
+
+    // §2.6 — supplier share volatility (round 5: the vendor-stability
+    // screen — each supplier's quarterly revenue-share variance across
+    // the history, top-15 most volatile; a supplier whose share swings
+    // is a concentration risk a mean-share report hides. Shares floor
+    // to ppm per (supplier, quarter) cell (the q271 convention), the
+    // variance moments are exact BIGINTs over the bounded
+    // supplier×quarter grid (dense: absent quarters are genuine zero
+    // shares), one deterministic double at the end
+    "q302_supplier_volatility" -> ((s, dir) => {
+      val cell = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          date_trunc("quarter", col("l_shipdate")).cast("date").as("q"),
+          ExactAgg.scaledLong(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 100)
+            .as("cents"))
+        .groupBy(col("l_suppkey"), col("q"))
+        .agg(sum(col("cents")).as("c"))
+      val qTot = cell.groupBy(col("q")).agg(sum(col("c")).as("n_q"))
+      val sups = cell.select(col("l_suppkey")).distinct()
+      sups.crossJoin(qTot) // dense bounded grid
+        .join(cell, Seq("l_suppkey", "q"), "left")
+        .withColumn("share_ppm",
+          expr("(1000000 * coalesce(c, 0)) div n_q"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_quarters"),
+          sum(col("share_ppm")).as("ss"),
+          sum(col("share_ppm") * col("share_ppm")).as("ssq"))
+        .withColumn("share_std_ppm",
+          expr("sqrt((CAST(n_quarters AS DOUBLE) * CAST(ssq AS DOUBLE)" +
+            " - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)))" +
+            " / CAST(n_quarters AS DOUBLE)"))
+        .orderBy(col("share_std_ppm").desc, col("l_suppkey").asc)
+        .limit(15)
+    }),
+
+    // §2.6 — longest hot streak (round 5: the longest run of
+    // consecutive above-median revenue days — gaps-and-islands over a
+    // binary series whose threshold is the EXACT doubled median
+    // (2·cents vs med2 compares integers, q74's convention); the
+    // momentum complement of q64's activity streaks and q253's runs
+    // test. All windows on the bounded day frame
+    "q303_hot_streak" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+      val med = daily.agg(
+        (percentile(col("cents"), lit(0.5)) * 2).cast("long").as("med2"))
+      val w = Window.orderBy(col("d"))
+      daily.crossJoin(broadcast(med))
+        .withColumn("hot", (col("cents") * 2 > col("med2")).cast("long"))
+        .withColumn("grp",
+          sum(when(col("hot") === 0, 1L).otherwise(0L)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("hot") === 1)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+        .orderBy(col("len").desc, col("start_d").asc)
+        .limit(3)
+        .select(col("start_d"), col("len"))
+    }),
+
     // §2.6 — time-decay attribution (round 5: the FIFTH and last member
     // of the attribution family — each touch's credit decays by half
     // per day of age at conversion, and with dyadic halving the weights
@@ -8611,6 +8692,70 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q301_sla_attainment" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(count(*) FILTER (WHERE date_diff('day',
+        |         CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30)
+        |         AS BIGINT) AS on_time,
+        |       (1000 * CAST(count(*) FILTER (WHERE date_diff('day',
+        |         CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30)
+        |         AS BIGINT)) // CAST(count(*) AS BIGINT) AS sla_permille
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q302_supplier_volatility" ->
+      """WITH cell AS (
+        |  SELECT l_suppkey,
+        |         CAST(date_trunc('quarter', CAST(l_shipdate AS DATE))
+        |           AS DATE) AS q,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |           * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |qt AS (SELECT q, CAST(sum(c) AS BIGINT) AS n_q FROM cell GROUP BY 1),
+        |sups AS (SELECT DISTINCT l_suppkey FROM cell),
+        |grid AS (
+        |  SELECT s.l_suppkey, qt.q, qt.n_q,
+        |         (1000000 * COALESCE(cell.c, 0)) // qt.n_q AS share_ppm
+        |  FROM sups s CROSS JOIN qt
+        |  LEFT JOIN cell ON s.l_suppkey = cell.l_suppkey AND qt.q = cell.q),
+        |m AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_quarters,
+        |         CAST(sum(share_ppm) AS BIGINT) AS ss,
+        |         CAST(sum(share_ppm * share_ppm) AS BIGINT) AS ssq
+        |  FROM grid GROUP BY 1)
+        |SELECT l_suppkey, n_quarters, ss, ssq,
+        |       sqrt((CAST(n_quarters AS DOUBLE) * CAST(ssq AS DOUBLE)
+        |         - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)))
+        |         / CAST(n_quarters AS DOUBLE) AS share_std_ppm
+        |FROM m
+        |ORDER BY share_std_ppm DESC, l_suppkey ASC
+        |LIMIT 15""".stripMargin,
+
+    "q303_hot_streak" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |med AS (SELECT CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT)
+        |          AS med2 FROM daily),
+        |h AS (
+        |  SELECT d, CAST(cents * 2 > med.med2 AS BIGINT) AS hot
+        |  FROM daily CROSS JOIN med),
+        |g AS (
+        |  SELECT d, hot,
+        |         CAST(sum(CASE WHEN hot = 0 THEN 1 ELSE 0 END)
+        |           OVER (ORDER BY d
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS grp
+        |  FROM h)
+        |SELECT min(d) AS start_d, CAST(count(*) AS BIGINT) AS len
+        |FROM g WHERE hot = 1
+        |GROUP BY grp
+        |ORDER BY len DESC, start_d ASC
+        |LIMIT 3""".stripMargin,
 
     "q297_time_decay_attribution" ->
       """WITH e AS (
