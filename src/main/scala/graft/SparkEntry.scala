@@ -3490,6 +3490,102 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — dead-stock report (round 5: parts with NO shipment in the
+    // final year of the history, with their locked-up retail value —
+    // the inventory-aging screen; an anti-join against recent activity
+    // (q31's shape with a date predicate) + a value rollup by brand, so
+    // the report is bounded even though the detection is part-grain
+    "q304_dead_stock" -> ((s, dir) => {
+      val recent = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-11-04").cast("date"))
+        .select(col("l_partkey")).distinct()
+      t(s, dir, "part")
+        .join(recent, col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_dead_parts"),
+          sum(ExactAgg.cents(col("p_retailprice"))).as("locked_cents"))
+    }),
+
+    // §2.6 — customer LTV curve (round 5: mean cumulative revenue at
+    // tenure month m, averaged over customers OBSERVED at least m
+    // months (the right-censoring-aware denominator — naive averaging
+    // over all customers deflates the tail) — the lifetime-value curve
+    // behind q238's survival and q67's retention. Months from exact
+    // integer month arithmetic; per-customer cumulative sums on the
+    // (customer, month) frame; the curve is a bounded offset aggregate
+    "q305_ltv_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mi"),
+          ExactAgg.cents(col("o_totalprice")).as("cents"))
+      val horizon = o.agg(max(col("mi")).as("h"))
+      val perCM = o.groupBy(col("o_custkey"), col("mi"))
+        .agg(sum(col("cents")).as("c"))
+        .withColumn("first_mi", min(col("mi"))
+          .over(Window.partitionBy(col("o_custkey"))))
+        .withColumn("offset_m", col("mi") - col("first_mi"))
+        .withColumn("cum_c", sum(col("c"))
+          .over(Window.partitionBy(col("o_custkey")).orderBy(col("mi"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // a customer is OBSERVED at offset m iff first_mi + m <= horizon;
+      // their cumulative value at m is the last cum at offset <= m —
+      // carried forward over the dense offset frame
+      val offsets = s.range(0, 24).select(col("id").as("m"))
+      val custFirst = perCM.select(col("o_custkey"), col("first_mi"))
+        .distinct()
+      custFirst.crossJoin(broadcast(offsets))
+        .crossJoin(broadcast(horizon))
+        .filter(col("first_mi") + col("m") <= col("h"))
+        .join(perCM.select(col("o_custkey"),
+          col("offset_m"), col("cum_c")),
+          Seq("o_custkey"))
+        .filter(col("offset_m") <= col("m"))
+        .groupBy(col("o_custkey"), col("m"))
+        .agg(max_by(col("cum_c"), col("offset_m")).as("cum_at_m"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cum_at_m")).as("total_cum_cents"))
+        .withColumn("mean_ltv_cents",
+          expr("total_cum_cents div n_customers"))
+    }),
+
+    // §2.6 — seasonal strength (round 5: q252's decomposition collapsed
+    // to the one scalar a pipeline alerts on — the share of detrended
+    // variation carried by the weekday pattern, SS_seasonal /
+    // (SS_seasonal + SS_residual) in exact permille from integer
+    // sums-of-squares; ≈0 means the weekday profile is noise, ≈1000
+    // means the series IS its weekday pattern
+    "q306_seasonal_strength" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+      val w = Window.orderBy(col("d"))
+      val trended = daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("nd", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("trend_cents",
+          when(col("i") >= 4 && col("i") <= col("nd") - 3,
+            expr("sum(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING" +
+              " AND 3 FOLLOWING) div 7")))
+        .withColumn("wd",
+          pmod(datediff(col("d"), lit("1970-01-05").cast("date")), lit(7)))
+        .filter(col("trend_cents").isNotNull)
+        .withColumn("detr", col("cents") - col("trend_cents"))
+      val seasonal = trended.groupBy(col("wd"))
+        .agg(expr("sum(detr) div count(1)").as("s_wd"))
+      trended.join(broadcast(seasonal), Seq("wd"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("s_wd") * col("s_wd")).as("ss_seasonal"),
+          sum((col("detr") - col("s_wd")) * (col("detr") - col("s_wd")))
+            .as("ss_residual"))
+        .withColumn("strength_permille",
+          expr("(1000 * ss_seasonal) div (ss_seasonal + ss_residual)"))
+    }),
+
     // §2.6 — shipping-SLA attainment by priority (round 5: per order
     // priority, the share of lineitems shipped within 30 days of the
     // order date in exact permille — the operations SLA report that
@@ -8692,6 +8788,86 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q304_dead_stock" ->
+      """SELECT p_brand,
+        |       CAST(count(*) AS BIGINT) AS n_dead_parts,
+        |       CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS locked_cents
+        |FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT DISTINCT l_partkey FROM lineitem
+        |  WHERE l_shipdate >= DATE '2000-11-04')
+        |GROUP BY 1""".stripMargin,
+
+    "q305_ltv_curve" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(year(CAST(o_orderdate AS DATE)) * 12
+        |           + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mi,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |h AS (SELECT CAST(max(mi) AS BIGINT) AS h FROM o),
+        |percm AS (
+        |  SELECT o_custkey, mi, CAST(sum(cents) AS BIGINT) AS c
+        |  FROM o GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT o_custkey, mi,
+        |         mi - min(mi) OVER (PARTITION BY o_custkey) AS offset_m,
+        |         CAST(sum(c) OVER (PARTITION BY o_custkey ORDER BY mi
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_c
+        |  FROM percm),
+        |cf AS (
+        |  SELECT o_custkey, CAST(min(mi) AS BIGINT) AS first_mi
+        |  FROM percm GROUP BY 1),
+        |offs AS (SELECT CAST(unnest(generate_series(0, 23)) AS BIGINT)
+        |           AS m),
+        |at_m AS (
+        |  SELECT cf.o_custkey, offs.m,
+        |         arg_max(cm.cum_c, cm.offset_m) AS cum_at_m
+        |  FROM cf CROSS JOIN offs CROSS JOIN h
+        |  JOIN cm ON cf.o_custkey = cm.o_custkey
+        |         AND cm.offset_m <= offs.m
+        |  WHERE cf.first_mi + offs.m <= h.h
+        |  GROUP BY 1, 2)
+        |SELECT m, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(cum_at_m) AS BIGINT) AS total_cum_cents,
+        |       CAST(sum(cum_at_m) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |         AS mean_ltv_cents
+        |FROM at_m GROUP BY 1""".stripMargin,
+
+    "q306_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tr AS (
+        |  SELECT d, cents,
+        |         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |         CAST(count(*) OVER () AS BIGINT) AS nd,
+        |         CAST(sum(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+        |           AND 3 FOLLOWING) AS BIGINT) AS w7,
+        |         CAST((d - DATE '1970-01-05') % 7 AS INTEGER) AS wd
+        |  FROM daily),
+        |td AS (
+        |  SELECT wd, cents - (w7 // 7) AS detr
+        |  FROM tr WHERE i >= 4 AND i <= nd - 3),
+        |se AS (
+        |  SELECT wd, CAST(sum(detr) AS BIGINT)
+        |           // CAST(count(*) AS BIGINT) AS s_wd
+        |  FROM td GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(se.s_wd * se.s_wd) AS BIGINT) AS ss_seasonal,
+        |         CAST(sum((td.detr - se.s_wd) * (td.detr - se.s_wd))
+        |           AS BIGINT) AS ss_residual
+        |  FROM td JOIN se USING (wd))
+        |SELECT n_days, ss_seasonal, ss_residual,
+        |       (1000 * ss_seasonal) // (ss_seasonal + ss_residual)
+        |         AS strength_permille
+        |FROM agg""".stripMargin,
 
     "q301_sla_attainment" ->
       """SELECT o_orderpriority,
