@@ -3490,6 +3490,69 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — repeat-purchase rate per part (round 5: product loyalty —
+    // of the customers who ever bought a part, the permille who bought
+    // it in MORE THAN ONE order; the product-stickiness screen. One
+    // (part, customer)-grain aggregate counting orders, then a
+    // part-grain conditional rollup, top-20 among parts with ≥ 10
+    // buyers so the rate is meaningful
+    "q307_repeat_purchase" -> ((s, dir) => {
+      val pc = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey"), col("o_custkey"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      pc.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L))
+            .as("repeat_buyers"))
+        .filter(col("n_buyers") >= 10)
+        .withColumn("repeat_permille",
+          expr("(1000 * repeat_buyers) div n_buyers"))
+        .orderBy(col("repeat_permille").desc, col("l_partkey").asc)
+        .limit(20)
+    }),
+
+    // §2.6 — basket value by breadth (round 5: does basket BREADTH
+    // drive basket VALUE? — mean order total by distinct-part count,
+    // composing q183's size frame with exact money; two bounded
+    // aggregates after the order-grain reduce
+    "q308_basket_value_by_size" -> ((s, dir) => {
+      val sizes = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_partkey")).as("k"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), ExactAgg.cents(col("o_totalprice"))
+          .as("cents"))
+        .join(sizes, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("total_cents"))
+        .withColumn("mean_cents", expr("total_cents div n_orders"))
+    }),
+
+    // §2.6 — discount ladder (round 5: the pricing-analytics view — per
+    // discount band (percent steps, a bounded domain), line volume,
+    // mean quantity, and revenue share in exact permille: "what do we
+    // get for each discount point?". One conditional fact aggregate on
+    // the bounded band frame; the band key is exact integer percent
+    "q309_discount_ladder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(ExactAgg.scaledLong(col("l_discount"), 100).as("disc_pct"),
+          floor(col("l_quantity") + lit(0.5)).cast("long").as("qty"),
+          ExactAgg.scaledLong(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 100)
+            .as("cents"))
+      val tot = li.agg(sum(col("cents")).as("total"))
+      li.groupBy(col("disc_pct"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("units"),
+          sum(col("cents")).as("cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("disc_pct"), col("n_lines"),
+          expr("units div n_lines").as("mean_qty"),
+          expr("(1000 * cents) div total").as("revenue_share_permille"))
+    }),
+
     // §2.6 — dead-stock report (round 5: parts with NO shipment in the
     // final year of the history, with their locked-up retail value —
     // the inventory-aging screen; an anti-join against recent activity
@@ -8788,6 +8851,51 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q307_repeat_purchase" ->
+      """WITH pc AS (
+        |  SELECT l_partkey, o_custkey,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_buyers,
+        |         CAST(count(*) FILTER (WHERE n_orders >= 2) AS BIGINT)
+        |           AS repeat_buyers
+        |  FROM pc GROUP BY 1)
+        |SELECT l_partkey, n_buyers, repeat_buyers,
+        |       (1000 * repeat_buyers) // n_buyers AS repeat_permille
+        |FROM agg WHERE n_buyers >= 10
+        |ORDER BY repeat_permille DESC, l_partkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q308_basket_value_by_size" ->
+      """WITH sizes AS (
+        |  SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS k
+        |  FROM lineitem GROUP BY 1)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS total_cents,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_cents
+        |FROM orders JOIN sizes ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q309_discount_ladder" ->
+      """WITH li AS (
+        |  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+        |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+        |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |           + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM li)
+        |SELECT disc_pct, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(qty) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |         AS mean_qty,
+        |       (1000 * CAST(sum(cents) AS BIGINT)) // total
+        |         AS revenue_share_permille
+        |FROM li CROSS JOIN tot
+        |GROUP BY disc_pct, total""".stripMargin,
 
     "q304_dead_stock" ->
       """SELECT p_brand,
