@@ -3490,6 +3490,80 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — Tukey-fence outlier days (round 5: the boxplot outlier
+    // rule made EXACT — days outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] of
+    // daily revenue, with the whole test in integers: quartile
+    // positions are dyadic so q1x4/q3x4 are exact BIGINTs (the q290
+    // argument), and the fences clear the 1.5 factor at ×8 scale
+    // (low_x8 = 2·q1x4 − 3·(q3x4−q1x4), test 8·cents < low_x8). The
+    // robust complement of q278's ±2σ band
+    "q310_tukey_outlier_days" -> ((s, dir) => {
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+      val q = daily.agg(
+        (percentile(col("cents"), lit(0.25)) * 4).cast("long").as("q1x4"),
+        (percentile(col("cents"), lit(0.75)) * 4).cast("long").as("q3x4"))
+      daily.crossJoin(broadcast(q))
+        .withColumn("low_x8",
+          expr("2 * q1x4 - 3 * (q3x4 - q1x4)"))
+        .withColumn("high_x8",
+          expr("2 * q3x4 + 3 * (q3x4 - q1x4)"))
+        .filter(col("cents") * 8 < col("low_x8") ||
+          col("cents") * 8 > col("high_x8"))
+        .select(col("d"), col("cents"), col("low_x8"), col("high_x8"),
+          (col("cents") * 8 > col("high_x8")).as("is_high"))
+    }),
+
+    // §2.9 — source language purity (round 5: per source, the dominant
+    // language's share in exact permille plus the language itself — the
+    // routing-sanity screen before per-language processing trusts the
+    // source label; one bounded contingency + deterministic argmax
+    "q311_lang_purity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cell = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("lang").asc)
+      cell
+        .withColumn("n_s", sum(col("c")).over(
+          Window.partitionBy(col("source"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("dominant_lang"),
+          col("n_s").as("n_docs"),
+          expr("(1000 * c) div n_s").as("purity_permille"))
+    }),
+
+    // §2.6 — rising parts screen (round 5: parts whose final-year
+    // revenue share is at least DOUBLE their all-history share — the
+    // emerging-product detector, cross-multiplied so the share
+    // comparison is exact (c_last·total ≥ 2·c_all·total_last), with a
+    // minimum final-year revenue floor so noise parts don't qualify.
+    // Whole-dollar grain: the cross-multiplication c_last·total must
+    // stay in int64 at 10× rows, and cents would not
+    "q312_rising_parts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          (col("l_shipdate") >= lit("2000-11-05").cast("date"))
+            .as("is_last"),
+          ExactAgg.scaledLong(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1)
+            .as("dollars"))
+      val byP = li.groupBy(col("l_partkey"))
+        .agg(sum(col("dollars")).as("c_all"),
+          sum(when(col("is_last"), col("dollars")).otherwise(0L))
+            .as("c_last"))
+      val tot = byP.agg(sum(col("c_all")).as("total"),
+        sum(col("c_last")).as("total_last"))
+      byP.crossJoin(broadcast(tot))
+        .filter(col("c_last") >= 1000L && // ≥ $1000 in the final year
+          col("c_last") * col("total") >= col("c_all") * col("total_last") * 2)
+        .select(col("l_partkey"), col("c_all"), col("c_last"))
+        .orderBy(col("c_last").desc, col("l_partkey").asc)
+        .limit(20)
+    }),
+
     // §2.6 — repeat-purchase rate per part (round 5: product loyalty —
     // of the customers who ever bought a part, the permille who bought
     // it in MORE THAN ONE order; the product-stickiness screen. One
@@ -8851,6 +8925,58 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q310_tukey_outlier_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |q AS (SELECT CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT) AS q1x4,
+        |             CAST(quantile_cont(cents, 0.75) * 4 AS BIGINT) AS q3x4
+        |      FROM daily)
+        |SELECT d, cents,
+        |       2 * q1x4 - 3 * (q3x4 - q1x4) AS low_x8,
+        |       2 * q3x4 + 3 * (q3x4 - q1x4) AS high_x8,
+        |       cents * 8 > 2 * q3x4 + 3 * (q3x4 - q1x4) AS is_high
+        |FROM daily CROSS JOIN q
+        |WHERE cents * 8 < 2 * q1x4 - 3 * (q3x4 - q1x4)
+        |   OR cents * 8 > 2 * q3x4 + 3 * (q3x4 - q1x4)""".stripMargin,
+
+    "q311_lang_purity" ->
+      """WITH cell AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, lang, c,
+        |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY c DESC, lang ASC) AS rk
+        |  FROM cell)
+        |SELECT source, lang AS dominant_lang, n_s AS n_docs,
+        |       (1000 * c) // n_s AS purity_permille
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    "q312_rising_parts" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         l_shipdate >= DATE '2000-11-05' AS is_last,
+        |         CAST(floor(l_extendedprice * (1.0 - l_discount) + 0.5)
+        |           AS BIGINT) AS dollars
+        |  FROM lineitem),
+        |byp AS (
+        |  SELECT l_partkey, CAST(sum(dollars) AS BIGINT) AS c_all,
+        |         CAST(sum(CASE WHEN is_last THEN dollars ELSE 0 END)
+        |           AS BIGINT) AS c_last
+        |  FROM li GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS total,
+        |               CAST(sum(c_last) AS BIGINT) AS total_last FROM byp)
+        |SELECT l_partkey, c_all, c_last
+        |FROM byp CROSS JOIN tot
+        |WHERE c_last >= 1000
+        |  AND c_last * total >= c_all * total_last * 2
+        |ORDER BY c_last DESC, l_partkey ASC
+        |LIMIT 20""".stripMargin,
 
     "q307_repeat_purchase" ->
       """WITH pc AS (
