@@ -3490,6 +3490,91 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — purchase-cadence momentum (round 5: are customers speeding
+    // up or slowing down? — per customer with ≥ 4 orders, the mean
+    // inter-order gap of the FIRST half of their gaps vs the SECOND
+    // half, compared exactly by cross-multiplication (sum1·n2 vs
+    // sum2·n1 — no division at all); the report counts accelerating /
+    // steady / slowing customers per segment. The trend view of q126's
+    // static cadence
+    "q313_cadence_momentum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("gap",
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).cast("long"))
+        .filter(col("gap").isNotNull)
+        .withColumn("gi", row_number().over(w).cast("long"))
+        .withColumn("ng", count(lit(1))
+          .over(Window.partitionBy(col("o_custkey"))))
+      val perC = gaps
+        .withColumn("half", when(col("gi") * 2 <= col("ng"), 1).otherwise(2))
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(col("half") === 1, col("gap")).otherwise(0L)).as("s1"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("half") === 2, col("gap")).otherwise(0L)).as("s2"),
+          sum(when(col("half") === 2, 1L).otherwise(0L)).as("n2"))
+        .filter(col("n1") >= 2 && col("n2") >= 2) // ≥ 4 gaps total
+      perC
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("s2") * col("n1") < col("s1") * col("n2"), 1L)
+            .otherwise(0L)).as("accelerating"),
+          sum(when(col("s2") * col("n1") > col("s1") * col("n2"), 1L)
+            .otherwise(0L)).as("slowing"))
+        .withColumn("steady",
+          col("n_customers") - col("accelerating") - col("slowing"))
+    }),
+
+    // §2.6 — brand affinity matrix (round 5: shared-customer counts for
+    // every brand pair — the cross-sell planning view above q80's
+    // part-pair recommendations; the (customer, brand) DISTINCT frame
+    // self-joins on the customer with per-customer fan-out bounded by
+    // |brands|, so the pair stage is customer-grain × C(25,2), never
+    // order-grain
+    "q314_brand_affinity" -> ((s, dir) => {
+      val cb = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey"), col("p_brand")).distinct()
+        .localCheckpoint() // both sides of the bounded pair join
+      cb.as("a").join(cb.as("b"),
+          col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.p_brand") < col("b.p_brand"))
+        .groupBy(col("a.p_brand").as("brand_a"),
+          col("b.p_brand").as("brand_b"))
+        .agg(count(lit(1)).as("shared_customers"))
+        .orderBy(col("shared_customers").desc,
+          col("brand_a").asc, col("brand_b").asc)
+        .limit(30)
+    }),
+
+    // §2.6 — month-cycle effect (round 5: mean order value by
+    // day-of-month band (early 1-10 / mid 11-20 / late 21-31) — the
+    // billing-cycle lens on order timing; one bounded conditional
+    // aggregate, exact mean cents per band
+    "q315_month_cycle" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          when(dayofmonth(col("o_orderdate")) <= 10, "early")
+            .when(dayofmonth(col("o_orderdate")) <= 20, "mid")
+            .otherwise("late").as("band"),
+          ExactAgg.cents(col("o_totalprice")).as("cents"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+        .withColumn("mean_cents", expr("total_cents div n_orders"))
+    }),
+
     // §2.6 — Tukey-fence outlier days (round 5: the boxplot outlier
     // rule made EXACT — days outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] of
     // daily revenue, with the whole test in integers: quartile
@@ -8925,6 +9010,71 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q313_cadence_momentum" ->
+      """WITH g0 AS (
+        |  SELECT o_custkey,
+        |         date_diff('day',
+        |           lag(CAST(o_orderdate AS DATE))
+        |             OVER (PARTITION BY o_custkey
+        |                   ORDER BY o_orderdate, o_orderkey),
+        |           CAST(o_orderdate AS DATE)) AS gap,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS rn0
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, CAST(gap AS BIGINT) AS gap,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY rn0) AS BIGINT) AS gi,
+        |         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+        |           AS ng
+        |  FROM g0 WHERE gap IS NOT NULL),
+        |perc AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CASE WHEN gi * 2 <= ng THEN gap ELSE 0 END)
+        |           AS BIGINT) AS s1,
+        |         CAST(count(*) FILTER (WHERE gi * 2 <= ng) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN gi * 2 > ng THEN gap ELSE 0 END)
+        |           AS BIGINT) AS s2,
+        |         CAST(count(*) FILTER (WHERE gi * 2 > ng) AS BIGINT) AS n2
+        |  FROM g GROUP BY 1)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(count(*) FILTER (WHERE s2 * n1 < s1 * n2) AS BIGINT)
+        |         AS accelerating,
+        |       CAST(count(*) FILTER (WHERE s2 * n1 > s1 * n2) AS BIGINT)
+        |         AS slowing,
+        |       CAST(count(*) AS BIGINT)
+        |         - CAST(count(*) FILTER (WHERE s2 * n1 < s1 * n2) AS BIGINT)
+        |         - CAST(count(*) FILTER (WHERE s2 * n1 > s1 * n2) AS BIGINT)
+        |         AS steady
+        |FROM perc JOIN customer ON o_custkey = c_custkey
+        |WHERE n1 >= 2 AND n2 >= 2
+        |GROUP BY 1""".stripMargin,
+
+    "q314_brand_affinity" ->
+      """WITH cb AS (
+        |  SELECT DISTINCT o_custkey, p_brand
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey)
+        |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |       CAST(count(*) AS BIGINT) AS shared_customers
+        |FROM cb a JOIN cb b
+        |  ON a.o_custkey = b.o_custkey AND a.p_brand < b.p_brand
+        |GROUP BY 1, 2
+        |ORDER BY shared_customers DESC, brand_a ASC, brand_b ASC
+        |LIMIT 30""".stripMargin,
+
+    "q315_month_cycle" ->
+      """SELECT CASE WHEN day(CAST(o_orderdate AS DATE)) <= 10 THEN 'early'
+        |            WHEN day(CAST(o_orderdate AS DATE)) <= 20 THEN 'mid'
+        |            ELSE 'late' END AS band,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS total_cents,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_cents
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q310_tukey_outlier_days" ->
       """WITH daily AS (
