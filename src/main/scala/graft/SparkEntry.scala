@@ -3490,6 +3490,119 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // §2.6 — weekly ARPU trend (round 5: revenue per active user per
+    // week in exact integer cents — the normalization that separates
+    // "more users" growth from "more value per user" growth; one
+    // (week, user) distinct + one revenue aggregate joined on the
+    // bounded week frame
+    "q316_weekly_arpu" -> ((s, dir) => {
+      val e = events(s, dir).filter(col("value").isNotNull)
+        .withColumn("wk",
+          expr("datediff(to_date(ts), DATE '1970-01-05') div 7")
+            .cast("long"))
+      val rev = e.groupBy(col("wk"))
+        .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
+      val act = e.select(col("wk"), col("user_id")).distinct()
+        .groupBy(col("wk")).agg(count(lit(1)).as("actives"))
+      rev.join(act, Seq("wk"))
+        .select(col("wk"), col("actives"), col("cents"),
+          expr("cents div actives").as("arpu_cents"))
+    }),
+
+    // §2.6 — basket-size trend (round 5: yearly mean distinct parts per
+    // order at exact milli scale — is basket breadth widening?; the
+    // temporal view of q183's static profile. One order-grain reduce +
+    // a bounded year rollup
+    "q317_basket_trend" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          col("l_orderkey"))
+        .agg(countDistinct(col("l_partkey")).as("k"))
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("k")).as("total_k"))
+        .withColumn("mean_k_milli",
+          expr("(1000 * total_k) div n_orders"))
+    }),
+
+    // §2.6 — brand loyalty index (round 5: per segment, the mean share
+    // of a customer's line spend concentrated in their TOP brand — the
+    // category-loyalty scalar behind q314's affinity matrix. Per-
+    // customer shares floor once to permille (the deterministic-floor
+    // convention), the argmax is a (spend desc, brand asc) window over
+    // the bounded per-customer brand frame
+    "q318_brand_loyalty" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cb = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_custkey"), col("p_brand"))
+        .agg(sum(ExactAgg.scaledLong(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 100))
+          .as("c"))
+      val w = Window.partitionBy(col("o_custkey"))
+      val top = cb
+        .withColumn("tot", sum(col("c")).over(w))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("c").desc, col("p_brand").asc)))
+        .filter(col("rk") === 1)
+        .select(col("o_custkey"),
+          expr("(1000 * c) div tot").as("top_share_pm"))
+      top.join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          expr("sum(top_share_pm) div count(1)")
+            .as("mean_loyalty_permille"))
+    }),
+
+    // §2.6 — customer tenure mix (round 5: revenue share by tenure band
+    // (first-order-year cohort age at order time, bucketed 0 / 1-2 /
+    // 3+ years) — the lifecycle-mix report that says whether revenue
+    // rides on veterans or newcomers; one min-date window + a bounded
+    // conditional aggregate with exact permille shares
+    "q319_tenure_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .withColumn("first_y", year(min(col("o_orderdate"))
+          .over(Window.partitionBy(col("o_custkey")))).cast("long"))
+        .withColumn("age", year(col("o_orderdate")).cast("long")
+          - col("first_y"))
+        .withColumn("band",
+          when(col("age") === 0, "year0")
+            .when(col("age") <= 2, "year1_2").otherwise("year3plus"))
+      val byB = o.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(ExactAgg.cents(col("o_totalprice"))).as("cents"))
+      val tot = byB.agg(sum(col("cents")).as("total"))
+      byB.crossJoin(broadcast(tot))
+        .select(col("band"), col("n_orders"), col("cents"),
+          expr("(1000 * cents) div total").as("share_permille"))
+    }),
+
+    // §2.6 — discount depth by brand (round 5: mean effective discount
+    // permille per brand, top-15 most discounted — where margin leaks
+    // live; line-weighted exact integer means over the bounded brand
+    // frame
+    "q320_discount_depth" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(ExactAgg.scaledLong(col("l_discount"), 1000)).as("disc_pm_sum"))
+        .withColumn("mean_discount_permille",
+          expr("disc_pm_sum div n_lines"))
+        .orderBy(col("mean_discount_permille").desc, col("p_brand").asc)
+        .limit(15)
+    }),
+
     // §2.6 — purchase-cadence momentum (round 5: are customers speeding
     // up or slowing down? — per customer with ≥ 4 orders, the mean
     // inter-order gap of the FIRST half of their gaps vs the SECOND
@@ -9010,6 +9123,89 @@ object SparkEntry {
          |FROM sc CROSS JOIN th
          |WHERE score_pm >= threshold_pm
          |GROUP BY 1""".stripMargin,
+
+    "q316_weekly_arpu" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS BIGINT)
+        |           AS wk,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |rev AS (SELECT wk, CAST(sum(cents) AS BIGINT) AS cents
+        |        FROM e GROUP BY 1),
+        |act AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT)
+        |          AS actives FROM e GROUP BY 1)
+        |SELECT wk, actives, cents, cents // actives AS arpu_cents
+        |FROM rev JOIN act USING (wk)""".stripMargin,
+
+    "q317_basket_trend" ->
+      """WITH ok AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |         l_orderkey,
+        |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS k
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT y, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS total_k,
+        |       (1000 * CAST(sum(k) AS BIGINT)) // CAST(count(*) AS BIGINT)
+        |         AS mean_k_milli
+        |FROM ok GROUP BY 1""".stripMargin,
+
+    "q318_brand_loyalty" ->
+      """WITH cb AS (
+        |  SELECT o_custkey, p_brand,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |           * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT o_custkey,
+        |         (1000 * c) // CAST(tot AS BIGINT) AS top_share_pm
+        |  FROM (SELECT o_custkey, p_brand, c,
+        |               sum(c) OVER (PARTITION BY o_custkey) AS tot,
+        |               row_number() OVER (PARTITION BY o_custkey
+        |                 ORDER BY c DESC, p_brand ASC) AS rk
+        |        FROM cb)
+        |  WHERE rk = 1)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(top_share_pm) AS BIGINT)
+        |         // CAST(count(*) AS BIGINT) AS mean_loyalty_permille
+        |FROM top JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q319_tenure_mix" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_totalprice,
+        |         CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)
+        |           - CAST(year(min(CAST(o_orderdate AS DATE))
+        |               OVER (PARTITION BY o_custkey)) AS BIGINT) AS age
+        |  FROM orders),
+        |byb AS (
+        |  SELECT CASE WHEN age = 0 THEN 'year0'
+        |              WHEN age <= 2 THEN 'year1_2'
+        |              ELSE 'year3plus' END AS band,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM byb)
+        |SELECT band, n_orders, cents,
+        |       (1000 * cents) // total AS share_permille
+        |FROM byb CROSS JOIN tot""".stripMargin,
+
+    "q320_discount_depth" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(floor(l_discount * 1000 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS disc_pm_sum,
+        |       CAST(sum(CAST(floor(l_discount * 1000 + 0.5) AS BIGINT))
+        |         AS BIGINT) // CAST(count(*) AS BIGINT)
+        |         AS mean_discount_permille
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1
+        |ORDER BY mean_discount_permille DESC, p_brand ASC
+        |LIMIT 15""".stripMargin,
 
     "q313_cadence_momentum" ->
       """WITH g0 AS (
