@@ -365,10 +365,34 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // §2.8 — multi-table LSH ANN under a boolean recall contract (round 6,
+    // the q41/q250 pattern): per probe, the EXACT top-5 id-sum anchors the
+    // oracle to the same brute-force ranking it recomputes, returned_k_ok
+    // pins the ANN plumbing (5 candidates surfaced per probe), and
+    // recall_floor_ok states the measured whole-probe-set recall floor
+    // (>= 12 of 40 exact hits; measured 16–19 at sf0.001/0.01/0.1 with 4
+    // OR-amplified tables — random-baseline expectation is < 1). The LSH
+    // ranking itself stays non-SQL-expressible (hyperplane literals), so
+    // the floor boolean is the strongest driver-checkable statement.
     "q23_ann_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
-      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 8), 5)
-        .withColumn("rank", col("rank").cast("long"))
+      val probesQ = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteKnn(emb, probesQ, 5)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"))
+      val ann = Similarity.lshKnn(emb, probesQ, 5, nTables = 4)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"),
+          lit(1).as("hit"))
+      exact.join(ann, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(col("neighbor_id")).as("exact_top5_idsum"),
+          count(col("hit")).as("n_hits"))
+        .join(ann.groupBy(col("probe_id")).agg(count(lit(1)).as("n_ann")),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"), col("exact_top5_idsum"),
+          (coalesce(col("n_ann"), lit(0L)) === 5).as("returned_k_ok"),
+          (sum(col("n_hits")).over(Window.partitionBy()) >= 12)
+            .as("recall_floor_ok"))
     }),
 
     // §2.10 — multimodal binary plumbing
@@ -377,11 +401,32 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
           col("content_id"))),
 
-    // §2.8 — IVF ANN (coarse-quantized cells, nProbe search)
+    // §2.8 — IVF ANN (coarse-quantized cells, nProbe search) under a
+    // boolean recall contract (round 6): the quantizer is the
+    // DETERMINISTIC Lloyd fit (fitQuantizerDet — fixed-point centroid
+    // updates, bit-reproducible on any partitioning), which turns
+    // per-probe recall into an exact property of the pinned data rather
+    // than a statistic over k-means|| initializations. recall_ok states
+    // the measured per-probe floor (>= 2 of 5 exact hits at nProbe=5 of
+    // 16 cells; measured minimum is exactly 2 across sf0.001/0.01/0.1).
     "q26_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 8), 5)
-        .withColumn("rank", col("rank").cast("long"))
+      val probesQ = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteKnn(emb, probesQ, 5)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"))
+      val cents = Similarity.fitQuantizerDet(emb, 16)
+      val ann = Similarity.ivfKnnFrom(cents, emb, probesQ, 5, nProbe = 5)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"),
+          lit(1).as("hit"))
+      exact.join(ann, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(col("neighbor_id")).as("exact_top5_idsum"),
+          count(col("hit")).as("n_hits"))
+        .join(ann.groupBy(col("probe_id")).agg(count(lit(1)).as("n_ann")),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"), col("exact_top5_idsum"),
+          (coalesce(col("n_ann"), lit(0L)) === 5).as("returned_k_ok"),
+          (col("n_hits") >= 2).as("recall_ok"))
     }),
 
     // §2.6 — skew-salted join, provably identical to the plain join
@@ -1173,12 +1218,42 @@ object SparkEntry {
     }),
 
     // §2.7 — embedding near-dup blocked by IVF quantizer cells (the scale
-    // path: no label/block key needed). Rows-only (KMeans cells aren't
-    // SQL-expressible); recall >= spec'd bound vs all-pairs is asserted in
-    // DedupSpec, and q24 keeps the hash-compared explicit-block variant.
-    "q94_embedding_neardup_ivf" -> ((s, dir) =>
-      Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35,
-        nCells = 8, nProbe = 2)),
+    // path: no label/block key needed), promoted to a boolean recall
+    // contract in round 6: the deterministic quantizer
+    // (embeddingNearDupDet) makes the caught-pair set a pure function of
+    // the data, the oracle recomputes n_true_pairs EXACTLY over the
+    // all-pairs join it can express, found_subset_ok pins that the
+    // blocked arm only ever emits true pairs, and recall_ok states the
+    // measured floor (>= 93.0% of true pairs caught at nCells=8/nProbe=3;
+    // measured 95.4–96.5% across sf0.001/0.01/0.1). The all-pairs arm
+    // here is the VERIFICATION twin the oracle needs — production runs
+    // only the blocked arm (q24 keeps the hash-compared explicit-block
+    // variant of the pair output itself).
+    "q94_embedding_neardup_ivf" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.{vnorm, cosineWithNorms}
+      val emb = t(s, dir, "embeddings")
+      val found = Dedup.embeddingNearDupDet(emb, 0.35, nCells = 8, nProbe = 3)
+        .select(col("vec_id_1"), col("vec_id_2"), lit(1).as("f"))
+      val withNorm = emb.select(col("vec_id"), col("embedding"),
+        vnorm(col("embedding")).as("nrm"))
+      val truth = withNorm.as("a").join(withNorm.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id_1"),
+          col("b.vec_id").as("vec_id_2"),
+          cosineWithNorms(col("a.embedding"), col("b.embedding"),
+            col("a.nrm"), col("b.nrm")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .select(col("vec_id_1"), col("vec_id_2"), lit(1).as("t"))
+      truth.join(found, Seq("vec_id_1", "vec_id_2"), "full")
+        .groupBy()
+        .agg(count(col("t")).as("n_true_pairs"),
+          count(col("f")).as("nf"),
+          count(when(col("t").isNotNull && col("f").isNotNull, 1)).as("nb"))
+        .select(col("n_true_pairs"),
+          (col("nf") === col("nb")).as("found_subset_ok"),
+          (col("nb") * lit(1000L) >= col("n_true_pairs") * lit(930L))
+            .as("recall_ok"))
+    }),
 
     // §2.9 — sub-document curation (round 3): duplication below document
     // granularity, which document-level dedup can't see
@@ -6698,6 +6773,43 @@ object SparkEntry {
          |                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS "rank"
          |  FROM scored) WHERE "rank" <= 5""".stripMargin,
 
+    // boolean recall contract (round 6): the oracle recomputes the exact
+    // brute-force top-5 (anchoring the probe set and the ranking the
+    // recall is measured against) and states the contract booleans as
+    // literal TRUEs — the q41/q250 pattern. The ANN side isn't
+    // SQL-expressible (hyperplane literals / quantizer cells), so a
+    // false boolean from the Spark side is exactly what the hash compare
+    // is meant to catch.
+    "q23_ann_lsh" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |topk AS (
+         |  SELECT probe_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(sum(neighbor_id) AS BIGINT) AS exact_top5_idsum,
+         |       TRUE AS returned_k_ok, TRUE AS recall_floor_ok
+         |FROM topk WHERE rnk <= 5 GROUP BY 1""".stripMargin,
+
+    "q26_ann_ivf" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |topk AS (
+         |  SELECT probe_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(sum(neighbor_id) AS BIGINT) AS exact_top5_idsum,
+         |       TRUE AS returned_k_ok, TRUE AS recall_ok
+         |FROM topk WHERE rnk <= 5 GROUP BY 1""".stripMargin,
+
     "q24_embedding_neardup" ->
       s"""$EmbCte
          |SELECT * FROM (
@@ -6705,6 +6817,16 @@ object SparkEntry {
          |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos_sim >= 0.35""".stripMargin,
+
+    // boolean recall contract (round 6): n_true_pairs is the EXACT
+    // all-pairs count the oracle recomputes; the subset/recall booleans
+    // are stated as literal TRUEs and computed for real on the Spark side
+    "q94_embedding_neardup_ivf" ->
+      s"""$EmbCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |       TRUE AS found_subset_ok, TRUE AS recall_ok
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35""".stripMargin,
 
     "q25_binary_meta" ->
       """SELECT doc_id,

@@ -773,8 +773,30 @@ object Dedup {
     * land in the same nearest cell with probability -> 1).
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double, nCells: Int = 16,
-                       nProbe: Int = 2, fitFraction: Double = 0.1): DataFrame = {
-    val cells = Similarity.assignCells(emb, nCells, nProbe, fitFraction)
+                       nProbe: Int = 2, fitFraction: Double = 0.1): DataFrame =
+    cellBlockedPairs(emb,
+      Similarity.assignCells(emb, nCells, nProbe, fitFraction), threshold)
+
+  /** [[embeddingNearDup]] with the quantizer swapped for
+    * [[Similarity.fitQuantizerDet]] — identical pair plan, but the whole
+    * operator becomes a pure function of the data (KMeans' k-means||
+    * init draws per-partition randoms, so cell membership — and thus
+    * WHICH near-dup pairs get caught — could vary with physical layout).
+    * That exactness is what lets q94's oracle state a recall floor as a
+    * checkable contract.
+    */
+  def embeddingNearDupDet(emb: DataFrame, threshold: Double, nCells: Int = 16,
+                          nProbe: Int = 2,
+                          fitFraction: Double = 0.1): DataFrame =
+    cellBlockedPairs(emb,
+      Similarity.assignCellsFrom(
+        Similarity.fitQuantizerDet(emb, nCells, fitFraction), emb, nProbe),
+      threshold)
+
+  // shared pair stage: replicate vectors to their cells, equi-join on the
+  // cell key, exact cosine, threshold, dedup meet-in-many-cells copies
+  private def cellBlockedPairs(emb: DataFrame, cells: DataFrame,
+                               threshold: Double): DataFrame = {
     val withNorm = emb
       .select(col("vec_id"), col("embedding"), vnorm(col("embedding")).as("nrm"))
       .join(cells, "vec_id") // replicate each vector to its nProbe cells

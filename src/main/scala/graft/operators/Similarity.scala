@@ -53,12 +53,30 @@ object Similarity {
     emb.withColumn("sig", sig)
   }
 
+  /** Per-table hyperplanes: table 0 reproduces the original fixed-seed
+    * matrix (so `nTables = 1` is bit-identical to the historical single-
+    * table behavior); further tables draw from disjoint fixed seeds.
+    */
+  private def planesSeeded(nBits: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket or any 1-bit
     * neighboring bucket (multiprobe), scored exactly, per-query top-k.
     * Recall vs `bruteKnn` is asserted in the test suite.
+    *
+    * `nTables > 1` is OR-amplification (Indyk–Motwani style multi-table
+    * LSH): each table hashes with an independent fixed-seed hyperplane
+    * matrix and a candidate qualifies by matching in ANY table — the
+    * standard production lever when single-table recall is too low,
+    * trading candidate volume (~nTables·(nBits+1)·n/2^nBits scored rows)
+    * for recall. At corpus scale nBits grows with log(n) so each table's
+    * buckets stay bounded; the per-table join is the same single
+    * (table, signature) equi-join shuffle.
     */
   def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64, nTables: Int = 1): DataFrame = {
     // the dot-product kernel clamps to the shorter array, so an
     // undersized `dim` would SILENTLY bucket on a prefix of each vector —
     // recall degrades with no error. One tiny take(1) job per frame
@@ -76,17 +94,33 @@ object Similarity {
       }
     checkDim(emb, "corpus embedding")
     checkDim(queries, "query embedding")
-    val cand = lshSignature(emb, nBits, dim)
+    // one (table, signature) struct per table, computed map-side from
+    // literal plane matrices, exploded to (tab, sig) rows
+    def tabSigs: org.apache.spark.sql.Column = array((0 until nTables).map { t =>
+      val ps = planesSeeded(nBits, dim, if (t == 0) 7L else 7L + 1000L * t)
+      val sig = ps.zipWithIndex.map { case (p, i) =>
+        when(vdot(col("embedding"), array(p.map(lit(_)): _*)) >= 0,
+          shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tab"), sig.as("sig"))
+    }: _*)
+    val cand = emb
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-        vnorm(col("embedding")).as("c_nrm"), col("sig").as("c_sig"))
-    // query probes: own bucket + all 1-bit flips
-    val qsig = lshSignature(queries, nBits, dim)
+        vnorm(col("embedding")).as("c_nrm"), explode(tabSigs).as("ts"))
+      .select(col("neighbor_id"), col("c_emb"), col("c_nrm"),
+        col("ts.tab").as("c_tab"), col("ts.sig").as("c_sig"))
+    // query probes: per table, own bucket + all 1-bit flips
+    val qsig = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        vnorm(col("embedding")).as("q_nrm"), col("sig"))
+        vnorm(col("embedding")).as("q_nrm"), explode(tabSigs).as("ts"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("ts.tab").as("q_tab"), col("ts.sig").as("sig"))
     val probes = qsig.select(col("query_id"), col("q_emb"), col("q_nrm"),
+      col("q_tab"),
       explode(array((lit(0L) +: (0 until nBits).map(i => shiftleft(lit(1L), i))).map(
         m => col("sig").bitwiseXOR(m)): _*)).as("probe_sig"))
-    probes.join(cand, col("probe_sig") === col("c_sig") &&
+    probes.join(cand, col("q_tab") === col("c_tab") &&
+        col("probe_sig") === col("c_sig") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")).as("cos_sim"))
@@ -194,6 +228,142 @@ object Similarity {
         cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")).as("cos_sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  // squared L2 between the row's embedding and a broadcast centroid column
+  // named `centroid` — the zip_with fold is element-ordered, so the double
+  // sum is bit-identical on any partitioning (and mirrors the oracle's
+  // list_reduce twin when one is written)
+  private val sqDistCentroid = expr(
+    """aggregate(zip_with(embedding, centroid,
+      |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+      |          * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+      |  0D, (acc, x) -> acc + x)""".stripMargin)
+
+  /** Deterministic Lloyd-refined coarse quantizer: the recall of a fitted
+    * KMeans with the bit-reproducibility of [[detCentroids]].
+    *
+    * [[fitQuantizer]]'s k-means|| initialization draws per-partition
+    * randoms, so its centroids — and every cell assignment downstream —
+    * can change with physical layout; that nondeterminism is the single
+    * reason the IVF query paths were rows-only. This fit is a pure
+    * function of the data: the fit set is the xxhash64-permille sample
+    * (membership is a function of vec_id), initialization is the nCells
+    * smallest-md5 fit vectors (the q205 codebook convention), and each of
+    * the `iters` Lloyd updates recomputes centroids in FIXED-POINT —
+    * per-dimension sums of floor(x·2^24) as BIGINT, which commute, then
+    * ONE double division — so no partition-order double summation exists
+    * anywhere. Identical input bytes give identical centroids on any
+    * cluster size, which makes ANN quality contracts (recall floors) on
+    * top of it exact rather than statistical.
+    *
+    * Scale: `iters` bounded passes over the fit sample (not the corpus);
+    * each pass is one broadcast nested-loop (nCells-row table) + a
+    * map-side-combining (cell, dim) aggregate whose output is nCells×dim
+    * rows. The tiny centroid frame localCheckpoints per iteration so the
+    * lineage stays flat. Headroom: |x|·2^24 per element times the fit
+    * count must stay under 2^63 — fine for unit-scale embeddings up to
+    * ~10^10 fit rows per cell.
+    *
+    * Output: (cell: long-compatible int, centroid: array<double>).
+    */
+  def fitQuantizerDet(emb: DataFrame, nCells: Int,
+                      fitFraction: Double = 0.1, iters: Int = 3): DataFrame = {
+    val keepPerMille = math.max(1L, (fitFraction * 1000).toLong)
+    val fitSet = emb.select(col("vec_id"), col("embedding"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < lit(keepPerMille))
+      .union(emb.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(nCells * 20))
+      .localCheckpoint() // reused by every Lloyd pass
+    var cents = fitSet
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nCells)
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+      .select(col("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val asg = fitSet.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          sqDistCentroid.as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cell"), col("embedding"))).as("b"))
+        .select(col("b.cell").as("cell"), col("b.embedding").as("embedding"))
+      val upd = asg
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(floor(col("x").cast("double") * lit(16777216.0d))
+          .cast("long")).as("sfp"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(expr("""transform(array_sort(collect_list(struct(dim, sfp, n))),
+          | s -> CAST(s.sfp AS DOUBLE) / (CAST(s.n AS DOUBLE) * 16777216.0D))"""
+          .stripMargin).as("centroid"))
+      // a cell that lost all members keeps its previous centroid
+      cents = cents.as("p").join(upd.as("u"), Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("u.centroid"), col("p.centroid")).as("centroid"))
+        .localCheckpoint()
+      it += 1
+    }
+    cents
+  }
+
+  /** Multi-assignment ("cell spill") against an explicit centroid frame —
+    * [[assignCells]] with the quantizer decoupled: pass
+    * [[fitQuantizerDet]] output for a bit-reproducible index, or
+    * `centroidFrame(kmeansModel)` when a trained fit matters more than
+    * audit. Same plan shape: broadcast nested-loop over the nCells-row
+    * table, top-nProbe window over narrow (vec_id, cell, dist) rows.
+    */
+  def assignCellsFrom(cents: DataFrame, emb: DataFrame,
+                      nProbe: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"), sqDistCentroid.as("cdist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cdist").asc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id"), col("cell"))
+
+  /** IVF search against an explicit centroid frame ([[ivfKnn]] with the
+    * quantizer decoupled, same plan shape): corpus vectors take their
+    * single nearest cell, queries probe their `nProbe` nearest cells, and
+    * only in-cell candidates are scored exactly. With a
+    * [[fitQuantizerDet]] frame the whole search is a pure function of the
+    * data — per-query recall against [[bruteKnn]] is an exact, checkable
+    * contract instead of a statistical one.
+    */
+  def ivfKnnFrom(cents: DataFrame, emb: DataFrame, queries: DataFrame,
+                 k: Int, nProbe: Int = 3): DataFrame = {
+    val indexed = emb.join(
+        assignCellsFrom(cents, emb, nProbe = 1), Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        vnorm(col("embedding")).as("c_nrm"), col("cell"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        vnorm(col("embedding")).as("q_nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("embedding"), col("q_nrm"), col("cell"),
+        sqDistCentroid.as("cdist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist").asc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("embedding").as("q_emb"), col("q_nrm"),
+        col("cell"))
+    probes.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("q_emb"), col("c_emb"),
+          col("q_nrm"), col("c_nrm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
   }
 

@@ -365,6 +365,33 @@ class DedupSpec extends SparkTestBase {
     ivf.size.toDouble / exact.size should be >= 0.95
   }
 
+  test("embeddingNearDupDet: subset of all-pairs, twin recall, repartition-invariant") {
+    val df = twinCorpus
+    val exact = Dedup.embeddingNearDupPairs(df.withColumn("label", lit(0)), 0.95)
+      .select(col("vec_id_1"), col("vec_id_2"))
+      .as[(Long, Long)].collect().toSet
+    val det = Dedup.embeddingNearDupDet(df, 0.95, nCells = 6, nProbe = 2)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    det.subsetOf(exact) shouldBe true
+    det.size.toDouble / exact.size should be >= 0.95
+    // unlike the KMeans variant, the caught-pair SET is a pure function of
+    // the data — identical under any physical layout (q94's oracle
+    // contract rests on this)
+    val det2 = Dedup.embeddingNearDupDet(df.repartition(7), 0.95,
+      nCells = 6, nProbe = 2)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    det2 shouldBe det
+  }
+
+  test("embeddingNearDupDet plan: pair generation is an equi-join on cell") {
+    val df = twinCorpus
+    val plan = Dedup.embeddingNearDupDet(df, 0.95, nCells = 4, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell"
+  }
+
   test("embeddingNearDup plan: pair generation is an equi-join on cell") {
     val df = twinCorpus
     val plan = Dedup.embeddingNearDup(df, 0.95, nCells = 4, nProbe = 2)

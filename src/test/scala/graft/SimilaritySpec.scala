@@ -91,6 +91,73 @@ class SimilaritySpec extends SparkTestBase {
     lsh.foreach { case (id, c) => c shouldBe brute(id) } // bit-identical
   }
 
+  test("lshKnn multi-table: well-separated recall holds and scores stay exact") {
+    val emb = clustered
+    val queries = emb.filter(col("vec_id").isin(0L, 5L))
+    val brute = Similarity.bruteKnn(emb, queries, 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh4 = Similarity.lshKnn(emb, queries, 4, nBits = 6, dim = 4,
+      nTables = 4)
+    lsh4.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet shouldBe brute
+    // a pair that meets in several tables appears once, with the exact fold
+    val bruteScores = Similarity.bruteKnn(emb, queries, 4)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val rows = lsh4.select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    rows.map(r => (r._1, r._2)).distinct.length shouldBe rows.length
+    rows.foreach { case (q, n, c) => c shouldBe bruteScores((q, n)) }
+  }
+
+  test("fitQuantizerDet is a pure function of the data: repartition-invariant") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    def centsOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.fitQuantizerDet(df, 4, iters = 3).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    val a = centsOf(emb.repartition(3))
+    val b = centsOf(emb.repartition(13))
+    a shouldBe b // bit-exact, not approximately equal
+    a.size shouldBe 4
+  }
+
+  test("fitQuantizerDet: Lloyd refinement recovers well-separated cluster means") {
+    val emb = clustered
+    val cents = Similarity.fitQuantizerDet(emb, 2, iters = 3)
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    cents.length shouldBe 2
+    // each centroid sits on one axis: its max component dominates
+    cents.foreach { c =>
+      val mx = c.max
+      mx should be > 0.9
+      c.count(_ > 0.5) shouldBe 1
+    }
+    // and the two centroids take DIFFERENT axes
+    cents.map(_.indexWhere(_ > 0.5)).toSet.size shouldBe 2
+  }
+
+  test("fitQuantizerDet survives nCells above distinct-vector count") {
+    val emb = clustered.limit(3)
+    val cents = Similarity.fitQuantizerDet(emb, 8, iters = 2).collect()
+    cents.length should be <= 8
+    cents.length should be >= 1
+  }
+
+  test("ivfKnnFrom achieves full recall on well-separated clusters") {
+    val emb = clustered
+    val queries = emb.filter(col("vec_id").isin(0L, 5L))
+    val brute = Similarity.bruteKnn(emb, queries, 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = Similarity.fitQuantizerDet(emb, 2, iters = 3)
+    val ivf = Similarity.ivfKnnFrom(cents, emb, queries, 4, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    ivf shouldBe brute
+  }
+
   test("minMaxNormalize rescales per dimension; constant dims map to zero") {
     val emb = Seq(
       (0L, Array(0f, 10f, 7f)),
