@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main (driver contract): run the query catalog on
   * SPARK_GRAFT_SF_DIR and print ONE JSON line.
@@ -138,6 +139,40 @@ object Bench {
     "q261_abc_classification", "q264_char_entropy",
     "q273_new_vs_repeat", "q276_index_coincidence")
 
+  /** Cumulative stage probes for the heaviest graph operators (VERDICT r5
+    * item 7): when a query's sf1/sf0.1 rung ratio exceeds [[StageRatio]],
+    * Bench times these prefixes of its pipeline at the rung scale and
+    * emits a "stages" object — so the NEXT band-edge investigation reads
+    * one JSON line instead of running a day of probes. Stages are
+    * cumulative (each includes its predecessors); consecutive differences
+    * localize the cost. Run once each (diagnostic, not a benchmark).
+    */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val po = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    po.as("x").join(po.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+  }
+  // env-overridable so the stage path can be forced (e.g. "0" in a smoke
+  // test, or lowered when chasing a milder inflation)
+  val StageRatio: Double =
+    sys.env.get("SPARK_GRAFT_STAGE_RATIO").map(_.toDouble).getOrElse(12.0)
+  val StageProbes: Map[String, Seq[(String, (SparkSession, String) => DataFrame)]] =
+    Map(
+      "q154_triangles" -> Seq(
+        "edge_build" -> ((s: SparkSession, d: String) => coEdges(s, d)),
+        "wedge_close" -> ((s: SparkSession, d: String) =>
+          graft.operators.Graph.orientedTriangles(coEdges(s, d))),
+        "full_rollup_topk" -> SparkEntry.queries("q154_triangles")),
+      "q194_link_scores" -> Seq(
+        "edge_build" -> ((s: SparkSession, d: String) => coEdges(s, d)),
+        "wedge_close" -> ((s: SparkSession, d: String) =>
+          graft.operators.Graph.orientedTriangles(coEdges(s, d))),
+        "full_degree_attach" -> SparkEntry.queries("q194_link_scores")))
+
   /** True iff every `<md5>  <rows>  <name>.parquet` line of the committed
     * manifest (tools/sf1_manifest.txt, written by tools/gen_sf1.py) matches
     * an md5 of the actual file in `dir`. ~160 MB of MD5 is well under a
@@ -165,7 +200,18 @@ object Bench {
     }
   }
 
+  /** 1/5/15-minute load averages — stamped into the run record so
+    * in-catalog vs isolated vs busy-shared-VM readings can be adjudicated
+    * without re-running (VERDICT r5 item 3: the r4/r5 sf1 disagreements
+    * were all machine-context, and proving that cost a round each time).
+    */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
+    val loadPre = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/root/repo/testdata-ext/sf1")
@@ -247,13 +293,36 @@ object Bench {
           val names = if (only.nonEmpty) only else Sf1Set
           val runs = if (only.nonEmpty) 2 else 1
           val r = names.map(n => n -> timed(n, sf1Dir, runs))
-          s""","sf1":{"dir":"$sf1Dir","total":${total(r)},"queries":${json(r)}}"""
+          // rung-ratio gate: any stage-probed query whose sf1/sf0.1 ratio
+          // exceeds StageRatio gets its cumulative stage prefixes timed
+          // once each at the rung scale → "stages" object (VERDICT r5 #7)
+          val sf01 = results.toMap
+          val stages = r.collect {
+            case (n, t1) if t1 > 0 && StageProbes.contains(n) &&
+                sf01.get(n).exists(t0 => t0 > 0 && t1 / t0 > StageRatio) =>
+              val rows = StageProbes(n).map { case (stage, fn) =>
+                val st = try {
+                  val t0 = System.nanoTime()
+                  fn(spark, sf1Dir)
+                    .write.mode("overwrite").format("noop").save()
+                  (System.nanoTime() - t0) / 1e9
+                } catch { case _: Throwable => -1.0 } finally clearState()
+                stage -> st
+              }
+              "\"" + n + "\":" + json(rows)
+          }
+          val stageJson =
+            if (stages.isEmpty) "" else s""","stages":{${stages.mkString(",")}}"""
+          s""","sf1":{"dir":"$sf1Dir","total":${total(r)},""" +
+            s""""queries":${json(r)}$stageJson}"""
         }
       } else ""
 
+    val context = s""""context":{"load_pre":"$loadPre","load_post":"${loadavg()}",""" +
+      s""""isolated":${only.nonEmpty},"cpus":$cpus}"""
     val line = s"""{"metric":"total","value":$headlineTotal,"unit":"sec",""" +
       s""""full_total":${total(results)},"queries":${json(results)},""" +
-      s""""sf":"$sfDir"$sf1}"""
+      s""""sf":"$sfDir",$context$sf1}"""
     println(line)
     // the driver captures stdout, but its copy has truncated the tail of
     // long lines before (BENCH_r03) — also persist the full JSON to a file

@@ -153,7 +153,7 @@ object Graph {
     * the π-ordered closing edge. Shared core of [[triangleCounts]] and
     * [[linkScores]]; see triangleCounts for the m·√m wedge bound.
     */
-  private def orientedTriangles(edges: DataFrame): DataFrame = {
+  private[graft] def orientedTriangles(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
