@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle_sql in
 DuckDB over the sf tables, compare to the Verify parquet dump (columns
-sorted by name, rows sorted, exact values)."""
+sorted by name, rows sorted, exact values).
+
+Ends with a NEGATIVE CONTROL: a deliberately perturbed oracle for
+q03_daily_kpis (event_count + 1) is run through the SAME compare path and
+MUST fail — a gate that can no longer catch a one-off integer drift would
+otherwise rot silently while printing FAILS: 0."""
 import sys, json, glob, math
 import duckdb
 
@@ -13,24 +18,9 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-fails = 0
-for qdir in sorted(glob.glob(f"{out_dir}/q*")):
-    name = qdir.split("/")[-1]
-    spark_df = con.sql(f"FROM read_parquet('{qdir}/*.parquet')").df()
-    spark_df = spark_df.reindex(sorted(spark_df.columns), axis=1)
-    if name not in oracle:
-        print(f"{name}: rows-only ({len(spark_df)} rows)" +
-              ("  ** EMPTY **" if len(spark_df) == 0 else ""))
-        fails += len(spark_df) == 0
-        continue
-    try:
-        ora_df = con.sql(oracle[name]).df()
-    except Exception as e:
-        print(f"{name}: ORACLE SQL ERROR: {e}")
-        fails += 1
-        continue
-    ora_df = ora_df.reindex(sorted(ora_df.columns), axis=1)
+def diff_status(spark_df, ora_df):
+    """The compare core (mirrors the driver): sorted columns, sorted rows,
+    dtype + exact-value equality. Returns a list of mismatch strings."""
     status = []
     if list(spark_df.columns) != list(ora_df.columns):
         status.append(f"COLS spark={list(spark_df.columns)} ora={list(ora_df.columns)}")
@@ -47,10 +37,51 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
             if not eq.all():
                 i = (~eq).idxmax()
                 status.append(f"VAL {c}[{i}]: {av[i]!r} vs {bv[i]!r} ({int((~eq).sum())} diffs)")
+    return status
+
+def spark_dump(qdir):
+    df = con.sql(f"FROM read_parquet('{qdir}/*.parquet')").df()
+    return df.reindex(sorted(df.columns), axis=1)
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for qdir in sorted(glob.glob(f"{out_dir}/q*")):
+    name = qdir.split("/")[-1]
+    spark_df = spark_dump(qdir)
+    if name not in oracle:
+        print(f"{name}: rows-only ({len(spark_df)} rows)" +
+              ("  ** EMPTY **" if len(spark_df) == 0 else ""))
+        fails += len(spark_df) == 0
+        continue
+    try:
+        ora_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}")
+        fails += 1
+        continue
+    ora_df = ora_df.reindex(sorted(ora_df.columns), axis=1)
+    status = diff_status(spark_df, ora_df)
     if status:
         fails += 1
         print(f"{name}: FAIL {'; '.join(status[:4])}")
     else:
         print(f"{name}: OK ({len(spark_df)} rows)")
+
+# ---- negative control: the gate must still catch a value-level drift ----
+ctrl = "q03_daily_kpis"
+if ctrl in oracle and glob.glob(f"{out_dir}/{ctrl}"):
+    pert = (f"SELECT * EXCLUDE (event_count), event_count + 1 AS event_count "
+            f"FROM ({oracle[ctrl]})")
+    ora_df = con.sql(pert).df().pipe(
+        lambda d: d.reindex(sorted(d.columns), axis=1))
+    status = diff_status(spark_dump(f"{out_dir}/{ctrl}"), ora_df)
+    if status:
+        print(f"negative_control({ctrl}+1): OK — perturbed oracle correctly "
+              f"FAILS ({status[0].split(':')[0]})")
+    else:
+        print(f"negative_control({ctrl}+1): ** GATE BROKEN ** perturbed "
+              f"oracle passed the compare")
+        fails += 1
+
 print("FAILS:", fails)
 sys.exit(1 if fails else 0)
