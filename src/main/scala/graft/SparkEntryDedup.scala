@@ -1,0 +1,913 @@
+package graft
+
+import graft.functions.ExactAgg
+import graft.operators._
+import graft.sources.CsvSource
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import SparkEntryShared._
+
+/** deduplication / decontamination / leakage queries (SURVEY §2.7) — one `queries` entry per SURVEY §2 item, with its
+  * DuckDB oracle twin in `oracleSql`. Moved verbatim from the
+  * single-file SparkEntry in round 6; SparkEntry concatenates
+  * the per-family maps, so names/plans/oracles are unchanged.
+  */
+private[graft] object SparkEntryDedup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.7 — deduplication family
+    "q18_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+
+    "q19_ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.6)),
+
+    "q20_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), 64, 16, 0.6)),
+
+    "q21_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), 6)),
+
+    "q24_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), 0.35)),
+
+    // §2.7 — duplicate clustering: pairs → connected components → canonical
+    "q45_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateClusters(docs, Dedup.ngramJaccardPairs(docs, 0.6))
+    }),
+
+    // §2.7/§2.9 — fuzzy (edit-distance) matching within brand blocks
+    "q47_fuzzy_part_names" -> ((s, dir) =>
+      TextAnalysis.fuzzyPairs(t(s, dir, "part"),
+        "p_partkey", "p_name", "p_brand", 2)),
+
+    // §2.7 — the composed 100 TB dedup pipeline: LSH candidates → exact
+    // Jaccard verify → connected components, one operator end-to-end.
+    // Oracled: the DuckDB closure over ALL exact-Jaccard pairs matches
+    // because every candidate is exactly verified and LSH recall at the
+    // (threshold, bands, rows) point is 1 - ~5e-8 per pair on this corpus.
+    "q49_neardup_corpus" -> ((s, dir) =>
+      Dedup.nearDupCorpus(t(s, dir, "documents"))),
+
+    // §2.7 — GLOBAL exact Jaccard pairs, no blocking: prefix-filtered
+    // (PPJoin/All-Pairs) inverted-index self-join
+    "q51_ppjoin_pairs" -> ((s, dir) =>
+      Dedup.ppjoinJaccardPairs(t(s, dir, "documents"), 0.6)),
+
+    // §2.7 — exact term-frequency-WEIGHTED Jaccard pairs (occurrence
+    // expansion + the same PPJoin machinery)
+    "q52_weighted_jaccard_pairs" -> ((s, dir) =>
+      Dedup.weightedJaccardPairs(t(s, dir, "documents"), 0.6)),
+
+    // §2.7 — weighted MinHash + LSH (rows-only: LSH recall is probabilistic;
+    // DedupSpec asserts exact agreement with q52 at these parameters)
+    "q53_weighted_lsh_pairs" -> ((s, dir) =>
+      Dedup.weightedMinhashLshPairs(t(s, dir, "documents"), 128, 32, 0.6)),
+
+    // §2.7 — benchmark decontamination: the corpus split by content-hash
+    // bucket into a 1/16 "eval set" (needles) vs the rest (training
+    // haystack); word-trigram containment >= 0.5 flags contaminated pairs
+    "q55_decontaminate" -> ((s, dir) => {
+      // the fingerprint bucket is computed ONCE into a column on a
+      // checkpointed frame; both split sides filter from it, so the plan
+      // carries one md5 pass over the corpus instead of two full
+      // fingerprint scans (VERDICT r4 item 3 — at 100 TB the second md5
+      // pass was a full extra corpus read). Repartition BEFORE the
+      // checkpoint: a one-file corpus otherwise pins the checkpoint — and
+      // every consumer's pre-shuffle shingle pass — to a single partition
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = t(s, dir, "documents")
+        .repartition(parts, col("doc_id"))
+        .withColumn("is_eval",
+          substring(graft.functions.TextFunctions.fingerprint(col("text")), 1, 1)
+            === "0")
+        .localCheckpoint()
+      Dedup.containmentJoin(
+        docs.filter(col("is_eval")).drop("is_eval"),
+        docs.filter(!col("is_eval")).drop("is_eval"), 3, 0.5)
+    }),
+
+    // §2.7 — split-leakage audit: near-dup pairs whose members landed in
+    // DIFFERENT train/val/test splits (the eval-integrity check; with
+    // content-hash splits only near-dups can leak — exact dups can't).
+    // At scale the tiny pair frame broadcasts against the split column
+    "q91_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, 0.6)
+        .select(col("doc_id_1"), col("doc_id_2"))
+      val splits = Curation.trainValTestSplit(docs, 13, 25)
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("doc_id_1"),
+          col("split").as("split_1")), Seq("doc_id_1"))
+        .join(splits.select(col("doc_id").as("doc_id_2"),
+          col("split").as("split_2")), Seq("doc_id_2"))
+        .select(col("doc_id_1"), col("doc_id_2"), col("split_1"),
+          col("split_2"), (col("split_1") =!= col("split_2")).as("leaky"))
+    }),
+
+    // §2.7 — embedding near-dup blocked by IVF quantizer cells (the scale
+    // path: no label/block key needed), promoted to a boolean recall
+    // contract in round 6: the deterministic quantizer
+    // (embeddingNearDupDet) makes the caught-pair set a pure function of
+    // the data, the oracle recomputes n_true_pairs EXACTLY over the
+    // all-pairs join it can express, found_subset_ok pins that the
+    // blocked arm only ever emits true pairs, and recall_ok states the
+    // measured floor (>= 93.0% of true pairs caught at nCells=8/nProbe=3;
+    // measured 95.4–96.5% across sf0.001/0.01/0.1). The all-pairs arm
+    // here is the VERIFICATION twin the oracle needs — production runs
+    // only the blocked arm (q24 keeps the hash-compared explicit-block
+    // variant of the pair output itself).
+    "q94_embedding_neardup_ivf" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.{vnorm, cosineWithNorms}
+      val emb = t(s, dir, "embeddings")
+      val found = Dedup.embeddingNearDupDet(emb, 0.35, nCells = 8, nProbe = 3)
+        .select(col("vec_id_1"), col("vec_id_2"), lit(1).as("f"))
+      val withNorm = emb.select(col("vec_id"), col("embedding"),
+        vnorm(col("embedding")).as("nrm"))
+      val truth = withNorm.as("a").join(withNorm.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id_1"),
+          col("b.vec_id").as("vec_id_2"),
+          cosineWithNorms(col("a.embedding"), col("b.embedding"),
+            col("a.nrm"), col("b.nrm")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .select(col("vec_id_1"), col("vec_id_2"), lit(1).as("t"))
+      truth.join(found, Seq("vec_id_1", "vec_id_2"), "full")
+        .groupBy()
+        .agg(count(col("t")).as("n_true_pairs"),
+          count(col("f")).as("nf"),
+          count(when(col("t").isNotNull && col("f").isNotNull, 1)).as("nb"))
+        .select(col("n_true_pairs"),
+          (col("nf") === col("nb")).as("found_subset_ok"),
+          (col("nb") * lit(1000L) >= col("n_true_pairs") * lit(930L))
+            .as("recall_ok"))
+    }),
+
+    // §2.7 — global edit-distance join, PassJoin pigeonhole candidates:
+    // q47's block-free scale path (brand blocks grow with the corpus, so
+    // blocked pair counts grow quadratically — the sf1 rung measured it)
+    "q97_edit_distance_pairs" -> ((s, dir) =>
+      TextAnalysis.editDistancePairs(t(s, dir, "part"), "p_partkey",
+        "p_name", 2)),
+
+    // §2.7 — incremental dedup: a new delivery (doc_id % 10 == 0 stands in
+    // for the arriving batch) deduped against the standing corpus without
+    // ever pairing corpus×corpus — the ingest-time shape
+    "q98_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDup(
+        corpus = docs.filter(expr("doc_id % 10 <> 0")),
+        batch = docs.filter(expr("doc_id % 10 = 0")),
+        threshold = 0.6)
+    }),
+
+    // §2.7 — winnowing-fingerprint near-dup (MOSS selector): the
+    // SUBSTRING-match arm of the dedup family — guaranteed detection of
+    // any shared w+k-1-char run, map-side selection, inverted-index
+    // pair join with the standard hot-fingerprint cut
+    "q116_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), 16, 16, 4L, 32L)),
+
+    // §2.7 — duplicate-cluster size distribution: how big do near-dup
+    // clusters get — the skew audit for the dedup pipeline itself (a
+    // single mega-cluster means the threshold, not the corpus, is the
+    // problem). Two aggregate steps over the q45 component output; the
+    // oracle recomputes components via its recursive-CTE twin
+    "q141_cluster_sizes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateClusters(docs, Dedup.ngramJaccardPairs(docs, 0.6))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // §2.7 — exact substring-duplication spans (the Lee et al. span-level
+    // dedup signal): suffix-array semantics reformulated as a shingle
+    // multiplicity count + per-doc island merge — scan-shaped, no pair join
+    "q142_dup_substrings" -> ((s, dir) =>
+      Dedup.dupSubstringSpans(t(s, dir, "documents"), 40)),
+
+    // §2.7/§2.9 — cross-source shingle containment matrix (the corpus
+    // provenance-overlap audit before mixing sources): distinct
+    // (source, 3-gram) pairs self-join on the shingle — per-key fan-out
+    // bounded by |sources| after the distinct, so the pair stage is
+    // |shingle vocab|·|sources|², never doc-pairs; totals re-attach by
+    // broadcast
+    "q150_source_overlap" -> ((s, dir) => {
+      import graft.functions.TextFunctions.shingles3
+      val ss = t(s, dir, "documents")
+        .select(col("source"), explode(shingles3(col("text"))).as("s"))
+        .distinct()
+        .localCheckpoint() // feeds per-source totals AND the pair join
+      val tot = ss.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+      ss.select(col("source").as("src_a"), col("s"))
+        .join(ss.select(col("source").as("src_b"), col("s")), Seq("s"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(tot.select(col("source").as("src_a"),
+          col("n_distinct").as("n_a"))), Seq("src_a"))
+        .join(broadcast(tot.select(col("source").as("src_b"),
+          col("n_distinct").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          expr("CAST((1000 * n_shared) div n_a AS BIGINT)")
+            .as("cont_a_permille"),
+          expr("CAST((1000 * n_shared) div n_b AS BIGINT)")
+            .as("cont_b_permille"))
+    }),
+
+    // §2.7 — phonetic candidate pairs (round 5): Soundex blocking over the
+    // corpus token VOCABULARY (documents ∪ part names — the combined name
+    // space, chosen so the blocks genuinely carry pairs on this datagen) —
+    // the classic entity-resolution blocking key for names that
+    // edit-distance blocking misses (sound-alike, spelled-different);
+    // pairing runs on DISTINCT tokens (vocabulary scale, not row scale)
+    // within equal-soundex blocks, so the pair stage is bounded by block
+    // sizes over a domain-bounded vocabulary.
+    // Spark side is the codegen'd soundex() builtin; the oracle
+    // re-implements the classic algorithm (H/W silent — same-code
+    // letters separated only by H/W collapse; vowels reset) from scratch
+    // in SQL, so the builtin's semantics are independently checked
+    "q207_phonetic_pairs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .union(t(s, dir, "part")
+          .select(explode(split(col("p_name"), " ")).as("tok")))
+        .filter(col("tok").rlike("^[a-z]+$"))
+        .distinct()
+        .withColumn("sdx", soundex(col("tok")))
+      toks.as("a").join(toks.as("b"),
+          col("a.sdx") === col("b.sdx") && col("a.tok") < col("b.tok"))
+        .select(col("a.sdx").as("sdx"), col("a.tok").as("tok_a"),
+          col("b.tok").as("tok_b"))
+    }),
+
+    // §2.7 — SemDeDup (round 5): semantic dedup by within-cluster cosine —
+    // paraphrase/re-encoding duplicates that exact and MinHash dedup can't
+    // see; deterministic hash-sample cells (q205's codebook convention) so
+    // the whole decision table is DuckDB-oracle-able, keep-min-id rule,
+    // cosine micro-rounded once before the threshold compare; ONE
+    // cell-key shuffle feeds both pair sides, cluster count is the
+    // published scale knob (cell size stays bounded as the corpus grows)
+    "q208_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), nCells = 16,
+        threshMicro = 350000L)),
+
+    // §2.7 — leakage-safe train/test split (round 5): near-dup CLUSTERS
+    // are the split unit, never documents — the eval-contamination
+    // guard rail (a doc and its paraphrase must land on the same side;
+    // q55 decontaminates against an external eval set, this prevents
+    // manufacturing the leak in the first place). Split is a pure
+    // function of the component id's md5 (first hex char ≤ 'b' → train,
+    // 12/16 = 75%), so the no-straddle invariant holds by construction
+    // and the whole assignment is oracle-able on top of q45's closure
+    "q212_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateClusters(docs, Dedup.ngramJaccardPairs(docs, 0.6))
+        .select(col("doc_id"), col("component"),
+          when(substring(md5(col("component").cast("string")), 1, 1)
+            <= "b", "train").otherwise("test").as("split"))
+    }),
+
+    // §2.7 — entity resolution by RECIPROCAL best match (round 5: the
+    // one-to-one assignment step the pair-generating dedup family stops
+    // short of — two "catalogs" (even / odd partkeys), candidates from a
+    // (first-letter, type-noun) block + Levenshtein ≤ 3, and a pair
+    // survives only if each side is the other's rank-1 candidate under
+    // (distance ASC, key ASC). Two windows over the blocked candidate
+    // frame — the deterministic greedy core of record linkage; blocking
+    // keeps the candidate volume Σ|block|², never |catalog|² — the
+    // type-noun alone left blocks of |catalog|/5 (13.7 s at sf0.1, and
+    // quadratic growth at scale); adding the adjective's first letter
+    // cuts each block ~20x, the standard multi-attribute blocking move
+    "q251_reciprocal_match" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          concat_ws("|", substring(col("p_name"), 1, 1),
+            substring_index(col("p_name"), " ", -1)).as("blk"))
+      val a = p.filter(col("p_partkey") % 2 === 0)
+        .select(col("blk"), col("p_partkey").as("a_key"),
+          col("p_name").as("a_name"))
+      val b = p.filter(col("p_partkey") % 2 === 1)
+        .select(col("blk"), col("p_partkey").as("b_key"),
+          col("p_name").as("b_name"))
+      val cand = a.join(b, Seq("blk"))
+        .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("lev") <= 3)
+      val wa = Window.partitionBy(col("a_key"))
+        .orderBy(col("lev").asc, col("b_key").asc)
+      val wb = Window.partitionBy(col("b_key"))
+        .orderBy(col("lev").asc, col("a_key").asc)
+      cand.withColumn("ra", row_number().over(wa))
+        .withColumn("rb", row_number().over(wb))
+        .filter(col("ra") === 1 && col("rb") === 1)
+        .select(col("a_key"), col("b_key"), col("lev"))
+    }),
+
+    // §2.7 — text-vs-semantic dedup disagreement audit (round 5: the
+    // two dedup families measured against each other on the id-aligned
+    // corpus — pairs flagged by exact character-shingle Jaccard (q19's
+    // engine), by within-cell embedding cosine (q208's pair stage), or
+    // by BOTH. sem_only is what SemDeDup adds over surface dedup
+    // (paraphrases, re-encodings); text_only is what embedding recall
+    // misses — the calibration every curation stack needs before
+    // trusting either signal alone. Both pair engines stay blocked
+    // (lang×length band / quantizer cell); the reconciliation is a
+    // narrow full-outer on the (a, b) key
+    "q229_dedup_disagreement" -> ((s, dir) => {
+      val txt = graft.operators.Dedup
+        .ngramJaccardPairs(t(s, dir, "documents"), 0.6)
+        .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"),
+          lit(true).as("text_dup"))
+      val sem = graft.operators.Similarity
+        .semDupPairs(t(s, dir, "embeddings"), nCells = 16,
+          threshMicro = 350000L)
+        .select(col("a"), col("b"), lit(true).as("sem_dup"))
+      txt.join(sem, Seq("a", "b"), "full_outer")
+        .select(when(col("text_dup") && col("sem_dup"), "both")
+          .when(col("text_dup"), "text_only")
+          .otherwise("sem_only").as("signal"))
+        .groupBy(col("signal"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // §2.7 — cross-fold near-dup leakage report (round 5): q213's
+    // deterministic k-fold splitter is doc-hash random, so near-dup
+    // pairs straddle folds — exactly the leakage q212's cluster-level
+    // split exists to prevent. This query QUANTIFIES it: near-dup pairs
+    // (q45's edge set) bucketed by their (fold_a, fold_b) cell, diagonal
+    // = safe, off-diagonal = eval contamination; the pair engine is the
+    // audited blocked-jaccard join, fold tags attach by two narrow
+    // doc_id joins
+    "q217_fold_leakage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val folds = docs.select(col("lang"), col("doc_id"))
+        .withColumn("fold", (row_number().over(w).cast("long") - 1) % 5)
+        .select(col("doc_id"), col("fold"))
+      val pairs = Dedup.ngramJaccardPairs(docs, 0.6)
+        .select(col("doc_id_1"), col("doc_id_2"))
+      pairs
+        .join(folds.withColumnRenamed("doc_id", "doc_id_1")
+          .withColumnRenamed("fold", "fold_1"), Seq("doc_id_1"))
+        .join(folds.withColumnRenamed("doc_id", "doc_id_2")
+          .withColumnRenamed("fold", "fold_2"), Seq("doc_id_2"))
+        .select(least(col("fold_1"), col("fold_2")).as("fold_a"),
+          greatest(col("fold_1"), col("fold_2")).as("fold_b"))
+        .groupBy(col("fold_a"), col("fold_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // §2.7 — structural (paragraph-level) near-dup pairs (round 5): doc
+    // pairs whose distinct-SEGMENT sets overlap by Jaccard ≥ 0.25 —
+    // catches permuted/partially-copied docs whose char-shingle profiles
+    // diverge; inverted-index join on the segment with a df cap (q116's
+    // contract) so corpus chrome never fans out quadratically
+    "q197_segment_jaccard_docs" -> ((s, dir) =>
+      Curation.segmentJaccardDocs(t(s, dir, "documents"),
+        segTokens = 10, dfCap = 100, threshMicro = 250000L)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q18_dedup_exact" ->
+      s"""SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies
+         |FROM (SELECT doc_id, md5($NormSql) AS fp FROM documents)
+         |GROUP BY 1""".stripMargin,
+
+    "q19_ngram_jaccard_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.6""".stripMargin,
+
+    "q24_embedding_neardup" ->
+      s"""$EmbCte
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.35""".stripMargin,
+
+    // transitive closure over the (undirected) near-dup pair graph; the
+    // component id is the min reachable doc_id
+    "q45_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach
+         |         FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |       least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component,
+         |       d.doc_id = least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+
+    "q47_fuzzy_part_names" ->
+      """SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,
+        |       levenshtein(a.p_name, b.p_name) AS distance
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    // the composed pipeline: the oracle closures over ALL normalized-text
+    // jaccard >= 0.8 pairs (no blocking) — the Spark side's LSH candidates
+    // are exactly verified, so the sets agree whenever LSH recall is total
+    "q49_neardup_corpus" ->
+      s"""WITH RECURSIVE nd AS (
+         |  SELECT doc_id, $NormSql AS text FROM documents),
+         |sh AS (SELECT doc_id, $ShinglesSql AS s FROM nd),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.8),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach
+         |         FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |       least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component,
+         |       d.doc_id = least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+
+    // global exact jaccard (5-gram shingles, the operator default) — the
+    // filters on the Spark side (prefix, positional, length) are lossless,
+    // so the oracle is plain all-pairs
+    "q51_ppjoin_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         list_distinct([substr(text, CAST(x AS INT), 5)
+         |           for x in range(1, CAST(length(text) AS BIGINT) - 3)]) AS s
+         |  FROM documents)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.6""".stripMargin,
+
+    // weighted jaccard Σmin/Σmax over trigram term frequencies == set
+    // jaccard of occurrence-expanded multisets: tag the k-th occurrence of
+    // each gram (the tag ORDER within a (doc, gram) group is irrelevant —
+    // any order yields the same {g#1..g#tf} set, so row_number needs no
+    // ORDER BY) and intersect the expanded string sets
+    "q52_weighted_jaccard_pairs" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, $NormSql AS ntext FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         [substr(ntext, CAST(x AS INT), 5)
+         |          for x in range(1, CAST(length(ntext) AS BIGINT) - 3)] AS s
+         |  FROM nrm),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM m),
+         |occ AS (
+         |  SELECT doc_id,
+         |         g || '#' || CAST(row_number() OVER (PARTITION BY doc_id, g)
+         |                          AS VARCHAR) AS e
+         |  FROM ex),
+         |sh AS (SELECT doc_id, list(e) AS s FROM occ GROUP BY doc_id)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.s, b.s))) AS wjaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE wjaccard >= 0.6""".stripMargin,
+
+    "q55_decontaminate" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, $NormSql AS ntext, md5($NormSql) AS fp
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, fp,
+         |         list_filter(string_split(ntext, ' '), x -> x != '') AS tk
+         |  FROM nrm),
+         |gr AS (
+         |  SELECT doc_id, fp,
+         |         CASE WHEN len(tk) >= 3 THEN list_distinct(
+         |           [array_to_string(tk[i:i+2], ' ')
+         |            for i in range(1, CAST(len(tk) AS BIGINT) - 1)])
+         |         ELSE [] END AS gs
+         |  FROM tok),
+         |ng AS (SELECT doc_id AS needle_id, unnest(gs) AS g FROM gr
+         |       WHERE fp LIKE '0%'),
+         |ns AS (SELECT needle_id, CAST(count(*) AS BIGINT) AS n_grams
+         |       FROM ng GROUP BY 1),
+         |hg AS (SELECT doc_id AS hay_id, unnest(gs) AS g FROM gr
+         |       WHERE fp NOT LIKE '0%'),
+         |m AS (SELECT needle_id, hay_id, CAST(count(*) AS BIGINT) AS matches
+         |      FROM ng JOIN hg USING (g) GROUP BY 1, 2)
+         |SELECT needle_id, hay_id,
+         |       CAST(matches AS DOUBLE) / n_grams AS containment
+         |FROM m JOIN ns USING (needle_id)
+         |WHERE CAST(matches AS DOUBLE) / n_grams >= 0.5""".stripMargin,
+
+    "q91_split_leakage" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT doc_id_1, doc_id_2 FROM (
+         |    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |    FROM sh a JOIN sh b
+         |      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bucket < 13 THEN 'test'
+         |              WHEN bucket < 38 THEN 'val'
+         |              ELSE 'train' END AS split
+         |  FROM (SELECT doc_id,
+         |          (strpos('0123456789abcdef', substr(md5($NormSql), 1, 1)) - 1) * 16
+         |            + strpos('0123456789abcdef', substr(md5($NormSql), 2, 1)) - 1 AS bucket
+         |        FROM documents))
+         |SELECT p.doc_id_1, p.doc_id_2, s1.split AS split_1, s2.split AS split_2,
+         |       s1.split <> s2.split AS leaky
+         |FROM pairs p
+         |JOIN sp s1 ON p.doc_id_1 = s1.doc_id
+         |JOIN sp s2 ON p.doc_id_2 = s2.doc_id""".stripMargin,
+
+    // boolean recall contract (round 6): n_true_pairs is the EXACT
+    // all-pairs count the oracle recomputes; the subset/recall booleans
+    // are stated as literal TRUEs and computed for real on the Spark side
+    "q94_embedding_neardup_ivf" ->
+      s"""$EmbCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |       TRUE AS found_subset_ok, TRUE AS recall_ok
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35""".stripMargin,
+
+    "q97_edit_distance_pairs" ->
+      """SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,
+        |       levenshtein(a.p_name, b.p_name) AS distance
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    "q98_incremental_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s,
+         |         doc_id % 10 = 0 AS is_new
+         |  FROM documents)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS dup_id,
+         |         CASE WHEN b.is_new THEN 'batch' ELSE 'corpus' END AS dup_source,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.is_new AND a.lang = b.lang AND a.band = b.band
+         |   AND (NOT b.is_new OR a.doc_id < b.doc_id))
+         |WHERE jaccard >= 0.6""".stripMargin,
+
+    "q116_winnow_pairs" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |         CAST(unnest(generate_series(1, CAST(length(text) AS BIGINT) - 15)) AS BIGINT) AS i
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, i,
+        |         list_reduce(
+        |           [CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)
+        |            for j in range(0, 16)],
+        |           (acc, c) -> (acc * 257 + c) % 1000000007) AS hash
+        |  FROM pos),
+        |wm AS (
+        |  SELECT doc_id, i,
+        |         min(hash) OVER (PARTITION BY doc_id ORDER BY i
+        |                         ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
+        |         max(i) OVER (PARTITION BY doc_id) AS npos
+        |  FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= npos - 15),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 32),
+        |kept AS (SELECT f.doc_id, f.fp FROM fps f SEMI JOIN rare r ON f.fp = r.fp)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 4""".stripMargin,
+
+    "q141_cluster_sizes" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach
+         |         FROM reach GROUP BY 1),
+         |assign AS (
+         |  SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |sz AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM assign GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
+
+    "q142_dup_substrings" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, n_chars - 40)) AS po
+        |  FROM documents WHERE n_chars >= 40),
+        |sh AS (
+        |  SELECT doc_id, CAST(po AS BIGINT) AS po,
+        |         substr(text, CAST(po AS INT) + 1, 40) AS s
+        |  FROM st),
+        |dup AS (
+        |  SELECT doc_id, po FROM (
+        |    SELECT doc_id, po, count(*) OVER (PARTITION BY s) AS n_occ
+        |    FROM sh)
+        |  WHERE n_occ >= 2),
+        |mk AS (
+        |  SELECT doc_id, po,
+        |         CASE WHEN po - lag(po) OVER (PARTITION BY doc_id
+        |                                      ORDER BY po) <= 40
+        |              THEN 0 ELSE 1 END AS new_span
+        |  FROM dup),
+        |si AS (
+        |  SELECT doc_id, po,
+        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY po
+        |                             ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM mk),
+        |spans AS (
+        |  SELECT doc_id, span_id, min(po) AS s0, max(po) + 40 AS e0
+        |  FROM si GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(e0 - s0) AS BIGINT) AS dup_chars,
+        |       CAST(max(e0 - s0) AS BIGINT) AS max_span
+        |FROM spans GROUP BY 1""".stripMargin,
+
+    "q150_source_overlap" ->
+      s"""WITH u AS (
+         |  SELECT source, unnest($ShinglesSql) AS s FROM documents),
+         |ss AS (SELECT DISTINCT source, s FROM u),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss
+         |        GROUP BY 1),
+         |c AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ss a JOIN ss b USING (s)
+         |  WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+         |       CAST((1000 * n_shared) // ta.n AS BIGINT) AS cont_a_permille,
+         |       CAST((1000 * n_shared) // tb.n AS BIGINT) AS cont_b_permille
+         |FROM c JOIN tot ta ON c.src_a = ta.source
+         |       JOIN tot tb ON c.src_b = tb.source""".stripMargin,
+
+    "q207_phonetic_pairs" ->
+      """WITH rawtok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        |  UNION
+        |  SELECT unnest(string_split(p_name, ' ')) FROM part),
+        |tok AS (
+        |  SELECT DISTINCT tok FROM rawtok
+        |  WHERE regexp_matches(tok, '^[a-z]+$')),
+        |enc AS (
+        |  SELECT tok,
+        |         string_split(upper(tok), '') AS ch,
+        |         list_transform(string_split(upper(tok), ''), c ->
+        |           CASE WHEN c IN ('B','F','P','V') THEN '1'
+        |                WHEN c IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+        |                WHEN c IN ('D','T') THEN '3'
+        |                WHEN c = 'L' THEN '4'
+        |                WHEN c IN ('M','N') THEN '5'
+        |                WHEN c = 'R' THEN '6'
+        |                WHEN c IN ('H','W') THEN '7'
+        |                ELSE '0' END) AS cd
+        |  FROM tok),
+        |sdx AS (
+        |  SELECT tok,
+        |         ch[1] || rpad(substr(array_to_string(
+        |           list_filter(
+        |             list_transform(range(2, len(cd) + 1), i ->
+        |               CASE WHEN cd[i] BETWEEN '1' AND '6'
+        |                     AND cd[i] <> coalesce(
+        |                       list_reverse(list_filter(cd[1:i-1],
+        |                         c -> c <> '7'))[1], '')
+        |               THEN cd[i] ELSE '' END),
+        |             x -> x <> ''), ''), 1, 3), 3, '0') AS sdx
+        |  FROM enc)
+        |SELECT a.sdx AS sdx, a.tok AS tok_a, b.tok AS tok_b
+        |FROM sdx a JOIN sdx b ON a.sdx = b.sdx AND a.tok < b.tok""".stripMargin,
+
+    // shared CTE text for the q208/q209 deterministic-cell assignment:
+    // nearest hash-sampled centroid by squared L2, ties → lower cell id
+    "q208_semdedup" ->
+      s"""WITH sampled AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+         |           AS cell,
+         |         embedding AS cv
+         |  FROM sampled),
+         |asg AS (
+         |  SELECT vec_id, cell, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM (
+         |    SELECT e.vec_id, c.cell, e.embedding,
+         |           list_reduce(list_transform(list_zip(e.embedding, c.cv),
+         |             s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |             (acc, x) -> acc + x) AS dist,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY list_reduce(
+         |             list_transform(list_zip(e.embedding, c.cv),
+         |               s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                  * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |             (acc, x) -> acc + x), c.cell) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1),
+         |dup AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM asg x JOIN asg y
+         |    ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |  WHERE CAST(floor(${dotSql("y.embedding", "x.embedding")}
+         |          / (y.nrm * x.nrm) * 1e6 + 0.5) AS BIGINT) >= 350000)
+         |SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS pruned
+         |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
+
+    "q212_leakage_split" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach
+         |         FROM reach GROUP BY 1),
+         |asg AS (
+         |  SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, component,
+         |       CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) <= 'b'
+         |            THEN 'train' ELSE 'test' END AS split
+         |FROM asg""".stripMargin,
+
+    "q251_reciprocal_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |         substring(p_name, 1, 1) || '|' ||
+        |           split_part(p_name, ' ', -1) AS blk
+        |  FROM part),
+        |cand AS (
+        |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+        |  FROM p a JOIN p b
+        |    ON a.blk = b.blk AND a.p_partkey % 2 = 0 AND b.p_partkey % 2 = 1
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |r AS (
+        |  SELECT a_key, b_key, lev,
+        |         row_number() OVER (PARTITION BY a_key
+        |           ORDER BY lev ASC, b_key ASC) AS ra,
+        |         row_number() OVER (PARTITION BY b_key
+        |           ORDER BY lev ASC, a_key ASC) AS rb
+        |  FROM cand)
+        |SELECT a_key, b_key, lev FROM r WHERE ra = 1 AND rb = 1""".stripMargin,
+
+    "q229_dedup_disagreement" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |txt AS (
+         |  SELECT a, b FROM (
+         |    SELECT x.doc_id AS a, y.doc_id AS b,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jac
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jac >= 0.6),
+         |sampled AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+         |           AS cell,
+         |         embedding AS cv
+         |  FROM sampled),
+         |asg AS (
+         |  SELECT vec_id, cell, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM (
+         |    SELECT e.vec_id, c.cell, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY list_reduce(
+         |             list_transform(list_zip(e.embedding, c.cv),
+         |               s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                  * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |             (acc, x) -> acc + x), c.cell) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1),
+         |sem AS (
+         |  SELECT y.vec_id AS a, x.vec_id AS b
+         |  FROM asg x JOIN asg y
+         |    ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |  WHERE CAST(floor(${dotSql("y.embedding", "x.embedding")}
+         |          / (y.nrm * x.nrm) * 1e6 + 0.5) AS BIGINT) >= 350000)
+         |SELECT signal, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+         |  SELECT CASE WHEN t.a IS NOT NULL AND s.a IS NOT NULL THEN 'both'
+         |              WHEN t.a IS NOT NULL THEN 'text_only'
+         |              ELSE 'sem_only' END AS signal
+         |  FROM txt t FULL OUTER JOIN sem s ON t.a = s.a AND t.b = s.b)
+         |GROUP BY 1""".stripMargin,
+
+    "q217_fold_leakage" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |folds AS (
+         |  SELECT doc_id,
+         |         (CAST(row_number() OVER (PARTITION BY lang
+         |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         |            AS BIGINT) - 1) % 5 AS fold
+         |  FROM documents)
+         |SELECT least(f1.fold, f2.fold) AS fold_a,
+         |       greatest(f1.fold, f2.fold) AS fold_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM edges
+         |JOIN folds f1 ON edges.a = f1.doc_id
+         |JOIN folds f2 ON edges.b = f2.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q197_segment_jaccard_docs" ->
+      s"""$SegCte,
+         |ds AS (SELECT DISTINCT doc_id, seg FROM segs),
+         |rare AS (SELECT seg FROM ds GROUP BY 1 HAVING count(*) <= 100),
+         |ix AS (SELECT doc_id, seg FROM ds JOIN rare USING (seg)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1),
+         |pr AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS shared
+         |  FROM ix x JOIN ix y ON x.seg = y.seg AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, a.n AS n_a, b.n AS n_b,
+         |       (1000000 * shared) // (a.n + b.n - shared) AS jaccard_micro
+         |FROM pr
+         |JOIN sz a ON a.doc_id = doc_a
+         |JOIN sz b ON b.doc_id = doc_b
+         |WHERE (1000000 * shared) // (a.n + b.n - shared) >= 250000""".stripMargin,
+  )
+}

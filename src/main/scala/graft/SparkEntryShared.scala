@@ -1,0 +1,229 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared fragments of the per-family query catalogs: table
+  * loaders, derived frames, and the oracle-SQL building blocks
+  * (exact-money/els CTEs, kernels' DuckDB twins). Split out of
+  * the former single-file SparkEntry in round 6 — contents are
+  * verbatim, only the `private` modifiers moved to the object.
+  */
+private[graft] object SparkEntryShared {
+  // ---- shared fragments -------------------------------------------------
+
+  def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+  def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+
+  def corruptedEvents(s: SparkSession, dir: String): DataFrame =
+    Validation.corruptEvents(events(s, dir))
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+
+  val CorruptedCte =
+    """WITH corrupted AS (
+      |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+      |         CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value,
+      |         props
+      |  FROM events)""".stripMargin
+
+  def qDailyKpis(s: SparkSession, dir: String): DataFrame =
+    Kpi.dailyKpis(events(s, dir), t(s, dir, "customer"))
+
+  def enriched(s: SparkSession, dir: String): DataFrame =
+    Kpi.enrich(events(s, dir), t(s, dir, "customer"))
+
+  def top3Types(s: SparkSession, dir: String): DataFrame =
+    Kpi.topKPerGroup(enriched(s, dir), Seq("event_date", "segment"), "event_type", 3)
+      .withColumn("rank", col("rank").cast("long"))
+
+  /** Oracle CTE shared by q04/q05/q06: events×customer with derived date. */
+  val EnrichedCte =
+    """WITH e AS (
+      |  SELECT CAST(ts AS DATE) AS event_date, c_mktsegment AS segment, event_type
+      |  FROM events JOIN customer ON user_id = c_custkey)""".stripMargin
+
+  // exact money sum: sum of integer cents, then one conversion to double
+  val SumCents = "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
+
+  // DuckDB twin of functions.VectorFunctions.vdot: sequential left fold of
+  // per-element double products (0.0 + x1 ≡ x1, so no-init list_reduce is
+  // bit-identical to Spark's 0.0-seeded aggregate()).
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  val EmbCte =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  // static dirty CSV / JSONL committed with the repo (absolute: the
+  // driver's DuckDB oracle runs from an unknown cwd)
+  val DirtyCsvPath = "/root/repo/testdata-ext/dirty_events.csv"
+  val JsonlPath = "/root/repo/testdata-ext/docs.jsonl"
+
+  // DuckDB twin of functions.TextFunctions
+  val ToksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  val NormSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  val ShinglesSql =
+    "list_distinct([substr(text, CAST(x AS INT), 3) for x in range(1, CAST(length(text) AS BIGINT) - 1)])"
+
+  // q109: one literal term list drives BOTH the Spark query and the
+  // generated oracle SQL, so the two sides cannot drift
+  val Bm25Terms = Seq("table", "row", "join")
+
+  // q231: the truncated-RBO weight table (p = 0.9, depth 20) — the
+  // geometric weights are computed ONCE here and embedded as literals in
+  // BOTH the Spark frame and the oracle's VALUES list, so no runtime
+  // pow() (libm, engine-divergent) ever executes
+  val RboWeightsMicro: Seq[Long] =
+    (1 to 20).map(d => math.round(1e6 * 0.1 * math.pow(0.9, d - 1)))
+
+  // q225: ONE fixed merge table (a tokenizer is a deployment ARTIFACT,
+  // not a function of the data being tokenized) drives both the Spark
+  // fold over `graft_pair_merge` and the generated DuckDB replace-chain
+  // oracle, so the two sides cannot drift. Applied in list order.
+  val BpeAppliedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("o", "r"),
+    ("e", "n"), ("t", "i"))
+
+  // q121: ONE expression string drives both the Spark side and the oracle
+  // so the checksum definitions cannot drift. Every step reduces mod
+  // 1e9+7 before the next multiply, so intermediates stay < 1.4e11 —
+  // exact BIGINT arithmetic in both engines, no overflow, no doubles.
+  private[graft] val ChecksumExpr =
+    "(((((l_orderkey % 1000000007) * 131 + l_linenumber) % 1000000007) " +
+      "* 131 + CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) " +
+      "% 1000000007) % 1000000007) * 131 % 1000000007 + ascii(l_returnflag)"
+
+  /** DuckDB twin of Retrieval.bm25 (k1c=120, bc=75, topK=20): same
+    * rational idf, same cleared-fraction tf-part, same association order
+    * in the double math, same micro-rounding — see Retrieval.scala for
+    * why each of those makes the hash-compare exact.
+    */
+  def bm25OracleSql(terms: Seq[String]): String = {
+    val tfDefs = terms.indices.map(i =>
+      s"CAST(len(list_filter($ToksSql, x -> x = '${terms(i)}')) AS BIGINT) AS tf_$i").mkString(",\n         ")
+    val dfDefs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n         ")
+    val contribs = terms.indices.map(i =>
+      s"""(CASE WHEN tf_$i > 0 THEN CAST(floor(
+         |      (CAST(2*n_docs - 2*df_$i + 1 AS DOUBLE) / (2*df_$i + 1)) *
+         |      (CAST(tf_$i * 22000 * sum_dl AS DOUBLE) /
+         |       (10000*sum_dl*tf_$i + 3000*sum_dl + 9000*dl*n_docs)) *
+         |      1000000 + 0.5) AS BIGINT) ELSE 0 END)""".stripMargin).mkString(" +\n    ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len($ToksSql) AS BIGINT) AS dl,
+       |         $tfDefs
+       |  FROM documents),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |         $dfDefs
+       |  FROM d)
+       |SELECT doc_id, dl, score_micro FROM (
+       |  SELECT doc_id, dl,
+       |    $contribs AS score_micro
+       |  FROM d, s)
+       |WHERE score_micro > 0
+       |ORDER BY score_micro DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+  }
+
+  /** DuckDB twin of Graph.pageRankMicro: the same `iters` integer-micro
+    * rounds unrolled as chained CTEs. `//` equals Spark's `div` for the
+    * non-negative operands here, and integer sums are order-free, so the
+    * match is exact by construction.
+    */
+  def pageRankOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS node,
+         |         150000 + (85 * CAST(sum(r${k - 1}.rank_micro // d.outdeg) AS BIGINT)) // 100
+         |           AS rank_micro
+         |  FROM e JOIN d USING (src) JOIN r${k - 1} ON r${k - 1}.node = e.src
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM d),
+       |$steps
+       |SELECT node, rank_micro FROM r$iters""".stripMargin
+  }
+
+  /** Chained-CTE body for Graph.labelPropagation's DuckDB twin: the
+    * co-purchase edge set, l0 = identity labels, then `iters` synchronous
+    * rounds (neighbor-label frequencies, per-node argmax with the
+    * (count DESC, label ASC) tie-break). Composable — q248 selects the
+    * final labels, q268 builds modularity on top of them.
+    */
+  def lpaCtes(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""f$k AS (
+         |  SELECT e.src AS node, l.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM e JOIN l${k - 1} l ON e.dst = l.node
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |             ORDER BY c DESC, label ASC) AS rk
+         |    FROM f$k) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$steps""".stripMargin
+  }
+
+  def lpaOracleSql(iters: Int): String =
+    s"WITH ${lpaCtes(iters)}\nSELECT node, label FROM l$iters"
+
+  /** DuckDB twin of Graph.kCoreSurvivors: the same `rounds` synchronized
+    * peel rounds unrolled as chained CTEs (keep nodes with deg >= k,
+    * restrict edges to surviving endpoints, recompute degrees), ending
+    * with the same final degree filter.
+    */
+  def kCoreOracleSql(k: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT src AS node FROM d${r - 1} WHERE deg >= $k),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |        JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node),
+         |d$r AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM e$r GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |d0 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+       |$steps
+       |SELECT src AS node, deg FROM d$rounds WHERE deg >= $k""".stripMargin
+  }
+
+  // 10-token non-overlapping segments of each document — the shared CTE
+  // for the sub-document curation oracles (mirrors Curation.segmented)
+  val SegCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(0, (len(toks) + 9) // 10 - 1)) AS seg_idx,
+      |         toks
+      |  FROM t WHERE len(toks) >= 1),
+      |segs AS (
+      |  SELECT doc_id, seg_idx,
+      |         array_to_string(toks[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg
+      |  FROM s)""".stripMargin
+}

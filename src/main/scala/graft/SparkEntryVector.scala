@@ -1,0 +1,807 @@
+package graft
+
+import graft.functions.ExactAgg
+import graft.operators._
+import graft.sources.CsvSource
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import SparkEntryShared._
+
+/** embedding similarity / ANN / quantization queries (SURVEY §2.8) — one `queries` entry per SURVEY §2 item, with its
+  * DuckDB oracle twin in `oracleSql`. Moved verbatim from the
+  * single-file SparkEntry in round 6; SparkEntry concatenates
+  * the per-family maps, so names/plans/oracles are unchanged.
+  */
+private[graft] object SparkEntryVector {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.8 — similarity search
+    "q22_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 8), 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // §2.8 — multi-table LSH ANN under a boolean recall contract (round 6,
+    // the q41/q250 pattern): per probe, the EXACT top-5 id-sum anchors the
+    // oracle to the same brute-force ranking it recomputes, returned_k_ok
+    // pins the ANN plumbing (5 candidates surfaced per probe), and
+    // recall_floor_ok states the measured whole-probe-set recall floor
+    // (>= 12 of 40 exact hits; measured 16–19 at sf0.001/0.01/0.1 with 4
+    // OR-amplified tables — random-baseline expectation is < 1). The LSH
+    // ranking itself stays non-SQL-expressible (hyperplane literals), so
+    // the floor boolean is the strongest driver-checkable statement.
+    "q23_ann_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val probesQ = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteKnn(emb, probesQ, 5)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"))
+      val ann = Similarity.lshKnn(emb, probesQ, 5, nTables = 4)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"),
+          lit(1).as("hit"))
+      exact.join(ann, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(col("neighbor_id")).as("exact_top5_idsum"),
+          count(col("hit")).as("n_hits"))
+        .join(ann.groupBy(col("probe_id")).agg(count(lit(1)).as("n_ann")),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"), col("exact_top5_idsum"),
+          (coalesce(col("n_ann"), lit(0L)) === 5).as("returned_k_ok"),
+          (sum(col("n_hits")).over(Window.partitionBy()) >= 12)
+            .as("recall_floor_ok"))
+    }),
+
+    // §2.8 — IVF ANN (coarse-quantized cells, nProbe search) under a
+    // boolean recall contract (round 6): the quantizer is the
+    // DETERMINISTIC Lloyd fit (fitQuantizerDet — fixed-point centroid
+    // updates, bit-reproducible on any partitioning), which turns
+    // per-probe recall into an exact property of the pinned data rather
+    // than a statistic over k-means|| initializations. recall_ok states
+    // the measured per-probe floor (>= 2 of 5 exact hits at nProbe=5 of
+    // 16 cells; measured minimum is exactly 2 across sf0.001/0.01/0.1).
+    "q26_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probesQ = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteKnn(emb, probesQ, 5)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"))
+      val cents = Similarity.fitQuantizerDet(emb, 16)
+      val ann = Similarity.ivfKnnFrom(cents, emb, probesQ, 5, nProbe = 5)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"),
+          lit(1).as("hit"))
+      exact.join(ann, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(col("neighbor_id")).as("exact_top5_idsum"),
+          count(col("hit")).as("n_hits"))
+        .join(ann.groupBy(col("probe_id")).agg(count(lit(1)).as("n_ann")),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"), col("exact_top5_idsum"),
+          (coalesce(col("n_ann"), lit(0L)) === 5).as("returned_k_ok"),
+          (col("n_hits") >= 2).as("recall_ok"))
+    }),
+
+    // §2.8 — int8 vector quantization (per-vector absmax scale): the 4×
+    // memory cut that lets ANN indexes hold 4× more vectors per executor;
+    // pure per-row arithmetic, summarized to scalars (sum/min/max) because
+    // the hash compare is row-oriented. greatest() guards zero vectors
+    // identically on both engines
+    "q88_vec_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("greatest(array_max(transform(embedding, " +
+            "x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30)").as("scale"),
+          col("embedding"))
+        .select(col("vec_id"), col("scale"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "/ scale + 0.5d) AS BIGINT))").as("qv"))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(qv, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(qv)").as("q_min"),
+          expr("array_max(qv)").as("q_max"))),
+
+    // §2.8 — semi-hard negative mining: triplets from the exact knn frame
+    // (at scale the same call composes over ivfKnn's output)
+    "q100_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 8), 10),
+        negFrom = 4, negTo = 10, margin = 0.2)
+    }),
+
+    // §2.8 — product-quantization encode (round 5): 64-dim embeddings
+    // compress to 8 codebook ids (one per 8-dim subspace) — the
+    // billion-vector ANN memory layout; deterministic hash-sample
+    // codebook so the operator is a pure function of the data (KMeans
+    // codebooks swap in with no plan change), broadcast codebook,
+    // map-side scoring, one partial-agg argmin shuffle
+    "q205_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(t(s, dir, "embeddings"), nSub = 8, dim = 64,
+        nCodes = 16)),
+
+    // §2.8 — asymmetric-distance (ADC) top-k over the PQ codes (round 5):
+    // the query side of product quantization — per-probe per-subspace
+    // lookup tables of codeword distances (micro-rounded BEFORE the
+    // cross-subspace sum, so the ADC total is an exact order-free
+    // integer), candidates scored by 8 table lookups without touching
+    // raw vectors; LUT broadcasts, one (probe, candidate) partial-agg
+    // shuffle, top-5 with vec_id tie-break
+    "q206_adc_topk" -> ((s, dir) =>
+      Similarity.adcTopK(t(s, dir, "embeddings"), probeIds = Seq(1L, 2L, 3L),
+        k = 5, nSub = 8, dim = 64, nCodes = 16)),
+
+    // §2.8 — prototypicality pruning signal (round 5): cosine of each
+    // vector to its assigned centroid, ranked ascending within the cell;
+    // the bottom decile (exact integer compare 10·rank ≤ cell size) is
+    // the "hard/noisy" band a curation pipeline prunes or upsamples —
+    // rank and cell-size windows share one cell-key shuffle
+    "q209_prototypicality" -> ((s, dir) =>
+      Similarity.prototypicality(t(s, dir, "embeddings"), nCells = 16)),
+
+    // §2.8 — ANN quality evaluation harness (round 5): recall@5 of the
+    // PQ/ADC approximate ranking against the exact brute-force top-5,
+    // per probe — the measurement loop every production ANN deployment
+    // runs before trading exactness for memory; both rankings are
+    // deterministic (id tie-breaks), the intersection is a narrow
+    // (probe, neighbor) equi-join, recall_permille = 200·|∩| exactly
+    "q211_adc_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = Seq(1L, 2L, 3L)
+      val exact = Similarity.bruteKnn(emb,
+          emb.filter(col("vec_id").isin(probes: _*)), 5)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"))
+      val adc = Similarity.adcTopK(emb, probes, k = 5, nSub = 8, dim = 64,
+          nCodes = 16)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          lit(1).as("hit"))
+      exact.join(adc, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("probe_id"), col("n_hits"),
+          (col("n_hits") * lit(200L)).as("recall_permille"))
+    }),
+
+    // §2.8 — Matryoshka truncation ablation (round 5, Kusupati et al.'s
+    // MRL eval): recall@5 of the exact ranking computed on the FIRST 32
+    // dims against the full-64-dim exact ranking, per probe — the
+    // memory/recall tradeoff measurement behind every truncated-embedding
+    // deployment; both rankings deterministic, intersection is a narrow
+    // equi-join, nothing new shuffles beyond two bruteKnn passes
+    "q214_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = Seq(1L, 2L, 3L)
+      val full = Similarity.bruteKnn(emb,
+          emb.filter(col("vec_id").isin(probes: _*)), 5)
+        .select(col("query_id").as("probe_id"), col("neighbor_id"))
+      val half = emb.select(col("vec_id"),
+        expr("slice(embedding, 1, 32)").as("embedding"))
+      val trunc = Similarity.bruteKnn(half,
+          half.filter(col("vec_id").isin(probes: _*)), 5)
+        .select(col("query_id").as("probe_id"),
+          col("neighbor_id"), lit(1).as("hit"))
+      full.join(trunc, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("probe_id"), col("n_hits"),
+          (col("n_hits") * lit(200L)).as("recall_permille"))
+    }),
+
+    // §2.8 — MRR retrieval eval (round 5: mean-reciprocal-rank scoring
+    // of the exact kNN as a same-label retriever — per probe, the rank
+    // of the FIRST top-10 neighbor sharing the probe's label, with the
+    // reciprocal kept exact by the 2520 trick (lcm(1..10), so 2520/rank
+    // is an integer for every k ≤ 10; no-hit probes score 0). The
+    // eval-harness leg beside q170's majority vote and q211's
+    // recall@k; the probe set is bounded, the candidate pass is the
+    // audited q22 brute shape
+    "q270_mrr_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 32), 10)
+      val hits = knn
+        .join(broadcast(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"))), Seq("neighbor_id"))
+        .join(broadcast(emb.select(col("vec_id").as("query_id"),
+          col("label").as("own_label"))), Seq("query_id"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+      val first = hits.filter(col("n_label") === col("own_label"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("rank").cast("long").as("first_hit_rank"))
+      emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("own_label"))
+        .join(first, Seq("query_id"), "left")
+        .select(col("query_id"), col("own_label"),
+          coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
+          coalesce(expr("2520 div first_hit_rank"), lit(0L))
+            .as("rr_x2520"))
+    }),
+
+    // §2.8 — embedding snapshot drift (round 5: "did the embedding
+    // distribution move between two model/corpus snapshots?" — the
+    // monitoring query an embedding pipeline runs per refresh. Snapshots
+    // are the even/odd vec_id halves; per (label, dim), the snapshot
+    // MEAN in exact integer micros (per-element micro-rounding makes the
+    // float sum order-independent, the same trick as ExactAgg.cents), so
+    // the per-label squared-L2 shift is an exact BIGINT and the cosine
+    // between mean vectors is one deterministic double expression over
+    // exact integers (identical operand order in both engines). Shapes:
+    // one posexplode scan, one (label, snapshot, dim) aggregate — the
+    // bounded |labels|×2×|dims| grid carries everything after
+    "q255_embedding_drift" -> ((s, dir) => {
+      val x = t(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("snap"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+      val cell = x.groupBy(col("label"), col("snap"), col("dim"))
+        .agg(sum(graft.functions.ExactAgg.scaledLong(col("v"), 1000000L))
+          .as("sm"), count(lit(1)).as("n"))
+        .withColumn("mean_micro", expr("sm div n"))
+      val a = cell.filter(col("snap") === 0)
+        .select(col("label"), col("dim"), col("mean_micro").as("ma"))
+      val b = cell.filter(col("snap") === 1)
+        .select(col("label"), col("dim"), col("mean_micro").as("mb"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_dims"),
+          sum(col("ma") * col("mb")).as("dot"),
+          sum(col("ma") * col("ma")).as("na2"),
+          sum(col("mb") * col("mb")).as("nb2"),
+          sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+            .as("l2sq_micro2"))
+        .select(col("label"), col("n_dims"), col("l2sq_micro2"),
+          expr("CAST(dot AS DOUBLE)" +
+            " / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))")
+            .as("mean_cosine"))
+    }),
+
+    // §2.8 — ColBERT-style late-interaction (MaxSim) top-k (round 5):
+    // docs as bags of vectors (consecutive 8-vector groups), score =
+    // Σ_q max_d cos — each pairwise cosine micro-rounds BEFORE max and
+    // sum so scores are exact order-free integers; probe bags broadcast,
+    // one candidate-doc-keyed partial-agg shuffle, top-5 tie-broken
+    "q210_maxsim_topk" -> ((s, dir) =>
+      Similarity.maxSimTopK(t(s, dir, "embeddings"), docSize = 8,
+        probeDocs = Seq(0L, 1L, 2L), k = 5)),
+
+    // §2.8 — per-label embedding cohesion (round 5): for every label, the
+    // member count and the mean cosine of members to their label
+    // centroid — the cluster-quality / label-noise audit over the
+    // embedding table. Centroids are exact integer-micro vectors (scaled
+    // sums div n — no float accumulation), per-vector cosines are
+    // micro-rounded BEFORE the mean so the sum is an exact BIGINT
+    // (q109's order-free trick); sqrt is IEEE correctly-rounded, so the
+    // whole row is hash-exact. Shapes: one label-grain dim-exploded
+    // aggregate (bounded |labels|·dim), centroids broadcast back, one
+    // label-grain rollup
+    "q198_label_cohesion" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          // micro-scaled integer components: exact everywhere after
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
+            .as("v"))
+      val cent = vecs
+        .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", expr("sx div n"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("cd"))
+        .select(col("label"), expr("transform(cd, p -> p.c)").as("cvec"))
+      vecs.join(broadcast(cent), Seq("label"))
+        .select(col("label"),
+          // cos(v, c) micro-rounded: dot and norms are exact BIGINT folds
+          // (micro components ≤ ~1e6, dim-bounded products never overflow)
+          floor(
+            aggregate(zip_with(col("v"), col("cvec"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).cast("double") /
+              (sqrt(aggregate(col("v"), lit(0L),
+                (acc, x) => acc + x * x).cast("double")) *
+               sqrt(aggregate(col("cvec"), lit(0L),
+                 (acc, x) => acc + x * x).cast("double"))) * 1000000d
+            + 0.5d).cast("long").as("cos_micro"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("cos_micro")).as("sum_cos_micro"))
+        .withColumn("mean_cos_micro", expr("sum_cos_micro div n_vecs"))
+    }),
+
+    // §2.8 — kNN label-consistency audit: each probe vector's label vs
+    // the majority label of its 5 nearest neighbors — the embedding-
+    // quality / mislabel screen. Composes the exact brute kNN (the
+    // oracle-able baseline; at scale the same vote runs over ivfKnn)
+    "q170_knn_label_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.bruteKnn(emb, emb.filter(col("vec_id") < 32), 5)
+      val votes = knn
+        .join(broadcast(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"))), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("n_label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("n_label").asc)
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(broadcast(emb.select(col("vec_id").as("query_id"),
+          col("label").as("own_label"))), Seq("query_id"))
+        .select(col("query_id"),
+          col("own_label").cast("long").as("own_label"),
+          col("n_label").cast("long").as("voted_label"),
+          col("n_votes"),
+          (col("own_label") === col("n_label")).as("agree"))
+    }),
+
+    // §2.8 — per-dimension min-max normalization (quantization prep);
+    // min/max are exact aggregates, so the rescale is bit-reproducible.
+    // Dumped in exploded (vec_id, dim, x_std) form: the compare gate
+    // sorts on every output column, which arrays can't support
+    "q106_embedding_normalize" -> ((s, dir) =>
+      Similarity.minMaxNormalize(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          posexplode(col("embedding_std")).as(Seq("dim", "x_std")))
+        .withColumn("dim", col("dim").cast("long"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q22_knn_brute" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS "rank"
+         |  FROM scored) WHERE "rank" <= 5""".stripMargin,
+
+    // boolean recall contract (round 6): the oracle recomputes the exact
+    // brute-force top-5 (anchoring the probe set and the ranking the
+    // recall is measured against) and states the contract booleans as
+    // literal TRUEs — the q41/q250 pattern. The ANN side isn't
+    // SQL-expressible (hyperplane literals / quantizer cells), so a
+    // false boolean from the Spark side is exactly what the hash compare
+    // is meant to catch.
+    "q23_ann_lsh" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |topk AS (
+         |  SELECT probe_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(sum(neighbor_id) AS BIGINT) AS exact_top5_idsum,
+         |       TRUE AS returned_k_ok, TRUE AS recall_floor_ok
+         |FROM topk WHERE rnk <= 5 GROUP BY 1""".stripMargin,
+
+    "q26_ann_ivf" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |topk AS (
+         |  SELECT probe_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(sum(neighbor_id) AS BIGINT) AS exact_top5_idsum,
+         |       TRUE AS returned_k_ok, TRUE AS recall_ok
+         |FROM topk WHERE rnk <= 5 GROUP BY 1""".stripMargin,
+
+    "q88_vec_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         greatest(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+        |  FROM embeddings),
+        |q AS (SELECT e.vec_id, s.scale,
+        |        list_transform(e.embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT)) AS qv
+        |      FROM embeddings e JOIN s ON e.vec_id = s.vec_id)
+        |SELECT vec_id, scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS BIGINT) AS q_min,
+        |       CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q""".stripMargin,
+
+    "q100_hard_negatives" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT p.query_id, p.neighbor_id AS pos_id, p.cos_sim AS pos_sim,
+         |       n.neighbor_id AS neg_id, n.cos_sim AS neg_sim,
+         |       CAST(n.rnk AS BIGINT) AS neg_rank
+         |FROM ranked p JOIN ranked n
+         |  ON p.query_id = n.query_id AND p.rnk = 1
+         | AND n.rnk BETWEEN 4 AND 10
+         |WHERE p.cos_sim - n.cos_sim <= 0.2""".stripMargin,
+
+    "q205_pq_encode" ->
+      """WITH sampled AS (
+        |  SELECT vec_id, embedding
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cb AS (
+        |  SELECT s.s AS sub_id,
+        |         CAST(row_number() OVER (PARTITION BY s.s ORDER BY vec_id)
+        |           AS BIGINT) - 1 AS code,
+        |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS cv
+        |  FROM sampled, (SELECT unnest(range(8)) AS s) s),
+        |sub AS (
+        |  SELECT vec_id, s.s AS sub_id,
+        |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS v
+        |  FROM embeddings, (SELECT unnest(range(8)) AS s) s),
+        |scored AS (
+        |  SELECT sub.vec_id, sub.sub_id, cb.code,
+        |         list_reduce(
+        |           list_transform(range(1, 9), i ->
+        |             (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))),
+        |           (a, b) -> a + b) AS dist
+        |  FROM sub JOIN cb ON sub.sub_id = cb.sub_id),
+        |ranked AS (
+        |  SELECT vec_id, sub_id, code, dist,
+        |         row_number() OVER (PARTITION BY vec_id, sub_id
+        |                            ORDER BY dist, code) AS rn
+        |  FROM scored)
+        |SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id, code,
+        |       CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS dist_micro
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "q206_adc_topk" ->
+      """WITH sampled AS (
+        |  SELECT vec_id, embedding
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cb AS (
+        |  SELECT s.s AS sub_id,
+        |         CAST(row_number() OVER (PARTITION BY s.s ORDER BY vec_id)
+        |           AS BIGINT) - 1 AS code,
+        |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS cv
+        |  FROM sampled, (SELECT unnest(range(8)) AS s) s),
+        |sub AS (
+        |  SELECT vec_id, s.s AS sub_id,
+        |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS v
+        |  FROM embeddings, (SELECT unnest(range(8)) AS s) s),
+        |scored AS (
+        |  SELECT sub.vec_id, sub.sub_id, cb.code,
+        |         list_reduce(
+        |           list_transform(range(1, 9), i ->
+        |             (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))),
+        |           (a, b) -> a + b) AS dist
+        |  FROM sub JOIN cb ON sub.sub_id = cb.sub_id),
+        |codes AS (
+        |  SELECT vec_id, sub_id, code
+        |  FROM (SELECT vec_id, sub_id, code,
+        |               row_number() OVER (PARTITION BY vec_id, sub_id
+        |                                  ORDER BY dist, code) AS rn
+        |        FROM scored)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT vec_id AS probe_id, sub_id, code,
+        |         CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS d_micro
+        |  FROM scored WHERE vec_id IN (1, 2, 3)),
+        |adc AS (
+        |  SELECT lut.probe_id, codes.vec_id,
+        |         CAST(sum(d_micro) AS BIGINT) AS adc_micro
+        |  FROM codes
+        |  JOIN lut ON codes.sub_id = lut.sub_id AND codes.code = lut.code
+        |  WHERE codes.vec_id <> lut.probe_id
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, vec_id, adc_micro,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |                ORDER BY adc_micro, vec_id) AS rank
+        |      FROM adc)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q209_prototypicality" ->
+      s"""WITH sampled AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+         |           AS cell,
+         |         embedding AS cv
+         |  FROM sampled),
+         |asg AS (
+         |  SELECT vec_id, cell,
+         |         CAST(floor(${dotSql("embedding", "cv")}
+         |           / (sqrt(${dotSql("embedding", "embedding")})
+         |            * sqrt(${dotSql("cv", "cv")})) * 1e6 + 0.5) AS BIGINT)
+         |           AS cos_micro
+         |  FROM (
+         |    SELECT e.vec_id, c.cell, e.embedding, c.cv,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY list_reduce(
+         |             list_transform(list_zip(e.embedding, c.cv),
+         |               s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                  * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |             (acc, x) -> acc + x), c.cell) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1)
+         |SELECT vec_id, cell, cos_micro,
+         |       (10 * r <= n) AS outlier
+         |FROM (
+         |  SELECT vec_id, cell, cos_micro,
+         |         CAST(row_number() OVER (PARTITION BY cell
+         |           ORDER BY cos_micro, vec_id) AS BIGINT) AS r,
+         |         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n
+         |  FROM asg)""".stripMargin,
+
+    "q211_adc_recall" ->
+      s"""WITH sampled AS (
+         |  SELECT vec_id, embedding
+         |  FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT s.s AS sub_id,
+         |         CAST(row_number() OVER (PARTITION BY s.s ORDER BY vec_id)
+         |           AS BIGINT) - 1 AS code,
+         |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS cv
+         |  FROM sampled, (SELECT unnest(range(8)) AS s) s),
+         |sub AS (
+         |  SELECT vec_id, s.s AS sub_id,
+         |         embedding[(s.s * 8 + 1):(s.s * 8 + 8)] AS v
+         |  FROM embeddings, (SELECT unnest(range(8)) AS s) s),
+         |scored AS (
+         |  SELECT sub.vec_id, sub.sub_id, cb.code,
+         |         list_reduce(
+         |           list_transform(range(1, 9), i ->
+         |             (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+         |           * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))),
+         |           (a, b) -> a + b) AS dist
+         |  FROM sub JOIN cb ON sub.sub_id = cb.sub_id),
+         |codes AS (
+         |  SELECT vec_id, sub_id, code
+         |  FROM (SELECT vec_id, sub_id, code,
+         |               row_number() OVER (PARTITION BY vec_id, sub_id
+         |                                  ORDER BY dist, code) AS rn
+         |        FROM scored)
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT vec_id AS probe_id, sub_id, code,
+         |         CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS d_micro
+         |  FROM scored WHERE vec_id IN (1, 2, 3)),
+         |adck AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY adc_micro, vec_id) AS rank
+         |    FROM (SELECT lut.probe_id, codes.vec_id,
+         |                 sum(d_micro) AS adc_micro
+         |          FROM codes
+         |          JOIN lut ON codes.sub_id = lut.sub_id
+         |                  AND codes.code = lut.code
+         |          WHERE codes.vec_id <> lut.probe_id
+         |          GROUP BY 1, 2))
+         |  WHERE rank <= 5),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |exk AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotSql("q.embedding", "c.embedding")}
+         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM e q JOIN e c
+         |      ON q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id)
+         |  WHERE rnk <= 5)
+         |SELECT exk.probe_id,
+         |       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |       CAST(200 * count(a.vec_id) AS BIGINT) AS recall_permille
+         |FROM exk LEFT JOIN adck a
+         |  ON exk.probe_id = a.probe_id AND exk.neighbor_id = a.vec_id
+         |GROUP BY 1""".stripMargin,
+
+    "q214_matryoshka_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |h AS (
+         |  SELECT vec_id, embedding[1:32] AS embedding
+         |  FROM embeddings),
+         |h2 AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM h),
+         |fk AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotSql("q.embedding", "c.embedding")}
+         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM e q JOIN e c
+         |      ON q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id)
+         |  WHERE rnk <= 5),
+         |tk AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotSql("q.embedding", "c.embedding")}
+         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM h2 q JOIN h2 c
+         |      ON q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id)
+         |  WHERE rnk <= 5)
+         |SELECT fk.probe_id,
+         |       CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(200 * count(t.neighbor_id) AS BIGINT) AS recall_permille
+         |FROM fk LEFT JOIN tk t
+         |  ON fk.probe_id = t.probe_id AND fk.neighbor_id = t.neighbor_id
+         |GROUP BY 1""".stripMargin,
+
+    "q270_mrr_knn" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS own_label,
+         |         c.vec_id AS neighbor_id, c.label AS n_label,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |           AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 32 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, own_label, n_label,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored),
+         |hit AS (
+         |  SELECT query_id, CAST(min(rank) AS BIGINT) AS first_hit_rank
+         |  FROM ranked WHERE rank <= 10 AND n_label = own_label
+         |  GROUP BY 1)
+         |SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS own_label,
+         |       COALESCE(h.first_hit_rank, 0) AS first_hit_rank,
+         |       CASE WHEN h.first_hit_rank IS NULL THEN 0
+         |            ELSE 2520 // h.first_hit_rank END AS rr_x2520
+         |FROM e q LEFT JOIN hit h ON q.vec_id = h.query_id
+         |WHERE q.vec_id < 32""".stripMargin,
+
+    "q255_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT label, vec_id % 2 AS snap,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cell AS (
+        |  SELECT label, snap, dim,
+        |         CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |           // CAST(count(*) AS BIGINT) AS mean_micro
+        |  FROM x GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.label, a.mean_micro AS ma, b.mean_micro AS mb
+        |  FROM cell a JOIN cell b
+        |    ON a.label = b.label AND a.dim = b.dim
+        |   AND a.snap = 0 AND b.snap = 1),
+        |agg AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+        |         CAST(sum(ma * mb) AS BIGINT) AS dot,
+        |         CAST(sum(ma * ma) AS BIGINT) AS na2,
+        |         CAST(sum(mb * mb) AS BIGINT) AS nb2,
+        |         CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS l2sq_micro2
+        |  FROM j GROUP BY 1)
+        |SELECT label, n_dims, l2sq_micro2,
+        |       CAST(dot AS DOUBLE)
+        |         / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+        |         AS mean_cosine
+        |FROM agg""".stripMargin,
+
+    "q210_maxsim_topk" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, vec_id // 8 AS doc, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT doc AS probe_doc, vec_id AS q_id,
+         |         embedding AS q_emb, nrm AS q_nrm
+         |  FROM b WHERE doc IN (0, 1, 2)),
+         |sc AS (
+         |  SELECT p.probe_doc, p.q_id, b.doc AS cand_doc,
+         |         CAST(floor(${dotSql("p.q_emb", "b.embedding")}
+         |           / (p.q_nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) AS cm
+         |  FROM b, p WHERE b.doc <> p.probe_doc),
+         |mx AS (
+         |  SELECT probe_doc, q_id, cand_doc, max(cm) AS bm
+         |  FROM sc GROUP BY 1, 2, 3),
+         |ds AS (
+         |  SELECT probe_doc, cand_doc, CAST(sum(bm) AS BIGINT)
+         |           AS maxsim_micro
+         |  FROM mx GROUP BY 1, 2)
+         |SELECT probe_doc, cand_doc, maxsim_micro, CAST(rank AS BIGINT)
+         |         AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_doc
+         |        ORDER BY maxsim_micro DESC, cand_doc) AS rank
+         |      FROM ds)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q198_label_cohesion" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+        |           AS mv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (
+        |  SELECT vec_id, label, unnest(mv) AS xv,
+        |         unnest(generate_series(0, len(mv) - 1)) AS d
+        |  FROM v),
+        |cent AS (
+        |  SELECT label, d,
+        |         CAST(sum(xv) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+        |  FROM x GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT x.vec_id, x.label,
+        |         CAST(sum(x.xv * cent.c) AS BIGINT) AS dot,
+        |         CAST(sum(x.xv * x.xv) AS BIGINT) AS nv,
+        |         CAST(sum(cent.c * cent.c) AS BIGINT) AS nc
+        |  FROM x JOIN cent ON x.label = cent.label AND x.d = cent.d
+        |  GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT label,
+        |         CAST(floor(CAST(dot AS DOUBLE)
+        |              / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+        |              * 1000000 + 0.5) AS BIGINT) AS cos_micro
+        |  FROM dots)
+        |SELECT label,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(cos_micro) AS BIGINT) AS sum_cos_micro,
+        |       CAST(sum(cos_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |         AS mean_cos_micro
+        |FROM cm GROUP BY 1""".stripMargin,
+
+    "q170_knn_label_audit" ->
+      s"""$EmbCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         c.label AS n_label,
+         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |           AS cos_sim
+         |  FROM e q JOIN e c ON q.vec_id < 32 AND c.vec_id <> q.vec_id),
+         |knn AS (SELECT * FROM (
+         |  SELECT query_id, neighbor_id, n_label,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_sim DESC, neighbor_id ASC)
+         |           AS rnk
+         |  FROM scored) WHERE rnk <= 5),
+         |votes AS (SELECT query_id, n_label,
+         |                 CAST(count(*) AS BIGINT) AS n_votes
+         |          FROM knn GROUP BY 1, 2),
+         |top AS (SELECT * FROM (
+         |  SELECT query_id, n_label, n_votes,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY n_votes DESC, n_label ASC) AS rn
+         |  FROM votes) WHERE rn = 1)
+         |SELECT t.query_id,
+         |       CAST(q.label AS BIGINT) AS own_label,
+         |       CAST(t.n_label AS BIGINT) AS voted_label,
+         |       t.n_votes,
+         |       (q.label = t.n_label) AS agree
+         |FROM top t JOIN e q ON t.query_id = q.vec_id""".stripMargin,
+
+    "q106_embedding_normalize" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings),
+        |s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1)
+        |SELECT vec_id, dim,
+        |       CASE WHEN mx = mn THEN 0.0 ELSE (v - mn) / (mx - mn) END
+        |         AS x_std
+        |FROM x JOIN s USING (dim)""".stripMargin,
+  )
+}

@@ -12,7 +12,7 @@ class ChecksumModeSpec extends SparkTestBase {
 
   // THE shipped expression — q121's invariance guarantee is certified on
   // the exact string the query runs, not a copy that could drift
-  private val checksumExpr = SparkEntry.ChecksumExpr
+  private val checksumExpr = SparkEntryShared.ChecksumExpr
 
   test("q121 checksum is invariant under repartitioning and row order") {
     val base = Seq(
