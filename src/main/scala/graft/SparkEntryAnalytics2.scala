@@ -2255,8 +2255,9 @@ private[graft] object SparkEntryAnalytics2 {
         |         WHEN rk = 1 OR rk = n THEN (4 * total_micro) // 10
         |         ELSE (total_micro - 2 * ((4 * total_micro) // 10)) // (n - 2)
         |           + CASE WHEN rk - 1 <=
-        |               (total_micro - 2 * ((4 * total_micro) // 10)) % (n - 2)
-        |             THEN 1 ELSE 0 END
+        |               abs((total_micro - 2 * ((4 * total_micro) // 10)) % (n - 2))
+        |             THEN CASE WHEN total_micro >= 0 THEN 1 ELSE -1 END
+        |             ELSE 0 END
         |         END) AS BIGINT) AS credit_micro
         |FROM c GROUP BY 1""".stripMargin,
 

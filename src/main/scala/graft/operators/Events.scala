@@ -314,8 +314,12 @@ object Events {
     * n ≥ 3 the ends take (4·total) div 10 each while the middle pool
     * (total − 2·ends — the div remainders fold into the pool, so per-
     * conversion conservation is exact by construction) distributes div
-    * (n−2) with the remainder to the EARLIEST middles. Same touch frame
-    * and window shapes as [[linearAttribution]].
+    * (n−2) with the remainder to the EARLIEST middles, SIGN-AWARE: a
+    * negative conversion total (refund) hands each of the |pool % (n−2)|
+    * earliest middles a −1 instead of a +1, because SQL `%` follows the
+    * dividend's sign — so Σcredit = total_micro holds for refunds too,
+    * not just purchases. Same touch frame and window shapes as
+    * [[linearAttribution]].
     */
   def uShapedAttribution(events: DataFrame, lookbackUs: Long,
                          conv: String): DataFrame = {
@@ -336,8 +340,9 @@ object Events {
           |  WHEN rk = 1 OR rk = n THEN (4 * total_micro) div 10
           |  ELSE (total_micro - 2 * ((4 * total_micro) div 10)) div (n - 2)
           |    + CASE WHEN rk - 1 <=
-          |        (total_micro - 2 * ((4 * total_micro) div 10)) % (n - 2)
-          |      THEN 1 ELSE 0 END
+          |        abs((total_micro - 2 * ((4 * total_micro) div 10)) % (n - 2))
+          |      THEN CASE WHEN total_micro >= 0 THEN 1 ELSE -1 END
+          |      ELSE 0 END
           |END""".stripMargin))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_touches"),

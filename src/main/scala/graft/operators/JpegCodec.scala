@@ -255,7 +255,7 @@ object JpegCodec {
         // EOI: a finished progressive image reconstructs here; for
         // baseline (whose single scan returns directly) it is premature
         return if (progressive && prog != null && prog.sawScan)
-          reconstructProgressive(prog, comps, quant, width, height)
+          reconstructProgressive(prog, comps, quant, width, height, precision)
         else None
       } else if (pos + 4 > bytes.length) return None
       else {
@@ -302,17 +302,17 @@ object JpegCodec {
             if (len < 8) return None
             precision = bytes(seg) & 0xFF
             lossless = marker == 0xC3
-            // baseline and progressive are 8-bit by definition (T.81
-            // tables B.2/B.3); extended sequential (SOF1 Huffman, SOF9
-            // arithmetic) adds the 12-bit sample arm; lossless (SOF3)
-            // allows 2..16 — 8..16 supported here (sub-byte lossless is
-            // vanishingly rare; declared subset) — output normalizes
-            // back to 8-bit by keeping the high byte (the PngCodec
-            // 16-bit convention)
+            // baseline (SOF0) is 8-bit by definition; extended sequential
+            // (SOF1 Huffman, SOF9 arithmetic) and progressive (SOF2/SOF10
+            // — T.81 Table B.3 allows both precisions) add the 12-bit
+            // sample arm; lossless (SOF3) allows 2..16 — 8..16 supported
+            // here (sub-byte lossless is vanishingly rare; declared
+            // subset) — output normalizes back to 8-bit by keeping the
+            // high byte (the PngCodec 16-bit convention)
             if (lossless) {
               if (precision < 8 || precision > 16) return None
             } else if (precision != 8 &&
-              !(precision == 12 && (marker == 0xC1 || marker == 0xC9)))
+              !(precision == 12 && marker != 0xC0))
               return None
             progressive = marker == 0xC2 || marker == 0xCA
             arithmetic = marker == 0xC9 || marker == 0xCA
@@ -423,7 +423,8 @@ object JpegCodec {
                   scanIdx, ss, se, ah, al, restartInterval,
                   dcCondL, dcCondU, acCondK)
               else decodeProgScan(bytes, pos + 2 + len, prog, comps,
-                scanIdx, ss, se, ah, al, restartInterval, dcTabs, acTabs)
+                scanIdx, ss, se, ah, al, restartInterval, dcTabs, acTabs,
+                precision)
             if (end < 0) return None
             posOverride = end
           case _ => // APPn / COM / unknown: skip
@@ -612,11 +613,17 @@ object JpegCodec {
               var m = 0
               if (dec.decode(dst, st) != 0) {
                 m = 1
-                st = 20
-                while (dec.decode(dst, st) != 0) {
-                  m <<= 1
-                  if (m == 0x8000) return None // runaway category: corrupt
-                  st += 1
+                // the X1 decision (m: 1 -> 2) codes in the SAME SP/SN bin
+                // (T.81 Table F.5 / jdarith Figure F.23); only X2 onward
+                // move to the X1=20 chain
+                if (dec.decode(dst, st) != 0) {
+                  m = 2
+                  st = 20
+                  while (dec.decode(dst, st) != 0) {
+                    m <<= 1
+                    if (m == 0x8000) return None // runaway category: corrupt
+                    st += 1
+                  }
                 }
               }
               // conditioning category for the NEXT block (F.1.4.4.1.2)
@@ -651,11 +658,16 @@ object JpegCodec {
                 var m = 0
                 if (dec.decode(ast, st2) != 0) {
                   m = 1
-                  st2 = if (k <= acCondK(c.acTable)) 189 else 217
-                  while (dec.decode(ast, st2) != 0) {
-                    m <<= 1
-                    if (m == 0x8000) return None
-                    st2 += 1
+                  // X1 decision in the same SE+2 bin (T.81 Table F.5 /
+                  // jdarith); only X2 onward use the 189/217 chain
+                  if (dec.decode(ast, st2) != 0) {
+                    m = 2
+                    st2 = if (k <= acCondK(c.acTable)) 189 else 217
+                    while (dec.decode(ast, st2) != 0) {
+                      m <<= 1
+                      if (m == 0x8000) return None
+                      st2 += 1
+                    }
                   }
                 }
                 var v = m
@@ -949,11 +961,15 @@ object JpegCodec {
                   var m = 0
                   if (dec.decode(dst, stx) != 0) {
                     m = 1
-                    stx = 20
-                    while (dec.decode(dst, stx) != 0) {
-                      m <<= 1
-                      if (m == 0x8000) return -1
-                      stx += 1
+                    // X1 decision in the same SP/SN bin (jdarith F.23)
+                    if (dec.decode(dst, stx) != 0) {
+                      m = 2
+                      stx = 20
+                      while (dec.decode(dst, stx) != 0) {
+                        m <<= 1
+                        if (m == 0x8000) return -1
+                        stx += 1
+                      }
                     }
                   }
                   dcContext(ci) =
@@ -1017,11 +1033,15 @@ object JpegCodec {
               var m = 0
               if (dec.decode(ast, st2) != 0) {
                 m = 1
-                st2 = if (k <= kx) 189 else 217
-                while (dec.decode(ast, st2) != 0) {
-                  m <<= 1
-                  if (m == 0x8000) return -1
-                  st2 += 1
+                // X1 decision in the same SE+2 bin (jdarith F.23)
+                if (dec.decode(ast, st2) != 0) {
+                  m = 2
+                  st2 = if (k <= kx) 189 else 217
+                  while (dec.decode(ast, st2) != 0) {
+                    m <<= 1
+                    if (m == 0x8000) return -1
+                    st2 += 1
+                  }
                 }
               }
               var v = m
@@ -1080,7 +1100,8 @@ object JpegCodec {
                              comps: Array[Component], scan: Array[Int],
                              ss: Int, se: Int, ah: Int, al: Int,
                              restartInterval: Int, dcTabs: Array[Huff],
-                             acTabs: Array[Huff]): Int = {
+                             acTabs: Array[Huff], precision: Int): Int = {
+    val maxDcCat = if (precision == 12) 15 else 11 // T.81 Table F.1 vs F.12
     val br = new BitReader(bytes, start)
     val dcPred = new Array[Int](comps.length)
     var eobrun = 0
@@ -1138,7 +1159,7 @@ object JpegCodec {
               val base = (bY * gridW + bX) * 64
               if (ah == 0) { // first DC scan: diff-coded, scaled by Al
                 val t = br.decodeHuff(dcTabs(c.dcTable))
-                if (t < 0 || t > 11) return -1
+                if (t < 0 || t > maxDcCat) return -1
                 val v = if (t == 0) 0 else br.receive(t)
                 if (v < 0) return -1
                 dcPred(ci) += extend(v, t)
@@ -1279,9 +1300,13 @@ object JpegCodec {
   private def reconstructProgressive(st: ProgState, comps: Array[Component],
                                      quant: Array[Array[Int]],
                                      width: Int,
-                                     height: Int): Option[PpmImage] = {
+                                     height: Int,
+                                     precision: Int): Option[PpmImage] = {
     val w = width
     val h = height
+    val half = (1 << (precision - 1)).toDouble
+    val maxSample = (1 << precision) - 1
+    val downShift = precision - 8
     val planeW = comps.indices.map(i => st.blocksW(i) * 8).toArray
     val planes = comps.indices.map(i =>
       new Array[Byte](st.blocksW(i) * 8 * st.blocksH(i) * 8)).toArray
@@ -1309,9 +1334,9 @@ object JpegCodec {
           while (y < 8) {
             var x = 0
             while (x < 8) {
-              val s = math.round(px(y * 8 + x) + 128.0).toInt
-              plane((bY * 8 + y) * pw + bX * 8 + x) =
-                (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+              val s = math.round(px(y * 8 + x) + half).toInt
+              val cl = if (s < 0) 0 else if (s > maxSample) maxSample else s
+              plane((bY * 8 + y) * pw + bX * 8 + x) = (cl >> downShift).toByte
               x += 1
             }
             y += 1
@@ -1743,10 +1768,15 @@ object JpegCodec {
         if (v != 0) {
           enc.encode(dst, st, 1)
           mm = 1
-          var v2 = v
-          st = 20
-          v2 >>= 1
-          while (v2 != 0) { enc.encode(dst, st, 1); mm <<= 1; st += 1; v2 >>= 1 }
+          var v2 = v >> 1
+          if (v2 != 0) {
+            // X1 decision in the same SP/SN bin (jcarith Figure F.8)
+            enc.encode(dst, st, 1)
+            mm = 2
+            st = 20
+            v2 >>= 1
+            while (v2 != 0) { enc.encode(dst, st, 1); mm <<= 1; st += 1; v2 >>= 1 }
+          }
         }
         enc.encode(dst, st, 0) // category terminator
         dcContext(ci) =
@@ -1777,10 +1807,15 @@ object JpegCodec {
         if (v != 0) {
           enc.encode(ast, st2, 1)
           mm = 1
-          var v2 = v
-          st2 = if (k <= acK) 189 else 217
-          v2 >>= 1
-          while (v2 != 0) { enc.encode(ast, st2, 1); mm <<= 1; st2 += 1; v2 >>= 1 }
+          var v2 = v >> 1
+          if (v2 != 0) {
+            // X1 decision in the same SE+2 bin (jcarith Figure F.8)
+            enc.encode(ast, st2, 1)
+            mm = 2
+            st2 = if (k <= acK) 189 else 217
+            v2 >>= 1
+            while (v2 != 0) { enc.encode(ast, st2, 1); mm <<= 1; st2 += 1; v2 >>= 1 }
+          }
         }
         enc.encode(ast, st2, 0)
         st2 += 14
@@ -2240,9 +2275,15 @@ object JpegCodec {
                       enc.encode(dst, st, 1)
                       mm = 1
                       var v2 = v >> 1
-                      st = 20
-                      while (v2 != 0) {
-                        enc.encode(dst, st, 1); mm <<= 1; st += 1; v2 >>= 1
+                      if (v2 != 0) {
+                        // X1 decision in the same SP/SN bin (jcarith F.8)
+                        enc.encode(dst, st, 1)
+                        mm = 2
+                        st = 20
+                        v2 >>= 1
+                        while (v2 != 0) {
+                          enc.encode(dst, st, 1); mm <<= 1; st += 1; v2 >>= 1
+                        }
                       }
                     }
                     enc.encode(dst, st, 0)
@@ -2296,9 +2337,15 @@ object JpegCodec {
                 enc.encode(ast, st2, 1)
                 mm = 1
                 var v2 = v >> 1
-                st2 = if (k <= kxCond) 189 else 217
-                while (v2 != 0) {
-                  enc.encode(ast, st2, 1); mm <<= 1; st2 += 1; v2 >>= 1
+                if (v2 != 0) {
+                  // X1 decision in the same SE+2 bin (jcarith F.8)
+                  enc.encode(ast, st2, 1)
+                  mm = 2
+                  st2 = if (k <= kxCond) 189 else 217
+                  v2 >>= 1
+                  while (v2 != 0) {
+                    enc.encode(ast, st2, 1); mm <<= 1; st2 += 1; v2 >>= 1
+                  }
                 }
               }
               enc.encode(ast, st2, 0)

@@ -188,6 +188,33 @@ class EventsSpec extends SparkTestBase {
     r.map(_._3).sum shouldBe 1001L * 1000000L
   }
 
+  test("uShapedAttribution conserves credit exactly, including refund totals") {
+    val day = 86400L * 1000000L
+    val ev = Seq(
+      // user 1: five touches then a -10.01 REFUND — pool = -200200000,
+      // pool % 3 = -1, so the earliest middle must take a -1 (the old
+      // dividend-sign formula dropped it and over-credited by 1 micro)
+      (1L, 1L * day, 1L, "view", 0.0), (2L, 2L * day, 1L, "click", 0.0),
+      (3L, 3L * day, 1L, "view", 0.0), (4L, 4L * day, 1L, "click", 0.0),
+      (5L, 5L * day, 1L, "view", 0.0),
+      (6L, 6L * day, 1L, "purchase", -10.01),
+      // user 2: three touches, positive purchase (the +1 remainder path)
+      (7L, 1L * day, 2L, "view", 0.0), (8L, 2L * day, 2L, "click", 0.0),
+      (9L, 3L * day, 2L, "view", 0.0),
+      (10L, 4L * day, 2L, "purchase", 10.01),
+      // user 3: two touches, negative (half-split arm)
+      (11L, 1L * day, 3L, "view", 0.0), (12L, 2L * day, 3L, "click", 0.0),
+      (13L, 3L * day, 3L, "purchase", -0.03),
+      // user 4: single touch, negative (take-all arm)
+      (14L, 1L * day, 4L, "view", 0.0),
+      (15L, 2L * day, 4L, "purchase", -5.0)
+    ).toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val r = Events.uShapedAttribution(ev, 7L * day, "purchase")
+      .as[(String, Long, Long)].collect()
+    // Σcredit = Σ conversion micro-cents EXACTLY, positive and negative
+    r.map(_._3).sum shouldBe (-1001L + 1001L - 3L - 500L) * 1000000L
+  }
+
   test("scd2 plan: one exchange on user_id feeds windows and the run groupBy") {
     val ev = Seq((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"))
       .toDF("event_id", "ts_us", "user_id", "event_type")

@@ -372,16 +372,25 @@ class JpegCodecSpec extends SparkTestBase {
     val enc = new JpegArith.Encoder
     val dst = new Array[Byte](64)
     val ast = new Array[Byte](256)
-    // DC diff = +1024: S0=1, sign=0, category chain at SP then 20..,
-    // v-1 = 1023 -> chain of nine 1s, terminator, nine magnitude bits
+    // DC diff = +1024: S0=1, sign=0, magnitude category per the
+    // CONFORMING T.81/jdarith model — first decision AND the X1 decision
+    // both code in the SP bin (2), only X2 onward walk the 20.. chain;
+    // v-1 = 1023 -> SP(1), SP(1), eight 1s at 20..27, terminator at 28,
+    // then nine magnitude bits. This longhand is written independently of
+    // JpegCodec's encoder, so it pins the decoder's category model.
     enc.encode(dst, 0, 1) // nonzero
     enc.encode(dst, 1, 0) // positive
     var v = 1023
     var mm = 0
     enc.encode(dst, 2, 1); mm = 1
-    var st = 20
+    var st = 2
     var v2 = v >> 1
-    while (v2 != 0) { enc.encode(dst, st, 1); mm <<= 1; st += 1; v2 >>= 1 }
+    if (v2 != 0) {
+      enc.encode(dst, 2, 1); mm = 2 // X1 decision, same SP bin
+      st = 20
+      v2 >>= 1
+      while (v2 != 0) { enc.encode(dst, st, 1); mm <<= 1; st += 1; v2 >>= 1 }
+    }
     enc.encode(dst, st, 0)
     st += 14
     var bit = mm >> 1
@@ -393,6 +402,105 @@ class JpegCodecSpec extends SparkTestBase {
     val img = JpegCodec.decode(out.toByteArray).get
     img.width shouldBe 8
     img.pixels.foreach(p => (p & 0xFF) shouldBe 136)
+  }
+
+  test("12-bit SOF10: progressive-arithmetic DC scan, hand-assembled headers") {
+    // T.81 Table B.3 allows 12-bit progressive (round-6 ADVICE): the
+    // 12-bit SOF9 pin rebuilt as a SOF10 DC-only first scan (Ss=0, Se=0)
+    // — same conforming category longhand, same 136-gray expectation.
+    import graft.operators.JpegArith
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int) = { out.write(0xFF); out.write(b) }
+    def u16(v: Int) = { out.write(v >> 8); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xDB); u16(67); out.write(0x00); (0 until 64).foreach(_ => out.write(1))
+    m(0xCA); u16(11); out.write(12); u16(8); u16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xDA); u16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(0); out.write(0) // Ss=0 Se=0 AhAl=0: DC first
+    val enc = new JpegArith.Encoder
+    val dst = new Array[Byte](64)
+    enc.encode(dst, 0, 1) // nonzero
+    enc.encode(dst, 1, 0) // positive
+    var v = 1023          // DC diff +1024
+    var mm = 0
+    enc.encode(dst, 2, 1); mm = 1
+    var st = 2
+    var v2 = v >> 1
+    if (v2 != 0) {
+      enc.encode(dst, 2, 1); mm = 2 // X1 decision, same SP bin
+      st = 20
+      v2 >>= 1
+      while (v2 != 0) { enc.encode(dst, st, 1); mm <<= 1; st += 1; v2 >>= 1 }
+    }
+    enc.encode(dst, st, 0)
+    st += 14
+    var bit = mm >> 1
+    while (bit != 0) { enc.encode(dst, st, if ((bit & v) != 0) 1 else 0); bit >>= 1 }
+    enc.flushSegment()
+    out.write(enc.bytes)
+    m(0xD9)
+    val img = JpegCodec.decode(out.toByteArray).get
+    img.width shouldBe 8
+    img.pixels.foreach(p => (p & 0xFF) shouldBe 136)
+  }
+
+  test("SOF9 AC interop pin: hand-coded |coef|=48 through the conforming X1 model") {
+    // the exact case the old magnitude model silently mis-decoded: an AC
+    // coefficient with |coef| >= 2 must run the X1 decision in the SE+2
+    // bin and only X2+ in the 189.. chain (T.81 Table F.5 / jcarith F.8).
+    // Stream written longhand, independent of JpegCodec's encoder:
+    // gray 8x8, q=1, DC diff 0, AC at k=1 is +48, EOB at k=2. IDCT of a
+    // single (0,1)/(1,0) coefficient of 48 gives 8 column (or row) values
+    // 128 + 8.4853*cos((2x+1)*pi/16) -> the multiset below (transpose-
+    // invariant, so the zigzag orientation doesn't matter).
+    import graft.operators.JpegArith
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int) = { out.write(0xFF); out.write(b) }
+    def u16(v: Int) = { out.write(v >> 8); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xDB); u16(67); out.write(0x00); (0 until 64).foreach(_ => out.write(1))
+    m(0xC9); u16(11); out.write(8); u16(8); u16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xDA); u16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val enc = new JpegArith.Encoder
+    val dst = new Array[Byte](64)
+    val ast = new Array[Byte](256)
+    val fixedBin = Array(JpegArith.FixedBin)
+    enc.encode(dst, 0, 0)      // DC diff = 0
+    enc.encode(ast, 0, 0)      // k=1: not EOB
+    enc.encode(ast, 1, 1)      // k=1 is nonzero
+    enc.encode(fixedBin, 0, 0) // positive
+    // v = 47 (coef 48): conforming category — SE+2 twice, then 189..192,
+    // terminator at 193, five magnitude bits at 207
+    val v = 47
+    var mm = 0
+    enc.encode(ast, 2, 1); mm = 1
+    var st = 2
+    var v2 = v >> 1
+    if (v2 != 0) {
+      enc.encode(ast, 2, 1); mm = 2 // X1 decision, same SE+2 bin
+      st = 189                      // k=1 <= default Kx=5
+      v2 >>= 1
+      while (v2 != 0) { enc.encode(ast, st, 1); mm <<= 1; st += 1; v2 >>= 1 }
+    }
+    enc.encode(ast, st, 0)
+    st += 14
+    var bit = mm >> 1
+    while (bit != 0) { enc.encode(ast, st, if ((bit & v) != 0) 1 else 0); bit >>= 1 }
+    enc.encode(ast, 3, 1) // k=2: EOB
+    enc.flushSegment()
+    out.write(enc.bytes)
+    m(0xD9)
+    val img = JpegCodec.decode(out.toByteArray).get
+    img.width shouldBe 8
+    // gray: R=G=B per pixel; collect one channel's value multiset
+    val vals = img.pixels.grouped(3).map(_(0) & 0xFF).toSeq
+    vals.size shouldBe 64
+    val expected = Seq(136, 135, 133, 130, 126, 123, 121, 120)
+      .flatMap(x => Seq.fill(8)(x)).sorted
+    vals.sorted shouldBe expected
   }
 
   test("arithmetic corrupt payloads never throw; structural damage rejects") {
