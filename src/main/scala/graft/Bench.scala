@@ -43,7 +43,12 @@ object Bench {
     */
   val Sf1Set: Seq[String] = Headline.filterNot(Set(
     "q19_ngram_jaccard_pairs", "q47_fuzzy_part_names",
-    "q51_ppjoin_pairs", "q52_weighted_jaccard_pairs")) ++ Seq(
+    "q51_ppjoin_pairs", "q52_weighted_jaccard_pairs",
+    // round 6: q20 carries its exact-truth contract arm (the q51 engine)
+    // since the boolean-contract promotion — composing the by-design-
+    // quadratic exact join puts it under the q141/q229 exclusion rule;
+    // the LSH scale path stays rung-covered via q49
+    "q20_minhash_lsh_pairs")) ++ Seq(
     // round-3 linear-claim additions (measured 0.6-2.1x at the 10x rung:
     // token split-joins sub-linear, window/merge ops overhead-bound). q98
     // stays OUT: its benchmark formulation scales the batch with the

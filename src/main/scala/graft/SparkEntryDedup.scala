@@ -22,11 +22,56 @@ private[graft] object SparkEntryDedup {
     "q19_ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.6)),
 
-    "q20_minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), 64, 16, 0.6)),
+    // §2.7 — MinHash+LSH under a boolean recall contract (round 6, the
+    // q94 pattern): the LSH operator runs in ppjoinJaccardPairs' exact
+    // shingle space (5-gram raw), so that exact global join IS the ground
+    // truth — the oracle recomputes n_true_pairs exactly, found_subset_ok
+    // pins that banded candidates verified by exact Jaccard only ever
+    // emit true pairs, and recall_ok states the measured floor (95.0%;
+    // measured 100% at sf0.001/0.01/0.1 — every true pair collides in
+    // some band at 16×4 banding). The truth arm composes the by-design-
+    // quadratic exact engine, so q20 leaves the sf1 rung (the q141/q229
+    // exclusion rule); the LSH scale path stays rung-covered via q49.
+    "q20_minhash_lsh_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val found = Dedup.minhashLshPairs(docs, 64, 16, 0.6,
+          shingleWidth = 5, normalize = false)
+        .select(col("doc_id_1"), col("doc_id_2"), lit(1).as("f"))
+      val truth = Dedup.ppjoinJaccardPairs(docs, 0.6)
+        .select(col("doc_id_1"), col("doc_id_2"), lit(1).as("t"))
+      truth.join(found, Seq("doc_id_1", "doc_id_2"), "full")
+        .groupBy()
+        .agg(count(col("t")).as("n_true_pairs"),
+          count(col("f")).as("nf"),
+          count(when(col("t").isNotNull && col("f").isNotNull, 1)).as("nb"))
+        .select(col("n_true_pairs"),
+          (col("nf") === col("nb")).as("found_subset_ok"),
+          (col("nb") * lit(1000L) >= col("n_true_pairs") * lit(950L))
+            .as("recall_ok"))
+    }),
 
-    "q21_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), 6)),
+    // §2.7 — SimHash under a boolean recall contract (round 6): hamming-6
+    // token-vector similarity isn't SQL-expressible (xxhash64 bit model),
+    // but its RECALL against the exact blocked trigram-Jaccard ≥ 0.8
+    // frame is a checkable statement — the oracle recomputes that truth
+    // count exactly and states the measured floor (85.0%; measured
+    // 87.5–100% across sf0.001/0.01/0.1) as a literal TRUE. No subset
+    // claim: simhash legitimately surfaces token-level near-dups whose
+    // character-trigram jaccard is low (measured: most of them).
+    "q21_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val found = Dedup.simhashPairs(docs, 6)
+        .select(col("doc_id_1"), col("doc_id_2"), lit(1).as("f"))
+      val truth = Dedup.ngramJaccardPairs(docs, 0.8)
+        .select(col("doc_id_1"), col("doc_id_2"), lit(1).as("t"))
+      truth.join(found, Seq("doc_id_1", "doc_id_2"), "full")
+        .groupBy()
+        .agg(count(col("t")).as("n_true_pairs"),
+          count(when(col("t").isNotNull && col("f").isNotNull, 1)).as("nb"))
+        .select(col("n_true_pairs"),
+          (col("nb") * lit(1000L) >= col("n_true_pairs") * lit(850L))
+            .as("recall_ok"))
+    }),
 
     "q24_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), 0.35)),
@@ -60,10 +105,26 @@ private[graft] object SparkEntryDedup {
     "q52_weighted_jaccard_pairs" -> ((s, dir) =>
       Dedup.weightedJaccardPairs(t(s, dir, "documents"), 0.6)),
 
-    // §2.7 — weighted MinHash + LSH (rows-only: LSH recall is probabilistic;
-    // DedupSpec asserts exact agreement with q52 at these parameters)
-    "q53_weighted_lsh_pairs" -> ((s, dir) =>
-      Dedup.weightedMinhashLshPairs(t(s, dir, "documents"), 128, 32, 0.6)),
+    // §2.7 — weighted MinHash + LSH under a boolean recall contract
+    // (round 6): weightedJaccardPairs is the exact ground truth in the
+    // SAME occurrence-expanded space, so the q20 contract applies
+    // verbatim (floor 95.0%; measured 100% at all three SFs)
+    "q53_weighted_lsh_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val found = Dedup.weightedMinhashLshPairs(docs, 128, 32, 0.6)
+        .select(col("doc_id_1"), col("doc_id_2"), lit(1).as("f"))
+      val truth = Dedup.weightedJaccardPairs(docs, 0.6)
+        .select(col("doc_id_1"), col("doc_id_2"), lit(1).as("t"))
+      truth.join(found, Seq("doc_id_1", "doc_id_2"), "full")
+        .groupBy()
+        .agg(count(col("t")).as("n_true_pairs"),
+          count(col("f")).as("nf"),
+          count(when(col("t").isNotNull && col("f").isNotNull, 1)).as("nb"))
+        .select(col("n_true_pairs"),
+          (col("nf") === col("nb")).as("found_subset_ok"),
+          (col("nb") * lit(1000L) >= col("n_true_pairs") * lit(950L))
+            .as("recall_ok"))
+    }),
 
     // §2.7 — benchmark decontamination: the corpus split by content-hash
     // bucket into a 1/16 "eval set" (needles) vs the rest (training
@@ -393,6 +454,62 @@ private[graft] object SparkEntryDedup {
          |  FROM sh a JOIN sh b
          |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.6""".stripMargin,
+
+    // boolean recall contract (round 6): n_true_pairs is the exact global
+    // 5-gram jaccard pair count (q51's oracle shape); the booleans are
+    // stated as literal TRUEs and computed for real on the Spark side
+    "q20_minhash_lsh_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([substr(text, CAST(x AS INT), 5)
+        |           for x in range(1, CAST(length(text) AS BIGINT) - 3)]) AS s
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |       TRUE AS found_subset_ok, TRUE AS recall_ok
+        |FROM (
+        |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6""".stripMargin,
+
+    // boolean recall contract (round 6): truth is the blocked exact
+    // trigram-jaccard >= 0.8 frame (q19's oracle shape at 0.8)
+    "q21_simhash_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+         |FROM (
+         |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.8""".stripMargin,
+
+    // boolean recall contract (round 6): truth is q52's exact weighted-
+    // jaccard pair count over occurrence-expanded 5-gram multisets
+    "q53_weighted_lsh_pairs" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, $NormSql AS ntext FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         [substr(ntext, CAST(x AS INT), 5)
+         |          for x in range(1, CAST(length(ntext) AS BIGINT) - 3)] AS s
+         |  FROM nrm),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM m),
+         |occ AS (
+         |  SELECT doc_id,
+         |         g || '#' || CAST(row_number() OVER (PARTITION BY doc_id, g)
+         |                          AS VARCHAR) AS e
+         |  FROM ex),
+         |sh AS (SELECT doc_id, list(e) AS s FROM occ GROUP BY doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |       TRUE AS found_subset_ok, TRUE AS recall_ok
+         |FROM (
+         |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.s, b.s))) AS wjaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE wjaccard >= 0.6""".stripMargin,
 
     "q24_embedding_neardup" ->
       s"""$EmbCte

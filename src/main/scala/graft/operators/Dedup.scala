@@ -377,8 +377,14 @@ object Dedup {
     *    whose set sizes already bound jaccard below the threshold.
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5, shingleWidth: Int = 3,
+                      normalize: Boolean = true): DataFrame = {
     val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // `shingleWidth`/`normalize` pick the shingle space; the (5, raw)
+    // setting is exactly [[ppjoinJaccardPairs]]'s space, which makes that
+    // exact global join the operator's recall ground truth (q20's oracle
+    // contract). Default (3, normalized) is the historical behavior.
+    //
     // Each stacked select materializes its expensive column exactly once:
     // the consumer references it >1 time, so CollapseProject keeps the
     // boundary (its cheap-expression guard) and nothing is recomputed.
@@ -390,7 +396,9 @@ object Dedup {
     // (few) input-split tasks instead of the `parts`-way repartition.
     val pre = docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .repartition(parts, col("doc_id")) // spread the shingle/minhash CPU
-      .select(col("doc_id"), shingles3(normText(col("text"))).as("strs"))
+      .select(col("doc_id"),
+        shinglesW(if (normalize) normText(col("text")) else col("text"),
+          shingleWidth).as("strs"))
       .select(col("doc_id"),
         array_sort(transform(col("strs"), s => xxhash64(s))).as("sh"),
         transform(col("strs"), s => hash(s).cast("long")).as("hs"))
