@@ -46,13 +46,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = allQueries
 
-  // q83 (BPE merge TRAINING) is the one query intentionally absent from
-  // oracleSql — its iterative merge selection is not SQL-expressible →
-  // driver records the weaker rows-only check; its semantics are pinned
-  // against an exact baseline in the test suite. Every other former
-  // rows-only entry (q20/q21/q23/q26/q53/q94) carries a boolean recall
-  // contract since round 6: an exact oracle-recomputable anchor plus
-  // measured recall floors the oracle states as literal TRUEs.
+  // Round 6 closed the rows-only list entirely: q83's merge recursion
+  // unrolls to k SQL stages (full exact oracle), and the former LSH/
+  // quantizer rows (q20/q21/q23/q26/q53/q94) carry boolean recall
+  // contracts — an exact oracle-recomputable anchor plus measured recall
+  // floors the oracle states as literal TRUEs.
   private lazy val allOracles: Map[String, String] = {
     val parts = Seq(
       SparkEntryCore.oracleSql, SparkEntryAnalytics1.oracleSql,

@@ -211,6 +211,44 @@ private[graft] object SparkEntryShared {
        |SELECT src AS node, deg FROM d$rounds WHERE deg >= $k""".stripMargin
   }
 
+  /** DuckDB twin of BpeTrainer.trainMerges, k rounds UNROLLED: round i
+    * recomputes weighted adjacent-pair counts over the evolving symbol
+    * sequences (overlapping adjacencies counted, exactly the trainer's
+    * sliding-j accounting), takes the (count desc, left, right)
+    * binary-collation argmax, and applies the merge with the q225
+    * chr(1)sym chr(2) replace-chain convention (leftmost non-overlapping —
+    * the kernel's single-pass scan). Proves the driver-side merge loop
+    * equals the from-scratch recomputation every round.
+    */
+  def bpeTrainOracleSql(k: Int): String = {
+    val wrap =
+      "chr(1) || array_to_string(string_split(t, ''), chr(2)||chr(1)) || chr(2)"
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(sum(n) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT n, unnest([{'l': syms[j], 'r': syms[j + 1]}
+         |                      for j in range(1, len(syms))]) AS pr
+         |    FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+         |                 chr(2)||chr(1)) AS syms, n FROM w${i - 1}))
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(w${i - 1}.s, chr(1)||m$i.l||chr(2)||chr(1)||m$i.r||chr(2),
+         |                 chr(1)||m$i.l||m$i.r||chr(2)) AS s, n
+         |  FROM w${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS merge_rank, l AS "left", """ +
+        s"""r AS "right", c AS pair_count FROM m$i""").mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT $wrap AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest($ToksSql) AS t FROM documents)
+       |  GROUP BY t),
+       |$rounds
+       |$sel""".stripMargin
+  }
+
   // 10-token non-overlapping segments of each document — the shared CTE
   // for the sub-document curation oracles (mirrors Curation.segmented)
   val SegCte: String =

@@ -163,9 +163,12 @@ private[graft] object SparkEntryText {
     }),
 
     // §2.9 — BPE tokenizer training (8 merges): one corpus pass builds
-    // the word vocab; rounds run on that bounded frame. Rows-only — the
-    // k-round recursion is not SQL-expressible; the merge sequence is
-    // pinned exactly on the textbook corpus in BpeTrainerSpec
+    // the word vocab; rounds run driver-side on that bounded frame with
+    // incremental pair accounting. FULL oracle since round 6: the k-round
+    // recursion unrolls to k SQL stages (bpeTrainOracleSql), so the
+    // incremental loop is proven equal to from-scratch recomputation
+    // every round; the merge sequence is additionally pinned on the
+    // textbook corpus in BpeTrainerSpec
     "q83_bpe_merges" -> ((s, dir) =>
       BpeTrainer.merges(t(s, dir, "documents"), 8)),
 
@@ -1230,6 +1233,8 @@ private[graft] object SparkEntryText {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the k-round merge recursion, unrolled (see bpeTrainOracleSql)
+    "q83_bpe_merges" -> bpeTrainOracleSql(8),
 
     "q14_token_stats" ->
       s"""SELECT doc_id,
