@@ -169,42 +169,17 @@ private[graft] object SparkEntryDedup {
     }),
 
     // §2.7 — embedding near-dup blocked by IVF quantizer cells (the scale
-    // path: no label/block key needed), promoted to a boolean recall
-    // contract in round 6: the deterministic quantizer
-    // (embeddingNearDupDet) makes the caught-pair set a pure function of
-    // the data, the oracle recomputes n_true_pairs EXACTLY over the
-    // all-pairs join it can express, found_subset_ok pins that the
-    // blocked arm only ever emits true pairs, and recall_ok states the
-    // measured floor (>= 93.0% of true pairs caught at nCells=8/nProbe=3;
-    // measured 95.4–96.5% across sf0.001/0.01/0.1). The all-pairs arm
-    // here is the VERIFICATION twin the oracle needs — production runs
-    // only the blocked arm (q24 keeps the hash-compared explicit-block
-    // variant of the pair output itself).
-    "q94_embedding_neardup_ivf" -> ((s, dir) => {
-      import graft.functions.VectorFunctions.{vnorm, cosineWithNorms}
-      val emb = t(s, dir, "embeddings")
-      val found = Dedup.embeddingNearDupDet(emb, 0.35, nCells = 8, nProbe = 3)
-        .select(col("vec_id_1"), col("vec_id_2"), lit(1).as("f"))
-      val withNorm = emb.select(col("vec_id"), col("embedding"),
-        vnorm(col("embedding")).as("nrm"))
-      val truth = withNorm.as("a").join(withNorm.as("b"),
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id_1"),
-          col("b.vec_id").as("vec_id_2"),
-          cosineWithNorms(col("a.embedding"), col("b.embedding"),
-            col("a.nrm"), col("b.nrm")).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.35)
-        .select(col("vec_id_1"), col("vec_id_2"), lit(1).as("t"))
-      truth.join(found, Seq("vec_id_1", "vec_id_2"), "full")
-        .groupBy()
-        .agg(count(col("t")).as("n_true_pairs"),
-          count(col("f")).as("nf"),
-          count(when(col("t").isNotNull && col("f").isNotNull, 1)).as("nb"))
-        .select(col("n_true_pairs"),
-          (col("nf") === col("nb")).as("found_subset_ok"),
-          (col("nb") * lit(1000L) >= col("n_true_pairs") * lit(930L))
-            .as("recall_ok"))
-    }),
+    // path: no label/block key needed) with a FULL exact oracle (round 6
+    // final): the deterministic quantizer (embeddingNearDupDet over
+    // fitQuantizerDet) makes the caught-pair SET a pure function of the
+    // data, and the generated oracle SQL recomputes the whole pipeline —
+    // fit set, unrolled Lloyd rounds, nProbe multi-assignment, cell
+    // equi-join, exact cosine threshold — so the emitted pairs hash-
+    // compare directly. Recall vs all-pairs (95.4–96.5% measured at
+    // nCells=8/nProbe=3, floor 0.93) stays asserted in DedupSpec.
+    "q94_embedding_neardup_ivf" -> ((s, dir) =>
+      Dedup.embeddingNearDupDet(t(s, dir, "embeddings"), 0.35,
+        nCells = 8, nProbe = 3)),
 
     // §2.7 — global edit-distance join, PassJoin pigeonhole candidates:
     // q47's block-free scale path (brand blocks grow with the corpus, so
@@ -676,15 +651,13 @@ private[graft] object SparkEntryDedup {
          |JOIN sp s1 ON p.doc_id_1 = s1.doc_id
          |JOIN sp s2 ON p.doc_id_2 = s2.doc_id""".stripMargin,
 
-    // boolean recall contract (round 6): n_true_pairs is the EXACT
-    // all-pairs count the oracle recomputes; the subset/recall booleans
-    // are stated as literal TRUEs and computed for real on the Spark side
-    "q94_embedding_neardup_ivf" ->
-      s"""$EmbCte
-         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
-         |       TRUE AS found_subset_ok, TRUE AS recall_ok
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35""".stripMargin,
+    // FULL exact oracle (round 6 final): the deterministic quantizer is a
+    // pure function of the data, so the generated SQL recomputes the whole
+    // blocked near-dup pipeline — fit set, 3 unrolled Lloyd rounds, nProbe
+    // multi-assignment, cell equi-join, exact cosine threshold — and the
+    // emitted PAIRS hash-compare directly (see quantizerCtes)
+    "q94_embedding_neardup_ivf" -> neardupIvfOracleSql(nCells = 8,
+      fitFraction = 0.1, iters = 3, nProbe = 3, threshold = "0.35"),
 
     "q97_edit_distance_pairs" ->
       """SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,

@@ -211,6 +211,157 @@ private[graft] object SparkEntryShared {
        |SELECT src AS node, deg FROM d$rounds WHERE deg >= $k""".stripMargin
   }
 
+  // DuckDB twin of Similarity.sqDistCentroid: same element-ordered fold,
+  // same per-element cast/subtract/square, list_reduce's no-init start is
+  // bit-identical to the 0D seed (0.0 + x1 ≡ x1, the dotSql argument)
+  private def sqDistSql(e: String, c: String): String =
+    s"""list_reduce(list_transform(list_zip($e, $c), s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (acc, x) -> acc + x)"""
+
+  /** DuckDB twin of Similarity.fitQuantizerDet, `iters` Lloyd rounds
+    * UNROLLED: md5-bucket fit set + tiny-corpus floor (deduped on
+    * vec_id), md5-sample init, per-round (argmin assignment → fixed-point
+    * centroid update → empty-cell carryover). Emits CTEs ending in the
+    * final centroid frame, whose name is returned alongside the SQL.
+    */
+  def quantizerCtes(nCells: Int, fitFraction: Double, iters: Int,
+                    dim: Int = 64): (String, String) = {
+    val keepHex = "%02x".format(
+      math.min(255L, math.max(1L, math.ceil(fitFraction * 256).toLong)))
+    val ctes = Seq(
+      s"""fs AS (
+         |  SELECT DISTINCT ON (vec_id) vec_id, embedding FROM (
+         |    SELECT vec_id, embedding FROM embeddings
+         |    WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '$keepHex'
+         |    UNION ALL
+         |    SELECT vec_id, embedding FROM (
+         |      SELECT vec_id, embedding FROM embeddings
+         |      ORDER BY vec_id LIMIT ${nCells * 20})))""".stripMargin,
+      s"""c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM (SELECT vec_id, embedding FROM fs
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells))""".stripMargin) ++
+      (1 to iters).flatMap { r =>
+        Seq(
+          s"""a$r AS (
+             |  SELECT cell, embedding FROM (
+             |    SELECT c.cell, f.embedding,
+             |           row_number() OVER (PARTITION BY f.vec_id
+             |             ORDER BY ${sqDistSql("f.embedding", "c.centroid")}, c.cell) AS rn
+             |    FROM fs f, c${r - 1} c) WHERE rn = 1)""".stripMargin,
+          s"""u$r AS (
+             |  SELECT cell, list(val ORDER BY dim) AS centroid FROM (
+             |    SELECT cell, dim,
+             |           CAST(sum(fp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 16777216.0) AS val
+             |    FROM (SELECT a.cell, j.dim,
+             |                 CAST(floor(CAST(a.embedding[j.dim] AS DOUBLE) * 16777216.0) AS BIGINT) AS fp
+             |          FROM a$r a, (SELECT unnest(range(1, ${dim + 1})) AS dim) j)
+             |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin,
+          s"""c$r AS (
+             |  SELECT p.cell, coalesce(u.centroid, p.centroid) AS centroid
+             |  FROM c${r - 1} p LEFT JOIN u$r u USING (cell))""".stripMargin)
+      }
+    (ctes.mkString(",\n"), s"c$iters")
+  }
+
+  /** Full q26 oracle: quantizer rounds + corpus single-cell assignment +
+    * nProbe probe ranking + exact cosine top-k — Similarity.ivfKnnFrom
+    * end-to-end in SQL.
+    */
+  def ivfKnnOracleSql(nCells: Int, fitFraction: Double, iters: Int,
+                      nProbe: Int, k: Int, maxProbeId: Long): String = {
+    val (ctes, cf) = quantizerCtes(nCells, fitFraction, iters)
+    s"""WITH $ctes,
+       |idx AS (
+       |  SELECT vec_id AS neighbor_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqDistSql("e.embedding", "c.centroid")}, c.cell) AS rn
+       |    FROM embeddings e, $cf c) WHERE rn = 1),
+       |prb AS (
+       |  SELECT vec_id AS query_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqDistSql("e.embedding", "c.centroid")}, c.cell) AS rn
+       |    FROM embeddings e, $cf c WHERE e.vec_id < $maxProbeId) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, i.neighbor_id,
+       |         ${dotSql("p.embedding", "i.embedding")} / (p.nrm * i.nrm) AS cos_sim
+       |  FROM prb p JOIN idx i USING (cell)
+       |  WHERE p.query_id <> i.neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, "rank" FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS "rank"
+       |  FROM scored) WHERE "rank" <= $k""".stripMargin
+  }
+
+  /** Full q94 oracle: quantizer rounds + nProbe multi-assignment + cell
+    * equi-join + exact cosine threshold — Dedup.embeddingNearDupDet
+    * end-to-end in SQL.
+    */
+  def neardupIvfOracleSql(nCells: Int, fitFraction: Double, iters: Int,
+                          nProbe: Int, threshold: String): String = {
+    val (ctes, cf) = quantizerCtes(nCells, fitFraction, iters)
+    s"""WITH $ctes,
+       |asg AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqDistSql("e.embedding", "c.centroid")}, c.cell) AS rn
+       |    FROM embeddings e, $cf c) WHERE rn <= $nProbe)
+       |SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+       |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $threshold""".stripMargin
+  }
+
+  /** Full q23 oracle: multi-table random-hyperplane LSH end-to-end in SQL.
+    * The plane matrices are the SAME fixed-seed literals the Spark plan
+    * compiles in (Similarity.planesSeeded — single source of truth, the
+    * q225 merge-table convention): per table, signature bit i is
+    * [dot(v, plane_i) >= 0], probes are the own bucket plus all 1-bit
+    * flips, candidates join on (table, signature), and survivors score by
+    * exact cosine with the usual (cos desc, id) top-k.
+    */
+  def lshKnnOracleSql(nBits: Int, dim: Int, nTables: Int, k: Int,
+                      maxProbeId: Long): String = {
+    def sigSql(tab: Int): String = {
+      val ps = graft.operators.Similarity.planesSeeded(nBits, dim,
+        if (tab == 0) 7L else 7L + 1000L * tab)
+      val terms = ps.zipWithIndex.map { case (p, i) =>
+        val planeLit = p.mkString("[", ", ", "]")
+        s"CASE WHEN ${dotSql("embedding", planeLit)} >= 0 THEN ${1L << i} ELSE 0 END"
+      }
+      s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+    }
+    val candArms = (0 until nTables).map { tab =>
+      s"""  SELECT vec_id, embedding, nrm, $tab AS tab, ${sigSql(tab)} AS sig
+         |  FROM e""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val flips = (0L +: (0 until nBits).map(i => 1L << i)).map(m =>
+      s"xor(sig, $m)").mkString("[", ", ", "]")
+    s"""$EmbCte,
+       |cand AS (
+       |$candArms),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding, nrm, tab,
+       |         unnest($flips) AS probe_sig
+       |  FROM cand WHERE vec_id < $maxProbeId),
+       |scored AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos_sim
+       |  FROM probes p JOIN cand c
+       |    ON p.tab = c.tab AND p.probe_sig = c.sig
+       |   AND p.query_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim, "rank" FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS "rank"
+       |  FROM scored) WHERE "rank" <= $k""".stripMargin
+  }
+
   /** DuckDB twin of BpeTrainer.trainMerges, k rounds UNROLLED: round i
     * recomputes weighted adjacent-pair counts over the evolving symbol
     * sequences (overlapping adjacencies counted, exactly the trainer's

@@ -23,62 +23,32 @@ private[graft] object SparkEntryVector {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // §2.8 — multi-table LSH ANN under a boolean recall contract (round 6,
-    // the q41/q250 pattern): per probe, the EXACT top-5 id-sum anchors the
-    // oracle to the same brute-force ranking it recomputes, returned_k_ok
-    // pins the ANN plumbing (5 candidates surfaced per probe), and
-    // recall_floor_ok states the measured whole-probe-set recall floor
-    // (>= 12 of 40 exact hits; measured 16–19 at sf0.001/0.01/0.1 with 4
-    // OR-amplified tables — random-baseline expectation is < 1). The LSH
-    // ranking itself stays non-SQL-expressible (hyperplane literals), so
-    // the floor boolean is the strongest driver-checkable statement.
+    // §2.8 — multi-table LSH ANN with a FULL exact oracle (round 6 final):
+    // the hyperplanes are fixed-seed literals compiled into the plan, so
+    // the SAME literals embed in the generated oracle SQL (the q225
+    // merge-table convention) and DuckDB replays signature → multiprobe →
+    // bucket join → exact cosine → top-5 end-to-end. Recall vs brute
+    // force (16–19 of 40 exact hits at 4 OR-amplified tables, measured)
+    // stays asserted in SimilaritySpec.
     "q23_ann_lsh" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
-      val probesQ = emb.filter(col("vec_id") < 8)
-      val exact = Similarity.bruteKnn(emb, probesQ, 5)
-        .select(col("query_id").as("probe_id"), col("neighbor_id"))
-      val ann = Similarity.lshKnn(emb, probesQ, 5, nTables = 4)
-        .select(col("query_id").as("probe_id"), col("neighbor_id"),
-          lit(1).as("hit"))
-      exact.join(ann, Seq("probe_id", "neighbor_id"), "left")
-        .groupBy(col("probe_id"))
-        .agg(sum(col("neighbor_id")).as("exact_top5_idsum"),
-          count(col("hit")).as("n_hits"))
-        .join(ann.groupBy(col("probe_id")).agg(count(lit(1)).as("n_ann")),
-          Seq("probe_id"), "left")
-        .select(col("probe_id"), col("exact_top5_idsum"),
-          (coalesce(col("n_ann"), lit(0L)) === 5).as("returned_k_ok"),
-          (sum(col("n_hits")).over(Window.partitionBy()) >= 12)
-            .as("recall_floor_ok"))
+      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 8), 5, nTables = 4)
+        .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // §2.8 — IVF ANN (coarse-quantized cells, nProbe search) under a
-    // boolean recall contract (round 6): the quantizer is the
-    // DETERMINISTIC Lloyd fit (fitQuantizerDet — fixed-point centroid
-    // updates, bit-reproducible on any partitioning), which turns
-    // per-probe recall into an exact property of the pinned data rather
-    // than a statistic over k-means|| initializations. recall_ok states
-    // the measured per-probe floor (>= 2 of 5 exact hits at nProbe=5 of
-    // 16 cells; measured minimum is exactly 2 across sf0.001/0.01/0.1).
+    // §2.8 — IVF ANN (coarse-quantized cells, nProbe search) with a FULL
+    // exact oracle (round 6 final): the DETERMINISTIC Lloyd quantizer
+    // (fitQuantizerDet — md5-bucket fit set, md5-sample init, fixed-point
+    // centroid updates) is a pure function of the data that the generated
+    // oracle SQL recomputes end-to-end: fit set → k unrolled Lloyd rounds
+    // → corpus assignment → nProbe search → exact cosine top-5. Per-probe
+    // recall vs brute force (min exactly 2/5 at nProbe=5, measured) stays
+    // asserted in SimilaritySpec.
     "q26_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val probesQ = emb.filter(col("vec_id") < 8)
-      val exact = Similarity.bruteKnn(emb, probesQ, 5)
-        .select(col("query_id").as("probe_id"), col("neighbor_id"))
-      val cents = Similarity.fitQuantizerDet(emb, 16)
-      val ann = Similarity.ivfKnnFrom(cents, emb, probesQ, 5, nProbe = 5)
-        .select(col("query_id").as("probe_id"), col("neighbor_id"),
-          lit(1).as("hit"))
-      exact.join(ann, Seq("probe_id", "neighbor_id"), "left")
-        .groupBy(col("probe_id"))
-        .agg(sum(col("neighbor_id")).as("exact_top5_idsum"),
-          count(col("hit")).as("n_hits"))
-        .join(ann.groupBy(col("probe_id")).agg(count(lit(1)).as("n_ann")),
-          Seq("probe_id"), "left")
-        .select(col("probe_id"), col("exact_top5_idsum"),
-          (coalesce(col("n_ann"), lit(0L)) === 5).as("returned_k_ok"),
-          (col("n_hits") >= 2).as("recall_ok"))
+      Similarity.ivfKnnFrom(Similarity.fitQuantizerDet(emb, 16), emb,
+          emb.filter(col("vec_id") < 8), 5, nProbe = 5)
+        .withColumn("rank", col("rank").cast("long"))
     }),
 
     // §2.8 — int8 vector quantization (per-vector absmax scale): the 4×
@@ -357,42 +327,19 @@ private[graft] object SparkEntryVector {
          |                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS "rank"
          |  FROM scored) WHERE "rank" <= 5""".stripMargin,
 
-    // boolean recall contract (round 6): the oracle recomputes the exact
-    // brute-force top-5 (anchoring the probe set and the ranking the
-    // recall is measured against) and states the contract booleans as
-    // literal TRUEs — the q41/q250 pattern. The ANN side isn't
-    // SQL-expressible (hyperplane literals / quantizer cells), so a
-    // false boolean from the Spark side is exactly what the hash compare
-    // is meant to catch.
-    "q23_ann_lsh" ->
-      s"""$EmbCte,
-         |scored AS (
-         |  SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
-         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
-         |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
-         |topk AS (
-         |  SELECT probe_id, neighbor_id,
-         |         row_number() OVER (PARTITION BY probe_id
-         |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
-         |  FROM scored)
-         |SELECT probe_id, CAST(sum(neighbor_id) AS BIGINT) AS exact_top5_idsum,
-         |       TRUE AS returned_k_ok, TRUE AS recall_floor_ok
-         |FROM topk WHERE rnk <= 5 GROUP BY 1""".stripMargin,
+    // FULL exact oracle (round 6 final): the hyperplanes are fixed-seed
+    // literals in BOTH engines (single source: Similarity.planesSeeded),
+    // so DuckDB replays signatures → multiprobe → bucket join → exact
+    // cosine → top-5 end-to-end and the ranking hash-compares directly
+    "q23_ann_lsh" -> lshKnnOracleSql(nBits = 8, dim = 64, nTables = 4,
+      k = 5, maxProbeId = 8),
 
-    "q26_ann_ivf" ->
-      s"""$EmbCte,
-         |scored AS (
-         |  SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
-         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
-         |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
-         |topk AS (
-         |  SELECT probe_id, neighbor_id,
-         |         row_number() OVER (PARTITION BY probe_id
-         |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
-         |  FROM scored)
-         |SELECT probe_id, CAST(sum(neighbor_id) AS BIGINT) AS exact_top5_idsum,
-         |       TRUE AS returned_k_ok, TRUE AS recall_ok
-         |FROM topk WHERE rnk <= 5 GROUP BY 1""".stripMargin,
+    // FULL exact oracle (round 6 final): the deterministic Lloyd
+    // quantizer is a pure function of the data, so the generated SQL
+    // recomputes fit set → 3 unrolled Lloyd rounds → corpus assignment →
+    // nProbe search → exact cosine top-5 (see quantizerCtes)
+    "q26_ann_ivf" -> ivfKnnOracleSql(nCells = 16, fitFraction = 0.1,
+      iters = 3, nProbe = 5, k = 5, maxProbeId = 8),
 
     "q88_vec_quantize" ->
       """WITH s AS (

@@ -57,7 +57,7 @@ object Similarity {
     * matrix (so `nTables = 1` is bit-identical to the historical single-
     * table behavior); further tables draw from disjoint fixed seeds.
     */
-  private def planesSeeded(nBits: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+  private[graft] def planesSeeded(nBits: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
@@ -151,8 +151,10 @@ object Similarity {
     * (duplicate rows only re-weight KMeans). Residual caveat: Spark's
     * k-means|| INITIALIZATION draws per-partition randoms, so centroids
     * (not membership) can still vary with physical layout — inherent to
-    * distributed KMeans, and the reason the IVF paths are rows-only with
-    * recall specs rather than hash-compared.
+    * distributed KMeans. That nondeterminism is why the q26/q94 query
+    * contracts run on [[fitQuantizerDet]] instead since round 6; this
+    * trained fit stays for callers who value KMeans recall over
+    * bit-reproducibility.
     */
   private[operators] def fitQuantizer(emb: DataFrame, nCells: Int,
                                       fitFraction: Double) = {
@@ -270,11 +272,24 @@ object Similarity {
     */
   def fitQuantizerDet(emb: DataFrame, nCells: Int,
                       fitFraction: Double = 0.1, iters: Int = 3): DataFrame = {
-    val keepPerMille = math.max(1L, (fitFraction * 1000).toLong)
+    // fit-set membership by md5-prefix bucket (the q34 contentSample
+    // convention, round 6): a pure function of vec_id that a SQL oracle
+    // can restate verbatim — substr(md5(id), 1, 2) < threshold keeps
+    // ceil(fitFraction·256)/256 of rows. xxhash64-permille (the KMeans
+    // fit's rule) is Spark-internal and would block full-hash oracles.
+    // clamp to 255: a "sample" of 256/256 is the full corpus, which the
+    // 2-hex-char prefix compare cannot express (and defeats the point)
+    val keepHex = "%02x".format(
+      math.min(255L, math.max(1L, math.ceil(fitFraction * 256).toLong)))
+    // distinct: a vec_id in both the bucket sample and the tiny-corpus
+    // floor must appear once — duplicate rows at the md5-ordered INIT cut
+    // could seed two cells with the same centroid (assignment dedupes by
+    // vec_id anyway, so distinct changes nothing else)
     val fitSet = emb.select(col("vec_id"), col("embedding"))
-      .filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < lit(keepPerMille))
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 2) < keepHex)
       .union(emb.select(col("vec_id"), col("embedding"))
         .orderBy(col("vec_id")).limit(nCells * 20))
+      .dropDuplicates("vec_id")
       .localCheckpoint() // reused by every Lloyd pass
     var cents = fitSet
       .select(col("vec_id"), col("embedding"),

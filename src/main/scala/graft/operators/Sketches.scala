@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *    cutoffs on the aggregated counts (exact here, since the aggregation
   *    is already one shuffle).
   *
-  * Error bounds are asserted against the exact forms in the spec; the
-  * driver records this query rows-only (sketch state is engine-specific —
-  * not SQL-oracle-comparable by design).
+  * Error bounds are asserted against the exact forms in the spec; sketch
+  * VALUES are engine-specific state (not SQL-oracle-comparable by
+  * design), so the query catalog gates them through [[summaryContract]]'s
+  * boolean error-bound contract instead of raw estimates.
   */
 object Sketches {
 

@@ -384,6 +384,22 @@ class DedupSpec extends SparkTestBase {
     det2 shouldBe det
   }
 
+  test("q94 recall floor holds on the pinned sf0.001 corpus") {
+    // the measured-on-testdata evidence behind the round-6 catalog entry
+    // (its hash gate now checks the exact pair set; this keeps the
+    // quality statement): >= 93% of all-pairs cos >= 0.35 pairs caught at
+    // nCells=8/nProbe=3
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Dedup.embeddingNearDupPairs(
+        emb.withColumn("label", lit(0)), 0.35)
+      .select(col("vec_id_1"), col("vec_id_2"))
+      .as[(Long, Long)].collect().toSet
+    val det = Dedup.embeddingNearDupDet(emb, 0.35, nCells = 8, nProbe = 3)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    det.subsetOf(exact) shouldBe true
+    det.size.toDouble / exact.size should be >= 0.93
+  }
+
   test("embeddingNearDupDet plan: pair generation is an equi-join on cell") {
     val df = twinCorpus
     val plan = Dedup.embeddingNearDupDet(df, 0.95, nCells = 4, nProbe = 2)

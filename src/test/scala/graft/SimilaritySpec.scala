@@ -147,6 +147,30 @@ class SimilaritySpec extends SparkTestBase {
     cents.length should be >= 1
   }
 
+  test("q23/q26 recall floors hold on the pinned sf0.001 corpus") {
+    // the measured-on-testdata recall evidence behind the round-6 catalog
+    // entries (their hash gates now check the EXACT ranking; this spec
+    // keeps the quality statement): at 4 LSH tables >= 12/40 brute-force
+    // top-5 hits over the 8 probes, and >= 2/5 per probe for IVF at
+    // nProbe=5 of 16 deterministic Lloyd cells
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteKnn(emb, probes, 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val lshHits = Similarity.lshKnn(emb, probes, 5, nTables = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().count(exact)
+    lshHits should be >= 12
+    val cents = Similarity.fitQuantizerDet(emb, 16)
+    val ivf = Similarity.ivfKnnFrom(cents, emb, probes, 5, nProbe = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      rows.count(exact) should be >= 2
+    }
+  }
+
   test("ivfKnnFrom achieves full recall on well-separated clusters") {
     val emb = clustered
     val queries = emb.filter(col("vec_id").isin(0L, 5L))
