@@ -289,6 +289,20 @@ private[graft] object SparkEntryDedup {
     // cosine micro-rounded once before the threshold compare; ONE
     // cell-key shuffle feeds both pair sides, cluster count is the
     // published scale knob (cell size stays bounded as the corpus grows)
+    // §2.7 — SEMANTIC decontamination (round 6 late): train vectors whose
+    // embedding cosine to ANY eval vector reaches 0.35 — the paraphrase/
+    // re-encoding eval-leakage q55's n-gram containment cannot see. The
+    // eval split is the vec_id % 16 content-hash-style bucket; cells are
+    // eval-anchored detCentroids, so the whole pipeline is a pure
+    // function of the data and the oracle replays it end-to-end
+    "q321_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        train = emb.filter(expr("vec_id % 16 <> 0")),
+        eval = emb.filter(expr("vec_id % 16 = 0")),
+        nCells = 16, threshMicro = 350000L)
+    }),
+
     "q208_semdedup" -> ((s, dir) =>
       Similarity.semDedup(t(s, dir, "embeddings"), nCells = 16,
         threshMicro = 350000L)),
@@ -826,6 +840,55 @@ private[graft] object SparkEntryDedup {
 
     // shared CTE text for the q208/q209 deterministic-cell assignment:
     // nearest hash-sampled centroid by squared L2, ties → lower cell id
+    // the q208 machinery with eval-anchored cells: centroids sample from
+    // the EVAL subset, both sides assign, cell-mates compare
+    "q321_semantic_decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 16 = 0),
+         |sampled AS (
+         |  SELECT vec_id, embedding FROM ev
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1
+         |           AS cell,
+         |         embedding AS cv
+         |  FROM sampled),
+         |tasg AS (
+         |  SELECT vec_id, cell, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM (
+         |    SELECT e.vec_id, c.cell, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY list_reduce(
+         |             list_transform(list_zip(e.embedding, c.cv),
+         |               s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                  * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |             (acc, x) -> acc + x), c.cell) AS rn
+         |    FROM embeddings e, cents c WHERE e.vec_id % 16 <> 0)
+         |  WHERE rn = 1),
+         |easg AS (
+         |  SELECT vec_id, cell, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM (
+         |    SELECT e.vec_id, c.cell, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY list_reduce(
+         |             list_transform(list_zip(e.embedding, c.cv),
+         |               s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                  * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |             (acc, x) -> acc + x), c.cell) AS rn
+         |    FROM ev e, cents c)
+         |  WHERE rn = 1)
+         |SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+         |       CAST(max(cm) AS BIGINT) AS max_cos_micro
+         |FROM (
+         |  SELECT t.vec_id AS train_id,
+         |         CAST(floor(${dotSql("t.embedding", "e.embedding")}
+         |                 / (t.nrm * e.nrm) * 1e6 + 0.5) AS BIGINT) AS cm
+         |  FROM tasg t JOIN easg e ON t.cell = e.cell)
+         |WHERE cm >= 350000
+         |GROUP BY 1""".stripMargin,
+
     "q208_semdedup" ->
       s"""WITH sampled AS (
          |  SELECT vec_id, embedding FROM embeddings

@@ -36,6 +36,25 @@ private[graft] object SparkEntryVector {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // §2.8 — IVF cell-balance audit (round 6 late): per-cell member
+    // counts, corpus share, and relative load factor (1000 = perfectly
+    // balanced) of the deterministic quantizer index — the ops dashboard
+    // behind every IVF deployment (a hot cell IS the straggler task at
+    // search time; AQE can split it, but the index build should see it
+    // first). One broadcast argmin pass + a 16-row aggregate; integer
+    // permille on the bounded cell frame.
+    "q322_ivf_cell_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val counts = Similarity.assignCellsFrom(
+          Similarity.fitQuantizerDet(emb, 16), emb, nProbe = 1)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      counts.select(col("cell"), col("n_vecs"),
+        expr("(1000 * n_vecs) div (sum(n_vecs) over ())")
+          .as("share_permille"),
+        expr("(16000 * n_vecs) div (sum(n_vecs) over ())")
+          .as("load_permille"))
+    }),
+
     // §2.8 — IVF ANN (coarse-quantized cells, nProbe search) with a FULL
     // exact oracle (round 6 final): the DETERMINISTIC Lloyd quantizer
     // (fitQuantizerDet — md5-bucket fit set, md5-sample init, fixed-point
@@ -340,6 +359,31 @@ private[graft] object SparkEntryVector {
     // nProbe search → exact cosine top-5 (see quantizerCtes)
     "q26_ann_ivf" -> ivfKnnOracleSql(nCells = 16, fitFraction = 0.1,
       iters = 3, nProbe = 5, k = 5, maxProbeId = 8),
+
+    // the same unrolled quantizer, aggregated to the balance report
+    "q322_ivf_cell_balance" -> {
+      val (ctes, cf) = quantizerCtes(16, 0.1, 3)
+      s"""WITH $ctes,
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_reduce(list_transform(
+         |               list_zip(e.embedding, c.centroid),
+         |               s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+         |                  * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+         |               (acc, x) -> acc + x), c.cell) AS rn
+         |    FROM embeddings e, $cf c) WHERE rn = 1),
+         |counts AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM asg GROUP BY 1)
+         |SELECT cell, n_vecs,
+         |       CAST((1000 * n_vecs) // CAST(sum(n_vecs) OVER () AS BIGINT)
+         |         AS BIGINT) AS share_permille,
+         |       CAST((16000 * n_vecs) // CAST(sum(n_vecs) OVER () AS BIGINT)
+         |         AS BIGINT) AS load_permille
+         |FROM counts""".stripMargin
+    },
 
     "q88_vec_quantize" ->
       """WITH s AS (

@@ -724,6 +724,41 @@ object Similarity {
       .unionByName(pairs(bAsg, bAsg, "batch", inBatch = true))
   }
 
+  /** Semantic decontamination: flag TRAIN vectors whose embedding cosine
+    * to ANY EVAL vector reaches `threshMicro` — the modern complement of
+    * text-containment decontamination (q55): a paraphrased or re-encoded
+    * benchmark item shares no n-grams but sits next to its source in
+    * embedding space (the SemDeDup observation applied to eval leakage).
+    *
+    * Cells come from [[detCentroids]] over the EVAL set (bounded — eval
+    * sets are small by definition — and a pure function of the data, so
+    * the whole operator is oracle-able); both sides assign to their
+    * nearest eval-anchored cell and only cell-mates are compared, so no
+    * train×eval all-pairs stage exists. The cosine micro-rounds once and
+    * both the threshold compare and the per-train max are integer ops.
+    *
+    * Output: one row per contaminated train vector —
+    * (train_id, n_eval_hits, max_cos_micro).
+    */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame, nCells: Int,
+                            threshMicro: Long): DataFrame = {
+    val cents = detCentroids(eval, nCells).localCheckpoint()
+    def withNorm(asg: DataFrame) = asg
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        vnorm(col("embedding")).as("nrm"))
+    val tAsg = withNorm(assignTo(cents, train))
+    val eAsg = withNorm(assignTo(cents, eval))
+    tAsg.as("t").join(eAsg.as("e"), col("t.cell") === col("e.cell"))
+      .select(col("t.vec_id").as("train_id"),
+        floor(cosineWithNorms(col("t.embedding"), col("e.embedding"),
+          col("t.nrm"), col("e.nrm")) * 1e6 + 0.5).cast("long")
+          .as("cos_micro"))
+      .filter(col("cos_micro") >= threshMicro)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("cos_micro")).as("max_cos_micro"))
+  }
+
   /** ColBERT-style late-interaction (MaxSim) retrieval (Khattab &
     * Zaharia 2020): docs are BAGS of vectors (here: consecutive
     * `docSize`-vector groups of the embeddings table — the plumbing is

@@ -402,6 +402,42 @@ class SimilaritySpec extends SparkTestBase {
     r.values.count(_._3) should be > 0
   }
 
+  test("semanticDecontaminate flags exactly the cell-mate near pairs") {
+    // eval = two axis vectors; train = one near-dup of each, one novel
+    // diagonal; cells are eval-anchored, so each train vector lands with
+    // its nearest eval anchor and only genuine near pairs survive 0.99
+    val eval_ = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)), (101L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(1f, 0.05f, 0f, 0f)),  // ~cos 0.999 to eval 100
+      (2L, Array(0f, 1f, 0.05f, 0f)),  // ~cos 0.999 to eval 101
+      (3L, Array(1f, 1f, 1f, 1f)))     // novel
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDecontaminate(train, eval_, nCells = 2,
+        threshMicro = 990000L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    r.keySet shouldBe Set(1L, 2L)
+    r(1L)._1 shouldBe 1L // one eval hit each
+    r(2L)._1 shouldBe 1L
+    all(r.values.map(_._2)) should be >= 990000L
+  }
+
+  test("ivf cell-balance invariants: shares partition the corpus") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.fitQuantizerDet(emb, 16)
+    val counts = Similarity.assignCellsFrom(cents, emb, nProbe = 1)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    counts.map(_._2).sum shouldBe emb.count()
+    counts.length should be <= 16
+    // nProbe=1 assignment is a partition: no vector counted twice
+    Similarity.assignCellsFrom(cents, emb, nProbe = 1)
+      .groupBy(col("vec_id")).count().filter(col("count") > 1)
+      .count() shouldBe 0L
+  }
+
   test("incrementalSemDedup on an empty corpus equals batch semDedup") {
     val emb = bundles(16).toDF("vec_id", "embedding")
     val empty = emb.filter(col("vec_id") < 0)
