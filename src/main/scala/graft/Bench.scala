@@ -177,6 +177,11 @@ object Bench {
         "wedge_close" -> ((s: SparkSession, d: String) =>
           graft.operators.Graph.orientedTriangles(coEdges(s, d))),
         "full_degree_attach" -> SparkEntry.queries("q194_link_scores")))
+  // q97 deliberately has NO stage probe: materializing its candidate
+  // frame alone (wide rows through the distinct, no verify filter behind
+  // it) OOMed a task at the sf1 rung and took the SparkContext with it —
+  // a diagnostic must never be able to kill the bench run. Its band is
+  // pinned by isolated probes instead (BASELINE.md: 9.6×/9.8×/10.8×).
 
   /** True iff every `<md5>  <rows>  <name>.parquet` line of the committed
     * manifest (tools/sf1_manifest.txt, written by tools/gen_sf1.py) matches
@@ -311,7 +316,10 @@ object Bench {
                   fn(spark, sf1Dir)
                     .write.mode("overwrite").format("noop").save()
                   (System.nanoTime() - t0) / 1e9
-                } catch { case _: Throwable => -1.0 } finally clearState()
+                } catch { case e: Throwable =>
+                  System.err.println(s"[bench] stage $n/$stage failed: ${e.getMessage}")
+                  -1.0
+                } finally clearState()
                 stage -> st
               }
               "\"" + n + "\":" + json(rows)

@@ -214,6 +214,25 @@ object TextAnalysis {
     */
   def editDistancePairs(items: DataFrame, idCol: String, textCol: String,
                         maxDistance: Int): DataFrame = {
+    val k = maxDistance
+    editDistanceCandidatePairs(items, idCol, textCol, maxDistance)
+      .withColumn("distance", levenshtein(col("t_r"), col("t_s"), k).cast("long"))
+      .filter(col("distance") >= 0)
+      .select(least(col("id_r"), col("id_s")).as("id_1"),
+        greatest(col("id_r"), col("id_s")).as("id_2"), col("distance"))
+  }
+
+  /** The unique candidate pairs of [[editDistancePairs]] BEFORE the banded
+    * levenshtein verify — the PassJoin segment fan-out, (seg, j, l_r)
+    * equi-join, short-string arm, and the multi-key distinct. Exposed
+    * (like `Dedup.ppjoinCandidates`) so specs can measure prune power and
+    * the bench's stage probes can split candidate generation from verify
+    * when a rung ratio flags q97. [[editDistancePairs]] composes on top —
+    * one code path, no drift risk.
+    */
+  private[graft] def editDistanceCandidatePairs(
+      items: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int): DataFrame = {
     require(maxDistance >= 1, "maxDistance must be >= 1")
     val k = maxDistance
     val m = k + 1
@@ -296,10 +315,6 @@ object TextAnalysis {
     longPairs.select(col("id_r"), col("id_s"), col("t_r"), col("t_s"))
       .union(shortPairs.select(col("id_r"), col("id_s"), col("t_r"), col("t_s")))
       .distinct() // a pair can match on several (j, position) keys
-      .withColumn("distance", levenshtein(col("t_r"), col("t_s"), k).cast("long"))
-      .filter(col("distance") >= 0)
-      .select(least(col("id_r"), col("id_s")).as("id_1"),
-        greatest(col("id_r"), col("id_s")).as("id_2"), col("distance"))
   }
 
   /** Unigram-surprisal quality scores — the CCNet-style "perplexity against

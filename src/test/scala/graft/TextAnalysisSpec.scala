@@ -269,6 +269,26 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("editDistanceCandidatePairs: lossless superset, real prune power") {
+    // the pre-verify candidate frame the PassJoin stages produce:
+    // pigeonhole guarantees every true <= k pair appears (losslessness),
+    // and on a mixed population the prefix machinery must prune far
+    // below all-pairs (the operator's entire reason to exist)
+    val strings = (1 to 30).map(i => f"item-$i%03d-" + ("x" * (i % 7))) ++
+      (1 to 10).map(i => s"unrelated-string-number-$i-with-padding")
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("item_id", "name")
+    val cand = TextAnalysis.editDistanceCandidatePairs(df, "item_id", "name", 2)
+      .select(least(col("id_r"), col("id_s")).as("a"),
+        greatest(col("id_r"), col("id_s")).as("b"))
+      .as[(Long, Long)].collect().toSet
+    val verified = TextAnalysis.editDistancePairs(df, "item_id", "name", 2)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    verified.subsetOf(cand) shouldBe true
+    val allPairs = strings.length.toLong * (strings.length - 1) / 2
+    cand.size.toLong should be < allPairs // genuinely prunes
+  }
+
   test("phraseSearch: adjacency, overlaps, and repeated-term phrases") {
     import spark.implicits._
     val docs = Seq(
