@@ -289,6 +289,22 @@ private[graft] object SparkEntryDedup {
     // cosine micro-rounded once before the threshold compare; ONE
     // cell-key shuffle feeds both pair sides, cluster count is the
     // published scale knob (cell size stays bounded as the corpus grows)
+    // §2.7 — soft-dedup sampling weights (round 6 late): instead of
+    // DROPPING duplicates, weight every document by 1/cluster_size so a
+    // sampler draws each duplicate CLUSTER with equal mass — the
+    // repetition-aware reweighting used when hard dedup would lose
+    // paraphrase diversity; composes q45's connected components with one
+    // component-keyed count window, exact integer ppm
+    "q324_soft_dedup_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateClusters(docs, Dedup.ngramJaccardPairs(docs, 0.6))
+        .withColumn("cluster_size", count(lit(1))
+          .over(Window.partitionBy(col("component"))).cast("long"))
+        .select(col("doc_id"), col("component"), col("cluster_size"),
+          expr("1000000 div cluster_size").as("weight_ppm"))
+    }),
+
     // §2.7 — SEMANTIC decontamination (round 6 late): train vectors whose
     // embedding cosine to ANY eval vector reaches 0.35 — the paraphrase/
     // re-encoding eval-leakage q55's n-gram containment cannot see. The
@@ -840,6 +856,37 @@ private[graft] object SparkEntryDedup {
 
     // shared CTE text for the q208/q209 deterministic-cell assignment:
     // nearest hash-sampled centroid by squared L2, ties → lower cell id
+    // q45's recursive-CTE closure + a component-keyed count window
+    "q324_soft_dedup_weights" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50) AS band, $ShinglesSql AS s
+         |  FROM documents),
+         |edges AS (
+         |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM (
+         |    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+         |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |    FROM sh x JOIN sh y
+         |      ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS min_reach
+         |         FROM reach GROUP BY 1),
+         |lab AS (
+         |  SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, component,
+         |       CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+         |         AS cluster_size,
+         |       1000000 // CAST(count(*) OVER (PARTITION BY component)
+         |         AS BIGINT) AS weight_ppm
+         |FROM lab""".stripMargin,
+
     // the q208 machinery with eval-anchored cells: centroids sample from
     // the EVAL subset, both sides assign, cell-mates compare
     "q321_semantic_decontaminate" ->

@@ -172,6 +172,32 @@ private[graft] object SparkEntryText {
     "q83_bpe_merges" -> ((s, dir) =>
       BpeTrainer.merges(t(s, dir, "documents"), 8)),
 
+    // §2.9 — data-constrained epoch plan (round 6 late, the Muennighoff
+    // et al. "repeat data" dashboard): a uniform per-source token target
+    // (budget = 4× the corpus, split evenly over sources) against each
+    // source's UNIQUE token mass — epochs_milli says how many times the
+    // source must repeat to fill its slot, granted caps repetition at 6
+    // epochs, shortfall is what the cap leaves unfilled. All integer
+    // div arithmetic on the bounded per-source frame; one token-count
+    // shuffle + a 1-row totals broadcast
+    "q323_epoch_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.tokensWs
+      val u = t(s, dir, "documents")
+        .select(col("source"), size(tokensWs(col("text"))).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("unique_tokens"))
+      val w = Window.partitionBy()
+      u.select(col("source"), col("unique_tokens"),
+          (sum(col("unique_tokens")).over(w) * lit(4L)).as("budget"),
+          count(lit(1)).over(w).as("ns"))
+        .select(col("source"), col("unique_tokens"),
+          expr("budget div ns").as("requested_tokens"),
+          expr("(1000 * (budget div ns)) div unique_tokens").as("epochs_milli"),
+          expr("least(budget div ns, 6 * unique_tokens)").as("granted_tokens"),
+          expr("greatest(0, budget div ns - 6 * unique_tokens)")
+            .as("shortfall_tokens"))
+    }),
+
     // §2.9 — source-mix report: per-source doc and token counts, token
     // share of the corpus, and drift vs the uniform target — what a
     // data-mixture dashboard reads; the share window runs over the
@@ -1235,6 +1261,20 @@ private[graft] object SparkEntryText {
   val oracleSql: Map[String, String] = Map(
     // the k-round merge recursion, unrolled (see bpeTrainOracleSql)
     "q83_bpe_merges" -> bpeTrainOracleSql(8),
+
+    "q323_epoch_plan" ->
+      s"""WITH u AS (
+         |  SELECT source, CAST(sum(len($ToksSql)) AS BIGINT) AS unique_tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(unique_tokens) AS BIGINT) * 4 AS budget,
+         |               CAST(count(*) AS BIGINT) AS ns FROM u)
+         |SELECT source, unique_tokens,
+         |       budget // ns AS requested_tokens,
+         |       (1000 * (budget // ns)) // unique_tokens AS epochs_milli,
+         |       least(budget // ns, 6 * unique_tokens) AS granted_tokens,
+         |       greatest(0, budget // ns - 6 * unique_tokens)
+         |         AS shortfall_tokens
+         |FROM u, tot""".stripMargin,
 
     "q14_token_stats" ->
       s"""SELECT doc_id,

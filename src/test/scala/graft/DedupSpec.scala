@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Dedup
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
 
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
@@ -382,6 +382,29 @@ class DedupSpec extends SparkTestBase {
       nCells = 6, nProbe = 2)
       .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
     det2 shouldBe det
+  }
+
+  test("soft-dedup weights: each cluster carries ~unit sampling mass") {
+    // the q324 invariant: Σ weight_ppm over a cluster's members is
+    // size·(1e6 div size) — within truncation of exactly 1e6 per cluster,
+    // so a sampler draws clusters, not copies
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = Dedup.duplicateClusters(d, Dedup.ngramJaccardPairs(d, 0.6))
+      .withColumn("cluster_size", count(lit(1))
+        .over(Window.partitionBy(col("component"))).cast("long"))
+      .select(col("component"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+      .groupBy(col("component"), col("cluster_size"))
+      .agg(sum(col("weight_ppm")).as("mass"))
+      .as[(Long, Long, Long)].collect()
+    r.length should be > 0
+    r.foreach { case (_, size, mass) =>
+      mass should be <= 1000000L
+      mass should be > 1000000L - size
+    }
+    // dedup genuinely bites on this corpus: some cluster has size > 1
+    r.map(_._2).max should be > 1L
   }
 
   test("q94 recall floor holds on the pinned sf0.001 corpus") {

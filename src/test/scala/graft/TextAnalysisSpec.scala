@@ -269,6 +269,23 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("epoch plan: budget conservation and cap arithmetic (q323 invariants)") {
+    val r = SparkEntry.queries("q323_epoch_plan")(spark,
+      "/root/testdata/sf0.001")
+      .select("unique_tokens", "requested_tokens", "epochs_milli",
+        "granted_tokens", "shortfall_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    r.length should be > 1
+    val requested = r.map(_._2).distinct
+    requested.length shouldBe 1 // uniform split
+    r.foreach { case (u, req, em, granted, short) =>
+      em shouldBe (1000L * req) / u
+      granted shouldBe math.min(req, 6 * u)
+      short shouldBe math.max(0L, req - 6 * u)
+      (granted + short) shouldBe req
+    }
+  }
+
   test("editDistanceCandidatePairs: lossless superset, real prune power") {
     // the pre-verify candidate frame the PassJoin stages produce:
     // pigeonhole guarantees every true <= k pair appears (losslessness),
