@@ -153,6 +153,33 @@ object StreamingPipeline {
           corpus(), batch, nCells, threshMicro), id)
       }
 
+  /** Streaming semantic-DECONTAMINATION gate (round 6): each delivery of
+    * train vectors is checked against the standing EVAL set via
+    * [[graft.operators.Similarity.semanticDecontaminate]] — the
+    * ingest-time arm of q321, catching paraphrase-level eval leakage the
+    * canary/containment gates cannot see, BEFORE a delivery lands in a
+    * training corpus. The eval thunk re-evaluates per delivery (a
+    * refreshed benchmark suite takes effect at the next micro-batch);
+    * the source checkpoint gives exactly-once per input file. Like every
+    * gate here, policy (drop flagged vectors, reject the delivery, page)
+    * stays with the caller. Per-delivery cost: eval-anchored cells are a
+    * bounded broadcast; only cell-mates score — never delivery×eval
+    * all-pairs.
+    */
+  def decontaminationGateStream(spark: SparkSession, inputDir: String,
+                                schema: StructType, eval: () => DataFrame,
+                                nCells: Int, threshMicro: Long,
+                                checkpointDir: String)
+                               (onFlagged: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onFlagged(graft.operators.Similarity.semanticDecontaminate(
+          batch, eval(), nCells, threshMicro), id)
+      }
+
   /** Streaming distribution-drift gate: each delivery's `x` column is
     * tested against a standing reference distribution with the
     * exact-integer two-sample KS distance

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Similarity
 import graft.sinks.KeyValueSink
 import graft.streaming.StreamingPipeline
 import java.nio.file.Files
@@ -230,6 +231,47 @@ class StreamingPipelineSpec extends SparkTestBase {
       .repartition(1).write.mode("append").parquet(input)
     run()
     flagged.sorted shouldBe Seq((14L, 2L, "corpus"))
+  }
+
+  test("decontaminationGateStream equals batch semanticDecontaminate per delivery") {
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def mkVecs(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+    val eval_ = mkVecs(Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f))))
+    val dir = Files.createTempDirectory("decongate").toString
+    val input = s"$dir/in"
+    // delivery 1: 10 leaks eval 100; 11 novel
+    val d1 = Seq(
+      (10L, Array(1f, 0.01f, 0f, 0f)),
+      (11L, Array(1f, -1f, 1f, -1f)))
+    mkVecs(d1).repartition(1).write.parquet(input)
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def run() = StreamingPipeline.runOnce(
+      StreamingPipeline.decontaminationGateStream(spark, input, embSchema,
+        () => eval_, nCells = 2, threshMicro = 990000L, s"$dir/ckpt") {
+        (rep, _) =>
+          flagged ++= rep.select("train_id", "n_eval_hits", "max_cos_micro")
+            .as[(Long, Long, Long)].collect()
+      })
+    run()
+    // equivalence contract: the gate's delivery result IS the batch
+    // operator on the same frames
+    val batch1 = Similarity.semanticDecontaminate(mkVecs(d1), eval_, 2,
+        990000L).as[(Long, Long, Long)].collect().sorted
+    flagged.sorted shouldBe batch1.toSeq
+    flagged.map(_._1) shouldBe Seq(10L)
+    // delivery 2, same checkpoint: only the new file is checked
+    flagged.clear()
+    val d2 = Seq((12L, Array(0f, 1f, 0.01f, 0f)))
+    mkVecs(d2).repartition(1).write.mode("append").parquet(input)
+    run()
+    val batch2 = Similarity.semanticDecontaminate(mkVecs(d2), eval_, 2,
+        990000L).as[(Long, Long, Long)].collect().sorted
+    flagged.sorted shouldBe batch2.toSeq
+    flagged.map(_._1) shouldBe Seq(12L)
   }
 
   test("driftGateStream reports the exact KS distance per delivery") {
