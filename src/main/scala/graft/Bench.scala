@@ -142,7 +142,15 @@ object Bench {
     // job floor), and q268/q269 follow the q110/q154 iterative-graph
     // policy (PLANS.md band, not the per-round rung)
     "q261_abc_classification", "q264_char_entropy",
-    "q273_new_vs_repeat", "q276_index_coincidence")
+    "q273_new_vs_repeat", "q276_index_coincidence",
+    // round-6 linear-claim addition: q321 (eval-anchored bounded
+    // broadcast + one cell equi-join) measured 2.2× isolated at the 10×
+    // rung. q322/q323 measured JOB-FLOOR-BOUND at both rungs
+    // (8.3s/8.3s and 1.0s/0.6s isolated — the rung would measure
+    // overhead, the q241/q244/q245 exclusion rule) and q324 composes
+    // q19's by-design-quadratic pair engine (the q141/q229 rule) —
+    // all three stay out, quantified once in BASELINE.md
+    "q321_semantic_decontaminate")
 
   /** Cumulative stage probes for the heaviest graph operators (VERDICT r5
     * item 7): when a query's sf1/sf0.1 rung ratio exceeds [[StageRatio]],
