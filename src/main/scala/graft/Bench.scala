@@ -43,12 +43,10 @@ object Bench {
     */
   val Sf1Set: Seq[String] = Headline.filterNot(Set(
     "q19_ngram_jaccard_pairs", "q47_fuzzy_part_names",
-    "q51_ppjoin_pairs", "q52_weighted_jaccard_pairs",
-    // round 6: q20 carries its exact-truth contract arm (the q51 engine)
-    // since the boolean-contract promotion — composing the by-design-
-    // quadratic exact join puts it under the q141/q229 exclusion rule;
-    // the LSH scale path stays rung-covered via q49
-    "q20_minhash_lsh_pairs")) ++ Seq(
+    "q51_ppjoin_pairs", "q52_weighted_jaccard_pairs")) ++ Seq(
+    // round 7: q20 REJOINS the rung — the md5-affine entry is pure LSH
+    // again (the round-6 quadratic exact-truth arm moved to DedupSpec
+    // when the boolean contract became a full pair-set oracle)
     // round-3 linear-claim additions (measured 0.6-2.1x at the 10x rung:
     // token split-joins sub-linear, window/merge ops overhead-bound). q98
     // stays OUT: its benchmark formulation scales the batch with the
@@ -285,14 +283,19 @@ object Bench {
       sys.exit(2)
     }
     val only = args.toSeq
-    // named queries (builder tuning loops) always get the 2-run-min
+    // named queries (builder tuning loops) default to the 2-run-min
     // protocol — an isolated single run mixes JIT/codegen warmup into the
-    // number being tuned
+    // number being tuned. SPARK_GRAFT_RUNS overrides for the sf10 rung,
+    // where a single 10+-minute run amortizes warmup and a second run
+    // would double a multi-hour probe batch for <5% precision (the bias
+    // is upward = conservative for a scaling ratio; BASELINE.md notes it).
+    val namedRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
     val headline = if (only.nonEmpty) only else Headline
     val rest =
       if (only.nonEmpty) Nil
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(Headline.contains)
-    val results = headline.map(n => n -> timed(n, sfDir, 2)) ++
+    val results = headline.map(n =>
+      n -> timed(n, sfDir, if (only.nonEmpty) namedRuns else 2)) ++
       rest.map(n => n -> timed(n, sfDir, 1))
     val headlineTotal = total(results.take(headline.length))
 
@@ -309,7 +312,7 @@ object Bench {
           ""
         } else {
           val names = if (only.nonEmpty) only else Sf1Set
-          val runs = if (only.nonEmpty) 2 else 1
+          val runs = if (only.nonEmpty) namedRuns else 1
           val r = names.map(n => n -> timed(n, sf1Dir, runs))
           // rung-ratio gate: any stage-probed query whose sf1/sf0.1 ratio
           // exceeds StageRatio gets its cumulative stage prefixes timed
@@ -339,21 +342,88 @@ object Bench {
         }
       } else ""
 
+    // streaming ingest-gate throughput (VERDICT r6 item 8): the two
+    // per-delivery gates a 100 TB pipeline runs on every arriving file,
+    // measured once per full-catalog run as docs|vecs per second. Probe
+    // runs (named queries) skip them — they time the named queries only.
+    val gates = if (only.nonEmpty) "" else {
+      def gate(label: String, run: () => Long): String =
+        try {
+          val t0 = System.nanoTime()
+          val n = run()
+          val dt = (System.nanoTime() - t0) / 1e9
+          clearState()
+          s""""${label}_rows":$n,"${label}_sec":$dt,""" +
+            s""""${label}_rows_per_sec":${n / dt}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] gate $label failed: ${e.getMessage}")
+          clearState()
+          s""""${label}_sec":-1.0"""
+        }
+      val tmp = java.nio.file.Files.createTempDirectory("gatebench").toString
+      val dedup = gate("gate_dedup", () => {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0).localCheckpoint()
+        val delivery = docs.filter(col("doc_id") % 10 === 0)
+        delivery.write.parquet(s"$tmp/docs_in")
+        val n = delivery.count()
+        graft.streaming.StreamingPipeline.runOnce(
+          graft.streaming.StreamingPipeline.dedupIngestStream(
+            spark, s"$tmp/docs_in", docs.schema, () => corpus, 0.6,
+            s"$tmp/docs_ckpt") { (pairs, _) => pairs.write.format("noop").mode("overwrite").save() })
+        n
+      })
+      val decon = gate("gate_decon", () => {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val eval_ = emb.filter(col("vec_id") % 16 === 0).localCheckpoint()
+        val delivery = emb.filter(col("vec_id") % 16 =!= 0)
+        delivery.write.parquet(s"$tmp/vecs_in")
+        val n = delivery.count()
+        graft.streaming.StreamingPipeline.runOnce(
+          graft.streaming.StreamingPipeline.decontaminationGateStream(
+            spark, s"$tmp/vecs_in", emb.schema, () => eval_, 16, 350000L,
+            s"$tmp/vecs_ckpt") { (rep, _) => rep.write.format("noop").mode("overwrite").save() })
+        n
+      })
+      s""","stream_gates":{$dedup,$decon}"""
+    }
+
     val context = s""""context":{"load_pre":"$loadPre","load_post":"${loadavg()}",""" +
       s""""isolated":${only.nonEmpty},"cpus":$cpus}"""
     val line = s"""{"metric":"total","value":$headlineTotal,"unit":"sec",""" +
       s""""full_total":${total(results)},"queries":${json(results)},""" +
-      s""""sf":"$sfDir",$context$sf1}"""
-    println(line)
-    // the driver captures stdout, but its copy has truncated the tail of
-    // long lines before (BENCH_r03) — also persist the full JSON to a file
-    // so the round's numbers survive verbatim
+      s""""sf":"$sfDir",$context$gates$sf1}"""
+    // persist the FULL record to a file (the driver's stdout capture keeps
+    // only a ~2000-char tail — a 324-query line can never fit there) and
+    // echo it to stderr so raw logs still carry it verbatim
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line)
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
+    System.err.println(line)
     spark.stop()
+    // the driver-facing line, printed LAST (after spark.stop's log noise)
+    // and kept COMPACT — headline queries only, rung/gates as totals —
+    // so the whole line fits inside the driver's stdout-tail capture and
+    // json-parses. Full per-query detail lives in bench_out.json above.
+    // Requires build.sbt's `run / outputStrategy := StdoutOutput` (a
+    // forked-run line prefixed "[info] " by sbt never parses as JSON).
+    val sf1Compact = {
+      val m = "\"sf1_total\":([-0-9.eE]+)".r.findFirstMatchIn(sf1)
+      m.map(x => s""","sf1_total":${x.group(1)}""").getOrElse {
+        // sf1 JSON carries "total" inside the sf1 object; extract it
+        val t = "\"total\":([-0-9.eE]+)".r.findFirstMatchIn(sf1)
+        t.map(x => s""","sf1_total":${x.group(1)}""").getOrElse("")
+      }
+    }
+    val compact =
+      if (only.nonEmpty) line // probe runs are short — full line fits
+      else s"""{"metric":"total","value":$headlineTotal,"unit":"sec",""" +
+        s""""full_total":${total(results)},""" +
+        s""""queries":${json(results.take(headline.length))},""" +
+        s""""sf":"$sfDir",$context$gates$sf1Compact,"detail":"bench_out.json"}"""
+    println(compact)
   }
 }

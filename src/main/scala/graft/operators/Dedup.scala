@@ -980,4 +980,189 @@ object Dedup {
         sum(col("e0") - col("s0")).as("dup_chars"),
         max(col("e0") - col("s0")).as("max_span"))
   }
+
+  // ------------------------------------------------------------------
+  // Engine-portable (md5-affine) MinHash / SimHash — round 7.
+  //
+  // The xxhash64/murmur3 operators above are the throughput path, but
+  // their signatures cannot be restated in another engine's SQL, so the
+  // queries built on them could only carry boolean recall contracts as
+  // oracles (rounds 1-6). These variants derive every hash from md5 —
+  // the one hash both Spark and DuckDB compute bit-identically on UTF-8
+  // strings — so the emitted PAIR SET itself is replayable (and
+  // hash-comparable) in pure SQL. Same q23-hyperplane/q26-Lloyd move
+  // that made the ANN paths oracle-able in round 6: engine-portable
+  // determinism, not weaker hashing. The LSH/banding shape (and hence
+  // the 100 TB story) is identical to the operators above; the only
+  // cost delta is md5 vs xxhash64 per element and 64 affine mixes vs 64
+  // seeded hashes per element.
+
+  /** 2^61 - 1 (prime): the affine minhash family h_k(e) = (h1 + k*h2) mod P
+    * over md5-derived (h1, h2). h1 uses 15 hex chars (< 2^60) and h2 13
+    * (< 2^52), so h1 + 63*h2 < 2^61 — no signed-64 overflow in either
+    * engine, and DuckDB's checked BIGINT arithmetic never trips.
+    */
+  val AffineP = 2305843009213693951L
+
+  private def md5h(e: Column): (Column, Column) = {
+    val hx = md5(e.cast("binary"))
+    (conv(hx.substr(1, 15), 16, 10).cast("long"),
+      conv(hx.substr(16, 13), 16, 10).cast("long"))
+  }
+
+  /** Shared md5-affine LSH core over a prepared frame of DISTINCT
+    * (doc_id, e: string) element rows. Bands on concatenated per-band
+    * minima (decimal strings joined by ':'), verifies candidates with the
+    * exact set Jaccard via an element-equality record join, and emits the
+    * verified pairs — a pure function of the element sets, replayable in
+    * any SQL engine with md5. No probabilistic screen (the xxhash64 path's
+    * agree-count screen is lossy at ~1e-6 — fine for an operator, fatal
+    * for a hash-compared oracle). The size-ratio prune is kept: it is
+    * mathematically lossless for jaccard >= threshold, in both engines.
+    */
+  private def md5AffineLshPairs(elems: DataFrame, numHashes: Int, bands: Int,
+                                threshold: Double, simName: String): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val (h1, h2) = md5h(col("e"))
+    val hashed = elems.select(col("doc_id"), col("e"),
+      h1.as("h1"), h2.as("h2"))
+      .localCheckpoint(false) // feeds the signature agg AND the verify join
+    val minCols = (0 until numHashes).map { k =>
+      min((col("h1") + lit(k.toLong) * col("h2")) % AffineP).as(s"m$k")
+    }
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), minCols: _*)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+    }
+    val banded = sig.select(col("doc_id"), col("n"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val inter = cand
+      .join(hashed.select(col("doc_id").as("d1"), col("e")), Seq("d1"))
+      .join(hashed.select(col("doc_id").as("d2"), col("e")), Seq("d2", "e"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("n1") + col("n2") - col("i")).cast("double")
+    inter
+      .join(sig.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .filter(jac >= threshold)
+      .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
+        jac.as(simName))
+  }
+
+  /** Engine-portable MinHash+LSH near-dup pairs in [[ppjoinJaccardPairs]]'s
+    * exact shingle space (distinct raw w-grams): md5-affine signatures,
+    * band-bucket candidates, exact-Jaccard verification. The emitted set
+    * is a deterministic pure function of the corpus, replayable in SQL —
+    * q20's full-hash oracle (the round-6 boolean recall contract retired).
+    */
+  def minhashLshPairsMd5(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.6, shingleWidth: Int = 5): DataFrame = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val elems = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(parts, col("doc_id")) // spread the shingle+md5 CPU
+      .select(col("doc_id"),
+        explode(shinglesW(col("text"), shingleWidth)).as("e"))
+    md5AffineLshPairs(elems, numHashes, bands, threshold, "jaccard")
+  }
+
+  /** Engine-portable WEIGHTED MinHash+LSH in [[weightedJaccardPairs]]'s
+    * occurrence-expanded space: the k-th occurrence of normalized w-gram g
+    * becomes the distinct element "g#k" (exactly q52's oracle convention),
+    * then the md5-affine core applies verbatim — weighted Jaccard is plain
+    * set Jaccard of the expansion. q53's full-hash oracle.
+    */
+  def weightedMinhashLshPairsMd5(docs: DataFrame, numHashes: Int = 64,
+                                 bands: Int = 16, threshold: Double = 0.6,
+                                 shingleWidth: Int = 5): DataFrame = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val elems = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"),
+        explode(shinglesMultiW(normText(col("text")), shingleWidth)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("g"),
+        explode(sequence(lit(1L), col("tf"))).as("k"))
+      .select(col("doc_id"),
+        concat(col("g"), lit("#"), col("k").cast("string")).as("e"))
+    md5AffineLshPairs(elems, numHashes, bands, threshold, "wjaccard")
+  }
+
+  /** Engine-portable SimHash: token bits come from md5 (hi/lo 32-bit hex
+    * halves packed big-endian, so bit j of the signature is bit (j mod 4)
+    * of hex digit 16 - j/4 — directly restatable over DuckDB's md5 hex).
+    * Same per-row fold as [[simhash]]: no explode, no token shuffle.
+    */
+  def simhashMd5(docs: DataFrame): DataFrame = {
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    val bitSums = aggregate(
+      tokensWs(col("text")),
+      array_repeat(lit(0L), 64),
+      (acc: Column, t: Column) => {
+        val hx = md5(t.cast("binary"))
+        val v = shiftleft(conv(hx.substr(1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(hx.substr(9, 8), 16, 10).cast("long"))
+        zip_with(acc, masks, (a, m) =>
+          a + when(v.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))
+      })
+    val packed = aggregate(
+      zip_with(bitSums, masks, (b, m) => when(b > 0, m).otherwise(lit(0L))),
+      lit(0L), (s: Column, x: Column) => s + x)
+    docs.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Engine-portable SimHash near-dup pairs: [[simhashPairs]]'s pigeonhole
+    * band blocking over [[simhashMd5]] signatures. Pigeonhole makes the
+    * banding COMPLETE for hamming <= maxHamming, so the emitted set equals
+    * the all-pairs same-lang hamming filter — which is exactly what the
+    * SQL oracle states (no banding to replay). Emits hamming as BIGINT
+    * (both engines' bit_count widths differ; the compare hashes dtypes).
+    */
+  def simhashPairsMd5(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nSeg = maxHamming + 1
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sh = simhashMd5(
+        docs.select(col("doc_id"), col("text"))
+          .repartition(parts, col("doc_id"))) // spread the md5-fold CPU
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val segs = (0 until nSeg).map { i =>
+      val lo = i * 64 / nSeg
+      val hi = (i + 1) * 64 / nSeg
+      val width = hi - lo
+      val segval =
+        if (width == 64) col("simhash")
+        else shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1L))
+      struct(lit(i).as("seg"), segval.as("segval"))
+    }
+    val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(array(segs: _*)).as("s"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("s.seg").as("seg"), col("s.segval").as("segval"))
+    banded.as("a").join(banded.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.seg") === col("b.seg") &&
+        col("a.segval") === col("b.segval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

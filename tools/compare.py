@@ -67,7 +67,8 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
     else:
         print(f"{name}: OK ({len(spark_df)} rows)")
 
-# ---- negative control: the gate must still catch a value-level drift ----
+# ---- negative controls: the gate must still catch drifts of both kinds ----
+# 1. value-level: q03's event_count + 1 must fail the VAL branch
 ctrl = "q03_daily_kpis"
 if ctrl in oracle and glob.glob(f"{out_dir}/{ctrl}"):
     pert = (f"SELECT * EXCLUDE (event_count), event_count + 1 AS event_count "
@@ -80,6 +81,23 @@ if ctrl in oracle and glob.glob(f"{out_dir}/{ctrl}"):
               f"FAILS ({status[0].split(':')[0]})")
     else:
         print(f"negative_control({ctrl}+1): ** GATE BROKEN ** perturbed "
+              f"oracle passed the compare")
+        fails += 1
+# 2. set-level: dropping one emitted pair from q20's pair-set oracle must
+#    fail the ROWS branch (a gate that only checks values row-by-row would
+#    miss a silently shrunk result set)
+ctrl2 = "q20_minhash_lsh_pairs"
+if ctrl2 in oracle and glob.glob(f"{out_dir}/{ctrl2}"):
+    pert2 = (f"SELECT * FROM ({oracle[ctrl2]}) "
+             f"QUALIFY row_number() OVER (ORDER BY doc_id_1, doc_id_2) > 1")
+    ora_df2 = con.sql(pert2).df().pipe(
+        lambda d: d.reindex(sorted(d.columns), axis=1))
+    status2 = diff_status(spark_dump(f"{out_dir}/{ctrl2}"), ora_df2)
+    if status2:
+        print(f"negative_control({ctrl2}-1row): OK — perturbed oracle "
+              f"correctly FAILS ({status2[0].split(':')[0]})")
+    else:
+        print(f"negative_control({ctrl2}-1row): ** GATE BROKEN ** perturbed "
               f"oracle passed the compare")
         fails += 1
 
