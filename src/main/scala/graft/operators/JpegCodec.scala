@@ -15,11 +15,12 @@ import graft.operators.PpmCodec.PpmImage
   * progressive ARITHMETIC (SOF10) — the QM coder and the F.2.4/G.2
   * statistical models live in [[JpegArith]] — and LOSSLESS Huffman
   * (SOF3, Annex H: seven-predictor residual coding at 8..16 bits,
-  * bit-exact); grayscale or YCbCr with sampling factors 1 or 2 per axis
+  * bit-exact) and LOSSLESS ARITHMETIC (SOF11, round 7: the H.2
+  * two-dimensional conditioning over the same QM coder and predictors);
+  * grayscale or YCbCr with sampling factors 1 or 2 per axis
   * (4:4:4, 4:2:2, 4:2:0), restart markers, 8- or 16-bit quantization
-  * tables, DAC conditioning. Only arithmetic lossless (SOF11) and the
-  * hierarchical process return None and take the documented fallback
-  * arm. Output is normalized to the same
+  * tables, DAC conditioning. The hierarchical (Annex J) process routes
+  * through [[JpegHier]]. Output is normalized to the same
   * 3-byte-RGB [[PpmImage]] the PPM and PNG paths produce, so features /
   * resize / frame ops downstream stay format-agnostic.
   *
@@ -295,13 +296,14 @@ object JpegCodec {
               if (tc == 0) dcTabs(th) = h else acTabs(th) = h
               p += 17 + n
             }
-          case 0xC0 | 0xC1 | 0xC2 | 0xC3 | 0xC9 | 0xCA =>
+          case 0xC0 | 0xC1 | 0xC2 | 0xC3 | 0xC9 | 0xCA | 0xCB =>
             // SOF0/1 sequential, SOF2 progressive, SOF3 lossless,
-            // SOF9 arithmetic sequential, SOF10 arithmetic progressive
+            // SOF9 arithmetic sequential, SOF10 arithmetic progressive,
+            // SOF11 arithmetic lossless (round 7)
             if (comps != null) return None // second frame header
             if (len < 8) return None
             precision = bytes(seg) & 0xFF
-            lossless = marker == 0xC3
+            lossless = marker == 0xC3 || marker == 0xCB
             // baseline (SOF0) is 8-bit by definition; extended sequential
             // (SOF1 Huffman, SOF9 arithmetic) and progressive (SOF2/SOF10
             // — T.81 Table B.3 allows both precisions) add the 12-bit
@@ -315,7 +317,7 @@ object JpegCodec {
               !(precision == 12 && marker != 0xC0))
               return None
             progressive = marker == 0xC2 || marker == 0xCA
-            arithmetic = marker == 0xC9 || marker == 0xCA
+            arithmetic = marker == 0xC9 || marker == 0xCA || marker == 0xCB
             height = u16(seg + 1)
             width = u16(seg + 3)
             val n = bytes(seg + 5) & 0xFF
@@ -365,11 +367,13 @@ object JpegCodec {
             if (len < 8 + 3 * nf) return None
             val ids = Array.tabulate(nf)(i => bytes(seg + 6 + 3 * i) & 0xFF)
             return JpegHier.decodeFrom(bytes, pos + 2 + len, p, ww, hh, ids,
-              quant, dcTabs, acTabs, restartInterval)
+              quant, dcTabs, acTabs, dcCondL, dcCondU, acCondK,
+              restartInterval)
           case m if m >= 0xC1 && m <= 0xCF && m != 0xC2 && m != 0xC3 &&
-              m != 0xC4 && m != 0xC8 && m != 0xC9 && m != 0xCA =>
-            // differential SOFs outside a hierarchical sequence,
-            // arithmetic lossless (SOF11): out of scope
+              m != 0xC4 && m != 0xC8 && m != 0xC9 && m != 0xCA &&
+              m != 0xCB =>
+            // differential SOFs outside a hierarchical sequence are
+            // malformed (T.81 B.2/B.3: they occur only after DHP)
             return None
           case 0xDD =>
             if (len < 4) return None
@@ -402,7 +406,11 @@ object JpegCodec {
               if (ns != comps.length) return None
               if (ss < 1 || ss > 7 || se != 0 || ah != 0 ||
                 al > precision - 1) return None
-              return decodeLosslessScan(bytes, pos + 2 + len, comps, dcTabs,
+              return if (arithmetic)
+                decodeLosslessScanArith(bytes, pos + 2 + len, comps,
+                  dcCondL, dcCondU, ss, al, restartInterval, precision,
+                  width, height)
+              else decodeLosslessScan(bytes, pos + 2 + len, comps, dcTabs,
                 ss, al, restartInterval, precision, width, height)
             }
             if (!progressive) {
@@ -837,6 +845,125 @@ object JpegCodec {
     }
     // point-transform restore then high byte; corrupt streams can leave
     // out-of-range samples after the mod-2^16 wrap — clamp, never throw
+    val shift = precision - 8
+    def to8(v: Int): Byte = {
+      val s = (v << pt) >> shift
+      (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+    }
+    val out = new Array[Byte](total * 3)
+    var i = 0
+    while (i < total) {
+      if (n == 1) {
+        val g = to8(planes(0)(i))
+        out(3 * i) = g; out(3 * i + 1) = g; out(3 * i + 2) = g
+      } else {
+        out(3 * i) = to8(planes(0)(i))
+        out(3 * i + 1) = to8(planes(1)(i))
+        out(3 * i + 2) = to8(planes(2)(i))
+      }
+      i += 1
+    }
+    Some(PpmImage(width, height, out))
+  }
+
+  /** Lossless ARITHMETIC scan (SOF11) per ITU T.81 Annex H.2: the same
+    * prediction/reconstruction machinery as [[decodeLosslessScan]] (H.1
+    * predictors, mod-2^16 wrap, point transform, restart-as-scan-start),
+    * with the QM coder replacing Huffman and the difference coded by the
+    * DC statistical model of F.2.4.1 under H.2's TWO-dimensional
+    * conditioning: the zero/sign/small-magnitude decisions select one of
+    * 25 contexts from the 5-category classifications (zero, ±small,
+    * ±large per the DAC (L,U) bounds — the F.1.4.4.1.2 classifier) of Da
+    * (the diff coded for the LEFT neighbor) and Db (the diff for the
+    * ABOVE neighbor), and the magnitude-category/mantissa chains come in
+    * two sets selected by whether Db is in a LARGE category. Decision
+    * sequence is identical to the sequential DC model (H.2's normative
+    * statement), including the X1-decision-in-the-SP/SN-bin convention
+    * pinned for SOF9/10 in round 6. Statistics adapt across the scan and
+    * reset (with the coder and the prediction/classification state) at
+    * restart markers.
+    *
+    * Stats layout per DC table id (internal arrangement; only the
+    * SHARING structure is normative): contexts 0..99 = 4×(5·Qa + Qb) +
+    * {S0,SS,SP,SN}; magnitude set A at 100, set B (Db large) at 132 —
+    * X2..X16 at base..base+14 (16-bit samples reach category 16),
+    * mantissa at chainPos+15.
+    */
+  private def decodeLosslessScanArith(bytes: Array[Byte], start: Int,
+                                      comps: Array[Component],
+                                      dcCondL: Array[Int], dcCondU: Array[Int],
+                                      predictor: Int, pt: Int,
+                                      restartInterval: Int, precision: Int,
+                                      width: Int, height: Int): Option[PpmImage] = {
+    val n = comps.length
+    if (n != 1 && n != 3) return None
+    val total = width * height
+    val planes = Array.ofDim[Int](n, total)
+    val dec = new JpegArith.Decoder(bytes, start)
+    dec.init()
+    val stats = Array.fill(4)(new Array[Byte](JpegH2.StatsSize))
+    // per-component neighbor-diff classifications (0 zero, 1/2 ±small,
+    // 3/4 ±large): one row of "above" classes + the running "left" class
+    val aboveCls = Array.ofDim[Int](n, width)
+    val leftCls = new Array[Int](n)
+    val defaultPred = 1 << (precision - pt - 1)
+    val resetNext = new Array[Boolean](n)
+    java.util.Arrays.fill(resetNext, true)
+    var rstCount = 0
+    var sampleIdx = 0
+    while (sampleIdx < total) {
+      if (restartInterval > 0 && sampleIdx > 0 &&
+        sampleIdx % restartInterval == 0) {
+        if (!dec.restart(rstCount)) return None
+        rstCount += 1
+        java.util.Arrays.fill(resetNext, true)
+        stats.foreach(java.util.Arrays.fill(_, 0.toByte))
+        var c = 0
+        while (c < n) {
+          java.util.Arrays.fill(aboveCls(c), 0)
+          leftCls(c) = 0
+          c += 1
+        }
+      }
+      val x = sampleIdx % width
+      val y = sampleIdx / width
+      var ci = 0
+      while (ci < n) {
+        val c = comps(ci)
+        val st = stats(c.dcTable)
+        val qa = if (x == 0) 0 else leftCls(ci)
+        val qb = aboveCls(ci)(x)
+        val r = JpegH2.decodeDiff(dec, st, qa, qb,
+          dcCondL(c.dcTable), dcCondU(c.dcTable))
+        if (r == Long.MinValue) return None // corrupt magnitude chain
+        val diff = r.toInt
+        val cls = (r >> 32).toInt
+        leftCls(ci) = cls
+        aboveCls(ci)(x) = cls
+        val p = planes(ci)
+        val px =
+          if (resetNext(ci)) { resetNext(ci) = false; defaultPred }
+          else if (y == 0) p(x - 1)
+          else if (x == 0) p((y - 1) * width)
+          else {
+            val ra = p(y * width + x - 1)
+            val rb = p((y - 1) * width + x)
+            val rc = p((y - 1) * width + x - 1)
+            predictor match {
+              case 1 => ra
+              case 2 => rb
+              case 3 => rc
+              case 4 => ra + rb - rc
+              case 5 => ra + ((rb - rc) >> 1)
+              case 6 => rb + ((ra - rc) >> 1)
+              case _ => (ra + rb) >> 1
+            }
+          }
+        p(y * width + x) = (px + diff) & 0xFFFF
+        ci += 1
+      }
+      sampleIdx += 1
+    }
     val shift = precision - 8
     def to8(v: Int): Byte = {
       val s = (v << pt) >> shift
@@ -1681,6 +1808,108 @@ object JpegCodec {
       sampleIdx += 1
     }
     bw.flush()
+    m(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode RGB pixels as a lossless ARITHMETIC-coded (SOF11) JPEG: the
+    * same prediction pipeline as [[encodeLossless]] driven through the QM
+    * coder under the Annex H.2 statistical model (25 (Da, Db) contexts
+    * for zero/sign/small, two magnitude chains selected by Db-large) —
+    * the mirror of [[decodeLosslessScanArith]]'s model, written against
+    * the spec so the spec's round-trips pin both directions; the
+    * hand-assembled longhand streams in JpegCodecSpec pin the decoder
+    * independently of this encoder.
+    */
+  def encodeLosslessArith(img: PpmImage, gray: Boolean = false,
+                          predictor: Int = 1, precision: Int = 8, pt: Int = 0,
+                          restartInterval: Int = 0,
+                          dcL: Int = 0, dcU: Int = 1): Array[Byte] = {
+    require(predictor >= 1 && predictor <= 7, "predictor 1..7")
+    require(precision >= 8 && precision <= 16, "precision 8..16")
+    require(pt >= 0 && pt < precision, "point transform < precision")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { out.write(0xFF); out.write(b) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    val n = if (gray) 1 else 3
+
+    m(0xD8) // SOI
+    m(0xCC); u16(2 + 2); out.write(0x00); out.write((dcU << 4) | dcL) // DAC
+    if (restartInterval > 0) { m(0xDD); u16(4); u16(restartInterval) }
+    m(0xCB) // SOF11
+    u16(8 + 3 * n); out.write(precision); u16(img.height); u16(img.width)
+    out.write(n)
+    (0 until n).foreach { i =>
+      out.write(i + 1); out.write(0x11); out.write(0)
+    }
+    m(0xDA); u16(6 + 2 * n); out.write(n) // SOS
+    (0 until n).foreach { i => out.write(i + 1); out.write(0x00) }
+    out.write(predictor); out.write(0); out.write(pt)
+
+    val enc = new JpegArith.Encoder
+    val stats = new Array[Byte](JpegH2.StatsSize)
+    val total = img.width * img.height
+    val planes = Array.ofDim[Int](n, total)
+    val aboveCls = Array.ofDim[Int](n, img.width)
+    val leftCls = new Array[Int](n)
+    val resetNext = new Array[Boolean](n)
+    java.util.Arrays.fill(resetNext, true)
+    var rstCount = 0
+    var sampleIdx = 0
+    while (sampleIdx < total) {
+      if (restartInterval > 0 && sampleIdx > 0 &&
+        sampleIdx % restartInterval == 0) {
+        enc.flushSegment()
+        enc.appendMarker(0xD0 + (rstCount % 8))
+        rstCount += 1
+        java.util.Arrays.fill(resetNext, true)
+        java.util.Arrays.fill(stats, 0.toByte)
+        var c = 0
+        while (c < n) {
+          java.util.Arrays.fill(aboveCls(c), 0)
+          leftCls(c) = 0
+          c += 1
+        }
+      }
+      val x = sampleIdx % img.width
+      val y = sampleIdx / img.width
+      var ci = 0
+      while (ci < n) {
+        val raw = img.pixels(3 * sampleIdx + (if (gray) 0 else ci)) & 0xFF
+        val sample = (raw << (precision - 8)) >> pt
+        val p = planes(ci)
+        val px =
+          if (resetNext(ci)) { resetNext(ci) = false; 1 << (precision - pt - 1) }
+          else if (y == 0) p(x - 1)
+          else if (x == 0) p((y - 1) * img.width)
+          else {
+            val ra = p(y * img.width + x - 1)
+            val rb = p((y - 1) * img.width + x)
+            val rc = p((y - 1) * img.width + x - 1)
+            predictor match {
+              case 1 => ra
+              case 2 => rb
+              case 3 => rc
+              case 4 => ra + rb - rc
+              case 5 => ra + ((rb - rc) >> 1)
+              case 6 => rb + ((ra - rc) >> 1)
+              case _ => (ra + rb) >> 1
+            }
+          }
+        var diff = (sample - px) & 0xFFFF
+        if (diff >= 32768) diff -= 65536 // -32768 ≡ +32768: JpegH2 handles it
+        val qa = if (x == 0) 0 else leftCls(ci)
+        val qb = aboveCls(ci)(x)
+        val cls = JpegH2.encodeDiff(enc, stats, qa, qb, diff, dcL, dcU)
+        leftCls(ci) = cls
+        aboveCls(ci)(x) = cls
+        p(y * img.width + x) = sample
+        ci += 1
+      }
+      sampleIdx += 1
+    }
+    enc.flushSegment()
+    out.write(enc.bytes)
     m(0xD9) // EOI
     out.toByteArray
   }

@@ -580,6 +580,180 @@ class JpegCodecSpec extends SparkTestBase {
     img.pixels.grouped(3).foreach(p => (p(1) & 0xFF) shouldBe (p(0) & 0xFF))
   }
 
+  test("hand-assembled 2x2 lossless-ARITHMETIC (SOF11) stream decodes exactly") {
+    // Pinned against T.81 Annex H.2 independent of encodeLosslessArith:
+    // the decision sequence below is written longhand from the spec's
+    // model (the DC difference decision tree of F.2.4.1 under the
+    // 25-context (Da, Db) conditioning; default L=0, U=1 so any nonzero
+    // magnitude >1 classifies LARGE) and driven through the separately
+    // spec-pinned QM encoder (JpegArith). Gray 2x2 = [[200,200],[200,200]],
+    // predictor 1, P=8, Pt=0: s00 predicts 128 (diff +72), every other
+    // sample predicts 200 (diff 0) — but each zero decision lands in a
+    // DIFFERENT context bin (Da/Db classes of the +72 = large+ = 3):
+    // s01 at (Qa=3, Qb=0) -> bin 60, s10 at (Qa=0, Qb=3) -> bin 12,
+    // s11 at (Qa=0, Qb=0) -> bin 0. A decoder with wrong context wiring
+    // adapts differently at s11 (bin 0 was touched by s00) and decodes
+    // garbage.
+    import graft.operators.JpegArith
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int) = { out.write(0xFF); out.write(b) }
+    def u16(v: Int) = { out.write(v >> 8); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xCB); u16(11); out.write(8); u16(2); u16(2); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xDA); u16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(1); out.write(0); out.write(0) // predictor 1, Se=0, Pt=0
+    val enc = new JpegArith.Encoder
+    val st = new Array[Byte](164)
+    // s00: diff = 200 - 128 = +72, context (0,0) -> bin 0
+    enc.encode(st, 0, 1) // nonzero
+    enc.encode(st, 1, 0) // positive (SS at bin 1)
+    // v = 71: SP(bin 2) says v-1>0, X1 in the SAME bin says >=2, then
+    // the small-Db chain at 100.. walks to the top bit of 71 (64):
+    // 2->4->8->16->32->64 = five 1s at 100..104, terminator at 105
+    enc.encode(st, 2, 1)
+    enc.encode(st, 2, 1)
+    enc.encode(st, 100, 1); enc.encode(st, 101, 1); enc.encode(st, 102, 1)
+    enc.encode(st, 103, 1); enc.encode(st, 104, 1)
+    enc.encode(st, 105, 0)
+    // mantissa of 71 - 64 = 7 under mm=64, one shared bin at 105+15=120:
+    // bits 32,16,8,4,2,1 -> 0,0,0,1,1,1
+    enc.encode(st, 120, 0); enc.encode(st, 120, 0); enc.encode(st, 120, 0)
+    enc.encode(st, 120, 1); enc.encode(st, 120, 1); enc.encode(st, 120, 1)
+    // s01: diff 0 at (Qa=3 large+, Qb=0) -> bin 4*(5*3+0) = 60
+    enc.encode(st, 60, 0)
+    // s10: diff 0 at (Qa=0 [x=0], Qb=3) -> bin 4*(5*0+3) = 12
+    enc.encode(st, 12, 0)
+    // s11: diff 0 at (Qa=0 [s10 zero], Qb=0 [s01 zero]) -> bin 0
+    enc.encode(st, 0, 0)
+    enc.flushSegment()
+    out.write(enc.bytes)
+    m(0xD9)
+    val img = JpegCodec.decode(out.toByteArray).get
+    img.width shouldBe 2
+    img.height shouldBe 2
+    img.pixels.foreach(p => (p & 0xFF) shouldBe 200)
+  }
+
+  test("hand-assembled 1x3 SOF11 stream exercises BOTH magnitude-chain sets") {
+    // Gray 1x3 = [200, 100, 160], predictor 1, defaults L=0/U=1. s0
+    // (diff +72) classifies large+, so s1's magnitude codes in the
+    // SECOND chain set (Db large -> 132..); s1 (diff -100) classifies
+    // large-, so s2's magnitude ALSO uses set B. A decoder that ignores
+    // the Db-large set selection shares adaptation with set A and
+    // diverges immediately.
+    import graft.operators.JpegArith
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int) = { out.write(0xFF); out.write(b) }
+    def u16(v: Int) = { out.write(v >> 8); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xCB); u16(11); out.write(8); u16(3); u16(1); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xDA); u16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(1); out.write(0); out.write(0)
+    val enc = new JpegArith.Encoder
+    val st = new Array[Byte](164)
+    // s0: pred 128, diff +72 at context (0,0): as in the 2x2 pin
+    enc.encode(st, 0, 1); enc.encode(st, 1, 0)
+    enc.encode(st, 2, 1); enc.encode(st, 2, 1)
+    enc.encode(st, 100, 1); enc.encode(st, 101, 1); enc.encode(st, 102, 1)
+    enc.encode(st, 103, 1); enc.encode(st, 104, 1); enc.encode(st, 105, 0)
+    enc.encode(st, 120, 0); enc.encode(st, 120, 0); enc.encode(st, 120, 0)
+    enc.encode(st, 120, 1); enc.encode(st, 120, 1); enc.encode(st, 120, 1)
+    // s1: x=0,y=1 predicts from Rb=200; diff = 100-200 = -100.
+    // Context (Qa=0 [x=0], Qb=3 [s0 large+]) -> bins 12..15; sign=1 so
+    // SP/SN bin is 12+2+1 = 15; v = 99, X1 in bin 15, then chain SET B:
+    // top bit of 99 is 64 -> 2->4->8->16->32->64 = five 1s at 132..136,
+    // terminator 137; mantissa 99-64 = 35 at 137+15=152: bits
+    // 32,16,8,4,2,1 -> 1,0,0,0,1,1
+    enc.encode(st, 12, 1)
+    enc.encode(st, 13, 1) // negative
+    enc.encode(st, 15, 1)
+    enc.encode(st, 15, 1)
+    enc.encode(st, 132, 1); enc.encode(st, 133, 1); enc.encode(st, 134, 1)
+    enc.encode(st, 135, 1); enc.encode(st, 136, 1); enc.encode(st, 137, 0)
+    enc.encode(st, 152, 1); enc.encode(st, 152, 0); enc.encode(st, 152, 0)
+    enc.encode(st, 152, 0); enc.encode(st, 152, 1); enc.encode(st, 152, 1)
+    // s2: predicts from Rb=100; diff = 160-100 = +60. Context
+    // (Qa=0 [x=0], Qb=4 [s1 large-]) -> bins 16..19; SP bin 16+2 = 18;
+    // v = 59, X1 at 18, chain set B (Qb large): top bit 32 ->
+    // 2->4->8->16->32 = four 1s at 132..135, terminator 136; mantissa
+    // 59-32 = 27 at 136+15=151: bits 16,8,4,2,1 -> 1,1,0,1,1
+    enc.encode(st, 16, 1)
+    enc.encode(st, 17, 0) // positive
+    enc.encode(st, 18, 1)
+    enc.encode(st, 18, 1)
+    enc.encode(st, 132, 1); enc.encode(st, 133, 1); enc.encode(st, 134, 1)
+    enc.encode(st, 135, 1); enc.encode(st, 136, 0)
+    enc.encode(st, 151, 1); enc.encode(st, 151, 1); enc.encode(st, 151, 0)
+    enc.encode(st, 151, 1); enc.encode(st, 151, 1)
+    enc.flushSegment()
+    out.write(enc.bytes)
+    m(0xD9)
+    val img = JpegCodec.decode(out.toByteArray).get
+    img.width shouldBe 1
+    img.height shouldBe 3
+    img.pixels.grouped(3).map(_(0) & 0xFF).toSeq shouldBe Seq(200, 100, 160)
+  }
+
+  test("SOF11 round-trips BIT-EXACT across all 7 predictors, gray and RGB") {
+    for (img <- Seq(gradient(13, 10), noise(16, 9, 20260815L));
+         pred <- 1 to 7) {
+      val rgb = JpegCodec.decode(JpegCodec.encodeLosslessArith(img,
+        gray = false, predictor = pred)).get
+      rgb.width shouldBe img.width
+      rgb.height shouldBe img.height
+      rgb.pixels shouldBe img.pixels
+      val g = JpegCodec.decode(JpegCodec.encodeLosslessArith(img,
+        gray = true, predictor = pred)).get
+      g.pixels.grouped(3).zip(img.pixels.grouped(3)).foreach {
+        case (got, want) =>
+          (got(0) & 0xFF) shouldBe (want(0) & 0xFF)
+          got(1) shouldBe got(0)
+          got(2) shouldBe got(0)
+      }
+    }
+  }
+
+  test("SOF11 round-trips at 12/16-bit precision, point transform, restarts, non-default conditioning") {
+    val img = noise(11, 7, 20260816L)
+    for ((prec, pt) <- Seq((12, 0), (16, 0), (12, 2), (16, 4))) {
+      val got = JpegCodec.decode(JpegCodec.encodeLosslessArith(img,
+        gray = true, predictor = 4, precision = prec, pt = pt)).get
+      // the >8-bit convention keeps the high byte; Pt zeros restore <<Pt
+      got.pixels.grouped(3).zip(img.pixels.grouped(3)).foreach {
+        case (g, w) =>
+          (g(0) & 0xFF) shouldBe ((((w(0) & 0xFF) << (prec - 8)) >> pt << pt) >> (prec - 8))
+      }
+    }
+    // restart markers reset coder, stats, prediction, and conditioning
+    val rst = JpegCodec.decode(JpegCodec.encodeLosslessArith(
+      gradient(9, 6), gray = false, predictor = 7, restartInterval = 5)).get
+    rst.pixels shouldBe gradient(9, 6).pixels
+    // non-default (L, U) changes the conditioning classification on both
+    // sides symmetrically
+    for ((l, u) <- Seq((1, 2), (2, 4), (0, 3))) {
+      val got = JpegCodec.decode(JpegCodec.encodeLosslessArith(
+        noise(10, 5, 7L), gray = false, predictor = 2, dcL = l, dcU = u)).get
+      got.pixels shouldBe noise(10, 5, 7L).pixels
+    }
+  }
+
+  test("SOF11 corrupt payloads never throw") {
+    val good = JpegCodec.encodeLosslessArith(gradient(12, 8), predictor = 4)
+    JpegCodec.decode(good) should not be None
+    val rng = new scala.util.Random(54L)
+    (1 to 300).foreach { _ =>
+      val bad = good.clone()
+      bad(rng.nextInt(bad.length)) = rng.nextInt(256).toByte
+      noException should be thrownBy JpegCodec.decode(bad)
+    }
+    (1 to 100).foreach { _ =>
+      noException should be thrownBy
+        JpegCodec.decode(good.take(rng.nextInt(good.length)))
+    }
+  }
+
   test("lossless (SOF3) round-trips BIT-EXACT across all 7 predictors, gray and RGB") {
     for (img <- Seq(gradient(13, 10), noise(16, 9, 20260814L));
          pred <- 1 to 7) {
@@ -642,11 +816,9 @@ class JpegCodecSpec extends SparkTestBase {
       bad(sos + off) = v.toByte
       JpegCodec.decode(bad) shouldBe None
     }
-    // arithmetic lossless (SOF11) stays out of scope
-    val sof = good.indices.find(i => (good(i) & 0xFF) == 0xFF &&
-      (good(i + 1) & 0xFF) == 0xC3).get
-    val sof11 = good.clone(); sof11(sof + 1) = 0xCB.toByte
-    JpegCodec.decode(sof11) shouldBe None
+    // (round 7: SOF11 is in scope — its own tests below; a SOF3 stream
+    // relabeled 0xCB feeds Huffman bits to the QM coder, which must not
+    // throw — covered by the fuzz loop)
     val rng = new scala.util.Random(53L)
     (1 to 300).foreach { _ =>
       val bad = good.clone()
@@ -684,6 +856,68 @@ class JpegCodecSpec extends SparkTestBase {
       // base frame q=1 DCT error + one EXP-interpolated differential
       // refinement at q=2: each stage contributes ~±2 rounding
       maxErr(img, dec) should be <= 6
+    }
+  }
+
+  test("hierarchical ARITHMETIC lossless pyramid (SOF11 + SOF15) round-trips BIT-EXACT") {
+    for (img <- Seq(gradient(16, 16), noise(24, 8, 20260817L));
+         levels <- 1 to 3; gray <- Seq(false, true)) {
+      val enc = JpegHier.encodeHierarchical(img, gray = gray,
+        levels = levels, arithmetic = true)
+      val dec = JpegCodec.decode(enc).get
+      dec.width shouldBe img.width
+      dec.height shouldBe img.height
+      if (!gray) dec.pixels shouldBe img.pixels
+      else dec.pixels.grouped(3).zip(img.pixels.grouped(3)).foreach {
+        case (got, want) =>
+          (got(0) & 0xFF) shouldBe (want(0) & 0xFF)
+          got(1) shouldBe got(0); got(2) shouldBe got(0)
+      }
+    }
+  }
+
+  test("hierarchical ARITHMETIC DCT pyramid (SOF9 + SOF13) reconstructs within the bound") {
+    for (img <- Seq(gradient(16, 16), gradient(32, 16))) {
+      val enc = JpegHier.encodeHierarchical(img, levels = 2, dct = true,
+        arithmetic = true)
+      val dec = JpegCodec.decode(enc).get
+      dec.width shouldBe img.width
+      dec.height shouldBe img.height
+      // the arithmetic arm codes the SAME quantized coefficients as the
+      // Huffman pyramid — identical reconstruction bound
+      maxErr(img, dec) should be <= 6
+    }
+  }
+
+  test("hierarchical arithmetic streams equal the Huffman pyramid's pixels exactly") {
+    // entropy coding must not change WHAT is coded: the lossless pyramids
+    // decode to identical pixels, and the DCT pyramids (same quantized
+    // coefficients through either entropy layer) decode identically too
+    val img = gradient(16, 16)
+    val h = JpegCodec.decode(JpegHier.encodeHierarchical(img, levels = 2)).get
+    val a = JpegCodec.decode(JpegHier.encodeHierarchical(img, levels = 2,
+      arithmetic = true)).get
+    a.pixels shouldBe h.pixels
+    val hd = JpegCodec.decode(JpegHier.encodeHierarchical(img, levels = 2,
+      dct = true)).get
+    val ad = JpegCodec.decode(JpegHier.encodeHierarchical(img, levels = 2,
+      dct = true, arithmetic = true)).get
+    ad.pixels shouldBe hd.pixels
+  }
+
+  test("hierarchical arithmetic corrupt payloads never throw") {
+    val good = JpegHier.encodeHierarchical(gradient(16, 16), levels = 2,
+      arithmetic = true)
+    JpegCodec.decode(good) should not be None
+    val rng = new scala.util.Random(55L)
+    (1 to 300).foreach { _ =>
+      val bad = good.clone()
+      bad(rng.nextInt(bad.length)) = rng.nextInt(256).toByte
+      noException should be thrownBy JpegCodec.decode(bad)
+    }
+    (1 to 100).foreach { _ =>
+      noException should be thrownBy
+        JpegCodec.decode(good.take(rng.nextInt(good.length)))
     }
   }
 
