@@ -296,7 +296,15 @@ object TextAnalysis {
       .select(col("id_s"), col("t_s"), col("l_s"),
         col("e.j").as("j"), col("e.lr").as("l_r"), col("e.seg").as("seg"))
 
-    val longPairs = idx.join(probe, Seq("seg", "j", "l_r"))
+    // the segment join MUST be sort-merge (round 7, pinned by the sf10
+    // rung): both sides are Generate fan-outs, and Catalyst's static size
+    // estimate for Generate is ~the input scan's, so at any large SF the
+    // planner "broadcasts" a side whose RUNTIME size is ~60 rows per
+    // string (measured 15.8 GiB at 100× rows — the build side alone
+    // exceeds the 8 GiB broadcast hard cap and the job dies). A shuffle
+    // on (seg, j, l_r) is the shape that survives any corpus size, and
+    // AQE's skew rule can split hot segment buckets.
+    val longPairs = idx.hint("merge").join(probe, Seq("seg", "j", "l_r"))
       // shorter-indexes-into-longer gives each unequal-length pair ONE
       // direction; equal lengths appear both ways -> id order picks one
       .filter(col("l_r") < col("l_s") ||

@@ -48,7 +48,11 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("GEN_SF10_DST", "/root/repo/testdata-ext/sf10")
 K = 100_000_000
-REPLICAS = 100
+# GEN_SF10_REPLICAS overrides for intermediate rungs (e.g. 30 -> "sf3",
+# the fallback for operators whose linearly-scaled scratch footprint
+# exceeds this single VM's disk at 100x — a cluster would have 100x the
+# aggregate scratch, a shared-nothing VM does not)
+REPLICAS = int(os.environ.get("GEN_SF10_REPLICAS", "100"))
 
 os.makedirs(DST, exist_ok=True)
 
