@@ -423,9 +423,11 @@ private[graft] object SparkEntryDedup {
     * SQL over an element CTE body `elCte` defining el(doc_id, e): md5
     * h1/h2, the `numHashes` affine minima, per-band key strings, bucket
     * collisions (with the lossless size-ratio prune), DISTINCT pairs,
-    * exact-Jaccard verification via an element-equality join. Every
-    * constant is shared with the Spark operator, so the two sides cannot
-    * drift independently.
+    * exact-Jaccard verification in the SAME distinct-h1 space the Spark
+    * operator verifies in (sorted-set intersection of 60-bit hashes — an
+    * h1 collision changes both engines identically, so the compare is
+    * exact by construction). Every constant is shared with the Spark
+    * operator, so the two sides cannot drift independently.
     */
   private def md5LshOracleSql(elCte: String, numHashes: Int, bands: Int,
                               threshold: Double, simName: String): String = {
@@ -447,12 +449,14 @@ private[graft] object SparkEntryDedup {
        |$elCte),
        |hx AS (SELECT doc_id, e, md5(e) AS hx FROM el),
        |hv AS (
-       |  SELECT doc_id, e,
+       |  SELECT doc_id,
        |         ${hexValSql("hx", 1, 15)} AS h1,
        |         ${hexValSql("hx", 16, 13)} AS h2
        |  FROM hx),
        |sig AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |  SELECT doc_id,
+       |         list_sort(list(DISTINCT h1)) AS hs,
+       |         CAST(count(DISTINCT h1) AS BIGINT) AS n,
        |$mins
        |  FROM hv GROUP BY doc_id),
        |keys AS (
@@ -462,19 +466,14 @@ private[graft] object SparkEntryDedup {
        |cand AS (
        |  SELECT DISTINCT d1, d2 FROM (
        |$candUnion
-       |  )),
-       |inter AS (
-       |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS i
-       |  FROM cand c
-       |  JOIN hv e1 ON e1.doc_id = c.d1
-       |  JOIN hv e2 ON e2.doc_id = c.d2 AND e2.e = e1.e
-       |  GROUP BY 1, 2)
+       |  ))
        |SELECT doc_id_1, doc_id_2, $simName FROM (
-       |  SELECT i.d1 AS doc_id_1, i.d2 AS doc_id_2,
-       |         CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS $simName
-       |  FROM inter i
-       |  JOIN sig na ON na.doc_id = i.d1
-       |  JOIN sig nb ON nb.doc_id = i.d2)
+       |  SELECT c.d1 AS doc_id_1, c.d2 AS doc_id_2,
+       |         CAST(len(list_intersect(na.hs, nb.hs)) AS DOUBLE)
+       |           / (na.n + nb.n - len(list_intersect(na.hs, nb.hs))) AS $simName
+       |  FROM cand c
+       |  JOIN sig na ON na.doc_id = c.d1
+       |  JOIN sig nb ON nb.doc_id = c.d2)
        |WHERE $simName >= $threshold""".stripMargin
   }
 

@@ -1040,9 +1040,15 @@ object Dedup {
   /** Shared md5-affine LSH core over a prepared frame of DISTINCT
     * (doc_id, e: string) element rows. Bands on concatenated per-band
     * minima (decimal strings joined by ':'), verifies candidates with the
-    * exact set Jaccard via an element-equality record join, and emits the
-    * verified pairs — a pure function of the element sets, replayable in
-    * any SQL engine with md5. No probabilistic screen (the xxhash64 path's
+    * exact set Jaccard in the 60-bit h1 space — sorted distinct-h1 arrays
+    * through the allocation-free merge kernel, the same record-join shape
+    * (and the same hashed-element-Jaccard semantics) as the xxhash64
+    * operators. The ORACLE computes in the identical h1 space, so the two
+    * sides are the same function by construction: an h1 collision changes
+    * both engines' answers identically (the first cut of this operator
+    * verified by an element-STRING pair join instead — semantically purer
+    * but the candidates × elements fan-out measured 224 s at sf0.1, 50×
+    * the xxhash64 path). No probabilistic screen (the xxhash64 path's
     * agree-count screen is lossy at ~1e-6 — fine for an operator, fatal
     * for a hash-compared oracle). The size-ratio prune is kept: it is
     * mathematically lossless for jaccard >= threshold, in both engines.
@@ -1052,14 +1058,16 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val (h1, h2) = md5h(col("e"))
-    val hashed = elems.select(col("doc_id"), col("e"),
-      h1.as("h1"), h2.as("h2"))
-      .localCheckpoint(false) // feeds the signature agg AND the verify join
+    val hashed = elems.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
     val minCols = (0 until numHashes).map { k =>
       min((col("h1") + lit(k.toLong) * col("h2")) % AffineP).as(s"m$k")
     }
+    // one shuffle computes the verify set AND all minima; localCheckpoint
+    // so the pipeline runs once across the four consumers below
     val sig = hashed.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), minCols: _*)
+      .agg(array_sort(collect_set(col("h1"))).as("hs"), minCols: _*)
+      .withColumn("n", size(col("hs")).cast("long"))
+      .localCheckpoint(false)
     val bandKeys = (0 until bands).map { b =>
       concat_ws(":", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
     }
@@ -1072,16 +1080,15 @@ object Dedup {
           col("b.n") * threshold <= col("a.n"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val inter = cand
-      .join(hashed.select(col("doc_id").as("d1"), col("e")), Seq("d1"))
-      .join(hashed.select(col("doc_id").as("d2"), col("e")), Seq("d2", "e"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") /
-      (col("n1") + col("n2") - col("i")).cast("double")
-    inter
-      .join(sig.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sig.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+    val inter = call_function("graft_sorted_intersect_count",
+      col("hs1"), col("hs2"))
+    val jac = inter.cast("double") /
+      (col("n1") + col("n2") - inter).cast("double")
+    cand
+      .join(sig.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+        col("n").as("n1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+        col("n").as("n2")), Seq("d2"))
       .filter(jac >= threshold)
       .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
         jac.as(simName))
