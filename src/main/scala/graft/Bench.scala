@@ -43,10 +43,17 @@ object Bench {
     */
   val Sf1Set: Seq[String] = Headline.filterNot(Set(
     "q19_ngram_jaccard_pairs", "q47_fuzzy_part_names",
-    "q51_ppjoin_pairs", "q52_weighted_jaccard_pairs")) ++ Seq(
-    // round 7: q20 REJOINS the rung — the md5-affine entry is pure LSH
-    // again (the round-6 quadratic exact-truth arm moved to DedupSpec
-    // when the boolean contract became a full pair-set oracle)
+    "q51_ppjoin_pairs", "q52_weighted_jaccard_pairs",
+    // round 7: q20 (now the md5-affine full-oracle entry) stays OUT on
+    // measured evidence, not the old truth-arm rule: its exact verify
+    // (no lossy screen — oracle exactness) pays per-CANDIDATE, and on
+    // this 20-word-template corpus the banding floor is 29% of ALL
+    // pairs at sf0.1 (measured: 3.6M -> 27.8M distinct candidates at
+    // the 10x rung — linear-ish 7.7x — but the 67 GB verify
+    // intermediate crosses the VM memory wall: 3.7 s -> 176 s). The
+    // q19/q47/q51/q52 corpus-pathology rule applies; the screened LSH
+    // scale path stays rung-covered via q49. BASELINE.md round 7.
+    "q20_minhash_lsh_pairs")) ++ Seq(
     // round-3 linear-claim additions (measured 0.6-2.1x at the 10x rung:
     // token split-joins sub-linear, window/merge ops overhead-bound). q98
     // stays OUT: its benchmark formulation scales the batch with the

@@ -570,14 +570,16 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    // hash ONCE per token via transform, THEN fold: an expression inlined
+    // into the zip_with lambda re-evaluates per mask element — 64 hashes
+    // per token (measured 12× the whole operator on the md5 variant)
+    val hs = transform(tokensWs(col("text")), t => xxhash64(t))
     val bitSums = aggregate(
-      tokensWs(col("text")),
+      hs,
       array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
+      (acc, h) =>
         zip_with(acc, masks, (a, m) =>
-          a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))
-      })
+          a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
     val packed = aggregate(
       zip_with(bitSums, masks, (b, m) => when(b > 0, m).otherwise(lit(0L))),
       lit(0L), (s, x) => s + x)
@@ -1142,16 +1144,21 @@ object Dedup {
     */
   def simhashMd5(docs: DataFrame): DataFrame = {
     val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    // one md5 per token (transform), then the fold — inlining the md5
+    // expression into the zip_with lambda re-evaluates it per mask
+    // element: 64 digests/token, measured 44 s for the whole sf0.1
+    // entry vs ~4 s with the hash materialized
+    val vs = transform(tokensWs(col("text")), t => {
+      val hx = md5(t.cast("binary"))
+      shiftleft(conv(hx.substr(1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(hx.substr(9, 8), 16, 10).cast("long"))
+    })
     val bitSums = aggregate(
-      tokensWs(col("text")),
+      vs,
       array_repeat(lit(0L), 64),
-      (acc: Column, t: Column) => {
-        val hx = md5(t.cast("binary"))
-        val v = shiftleft(conv(hx.substr(1, 8), 16, 10).cast("long"), 32)
-          .bitwiseOR(conv(hx.substr(9, 8), 16, 10).cast("long"))
+      (acc: Column, v: Column) =>
         zip_with(acc, masks, (a, m) =>
-          a + when(v.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))
-      })
+          a + when(v.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
     val packed = aggregate(
       zip_with(bitSums, masks, (b, m) => when(b > 0, m).otherwise(lit(0L))),
       lit(0L), (s: Column, x: Column) => s + x)
