@@ -61,6 +61,16 @@ private[graft] object SparkEntryDedup {
       TextAnalysis.fuzzyPairs(t(s, dir, "part"),
         "p_partkey", "p_name", "p_brand", 2)),
 
+    // §2.7 — LSH band-bucket audit (round 7, born from the 100×-rung
+    // finding): per band, bucket count / largest bucket / implied
+    // candidate-pair volume Σ C(size,2) — prices the verify stage from
+    // the signatures alone, BEFORE any pair exists. The one-aggregate
+    // pre-flight a 100 TB dedup launch needs to detect a background-
+    // similarity candidate floor (measured 29% of ALL pairs on this
+    // templated corpus) at pilot cost. md5-affine space → full oracle.
+    "q325_lsh_bucket_audit" -> ((s, dir) =>
+      Dedup.lshBucketAudit(t(s, dir, "documents"), 64, 16, 5)),
+
     // §2.7 — the composed 100 TB dedup pipeline: LSH candidates → exact
     // Jaccard verify → connected components, one operator end-to-end.
     // Oracled: the DuckDB closure over ALL exact-Jaccard pairs matches
@@ -477,6 +487,52 @@ private[graft] object SparkEntryDedup {
        |WHERE $simName >= $threshold""".stripMargin
   }
 
+  /** Generates the DuckDB replay of [[Dedup.lshBucketAudit]]: the same
+    * md5-affine signature CTEs as [[md5LshOracleSql]], finished by the
+    * per-band bucket-size aggregate instead of the pair join.
+    */
+  private def lshBucketAuditOracleSql(elCte: String, numHashes: Int,
+                                      bands: Int): String = {
+    val rows = numHashes / bands
+    val p = Dedup.AffineP
+    val mins = (0 until numHashes).map(k =>
+      s"         min((h1 + $k*h2) % $p) AS m$k").mkString(",\n")
+    val keys = (0 until bands).map { b =>
+      val ks = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"         $ks AS k$b"
+    }.mkString(",\n")
+    val bandRows = (0 until bands).map(b =>
+      s"    SELECT $b AS band, k$b AS key FROM keys").mkString("\n    UNION ALL\n")
+    s"""WITH el AS (
+       |$elCte),
+       |hx AS (SELECT doc_id, e, md5(e) AS hx FROM el),
+       |hv AS (
+       |  SELECT doc_id,
+       |         ${hexValSql("hx", 1, 15)} AS h1,
+       |         ${hexValSql("hx", 16, 13)} AS h2
+       |  FROM hx),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM hv GROUP BY doc_id),
+       |keys AS (
+       |  SELECT doc_id,
+       |$keys
+       |  FROM sig),
+       |bandrows AS (
+       |$bandRows),
+       |buckets AS (
+       |  SELECT band, key, CAST(count(*) AS BIGINT) AS sz
+       |  FROM bandrows GROUP BY 1, 2)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |       CAST(count(*) AS BIGINT) AS n_buckets,
+       |       max(sz) AS max_bucket,
+       |       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs,
+       |       CAST(sum(sz) AS BIGINT) AS n_docs
+       |FROM buckets GROUP BY 1""".stripMargin
+  }
+
   /** Generates the DuckDB replay of [[Dedup.simhashPairsMd5]]: md5 token
     * bits (bit j of the 64-bit signature = bit (j mod 4) of hex digit
     * 16 - j/4), per-doc ±1 bit sums, sign-packed signature, then the
@@ -543,6 +599,15 @@ private[graft] object SparkEntryDedup {
 
     // FULL pair-set oracle (round 7): md5-bit simhash + all-pairs hamming
     "q21_simhash_pairs" -> simhashMd5OracleSql(maxHamming = 6),
+
+    // full oracle (round 7): replay the md5-affine signatures and count
+    // band-bucket sizes — same hv/sig/keys machinery as q20's oracle,
+    // finishing in the bucket aggregate instead of the pair join
+    "q325_lsh_bucket_audit" -> lshBucketAuditOracleSql(
+      """  SELECT doc_id, unnest(list_distinct([substr(text, CAST(x AS INT), 5)
+        |    for x in range(1, CAST(length(text) AS BIGINT) - 3)])) AS e
+        |  FROM documents""".stripMargin,
+      numHashes = 64, bands = 16),
 
     // FULL pair-set oracle (round 7): the md5-affine LSH replay over
     // q52's occurrence-expanded normalized 5-gram space (the "g#k"

@@ -306,6 +306,26 @@ class DedupSpec extends SparkTestBase {
     exact should not be empty
   }
 
+  test("lshBucketAudit prices the candidate volume from signatures alone") {
+    // two identical docs + one distinct: the identical pair shares every
+    // band bucket (all 64 minima equal), the distinct doc sits alone
+    val tiny = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "the quick brown fox jumps over it"),
+      (3L, "completely different content here now")).toDF("doc_id", "text")
+    val r = Dedup.lshBucketAudit(tiny, 64, 16, 5)
+      .select("band", "n_buckets", "max_bucket", "candidate_pairs", "n_docs")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    r.length shouldBe 16
+    r.map(_._1).sorted shouldBe (0L until 16L).toArray
+    r.foreach { case (_, nBuckets, maxBucket, candPairs, nDocs) =>
+      nDocs shouldBe 3
+      maxBucket shouldBe 2 // the identical pair, in every band
+      candPairs shouldBe 1 // C(2,2) = 1 implied candidate per band
+      nBuckets shouldBe 2
+    }
+  }
+
   test("simhashPairsMd5 pigeonhole banding equals the all-pairs baseline") {
     val words = Array("spark", "data", "cluster", "shuffle", "join", "scan",
       "parquet", "column", "row", "partition", "stage", "task")
