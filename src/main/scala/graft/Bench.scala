@@ -247,6 +247,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Shuffle-write / spill accounting (VERDICT r7 item 8): every timed
+    // run carries its shuffle-write and disk-spill bytes, so scaling
+    // probes show SCRATCH volume curves, not just wall-clock — the
+    // evidence class the sf10 disk-wall DNFs were missing. Listener
+    // events drain asynchronously; the short post-run sleep makes the
+    // counters complete for any run longer than the bus latency (ms).
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            diskSpill.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+
     // Per-query state isolation (round 5): every operator that
     // localCheckpoints leaves its blocks pinned in the block manager, and
     // over a 184-query catalog those accumulate into memory pressure that
@@ -258,26 +278,35 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    def runOnce(name: String, dir: String): Double = {
+    // (seconds, shuffle-write bytes, disk-spill bytes) per run; timed
+    // keeps the tuple of the min-time run so the bytes describe the same
+    // execution the reported seconds do
+    def runOnce(name: String, dir: String): (Double, Long, Long) = {
+      val sw0 = shuffleWrite.get(); val sp0 = diskSpill.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150) // listener bus drain (see counter comment above)
+      val out = (dt, shuffleWrite.get() - sw0, diskSpill.get() - sp0)
       clearState()
-      dt
+      out
     }
-    def timed(name: String, dir: String, runs: Int): Double =
-      try (1 to runs).map(_ => runOnce(name, dir)).min
+    def timed(name: String, dir: String, runs: Int): (Double, Long, Long) =
+      try (1 to runs).map(_ => runOnce(name, dir)).minBy(_._1)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name @ $dir failed: ${e.getMessage}")
         clearState()
-        -1.0
+        (-1.0, -1L, -1L)
       }
     def json(results: Seq[(String, Double)]): String =
       results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    def total(results: Seq[(String, Double)]): Double =
-      results.collect { case (_, v) if v >= 0 => v }.sum
+    def jsonL(results: Seq[(String, Long)]): String =
+      results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    def total(results: Seq[(String, (Double, Long, Long))]): Double =
+      results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
 
     // full catalog at the primary scale factor: headline 2-run-min first
     // (their numbers are the round-over-round comparison), then the rest
@@ -326,8 +355,9 @@ object Bench {
           // once each at the rung scale → "stages" object (VERDICT r5 #7)
           val sf01 = results.toMap
           val stages = r.collect {
-            case (n, t1) if t1 > 0 && StageProbes.contains(n) &&
-                sf01.get(n).exists(t0 => t0 > 0 && t1 / t0 > StageRatio) =>
+            case (n, (t1, _, _)) if t1 > 0 && StageProbes.contains(n) &&
+                sf01.get(n).exists { case (t0, _, _) =>
+                  t0 > 0 && t1 / t0 > StageRatio } =>
               val rows = StageProbes(n).map { case (stage, fn) =>
                 val st = try {
                   val t0 = System.nanoTime()
@@ -345,7 +375,9 @@ object Bench {
           val stageJson =
             if (stages.isEmpty) "" else s""","stages":{${stages.mkString(",")}}"""
           s""","sf1":{"dir":"$sf1Dir","total":${total(r)},""" +
-            s""""queries":${json(r)}$stageJson}"""
+            s""""queries":${json(r.map { case (k, (v, _, _)) => k -> v })},""" +
+            s""""shuffle_write_bytes":${jsonL(r.map { case (k, (_, b, _)) => k -> b })},""" +
+            s""""disk_spill_bytes":${jsonL(r.map { case (k, (_, _, b)) => k -> b })}$stageJson}"""
         }
       } else ""
 
@@ -368,6 +400,16 @@ object Bench {
           s""""${label}_sec":-1.0"""
         }
       val tmp = java.nio.file.Files.createTempDirectory("gatebench").toString
+      // the delivery parquet + checkpoint dirs are multi-GB at sf10 —
+      // always swept (finally below), or the scratch disk leaks per run
+      def rmTree(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      try {
       val dedup = gate("gate_dedup", () => {
         val docs = Tables.load(spark, sfDir, "documents")
         val corpus = docs.filter(col("doc_id") % 10 =!= 0).localCheckpoint()
@@ -393,12 +435,16 @@ object Bench {
         n
       })
       s""","stream_gates":{$dedup,$decon}"""
+      } finally rmTree(java.nio.file.Paths.get(tmp))
     }
 
     val context = s""""context":{"load_pre":"$loadPre","load_post":"${loadavg()}",""" +
       s""""isolated":${only.nonEmpty},"cpus":$cpus}"""
     val line = s"""{"metric":"total","value":$headlineTotal,"unit":"sec",""" +
-      s""""full_total":${total(results)},"queries":${json(results)},""" +
+      s""""full_total":${total(results)},""" +
+      s""""queries":${json(results.map { case (k, (v, _, _)) => k -> v })},""" +
+      s""""shuffle_write_bytes":${jsonL(results.map { case (k, (_, b, _)) => k -> b })},""" +
+      s""""disk_spill_bytes":${jsonL(results.map { case (k, (_, _, b)) => k -> b })},""" +
       s""""sf":"$sfDir",$context$gates$sf1}"""
     // persist the FULL record to a file (the driver's stdout capture keeps
     // only a ~2000-char tail — a 324-query line can never fit there) and
@@ -429,7 +475,8 @@ object Bench {
       if (only.nonEmpty) line // probe runs are short — full line fits
       else s"""{"metric":"total","value":$headlineTotal,"unit":"sec",""" +
         s""""full_total":${total(results)},""" +
-        s""""queries":${json(results.take(headline.length))},""" +
+        s""""queries":${json(results.take(headline.length)
+          .map { case (k, (v, _, _)) => k -> v })},""" +
         s""""sf":"$sfDir",$context$gates$sf1Compact,"detail":"bench_out.json"}"""
     println(compact)
   }

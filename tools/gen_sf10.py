@@ -53,6 +53,10 @@ K = 100_000_000
 # exceeds this single VM's disk at 100x — a cluster would have 100x the
 # aggregate scratch, a shared-nothing VM does not)
 REPLICAS = int(os.environ.get("GEN_SF10_REPLICAS", "100"))
+# the per-replica transforms are only pairwise-distinct for i < 128 (the
+# embedding sign pattern uses i's low 7 bits); beyond that, replicas would
+# silently repeat — exactly the cross-replica artifact this script avoids
+assert 1 <= REPLICAS <= 128, "transforms repeat beyond 128 replicas"
 
 os.makedirs(DST, exist_ok=True)
 
