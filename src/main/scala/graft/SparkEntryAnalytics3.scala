@@ -1314,6 +1314,43 @@ private[graft] object SparkEntryAnalytics3 {
         .select(col("event_type"), col("n_a"), col("n_b"),
           ((mean("a") - mean("b")) / col("se")).as("t_stat"))
     }),
+
+    // §2.6 — DOULION approximate triangles (round 8, the graph family's
+    // 100× arm): deterministic md5 edge sampling at p = 1/4, exact
+    // oriented-wedge count on the sparsified graph, unbiased ·64 rescale.
+    // Wedge volume (the scratch that DNF'd exact q154 at sf10 on one VM)
+    // drops ~p² = 1/16; the md5 determinism keeps the estimate full-hash
+    // oracle-able — the oracle replays the same sample and recounts via
+    // the naive id-ordered 3-way join
+    "q326_triangles_doulion" -> ((s, dir) => {
+      val po = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = po.as("x")
+        .join(po.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+      Graph.triangleCountsApprox(edges, Seq("0", "1", "2", "3"))
+        .orderBy(col("est_triangles").desc, col("node").asc)
+        .limit(10)
+    }),
+
+    // §2.6 — sampled common-neighbor link scores (round 8): q194's
+    // estimate-grade twin on the same md5-sparsified graph — exact
+    // common counts among surviving edges, ·16 (1/p²) unbiased rescale;
+    // wedge scratch drops ~p², the q194-at-100× safety valve
+    "q327_link_scores_sampled" -> ((s, dir) => {
+      val po = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = po.as("x")
+        .join(po.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+      Graph.linkScoresApprox(edges, Seq("0", "1", "2", "3"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2339,5 +2376,51 @@ private[graft] object SparkEntryAnalytics3 {
         |SELECT event_type, n_a, n_b,
         |       (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b) / se AS t_stat
         |FROM x WHERE se > 0""".stripMargin,
+
+    // the oracle replays the md5 edge sample (q34 convention: identical
+    // hex on both engines) and recounts the sampled triangles via the
+    // naive id-ordered three-way join, then applies the same ·64 rescale
+    "q326_triangles_doulion" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM po x JOIN po y ON x.o = y.o AND x.p < y.p),
+        |e AS (
+        |  SELECT a, b FROM e0
+        |  WHERE substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+        |               1, 1) IN ('0', '1', '2', '3')),
+        |tr AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (
+        |  SELECT a AS node FROM tr
+        |  UNION ALL SELECT b FROM tr
+        |  UNION ALL SELECT c FROM tr)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(count(*) * 64 AS BIGINT) AS est_triangles
+        |FROM n GROUP BY 1 ORDER BY 3 DESC, 1 ASC LIMIT 10""".stripMargin,
+
+    "q327_link_scores_sampled" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM po x JOIN po y ON x.o = y.o AND x.p < y.p),
+        |e AS (
+        |  SELECT a, b FROM e0
+        |  WHERE substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+        |               1, 1) IN ('0', '1', '2', '3')),
+        |adj AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+        |cm AS (
+        |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS common
+        |  FROM e
+        |  JOIN adj x ON x.n = e.a
+        |  JOIN adj y ON y.n = e.b AND y.m = x.m
+        |  GROUP BY 1, 2)
+        |SELECT a, b, common AS common_sampled,
+        |       CAST(common * 16 AS BIGINT) AS common_est
+        |FROM cm""".stripMargin,
   )
 }

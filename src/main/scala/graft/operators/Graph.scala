@@ -184,6 +184,63 @@ object Graph {
       .select(col("src").as("apex"), col("x"), col("y"))
   }
 
+  /** Deterministic DOULION edge sampling: keep edge (a, b) iff the first
+    * hex char of md5("a:b") falls in `keepHex` — keep probability
+    * p = |keepHex|/16 with NO RNG, so the sparsified graph is a pure
+    * function of the edge set (the q34 md5-prefix convention) and an
+    * external engine can replay the exact same subgraph for a full-hash
+    * oracle. This is the sampling primitive of the approximate graph
+    * arms below — the safety valve for graphs whose exact wedge volume
+    * exceeds a cluster's scratch budget.
+    */
+  def sampleEdges(edges: DataFrame, keepHex: Seq[String]): DataFrame = {
+    require(keepHex.nonEmpty && keepHex.size < 16,
+      "keepHex must be a proper nonempty subset of the 16 hex chars")
+    edges.filter(substring(md5(concat(col("a").cast("string"), lit(":"),
+      col("b").cast("string"))), 1, 1).isin(keepHex: _*))
+  }
+
+  /** DOULION-style approximate per-node triangle counts (Tsourakakis,
+    * Kang & Faloutsos, KDD'09): count triangles EXACTLY on the
+    * [[sampleEdges]]-sparsified graph, then rescale by 1/p³ — each
+    * triangle survives iff all three edges do, so the sampled count is
+    * Binomial(T, p³) and `count·(1/p³)` is unbiased, with relative
+    * error ~1/√(T·p³) on any graph whose triangle count isn't tiny.
+    *
+    * Why this is the 100 TB arm: the exact [[triangleCounts]] wedge
+    * stage is m·√m-bounded but its SCRATCH (wedge shuffle spill) scales
+    * with the wedge volume itself; sampling at p cuts edges to p·m and
+    * wedge volume to ~p²·Σdeg² — a 1/16 scratch cut at p=1/4 — while
+    * the md5 determinism keeps the whole pipeline full-hash oracle-able.
+    * Output: (node, n_sampled, est_triangles) where est_triangles =
+    * (n_sampled · 16³) div |keepHex|³ — exact integer scaling, no
+    * doubles (at p=1/4 the factor is exactly 64).
+    */
+  def triangleCountsApprox(edges: DataFrame, keepHex: Seq[String]): DataFrame = {
+    val k = keepHex.size.toLong
+    triangleCounts(sampleEdges(edges, keepHex))
+      .withColumnRenamed("n_triangles", "n_sampled")
+      .withColumn("est_triangles",
+        expr(s"(n_sampled * ${16L * 16L * 16L}) div ${k * k * k}"))
+  }
+
+  /** Approximate common-neighbor link scores on the [[sampleEdges]]-
+    * sparsified graph: for each SURVIVING edge, the exact common-neighbor
+    * count within the sampled graph plus its unbiased rescale — a wedge
+    * a–c–b survives iff both of ITS edges survive (the scored edge (a,b)
+    * is never one of them, c ≠ a,b), so E[common_sampled] = p²·common
+    * and `common_sampled · 16² div |keepHex|²` estimates the true count.
+    * Same scratch argument as [[triangleCountsApprox]]: wedge volume
+    * drops ~p², which is what makes the q194 shape fit a bounded
+    * scratch budget at 100×.
+    */
+  def linkScoresApprox(edges: DataFrame, keepHex: Seq[String]): DataFrame = {
+    val k = keepHex.size.toLong
+    linkScores(sampleEdges(edges, keepHex))
+      .select(col("a"), col("b"), col("common").as("common_sampled"),
+        expr(s"(common * ${16L * 16L}) div ${k * k}").as("common_est"))
+  }
+
   /** Neighborhood-overlap link scores — the classic link-prediction /
     * edge-strength feature: for every EDGE whose endpoints share at least
     * one neighbor, the common-neighbor count and the Jaccard overlap of

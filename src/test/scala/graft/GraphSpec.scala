@@ -125,4 +125,79 @@ class GraphSpec extends SparkTestBase {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     Graph.linkScores(path).count() shouldBe 0L
   }
+
+  /** Reference md5 edge keep-filter, computed independently of Spark. */
+  private def mdKeep(a: Long, b: Long, keep: Set[Char]): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$a:$b".getBytes("UTF-8"))
+    keep(f"${d(0) & 0xff}%02x".charAt(0))
+  }
+
+  test("sampleEdges is the md5-prefix filter, exactly") {
+    val edges = (for { a <- 1L to 30L; b <- 1L to 30L if a < b } yield (a, b))
+    val keep = Set('0', '1', '2', '3')
+    val got = Graph.sampleEdges(edges.toDF("a", "b"),
+        Seq("0", "1", "2", "3")).as[(Long, Long)].collect().toSet
+    got shouldBe edges.filter(e => mdKeep(e._1, e._2, keep)).toSet
+    // p = 1/4 sanity on the 435-edge fixture: kept count near a quarter
+    val frac = got.size.toDouble / edges.size
+    frac should be > 0.15
+    frac should be < 0.35
+  }
+
+  test("triangleCountsApprox: sampled counts are exact on the sampled subgraph, rescale is 64x") {
+    // dense-ish deterministic graph so the p^3 = 1/64 survival leaves
+    // triangles: K12 has C(12,3) = 220
+    val edges = (for { a <- 1L to 12L; b <- 1L to 12L if a < b } yield (a, b))
+    val keep = Set('0', '1', '2', '3')
+    val sampled = edges.filter(e => mdKeep(e._1, e._2, keep)).toSet
+    val nodes = (1L to 12L).toSeq
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+      if sampled((a, b)) && sampled((b, c)) && sampled((a, c))
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Graph.triangleCountsApprox(edges.toDF("a", "b"),
+        Seq("0", "1", "2", "3"))
+      .select("node", "n_sampled", "est_triangles")
+      .as[(Long, Long, Long)].collect()
+    got.map(r => r._1 -> r._2).toMap shouldBe expected
+    got.foreach(r => r._3 shouldBe r._2 * 64)
+  }
+
+  test("triangleCountsApprox estimates the exact global count within DOULION bounds") {
+    // estimator pin vs exact triangleCounts on a graph big enough for
+    // T·p³ concentration: K40 (T = C(40,3) = 9880, E[T·p³] ≈ 154).
+    // Everything is deterministic (md5 sample), so this is a fixed
+    // arithmetic fact, not a flaky statistical assertion — the bound
+    // just documents WHY the observed value is acceptable.
+    val edges = (for { a <- 1L to 40L; b <- 1L to 40L if a < b } yield (a, b))
+      .toDF("a", "b")
+    val exact = Graph.triangleCounts(edges)
+      .agg(org.apache.spark.sql.functions.sum("n_triangles"))
+      .as[Long].collect().head / 3
+    val est = Graph.triangleCountsApprox(edges, Seq("0", "1", "2", "3"))
+      .agg(org.apache.spark.sql.functions.sum("est_triangles"))
+      .as[Long].collect().head / 3
+    est.toDouble should be > exact * 0.6
+    est.toDouble should be < exact * 1.4
+  }
+
+  test("linkScoresApprox: counts are exact on the sampled subgraph, rescale is 16x") {
+    val edges = (for { a <- 1L to 12L; b <- 1L to 12L if a < b } yield (a, b))
+    val keep = Set('0', '1', '2', '3')
+    val sampled = edges.filter(e => mdKeep(e._1, e._2, keep)).toSet
+    val adj = sampled.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = sampled.toSeq.flatMap { case (a, b) =>
+      val c = (adj.getOrElse(a, Set.empty) & adj.getOrElse(b, Set.empty)).size
+      if (c > 0) Some((a, b) -> c.toLong) else None
+    }.toMap
+    val got = Graph.linkScoresApprox(edges.toDF("a", "b"),
+        Seq("0", "1", "2", "3"))
+      .select("a", "b", "common_sampled", "common_est")
+      .as[(Long, Long, Long, Long)].collect()
+    got.map(r => (r._1, r._2) -> r._3).toMap shouldBe expected
+    got.foreach(r => r._4 shouldBe r._3 * 16)
+  }
 }
