@@ -71,6 +71,26 @@ private[graft] object SparkEntryDedup {
     "q325_lsh_bucket_audit" -> ((s, dir) =>
       Dedup.lshBucketAudit(t(s, dir, "documents"), 64, 16, 5)),
 
+    // §2.7 — q20's SCALE-USABLE twin (round 8, VERDICT r7 item 4): same
+    // md5-affine machinery, 8-row bands (64 hashes × 8 bands). The
+    // background-candidate floor is n²·(j0^rows)·bands, and rows 4 → 8
+    // squares the j0 term: on this corpus's j0 ≈ 0.20 template floor
+    // that is 0.2⁴ ≈ 1.6e-3 → 0.2⁸ ≈ 2.6e-6 per band — the floor that
+    // made q20's exact verify superlinear at the 10× rung collapses by
+    // ~600× (q325's audit rows are the parameter-selection evidence;
+    // run it first, pick rows from the priced candidate volume). The
+    // recall trade is explicit: P(candidate | j) = 1-(1-j^8)^8 is ~99%
+    // at j = 0.9 but ~13% at j = 0.6 — this is the catch-strong-dups
+    // production point; q20 keeps the exact-verify full-oracle entry.
+    "q328_minhash_lsh_rows8" -> ((s, dir) =>
+      Dedup.minhashLshPairsMd5(t(s, dir, "documents"), 64, 8, 0.6, 5)),
+
+    // §2.7 — q53's scale-usable twin (round 8): 8-row bands over the
+    // occurrence-expanded weighted space (128 hashes × 16 bands), same
+    // floor-collapse argument as q328
+    "q329_weighted_lsh_rows8" -> ((s, dir) =>
+      Dedup.weightedMinhashLshPairsMd5(t(s, dir, "documents"), 128, 16, 0.6, 5)),
+
     // §2.7 — the composed 100 TB dedup pipeline: LSH candidates → exact
     // Jaccard verify → connected components, one operator end-to-end.
     // Oracled: the DuckDB closure over ALL exact-Jaccard pairs matches
@@ -622,6 +642,25 @@ private[graft] object SparkEntryDedup {
          |      for x in range(1, CAST(length(ntext) AS BIGINT) - 3)]) AS g
          |    FROM (SELECT doc_id, $NormSql AS ntext FROM documents))""".stripMargin,
       numHashes = 128, bands = 32, threshold = 0.6, simName = "wjaccard"),
+
+    // round 8: the rows=8 scale twins — identical generators, only the
+    // banding point moves (64×8 and 128×16), so Spark and oracle share
+    // every constant by construction
+    "q328_minhash_lsh_rows8" -> md5LshOracleSql(
+      """  SELECT doc_id, unnest(list_distinct([substr(text, CAST(x AS INT), 5)
+        |    for x in range(1, CAST(length(text) AS BIGINT) - 3)])) AS e
+        |  FROM documents""".stripMargin,
+      numHashes = 64, bands = 8, threshold = 0.6, simName = "jaccard"),
+
+    "q329_weighted_lsh_rows8" -> md5LshOracleSql(
+      s"""  SELECT doc_id,
+         |         g || '#' || CAST(row_number() OVER (PARTITION BY doc_id, g)
+         |                          AS VARCHAR) AS e
+         |  FROM (
+         |    SELECT doc_id, unnest([substr(ntext, CAST(x AS INT), 5)
+         |      for x in range(1, CAST(length(ntext) AS BIGINT) - 3)]) AS g
+         |    FROM (SELECT doc_id, $NormSql AS ntext FROM documents))""".stripMargin,
+      numHashes = 128, bands = 16, threshold = 0.6, simName = "wjaccard"),
 
     "q24_embedding_neardup" ->
       s"""$EmbCte
