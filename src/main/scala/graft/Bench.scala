@@ -434,7 +434,48 @@ object Bench {
             s"$tmp/vecs_ckpt") { (rep, _) => rep.write.format("noop").mode("overwrite").save() })
         n
       })
-      s""","stream_gates":{$dedup,$decon}"""
+      // large-delivery rows (VERDICT r7 item 6): the same two gates fed
+      // ONE ~50k-doc / ~100k-vector micro-batch — bulk throughput beside
+      // the single-file floors above (which are dominated by micro-batch
+      // setup). Delivery = key-shifted replicas of the sfDir table with
+      // payload unchanged — the densest realistic load for a dedup gate
+      // (every replica pairs with the corpus AND its batch-mates).
+      import org.apache.spark.sql.functions.{explode, lit, sequence}
+      val dedupBulk = gate("gate_dedup_bulk", () => {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val corpus = docs.localCheckpoint()
+        val reps = math.max(1L, 50000L / math.max(1L, docs.count()))
+        val delivery = docs
+          .withColumn("r", explode(sequence(lit(0L), lit(reps - 1))))
+          .withColumn("doc_id", col("doc_id") + col("r") * 100000000L)
+          .select(docs.columns.map(col): _*)
+        delivery.write.parquet(s"$tmp/docs_bulk_in")
+        val n = delivery.count()
+        graft.streaming.StreamingPipeline.runOnce(
+          graft.streaming.StreamingPipeline.dedupIngestStream(
+            spark, s"$tmp/docs_bulk_in", docs.schema, () => corpus, 0.6,
+            s"$tmp/docs_bulk_ckpt") { (pairs, _) =>
+              pairs.write.format("noop").mode("overwrite").save() })
+        n
+      })
+      val deconBulk = gate("gate_decon_bulk", () => {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val eval_ = emb.localCheckpoint()
+        val reps = math.max(1L, 100000L / math.max(1L, emb.count()))
+        val delivery = emb
+          .withColumn("r", explode(sequence(lit(0L), lit(reps - 1))))
+          .withColumn("vec_id", col("vec_id") + col("r") * 100000000L)
+          .select(emb.columns.map(col): _*)
+        delivery.write.parquet(s"$tmp/vecs_bulk_in")
+        val n = delivery.count()
+        graft.streaming.StreamingPipeline.runOnce(
+          graft.streaming.StreamingPipeline.decontaminationGateStream(
+            spark, s"$tmp/vecs_bulk_in", emb.schema, () => eval_, 16, 350000L,
+            s"$tmp/vecs_bulk_ckpt") { (rep, _) =>
+              rep.write.format("noop").mode("overwrite").save() })
+        n
+      })
+      s""","stream_gates":{$dedup,$decon,$dedupBulk,$deconBulk}"""
       } finally rmTree(java.nio.file.Paths.get(tmp))
     }
 
