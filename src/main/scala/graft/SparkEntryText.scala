@@ -1287,11 +1287,13 @@ private[graft] object SparkEntryText {
       s"""WITH x AS (
          |  SELECT doc_id,
          |         CAST(len($ToksSql) AS DOUBLE) AS n_tokens,
+         |         CASE WHEN length(text) = 0 THEN 0.0 ELSE
          |         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-         |           / length(text) AS punct_ratio,
+         |           / length(text) END AS punct_ratio,
+         |         CASE WHEN len($ToksSql) = 0 THEN 0.0 ELSE
          |         CAST(len(list_filter($ToksSql,
          |              x -> list_contains(['the','a','of','to','in','is','and'], x))) AS DOUBLE)
-         |           / len($ToksSql) AS stopword_ratio
+         |           / len($ToksSql) END AS stopword_ratio
          |  FROM documents)
          |SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
          |       least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio)
@@ -1731,11 +1733,13 @@ private[graft] object SparkEntryText {
       s"""WITH x AS (
          |  SELECT doc_id,
          |         CAST(len($ToksSql) AS DOUBLE) AS n_tokens,
+         |         CASE WHEN length(text) = 0 THEN 0.0 ELSE
          |         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-         |           / length(text) AS punct_ratio,
+         |           / length(text) END AS punct_ratio,
+         |         CASE WHEN len($ToksSql) = 0 THEN 0.0 ELSE
          |         CAST(len(list_filter($ToksSql,
          |              x -> list_contains(['the','a','of','to','in','is','and'], x))) AS DOUBLE)
-         |           / len($ToksSql) AS stopword_ratio
+         |           / len($ToksSql) END AS stopword_ratio
          |  FROM documents),
          |scored AS (
          |  SELECT CAST(floor(least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio)

@@ -30,9 +30,15 @@ object TextAnalysis {
     val toks = tokensWs(col("text"))
     val nTok = size(toks).cast("double")
     val nonAlnum = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
-    val punctRatio = nonAlnum.cast("double") / length(col("text"))
+    // empty-doc semantics (round-8 adversarial sweep finding): zero-length
+    // text / zero tokens score 0.0 with 0.0 ratios. Unguarded, these
+    // divisions are an ANSI-mode DIVIDE_BY_ZERO crash — and a 100 TB
+    // corpus WILL contain empty documents.
+    val punctRatio = when(length(col("text")) === 0, lit(0.0))
+      .otherwise(nonAlnum.cast("double") / length(col("text")))
     val stopHits = size(filter(toks, t => t.isInCollection(Stopwords)))
-    val stopRatio = stopHits.cast("double") / nTok
+    val stopRatio = when(nTok === 0.0, lit(0.0))
+      .otherwise(stopHits.cast("double") / nTok)
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
