@@ -155,7 +155,12 @@ object Bench {
     // overhead, the q241/q244/q245 exclusion rule) and q324 composes
     // q19's by-design-quadratic pair engine (the q141/q229 rule) —
     // all three stay out, quantified once in BASELINE.md
-    "q321_semantic_decontaminate")
+    "q321_semantic_decontaminate",
+    // round-8 linear-claim additions, all probed at their big rungs
+    // (probe_r8/): the DOULION arms (76× @ 100× / sub-linear) and the
+    // rows=8 LSH twins (10.05× / 7.3× @ 10× — the j0^8 floor collapse)
+    "q326_triangles_doulion", "q327_link_scores_sampled",
+    "q328_minhash_lsh_rows8", "q329_weighted_lsh_rows8")
 
   /** Cumulative stage probes for the heaviest graph operators (VERDICT r5
     * item 7): when a query's sf1/sf0.1 rung ratio exceeds [[StageRatio]],

@@ -1471,7 +1471,7 @@ private[graft] object SparkEntryText {
         |        unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS i
         |      FROM t)
         |SELECT doc_id, CAST(i // 48 AS BIGINT) AS window_id,
-        |       array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 64 AS INT)), ' ') AS window_text,
+        |       COALESCE(array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 64 AS INT)), ' '), '') AS window_text,
         |       CAST(len(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 64 AS INT))) AS BIGINT) AS n_tokens
         |FROM o""".stripMargin,
 
@@ -1983,8 +1983,8 @@ private[graft] object SparkEntryText {
     "q280_template_clusters" ->
       s"""WITH sig AS (
          |  SELECT doc_id,
-         |         md5(list_aggregate(list_transform(($ToksSql)[1:10],
-         |           t -> CAST(length(t) AS VARCHAR)), 'string_agg', ','))
+         |         md5(COALESCE(list_aggregate(list_transform(($ToksSql)[1:10],
+         |           t -> CAST(length(t) AS VARCHAR)), 'string_agg', ','), ''))
          |           AS sig
          |  FROM documents)
          |SELECT sig, CAST(count(*) AS BIGINT) AS n_docs,

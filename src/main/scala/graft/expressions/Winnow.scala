@@ -23,10 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Engine-portable hash: the k-gram hash is the left-fold polynomial
   * `h = fold(codes, (acc, c) => (acc*257 + c) % 1000000007)` seeded with
   * the first code — DuckDB's no-init `list_reduce` over
-  * `unicode(substr(...))` computes the identical value. Code units are
-  * UTF-16 chars, which equal code points for BMP text (the corpus
-  * contract; supplementary-plane text would diverge from a
-  * character-indexed engine).
+  * `unicode(substr(...))` computes the identical value. Codes are
+  * Unicode CODE POINTS (round 8: formerly UTF-16 units, which diverged
+  * from every codepoint-indexed engine on supplementary-plane text —
+  * found by the adversarial emoji docs, invisible on BMP corpora).
   *
   * Documents shorter than w+k-1 characters (no full window) yield an
   * EMPTY array, not null — same rationale as MinHashSignature: a
@@ -57,16 +57,21 @@ case class Winnow(child: Expression, k: Int, w: Int)
     * expression instance.
     */
   def compute(s: UTF8String): ArrayData = {
-    val str = s.toString
-    val n = str.length - k + 1
+    // CODE POINTS, not UTF-16 units (round-8 adversarial sweep finding:
+    // supplementary-plane text — emoji — hashed differently here than in
+    // every codepoint-indexed engine, including Spark's own substring/
+    // length SQL functions and the DuckDB oracle; on BMP-only corpora
+    // the two indexings coincide, which is why six rounds never saw it)
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length - k + 1
     if (n < w) return new GenericArrayData(Array.empty[Long])
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      var acc = str.charAt(i).toLong
+      var acc = cps(i).toLong
       var j = 1
       while (j < k) {
-        acc = (acc * Base + str.charAt(i + j).toLong) % Mod
+        acc = (acc * Base + cps(i + j).toLong) % Mod
         j += 1
       }
       hashes(i) = acc
