@@ -666,7 +666,7 @@ private[graft] object SparkEntryDedup {
       s"""$EmbCte
          |SELECT * FROM (
          |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
-         |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+         |         ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos_sim >= 0.35""".stripMargin,
 
@@ -1076,8 +1076,8 @@ private[graft] object SparkEntryDedup {
          |       CAST(max(cm) AS BIGINT) AS max_cos_micro
          |FROM (
          |  SELECT t.vec_id AS train_id,
-         |         CAST(floor(${dotSql("t.embedding", "e.embedding")}
-         |                 / (t.nrm * e.nrm) * 1e6 + 0.5) AS BIGINT) AS cm
+         |         CAST(floor(${cosSql("t.embedding", "e.embedding", "t.nrm", "e.nrm")}
+         |                 * 1e6 + 0.5) AS BIGINT) AS cm
          |  FROM tasg t JOIN easg e ON t.cell = e.cell)
          |WHERE cm >= 350000
          |GROUP BY 1""".stripMargin,
@@ -1112,8 +1112,8 @@ private[graft] object SparkEntryDedup {
          |  SELECT DISTINCT x.vec_id
          |  FROM asg x JOIN asg y
          |    ON x.cell = y.cell AND y.vec_id < x.vec_id
-         |  WHERE CAST(floor(${dotSql("y.embedding", "x.embedding")}
-         |          / (y.nrm * x.nrm) * 1e6 + 0.5) AS BIGINT) >= 350000)
+         |  WHERE CAST(floor(${cosSql("y.embedding", "x.embedding", "y.nrm", "x.nrm")}
+         |          * 1e6 + 0.5) AS BIGINT) >= 350000)
          |SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS pruned
          |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin,
 
@@ -1203,8 +1203,8 @@ private[graft] object SparkEntryDedup {
          |  SELECT y.vec_id AS a, x.vec_id AS b
          |  FROM asg x JOIN asg y
          |    ON x.cell = y.cell AND y.vec_id < x.vec_id
-         |  WHERE CAST(floor(${dotSql("y.embedding", "x.embedding")}
-         |          / (y.nrm * x.nrm) * 1e6 + 0.5) AS BIGINT) >= 350000)
+         |  WHERE CAST(floor(${cosSql("y.embedding", "x.embedding", "y.nrm", "x.nrm")}
+         |          * 1e6 + 0.5) AS BIGINT) >= 350000)
          |SELECT signal, CAST(count(*) AS BIGINT) AS n_pairs FROM (
          |  SELECT CASE WHEN t.a IS NOT NULL AND s.a IS NOT NULL THEN 'both'
          |              WHEN t.a IS NOT NULL THEN 'text_only'

@@ -60,6 +60,14 @@ private[graft] object SparkEntryShared {
        |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings)""".stripMargin
 
+  /** DuckDB twin of VectorFunctions.cosineWithNorms INCLUDING the
+    * zero-vector contract (round-8 adversarial sweep): zero-norm vectors
+    * are defined to have cosine 0.0 with everything — the unguarded
+    * division crashed 15 vector-family queries at once under ANSI mode.
+    */
+  def cosSql(a: String, b: String, na: String, nb: String): String =
+    s"(CASE WHEN $na * $nb = 0 THEN 0.0 ELSE ${dotSql(a, b)} / ($na * $nb) END)"
+
   // static dirty CSV / JSONL committed with the repo (absolute: the
   // driver's DuckDB oracle runs from an unknown cwd)
   val DirtyCsvPath = "/root/repo/testdata-ext/dirty_events.csv"
@@ -288,7 +296,7 @@ private[graft] object SparkEntryShared {
        |    FROM embeddings e, $cf c WHERE e.vec_id < $maxProbeId) WHERE rn <= $nProbe),
        |scored AS (
        |  SELECT p.query_id, i.neighbor_id,
-       |         ${dotSql("p.embedding", "i.embedding")} / (p.nrm * i.nrm) AS cos_sim
+       |         ${cosSql("p.embedding", "i.embedding", "p.nrm", "i.nrm")} AS cos_sim
        |  FROM prb p JOIN idx i USING (cell)
        |  WHERE p.query_id <> i.neighbor_id)
        |SELECT query_id, neighbor_id, cos_sim, "rank" FROM (
@@ -313,9 +321,9 @@ private[graft] object SparkEntryShared {
        |             ORDER BY ${sqDistSql("e.embedding", "c.centroid")}, c.cell) AS rn
        |    FROM embeddings e, $cf c) WHERE rn <= $nProbe)
        |SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
-       |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+       |       ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
        |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $threshold""".stripMargin
+       |WHERE ${cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= $threshold""".stripMargin
   }
 
   /** Full q23 oracle: multi-table random-hyperplane LSH end-to-end in SQL.
@@ -352,7 +360,7 @@ private[graft] object SparkEntryShared {
        |  FROM cand WHERE vec_id < $maxProbeId),
        |scored AS (
        |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
-       |         ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos_sim
+       |         ${cosSql("p.embedding", "c.embedding", "p.nrm", "c.nrm")} AS cos_sim
        |  FROM probes p JOIN cand c
        |    ON p.tab = c.tab AND p.probe_sig = c.sig
        |   AND p.query_id <> c.vec_id)

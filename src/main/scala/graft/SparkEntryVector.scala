@@ -278,18 +278,19 @@ private[graft] object SparkEntryVector {
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("cd"))
         .select(col("label"), expr("transform(cd, p -> p.c)").as("cvec"))
+      // cos(v, c) micro-rounded: dot and norms are exact BIGINT folds
+      // (micro components ≤ ~1e6, dim-bounded products never overflow);
+      // zero-vector contract (round 8): zero norm => cos_micro 0
+      val dotD = aggregate(zip_with(col("v"), col("cvec"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).cast("double")
+      val denD = sqrt(aggregate(col("v"), lit(0L),
+          (acc, x) => acc + x * x).cast("double")) *
+        sqrt(aggregate(col("cvec"), lit(0L),
+          (acc, x) => acc + x * x).cast("double"))
       vecs.join(broadcast(cent), Seq("label"))
         .select(col("label"),
-          // cos(v, c) micro-rounded: dot and norms are exact BIGINT folds
-          // (micro components ≤ ~1e6, dim-bounded products never overflow)
-          floor(
-            aggregate(zip_with(col("v"), col("cvec"), (a, b) => a * b),
-              lit(0L), (acc, x) => acc + x).cast("double") /
-              (sqrt(aggregate(col("v"), lit(0L),
-                (acc, x) => acc + x * x).cast("double")) *
-               sqrt(aggregate(col("cvec"), lit(0L),
-                 (acc, x) => acc + x * x).cast("double"))) * 1000000d
-            + 0.5d).cast("long").as("cos_micro"))
+          floor(when(denD === 0.0, lit(0.0)).otherwise(dotD / denD)
+            * 1000000d + 0.5d).cast("long").as("cos_micro"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(col("cos_micro")).as("sum_cos_micro"))
@@ -338,7 +339,7 @@ private[graft] object SparkEntryVector {
       s"""$EmbCte,
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |         ${cosSql("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS cos_sim
          |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
          |SELECT * FROM (
          |  SELECT query_id, neighbor_id, cos_sim,
@@ -405,7 +406,7 @@ private[graft] object SparkEntryVector {
       s"""$EmbCte,
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+         |         ${cosSql("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS cos_sim
          |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, cos_sim,
@@ -511,9 +512,11 @@ private[graft] object SparkEntryVector {
          |  FROM sampled),
          |asg AS (
          |  SELECT vec_id, cell,
-         |         CAST(floor(${dotSql("embedding", "cv")}
+         |         CAST(floor((CASE WHEN ${dotSql("embedding", "embedding")} = 0
+         |                       OR ${dotSql("cv", "cv")} = 0 THEN 0.0
+         |           ELSE ${dotSql("embedding", "cv")}
          |           / (sqrt(${dotSql("embedding", "embedding")})
-         |            * sqrt(${dotSql("cv", "cv")})) * 1e6 + 0.5) AS BIGINT)
+         |            * sqrt(${dotSql("cv", "cv")})) END) * 1e6 + 0.5) AS BIGINT)
          |           AS cos_micro
          |  FROM (
          |    SELECT e.vec_id, c.cell, e.embedding, c.cv,
@@ -589,8 +592,8 @@ private[graft] object SparkEntryVector {
          |  SELECT probe_id, neighbor_id FROM (
          |    SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
          |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY ${dotSql("q.embedding", "c.embedding")}
-         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |             ORDER BY ${cosSql("q.embedding", "c.embedding", "q.nrm", "c.nrm")}
+         |               DESC, c.vec_id) AS rnk
          |    FROM e q JOIN e c
          |      ON q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id)
          |  WHERE rnk <= 5)
@@ -617,8 +620,8 @@ private[graft] object SparkEntryVector {
          |  SELECT probe_id, neighbor_id FROM (
          |    SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
          |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY ${dotSql("q.embedding", "c.embedding")}
-         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |             ORDER BY ${cosSql("q.embedding", "c.embedding", "q.nrm", "c.nrm")}
+         |               DESC, c.vec_id) AS rnk
          |    FROM e q JOIN e c
          |      ON q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id)
          |  WHERE rnk <= 5),
@@ -626,8 +629,8 @@ private[graft] object SparkEntryVector {
          |  SELECT probe_id, neighbor_id FROM (
          |    SELECT q.vec_id AS probe_id, c.vec_id AS neighbor_id,
          |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY ${dotSql("q.embedding", "c.embedding")}
-         |               / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |             ORDER BY ${cosSql("q.embedding", "c.embedding", "q.nrm", "c.nrm")}
+         |               DESC, c.vec_id) AS rnk
          |    FROM h2 q JOIN h2 c
          |      ON q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id)
          |  WHERE rnk <= 5)
@@ -643,7 +646,7 @@ private[graft] object SparkEntryVector {
          |scored AS (
          |  SELECT q.vec_id AS query_id, q.label AS own_label,
          |         c.vec_id AS neighbor_id, c.label AS n_label,
-         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |         ${cosSql("q.embedding", "c.embedding", "q.nrm", "c.nrm")}
          |           AS cos_sim
          |  FROM e q JOIN e c ON q.vec_id < 32 AND c.vec_id <> q.vec_id),
          |ranked AS (
@@ -702,8 +705,8 @@ private[graft] object SparkEntryVector {
          |  FROM b WHERE doc IN (0, 1, 2)),
          |sc AS (
          |  SELECT p.probe_doc, p.q_id, b.doc AS cand_doc,
-         |         CAST(floor(${dotSql("p.q_emb", "b.embedding")}
-         |           / (p.q_nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) AS cm
+         |         CAST(floor(${cosSql("p.q_emb", "b.embedding", "p.q_nrm", "b.nrm")}
+         |           * 1e6 + 0.5) AS BIGINT) AS cm
          |  FROM b, p WHERE b.doc <> p.probe_doc),
          |mx AS (
          |  SELECT probe_doc, q_id, cand_doc, max(cm) AS bm
@@ -743,9 +746,10 @@ private[graft] object SparkEntryVector {
         |  GROUP BY 1, 2),
         |cm AS (
         |  SELECT label,
-        |         CAST(floor(CAST(dot AS DOUBLE)
+        |         CAST(floor((CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+        |              ELSE CAST(dot AS DOUBLE)
         |              / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
-        |              * 1000000 + 0.5) AS BIGINT) AS cos_micro
+        |              END) * 1000000 + 0.5) AS BIGINT) AS cos_micro
         |  FROM dots)
         |SELECT label,
         |       CAST(count(*) AS BIGINT) AS n_vecs,
@@ -759,7 +763,7 @@ private[graft] object SparkEntryVector {
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |         c.label AS n_label,
-         |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |         ${cosSql("q.embedding", "c.embedding", "q.nrm", "c.nrm")}
          |           AS cos_sim
          |  FROM e q JOIN e c ON q.vec_id < 32 AND c.vec_id <> q.vec_id),
          |knn AS (SELECT * FROM (

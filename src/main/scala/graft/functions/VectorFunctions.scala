@@ -37,10 +37,24 @@ object VectorFunctions {
   /** L2 norm. */
   def vnorm(a: Column): Column = sqrt(vdot(a, a))
 
-  /** Cosine similarity: dot / (|a| * |b|). */
-  def cosine(a: Column, b: Column): Column = vdot(a, b) / (vnorm(a) * vnorm(b))
+  /** Cosine similarity: dot / (|a| * |b|), with the ZERO-VECTOR contract
+    * (round-8 adversarial sweep): a zero-norm vector's cosine is defined
+    * as 0.0 — orthogonal to everything, never retrieved, never flagged
+    * near-dup. Unguarded, the division is an ANSI DIVIDE_BY_ZERO crash
+    * that took down 15 of the 23 vector-family queries at once — and a
+    * 100 TB embedding table WILL contain zero vectors (failed encoder
+    * outputs, padding rows). The oracle twin is `cosSql`'s CASE.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val den = vnorm(a) * vnorm(b)
+    when(den === 0.0, lit(0.0)).otherwise(vdot(a, b) / den)
+  }
 
-  /** Cosine given precomputed norms (avoids recomputing norms in a join). */
-  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    vdot(a, b) / (na * nb)
+  /** Cosine given precomputed norms (avoids recomputing norms in a join);
+    * same zero-vector contract as [[cosine]].
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val den = na * nb
+    when(den === 0.0, lit(0.0)).otherwise(vdot(a, b) / den)
+  }
 }

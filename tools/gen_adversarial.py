@@ -124,8 +124,34 @@ print(f"documents: {table.num_rows} rows, "
       f"{sum(r['n_chars'] for r in rows)} chars "
       f"(max {max(r['n_chars'] for r in rows)})", flush=True)
 
+# --- adversarial embeddings (round-8 extension): the vector-family edge
+# cases a 100 TB embedding table WILL contain — zero vectors (failed
+# encoder outputs), exact duplicate vectors, and denormal-tiny norms —
+# injected deterministically into the sf0.01 table (every 25th vector
+# zeroed, every 25th+1 duplicated from its predecessor, every 25th+2
+# scaled by 1e-20), other rows unchanged.
+emb = pq.read_table(f"{SRC}/embeddings.parquet")
+vecs = emb.column("embedding").to_pylist()
+out = []
+prev = None
+for i, v in enumerate(vecs):
+    if v is not None and i % 25 == 0:
+        v = [0.0] * len(v)
+    elif v is not None and i % 25 == 1 and prev is not None:
+        v = list(prev)
+    elif v is not None and i % 25 == 2:
+        v = [x * 1e-20 for x in v]
+    out.append(v)
+    prev = v
+idx = emb.schema.get_field_index("embedding")
+emb = emb.set_column(idx, emb.schema.field("embedding"),
+                     pa.array(out, type=emb.schema.field("embedding").type))
+pq.write_table(emb.cast(pq.read_schema(f"{SRC}/embeddings.parquet")),
+               f"{DST}/embeddings.parquet")
+print(f"embeddings: {emb.num_rows} rows (zero/dup/tiny injected)", flush=True)
+
 for name in ["region", "nation", "customer", "supplier", "part", "orders",
-             "lineitem", "events", "embeddings"]:
+             "lineitem", "events"]:
     shutil.copyfile(f"{SRC}/{name}.parquet", f"{DST}/{name}.parquet")
     print(f"{name}: copied", flush=True)
 
