@@ -16,6 +16,21 @@ class TextAnalysisSpec extends SparkTestBase {
     r.getAs[Int]("n_chars") shouldBe 11
   }
 
+  test("qualityScore empty-doc contract: empty/token-free text scores 0.0, not an ANSI crash") {
+    // round-8 adversarial sweep: empty docs crashed q15/q203 with
+    // DIVIDE_BY_ZERO. Contract: 0.0 ratios, 0.0 score.
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "the table"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "quality_score")
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    r(1L) shouldBe ((0.0, 0.0, 0.0, 0.0))
+    r(2L) shouldBe ((0.0, 0.0, 0.0, 0.0)) // spaces: length>0, zero tokens
+    r(3L)._1 shouldBe 2.0
+  }
+
   test("qualityScore components are exact ratios") {
     val docs = Seq((1L, "the cat!")).toDF("doc_id", "text") // 8 chars, 1 non-alnum
     val r = TextAnalysis.qualityScore(docs).head()

@@ -41,6 +41,27 @@ class VectorDotSpec extends SparkTestBase {
     r shouldBe 0.0
   }
 
+  test("cosine zero-vector contract: zero-norm cosine is 0.0, not an ANSI crash") {
+    // round-8 adversarial sweep: unguarded norm division crashed 15
+    // vector-family queries on zero vectors. The contract — zero-norm
+    // cosine = 0.0 (orthogonal to everything) — pinned for both forms.
+    val df = Seq(
+      (1L, Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),
+      (2L, Seq(0f, 0f, 0f), Seq(0f, 0f, 0f)),
+      (3L, Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)))
+      .toDF("id", "a", "b")
+    val c = df.select(col("id"),
+        VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    c shouldBe Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0)
+    val cn = df.select(col("id"),
+        VectorFunctions.cosineWithNorms(col("a"), col("b"),
+          VectorFunctions.vnorm(col("a")), VectorFunctions.vnorm(col("b")))
+          .as("c"))
+      .as[(Long, Double)].collect().toMap
+    cn shouldBe c
+  }
+
   test("vdot rejects non-array inputs with a type error") {
     val df = Seq((1, 2)).toDF("x", "y")
     val e = intercept[Exception] {

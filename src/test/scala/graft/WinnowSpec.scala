@@ -22,6 +22,29 @@ class WinnowSpec extends SparkTestBase {
     (0 to n - w).map(j => hashes.slice(j, j + w).min).toSet
   }
 
+  test("winnow hashes CODE POINTS: supplementary-plane text matches the codepoint reference") {
+    // each emoji is 2 UTF-16 units but ONE code point — the round-8
+    // adversarial sweep caught the kernel hashing units, which silently
+    // weakened the winnowing guarantee on any non-BMP text. The contract
+    // is pinned here against a codepoint-based reference so the
+    // adversarial corpus isn't the only thing holding it.
+    val text = "😀a😁b😂c" +
+      "😃d😄e😅f"
+    val cps = text.codePoints().toArray
+    val k = 3; val w = 2
+    val n = cps.length - k + 1
+    val hashes = (0 until n).map { i =>
+      (0 until k).foldLeft(-1L)((acc, j) =>
+        if (acc < 0) cps(i + j).toLong
+        else (acc * 257L + cps(i + j).toLong) % 1000000007L)
+    }
+    val expect = (0 to n - w).map(j => hashes.slice(j, j + w).min).toSet
+    winnow(text, k, w).toSet shouldBe expect
+    // and it must NOT equal the UTF-16-unit reference (12 units vs 18...
+    // different window count and hash values — the old bug's fingerprint)
+    winnow(text, k, w).toSet should not be brute(text, k, w)
+  }
+
   test("winnow equals the brute-force window-minima set") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
