@@ -256,10 +256,32 @@ object Bench {
     // run carries its shuffle-write and disk-spill bytes, so scaling
     // probes show SCRATCH volume curves, not just wall-clock — the
     // evidence class the sf10 disk-wall DNFs were missing. Listener
-    // events drain asynchronously; the short post-run sleep makes the
-    // counters complete for any run longer than the bus latency (ms).
+    // events drain asynchronously; the bus is drained DETERMINISTICALLY
+    // between runs (waitUntilEmpty below) so late onTaskEnd events from
+    // a loaded bus — exactly the heavy sf10 runs these counters exist
+    // for — can't bleed into the next run's delta window.
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
     val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)
+
+    // LiveListenerBus.waitUntilEmpty is private[spark] (Scala-level
+    // only — the JVM method is public), so plain reflection reaches it;
+    // falls back to a fixed sleep if the internal API ever moves.
+    val drainListenerBus: () => Unit =
+      try {
+        val busM = spark.sparkContext.getClass.getMethod("listenerBus")
+        val bus = busM.invoke(spark.sparkContext)
+        val waitM = bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 1 &&
+            m.getParameterTypes()(0) == java.lang.Long.TYPE).get
+        () => { waitM.invoke(bus, java.lang.Long.valueOf(10000L)); () }
+      } catch {
+        case _: Throwable =>
+          System.err.println(
+            "[bench] listenerBus reflection failed; shuffle/spill deltas " +
+              "fall back to a 150 ms drain sleep (attribution may bleed " +
+              "between adjacent runs under a loaded bus)")
+          () => Thread.sleep(150)
+      }
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -292,7 +314,7 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(150) // listener bus drain (see counter comment above)
+      drainListenerBus() // deterministic drain (see counter comment above)
       val out = (dt, shuffleWrite.get() - sw0, diskSpill.get() - sp0)
       clearState()
       out

@@ -68,7 +68,11 @@ object PlanFingerprint {
   def load(path: String): Map[String, String] =
     scala.io.Source.fromFile(path, "UTF-8").getLines()
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l => val i = l.indexOf(' '); l.substring(0, i) -> l.substring(i + 1) }
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0, s"malformed fingerprint line (no 'name fp' split): $l")
+        l.substring(0, i) -> l.substring(i + 1)
+      }
       .toMap
 
   /** Regenerate the committed fingerprint file:

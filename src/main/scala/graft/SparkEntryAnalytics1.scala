@@ -1426,7 +1426,14 @@ private[graft] object SparkEntryAnalytics1 {
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation   ON c_nationkey = n_nationkey
         |  JOIN region   ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+        |GROUP BY ROLLUP(r_name, n_name)
+        |HAVING count(*) > 0""".stripMargin,
+        // HAVING count(*) > 0 is a no-op on any non-empty input (every
+        // rollup group contains >= 1 row) but pins the EMPTY-input
+        // contract: Spark's Expand-based rollup emits 0 rows on an empty
+        // table, while ANSI emits the all-NULL grand-total row — the
+        // engines genuinely diverge and the library's contract is the
+        // Spark shape (adversarial sweep r9; EmptyInputSpec)
 
     "q30_running_revenue" ->
       """WITH m AS (
@@ -1535,7 +1542,10 @@ private[graft] object SparkEntryAnalytics1 {
          |       CAST(coalesce(isodow(ts), -1) AS BIGINT) AS wd,
          |       count(*) AS n_events, $SumCents AS total_value
          |FROM events
-         |GROUP BY CUBE(event_type, isodow(ts))""".stripMargin,
+         |GROUP BY CUBE(event_type, isodow(ts))
+         |HAVING count(*) > 0""".stripMargin,
+         // same empty-input contract as q29: no synthetic grand-total
+         // row on an empty table (Spark semantics; EmptyInputSpec)
 
     "q64_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -302,18 +302,24 @@ private[graft] object SparkEntryAnalytics3 {
           (col("a.y") - col("b.y")).as("dy"))
       pairs.agg(
           count(lit(1)).as("n_pairs"),
-          sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L))
-            .as("concordant"),
-          sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L))
-            .as("discordant"),
+          // count(when(...)) not sum(when(...)): identical on any
+          // non-empty pair set, but an EMPTY one (empty events, or a
+          // single-day calendar with no cross-day pairs) must report
+          // ZERO pair counts, not NULL — sum over empty is NULL on
+          // both engines while the DuckDB oracle's count FILTER is 0
+          // (adversarial sweep r9; pinned in EmptyInputSpec)
+          count(when(col("dx") * col("dy") > 0, lit(1))).as("concordant"),
+          count(when(col("dx") * col("dy") < 0, lit(1))).as("discordant"),
           // tau-b convention: n1/n2 count ALL pairs tied in that
           // variable (both-tied pairs count in each)
-          sum(when(col("dx") === 0, 1L).otherwise(0L)).as("ties_x"),
-          sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ties_y"))
+          count(when(col("dx") === 0, lit(1))).as("ties_x"),
+          count(when(col("dy") === 0, lit(1))).as("ties_y"))
         .withColumn("tau_b",
+          // nullif: 0 pairs (or all-tied) makes the denominator 0 —
+          // ANSI div throws where the contract is NULL (undefined tau)
           expr("CAST(concordant - discordant AS DOUBLE)" +
-            " / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))" +
-            " * sqrt(CAST(n_pairs - ties_y AS DOUBLE)))"))
+            " / nullif(sqrt(CAST(n_pairs - ties_x AS DOUBLE))" +
+            " * sqrt(CAST(n_pairs - ties_y AS DOUBLE)), 0.0)"))
     }),
 
     // §2.6 — new-vs-repeat revenue mix (round 5: the loyalty trend —

@@ -836,23 +836,23 @@ private[graft] object SparkEntryCore {
     "q133_constraint_suite" ->
       s"""$CorruptedCte
          |SELECT 'user_id_not_null' AS check_name,
-         |       CAST(sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
-         |       sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) = 0 AS pass
+         |       CAST(coalesce(sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_violations,
+         |       coalesce(sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END), 0) = 0 AS pass
          |FROM corrupted
          |UNION ALL
          |SELECT 'value_non_negative',
-         |       CAST(sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS BIGINT),
-         |       sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) = 0
+         |       CAST(coalesce(sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END), 0) AS BIGINT),
+         |       coalesce(sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END), 0) = 0
          |FROM corrupted
          |UNION ALL
          |SELECT 'event_type_known',
-         |       CAST(sum(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 0 ELSE 1 END) AS BIGINT),
-         |       sum(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 0 ELSE 1 END) = 0
+         |       CAST(coalesce(sum(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 0 ELSE 1 END), 0) AS BIGINT),
+         |       coalesce(sum(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 0 ELSE 1 END), 0) = 0
          |FROM corrupted
          |UNION ALL
          |SELECT 'ts_in_range',
-         |       CAST(sum(CASE WHEN ts_us >= 1577836800000000 AND ts_us < 1893456000000000 THEN 0 ELSE 1 END) AS BIGINT),
-         |       sum(CASE WHEN ts_us >= 1577836800000000 AND ts_us < 1893456000000000 THEN 0 ELSE 1 END) = 0
+         |       CAST(coalesce(sum(CASE WHEN ts_us >= 1577836800000000 AND ts_us < 1893456000000000 THEN 0 ELSE 1 END), 0) AS BIGINT),
+         |       coalesce(sum(CASE WHEN ts_us >= 1577836800000000 AND ts_us < 1893456000000000 THEN 0 ELSE 1 END), 0) = 0
          |FROM corrupted""".stripMargin,
 
     "q134_concurrency_curve" ->

@@ -437,7 +437,11 @@ private[graft] object SparkEntryText {
           " 'sources', n_sources," +
           " 'chars', n_chars," +
           " 'exact_dup_docs', n_docs - n_unique," +
-          " 'dup_permille', (1000 * (n_docs - n_unique)) div n_docs" +
+          // nullif: an EMPTY corpus has n_docs = 0, where ANSI div
+          // throws DIVIDE_BY_ZERO; the contract (pinned in
+          // EmptyInputSpec, matching DuckDB's `// 0` → NULL) is an
+          // undefined share, not a crash (adversarial sweep r9)
+          " 'dup_permille', (1000 * (n_docs - n_unique)) div nullif(n_docs, 0)" +
           ") AS (metric, value)"))
     }),
 
@@ -567,10 +571,14 @@ private[graft] object SparkEntryText {
         .agg(countDistinct(col("fp")).as("uniq"))
         .crossJoin(broadcast(nDocs))
         .select(lit("dup_permille").as("check"),
-          expr("(1000 * (nd - uniq)) div nd").as("value"))
+          // nullif guards the empty-corpus ANSI DIVIDE_BY_ZERO (r9
+          // adversarial sweep; contract = NULL, as DuckDB's `// 0`)
+          expr("(1000 * (nd - uniq)) div nullif(nd, 0)").as("value"))
       val canary = TextAnalysis.canaryScan(docs,
           Seq("fast table", "zebra quantum"))
-        .agg(sum(col("n_docs")).as("v"))
+        // coalesce: an EMPTY corpus yields no canary rows and sum → NULL,
+        // but the contract is 0 hits / pass (adversarial sweep r9)
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("v"))
         .select(lit("canary_hit_docs").as("check"),
           col("v").cast("long").as("value"))
       val effRow = docs
@@ -587,7 +595,8 @@ private[graft] object SparkEntryText {
         .select(expr("(1000000 * c) div total").as("sp"))
         .agg(sum(col("sp") * col("sp")).as("sq"))
         .select(lit("eff_sources_milli").as("check"),
-          expr("1000000000000000 div sq").as("value"))
+          // sq = 0 when every doc tokenizes empty — same NULL contract
+          expr("1000000000000000 div nullif(sq, 0)").as("value"))
       val templ = docs
         .select(md5(concat_ws(",", transform(
           slice(graft.functions.TextFunctions.tokensWs(col("text")), 1, 10),
@@ -597,7 +606,7 @@ private[graft] object SparkEntryText {
         .agg(coalesce(sum(col("k")), lit(0L)).as("in_clusters"))
         .crossJoin(broadcast(nDocs))
         .select(lit("template_mass_permille").as("check"),
-          expr("(1000 * in_clusters) div nd").as("value"))
+          expr("(1000 * in_clusters) div nullif(nd, 0)").as("value"))
       dup.unionByName(canary).unionByName(effRow).unionByName(templ)
         .withColumn("pass", expr(
           """CASE check
@@ -2346,7 +2355,8 @@ private[graft] object SparkEntryText {
          |         AS num,
          |       CAST(n * n - a1 * b1 - (n - a1) * (n - b1) AS BIGINT)
          |         AS den,
-         |       CASE WHEN n * n - a1 * b1 - (n - a1) * (n - b1) = 0 THEN 0
+         |       CASE WHEN n = 0
+         |              OR n * n - a1 * b1 - (n - a1) * (n - b1) = 0 THEN 0
          |            ELSE CAST(floor((n * agree - a1 * b1
          |              - (n - a1) * (n - b1)) * CAST(1000000 AS DOUBLE)
          |              / (n * n - a1 * b1 - (n - a1) * (n - b1)) + 0.5)

@@ -29,8 +29,17 @@ object Verify {
     var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only(name)) ()
-      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      else try {
+        val out = fn(spark, sfDir)
+        // coalesce(1) preserves a 0-partition plan (e.g. an empty
+        // LocalRelation on an empty input table), which writes a parquet
+        // DIRECTORY with no part files — unreadable by the oracle side.
+        // repartition(1) guarantees exactly one (possibly empty) file.
+        val one =
+          if (out.rdd.getNumPartitions == 0) out.repartition(1)
+          else out.coalesce(1)
+        one.write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -196,6 +196,13 @@ object Graph {
   def sampleEdges(edges: DataFrame, keepHex: Seq[String]): DataFrame = {
     require(keepHex.nonEmpty && keepHex.size < 16,
       "keepHex must be a proper nonempty subset of the 16 hex chars")
+    // power-of-2 sizes only (p ∈ {1/16, 1/8, 1/4, 1/2}): the downstream
+    // 16^d div |keepHex|^d rescales are exact integers only when
+    // |keepHex| divides 16 — any other size silently truncates every
+    // per-node estimate downward, contradicting the unbiasedness doc
+    require(Set(1, 2, 4, 8).contains(keepHex.size),
+      s"keepHex size must be 1, 2, 4 or 8 so the 1/p^d integer rescale " +
+        s"is exact; got ${keepHex.size}")
     edges.filter(substring(md5(concat(col("a").cast("string"), lit(":"),
       col("b").cast("string"))), 1, 1).isin(keepHex: _*))
   }

@@ -40,6 +40,11 @@ def diff_status(spark_df, ora_df):
     return status
 
 def spark_dump(qdir):
+    if not glob.glob(f"{qdir}/*.parquet"):
+        # a 0-partition plan wrote a directory with only _SUCCESS — treat
+        # as a zero-row frame with no columns (fails COLS loudly)
+        import pandas as pd
+        return pd.DataFrame()
     df = con.sql(f"FROM read_parquet('{qdir}/*.parquet')").df()
     return df.reindex(sorted(df.columns), axis=1)
 

@@ -128,21 +128,23 @@ print(f"documents: {table.num_rows} rows, "
 # cases a 100 TB embedding table WILL contain — zero vectors (failed
 # encoder outputs), exact duplicate vectors, and denormal-tiny norms —
 # injected deterministically into the sf0.01 table (every 25th vector
-# zeroed, every 25th+1 duplicated from its predecessor, every 25th+2
-# scaled by 1e-20), other rows unchanged.
+# zeroed, every 25th+2 scaled by 1e-20, every 25th+13 duplicated from
+# its UNMODIFIED predecessor — offset 13 keeps the duplicate pair away
+# from the zeroed/tiny rows, so the corpus contains genuine NONZERO
+# exact-dup pairs; the round-8 offset-1 version copied the just-zeroed
+# row, so under the zero-norm contract cosine(0,0)=0 the "duplicate"
+# case was never actually exercised — ADVICE r8), other rows unchanged.
 emb = pq.read_table(f"{SRC}/embeddings.parquet")
 vecs = emb.column("embedding").to_pylist()
 out = []
-prev = None
 for i, v in enumerate(vecs):
     if v is not None and i % 25 == 0:
         v = [0.0] * len(v)
-    elif v is not None and i % 25 == 1 and prev is not None:
-        v = list(prev)
     elif v is not None and i % 25 == 2:
         v = [x * 1e-20 for x in v]
+    elif v is not None and i % 25 == 13 and i > 0 and vecs[i - 1] is not None:
+        v = list(vecs[i - 1])  # nonzero exact duplicate of an unmodified row
     out.append(v)
-    prev = v
 idx = emb.schema.get_field_index("embedding")
 emb = emb.set_column(idx, emb.schema.field("embedding"),
                      pa.array(out, type=emb.schema.field("embedding").type))
