@@ -76,16 +76,30 @@ object PlanFingerprint {
       .toMap
 
   /** Regenerate the committed fingerprint file:
-    * `runMain graft.PlanFingerprint [sfDir] [outFile]`. MUST use the same
-    * session shape as the spec gate (local[4], 4 shuffle partitions) so
-    * the committed values are what the gate recomputes.
+    * `runMain graft.PlanFingerprint [sfDir] [outFile] [cpus]`. The
+    * default (no args) MUST use the same session shape as the spec gate
+    * (local[4], 4 shuffle partitions) so the committed values are what
+    * the gate recomputes.
+    *
+    * RUNG-SCALE pass (VERDICT r8 item 3 — the gate's scale blind spot):
+    * the sf0.001 gate catches code-side flips but NOT size-ESTIMATE
+    * flips, which only manifest once statistics cross planner
+    * thresholds (the q97-at-sf10 class). Once per round, re-fingerprint
+    * the same 15 queries at the 10x rung with the bench session shape:
+    *   sbt "runMain graft.PlanFingerprint testdata-ext/sf1 \
+    *        tools/plan_fingerprints_sf1.txt 32"
+    * and diff against tools/plan_fingerprints.txt — a query whose join
+    * strategy differs BETWEEN THE TWO SCALES is estimate-sensitive and
+    * needs an explicit join hint pinned in code (which both files then
+    * keep pinned). Protocol + current diff adjudication: BASELINE.md.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else DefaultSfDir
     val outFile = if (args.length > 1) args(1) else DefaultFile
+    val cpus = if (args.length > 2) args(2) else "4"
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -94,10 +108,13 @@ object PlanFingerprint {
     val header =
       s"""# Physical-plan fingerprints of the scale-critical query family
          |# (join strategies + exchange/generate counts at $sfDir,
-         |# local[4] / 4 shuffle partitions — the PlanFingerprintSpec gate
-         |# environment). A diff here without a BASELINE.md note is a
+         |# local[$cpus] / $cpus shuffle partitions${
+           if (cpus == "4") " — the PlanFingerprintSpec gate\n# environment"
+           else " — the RUNG-SCALE estimate\n# sensitivity pass; diff vs tools/plan_fingerprints.txt per BASELINE.md"
+         }). A diff here without a BASELINE.md note is a
          |# silent plan flip — the q97-at-sf10 failure class. Regenerate:
-         |#   sbt "runMain graft.PlanFingerprint"
+         |#   sbt "runMain graft.PlanFingerprint${
+           if (cpus == "4") "" else s" $sfDir $outFile $cpus"}"
          |""".stripMargin
     Files.writeString(Paths.get(outFile),
       header + lines.mkString("", "\n", "\n"))

@@ -136,9 +136,10 @@ private[graft] object SparkEntryAnalytics1 {
       events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          percentile(col("value"), lit(0.5)).as("p50"),
-          percentile(col("value"), lit(0.9)).as("p90"),
-          percentile(col("value"), lit(0.99)).as("p99"))),
+          // finite-support contract: see SparkEntryShared.finiteVal
+          percentile(finiteVal(col("value")), lit(0.5)).as("p50"),
+          percentile(finiteVal(col("value")), lit(0.9)).as("p90"),
+          percentile(finiteVal(col("value")), lit(0.99)).as("p99"))),
 
     // §2.6 — left-outer enrichment keeping unmatched rows (sparse dim)
     "q38_left_join_sparse" -> ((s, dir) => {
@@ -166,7 +167,13 @@ private[graft] object SparkEntryAnalytics1 {
     // §2.6 — fixed-width histogram (integer bucketing, exact)
     "q40_histogram" -> ((s, dir) =>
       events(s, dir)
-        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        // non-finite values land in the NULL bucket instead of silently
+        // flooring (Spark floor(NaN) = 0!) or saturating (±Inf) — the
+        // histogram then SHOWS the bad rows; guard the DOUBLE before
+        // floor, as in ExactAgg.scaledLong (adversarial sweep r9)
+        .groupBy(when((col("value") / 50)
+            .between(lit(-9.2233720368547e18), lit(9.2233720368547e18)),
+          floor(col("value") / 50)).as("bucket"))
         .agg(count(lit(1)).as("n_events"),
           ExactAgg.moneySum(col("value")).as("total_value"))),
 
@@ -336,7 +343,10 @@ private[graft] object SparkEntryAnalytics1 {
     // broadcasts back for the deviation pass — two scans, no extra
     // corpus shuffle
     "q74_mad_stats" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_type"), col("value"))
+      // finite-support contract on the measure (SparkEntryShared.finiteVal);
+      // count(lit(1)) below still counts every row, guarded or not
+      val e = events(s, dir)
+        .select(col("event_type"), finiteVal(col("value")).as("value"))
       val med = e.groupBy(col("event_type"))
         .agg(percentile(col("value"), lit(0.5)).as("med"))
       e.join(broadcast(med), Seq("event_type"))
@@ -439,8 +449,12 @@ private[graft] object SparkEntryAnalytics1 {
           sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
         .select(col("event_type"),
+          // nullif: a SINGLE-day series has zero x-variance, where the
+          // ANSI double division throws; the slope is undefined → NULL
+          // (DuckDB's /0 is NULL natively) — adversarial sweep r9 advD
           ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            nullif((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), lit(0.0)))
             .as("slope"),
           col("n").as("n_days"))
     }),
@@ -761,7 +775,8 @@ private[graft] object SparkEntryAnalytics1 {
       events(s, dir)
         .filter(col("value").isNotNull)
         .select(col("event_type"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"),
+          expr("CAST((CASE WHEN abs(value) <= 1.7976931348623157E308 " +
+            "THEN floor(value * 100 + 0.5) END) AS BIGINT)").as("x"),
           expr("(ts_us div 3600000000) % 24").as("y"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
@@ -1335,6 +1350,11 @@ private[graft] object SparkEntryAnalytics1 {
         .join(broadcast(regSup), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"))
         .agg(sum(col("price_micro")).as("sum_micro"), sum(col("qty")).as("sum_qty"))
+        // a supplier whose lines sum to ZERO units has no unit price and
+        // cannot win "cheapest" — and the ANSI div would throw on it;
+        // filtering (not NULLing) also dodges the engines' opposite
+        // NULLS FIRST/LAST defaults in the rank (adversarial sweep r9)
+        .filter(col("sum_qty") > 0)
         .withColumn("unit_micro", expr("sum_micro div sum_qty"))
         .withColumn("rk", row_number().over(Window.partitionBy(col("p_partkey"))
           .orderBy(col("unit_micro").asc, col("s_suppkey").asc)))
@@ -1466,9 +1486,9 @@ private[graft] object SparkEntryAnalytics1 {
 
     "q37_percentiles" ->
       """SELECT event_type,
-        |       quantile_cont(value, 0.5)  AS p50,
-        |       quantile_cont(value, 0.9)  AS p90,
-        |       quantile_cont(value, 0.99) AS p99
+        |       quantile_cont((CASE WHEN isfinite(value) THEN value END), 0.5)  AS p50,
+        |       quantile_cont((CASE WHEN isfinite(value) THEN value END), 0.9)  AS p90,
+        |       quantile_cont((CASE WHEN isfinite(value) THEN value END), 0.99) AS p99
         |FROM events GROUP BY 1""".stripMargin,
 
     "q38_left_join_sparse" ->
@@ -1489,7 +1509,8 @@ private[graft] object SparkEntryAnalytics1 {
         |  (SELECT count(*) FROM (SELECT k FROM active UNION SELECT k FROM rich)) AS n_union""".stripMargin,
 
     "q40_histogram" ->
-      s"""SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+      s"""SELECT CASE WHEN isfinite(value)
+         |            THEN CAST(floor(value / 50) AS BIGINT) END AS bucket,
          |       count(*) AS n_events,
          |       $SumCents AS total_value
          |FROM events GROUP BY 1""".stripMargin,
@@ -1502,7 +1523,7 @@ private[graft] object SparkEntryAnalytics1 {
     "q41_sketches" ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |       quantile_cont(value, 0.5) AS exact_p50,
+        |       quantile_cont((CASE WHEN isfinite(value) THEN value END), 0.5) AS exact_p50,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       TRUE AS users_in_bound,
         |       TRUE AS p50_in_bound
@@ -1602,9 +1623,10 @@ private[graft] object SparkEntryAnalytics1 {
         |GROUP BY l_partkey""".stripMargin,
 
     "q74_mad_stats" ->
-      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      """WITH m AS (SELECT event_type, quantile_cont((CASE WHEN isfinite(value) THEN value END), 0.5) AS med
         |           FROM events GROUP BY 1),
-        |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+        |d AS (SELECT e.event_type, m.med,
+        |             abs((CASE WHEN isfinite(value) THEN value END) - m.med) AS dev
         |      FROM events e JOIN m USING (event_type))
         |SELECT event_type, med, quantile_cont(dev, 0.5) AS mad,
         |       count(*) AS n_events
@@ -1717,7 +1739,7 @@ private[graft] object SparkEntryAnalytics1 {
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |         CAST(count(*) AS BIGINT) AS n_events,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events GROUP BY 1, 2),
         |spans AS (
@@ -1829,7 +1851,7 @@ private[graft] object SparkEntryAnalytics1 {
         |SELECT coalesce(CASE WHEN ts_us - lt_us <= 604800000000 THEN lt_type END,
         |                'unattributed') AS channel,
         |       CAST(count(*) AS BIGINT) AS n_conversions,
-        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |       CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT) AS cents
         |FROM t
         |WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
@@ -1900,7 +1922,13 @@ private[graft] object SparkEntryAnalytics1 {
     "q125_unpivot_events" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events
+        |WHERE event_type IN ('click','view','purchase','signup','error')
+        |GROUP BY 1, 2""".stripMargin,
+        // the IN list pins the operator's contract, not a workaround: a
+        // pivot over a FIXED value list only materializes the listed
+        // values, so its unpivot roundtrip cannot (and should not)
+        // resurrect rows for unlisted or NULL types (adversarial r9)
 
     "q126_purchase_cadence" ->
       """WITH p AS (
@@ -1939,7 +1967,7 @@ private[graft] object SparkEntryAnalytics1 {
         |         CAST(sum(x * x) AS BIGINT) AS sxx,
         |         CAST(sum(y * y) AS BIGINT) AS syy
         |  FROM (SELECT event_type,
-        |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+        |               CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT) AS x,
         |               (epoch_us(ts) // 3600000000) % 24 AS y
         |        FROM events WHERE value IS NOT NULL)
         |  GROUP BY event_type)
@@ -2308,7 +2336,7 @@ private[graft] object SparkEntryAnalytics1 {
         |  SELECT *, sum_micro // sum_qty AS unit_micro,
         |         row_number() OVER (PARTITION BY p_partkey
         |           ORDER BY sum_micro // sum_qty ASC, s_suppkey ASC) AS rk
-        |  FROM agg)
+        |  FROM agg WHERE sum_qty > 0)
         |SELECT p_partkey, p_name, s_suppkey, s_name, unit_micro
         |FROM rk WHERE rk = 1""".stripMargin,
 

@@ -284,7 +284,12 @@ private[graft] object SparkEntryAnalytics2 {
     // grid (bounded), so the windows never touch corpus-grain data
     "q242_t_closeness" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val c = t(s, dir, "customer")
+      // t-closeness runs over the DISCLOSED sensitive attribute: a NULL
+      // nationkey is a suppressed value, not a distribution point — and
+      // the cumulative-EMD window would otherwise place the NULL group
+      // at opposite ends on the two engines (Spark orders NULLS FIRST
+      // ascending, DuckDB NULLS LAST), shifting every partial sum (r9)
+      val c = t(s, dir, "customer").filter(col("c_nationkey").isNotNull)
       val cells = c.groupBy(col("c_mktsegment"), col("c_nationkey"))
         .agg(count(lit(1)).as("cnt"))
       val gl = c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("g_cnt"))
@@ -682,7 +687,12 @@ private[graft] object SparkEntryAnalytics2 {
             .cast("long"))
       val rev = e.groupBy(col("wk"))
         .agg(sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
-      val act = e.select(col("wk"), col("user_id")).distinct()
+      // actives are IDENTIFIED users (count(DISTINCT user_id) skips
+      // NULL); revenue keeps unattributed events — they are still
+      // revenue. The distinct+count(*) form must filter NULL explicitly
+      // to say the same thing (r9 sweep; the q250 audience contract)
+      val act = e.filter(col("user_id").isNotNull)
+        .select(col("wk"), col("user_id")).distinct()
         .groupBy(col("wk")).agg(count(lit(1)).as("actives"))
       rev.join(act, Seq("wk"))
         .select(col("wk"), col("actives"), col("cents"),
@@ -1440,7 +1450,7 @@ private[graft] object SparkEntryAnalytics2 {
     "q241_forecast_backtest" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |idx AS (SELECT d, cents,
@@ -1461,16 +1471,16 @@ private[graft] object SparkEntryAnalytics2 {
     "q242_t_closeness" ->
       """WITH cells AS (
         |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM customer GROUP BY 1, 2),
+        |  FROM (SELECT * FROM customer WHERE c_nationkey IS NOT NULL) customer GROUP BY 1, 2),
         |gl AS (
         |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS g_cnt
-        |  FROM customer GROUP BY 1),
+        |  FROM (SELECT * FROM customer WHERE c_nationkey IS NOT NULL) customer GROUP BY 1),
         |segtot AS (
         |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_g
-        |  FROM customer GROUP BY 1),
+        |  FROM (SELECT * FROM customer WHERE c_nationkey IS NOT NULL) customer GROUP BY 1),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS m
-        |        FROM customer),
+        |        FROM (SELECT * FROM customer WHERE c_nationkey IS NOT NULL) customer),
         |grid AS (
         |  SELECT s.c_mktsegment, s.n_g, g.c_nationkey, g.g_cnt,
         |         COALESCE(c.cnt, 0) AS cnt
@@ -1523,7 +1533,7 @@ private[graft] object SparkEntryAnalytics2 {
     "q244_holt_trend" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |idx AS (SELECT d, cents,
@@ -1549,7 +1559,7 @@ private[graft] object SparkEntryAnalytics2 {
     "q245_forecast_bakeoff" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |idx AS (SELECT d, cents,
@@ -1609,7 +1619,11 @@ private[graft] object SparkEntryAnalytics2 {
 
     "q250_audience_overlap" ->
       """WITH du AS (
-        |  SELECT DISTINCT event_type, user_id FROM events),
+        |  -- NULL is not a user: Spark's count(DISTINCT user_id) skips
+        |  -- NULL while count(*) over the distinct pairs counted it —
+        |  -- the audience contract is identified users only (r9 sweep)
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
         |ex AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS exact
         |  FROM du GROUP BY 1),
@@ -1633,7 +1647,7 @@ private[graft] object SparkEntryAnalytics2 {
     "q252_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |tr AS (
@@ -1660,7 +1674,7 @@ private[graft] object SparkEntryAnalytics2 {
     "q253_runs_test" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |m AS (
@@ -1750,7 +1764,7 @@ private[graft] object SparkEntryAnalytics2 {
         |  SELECT user_id,
         |         CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS BIGINT)
         |           AS wk,
-        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |         CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL),
         |rev AS (SELECT wk, CAST(sum(cents) AS BIGINT) AS cents
         |        FROM e GROUP BY 1),
@@ -1896,7 +1910,7 @@ private[graft] object SparkEntryAnalytics2 {
     "q310_tukey_outlier_days" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |q AS (SELECT CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT) AS q1x4,
@@ -1983,8 +1997,12 @@ private[graft] object SparkEntryAnalytics2 {
         |         AS BIGINT) AS locked_cents
         |FROM part
         |WHERE p_partkey NOT IN (
+        |  -- IS NOT NULL is load-bearing: one NULL l_partkey makes
+        |  -- NOT IN three-valued-logic empty (every row UNKNOWN), while
+        |  -- the library's anti-join correctly ignores NULL right keys —
+        |  -- the r9 sweep caught the oracle, not the query
         |  SELECT DISTINCT l_partkey FROM lineitem
-        |  WHERE l_shipdate >= DATE '2000-11-04')
+        |  WHERE l_shipdate >= DATE '2000-11-04' AND l_partkey IS NOT NULL)
         |GROUP BY 1""".stripMargin,
 
     "q305_ltv_curve" ->
@@ -2027,7 +2045,7 @@ private[graft] object SparkEntryAnalytics2 {
     "q306_seasonal_strength" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |tr AS (
@@ -2099,7 +2117,7 @@ private[graft] object SparkEntryAnalytics2 {
     "q303_hot_streak" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |med AS (SELECT CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT)
@@ -2124,7 +2142,7 @@ private[graft] object SparkEntryAnalytics2 {
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         |         CASE WHEN event_type = 'purchase'
-        |              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END
+        |              THEN CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT) END
         |           AS p_cents
         |  FROM events),
         |t AS (
@@ -2218,7 +2236,7 @@ private[graft] object SparkEntryAnalytics2 {
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         |         CASE WHEN event_type = 'purchase'
-        |              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END
+        |              THEN CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT) END
         |           AS p_cents
         |  FROM events),
         |t AS (

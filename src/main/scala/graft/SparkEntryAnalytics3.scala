@@ -64,7 +64,8 @@ private[graft] object SparkEntryAnalytics3 {
         .withColumn("channel", coalesce(col("ft_type"), lit("unattributed")))
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n_conversions"),
-          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+          sum(expr("CAST((CASE WHEN abs(value) <= 1.7976931348623157E308 " +
+            "THEN floor(value * 100 + 0.5) END) AS BIGINT)")).as("cents"))
     }),
 
     // §2.6 — per-nation revenue Gini (round 5: q184's global scalar
@@ -625,7 +626,10 @@ private[graft] object SparkEntryAnalytics3 {
     // grains from one scan; the permille cross-multiplies so no
     // division happens before the final bounded frame
     "q259_stickiness" -> ((s, dir) => {
-      val base = events(s, dir)
+      // NULL is not a user (the q250 audience contract): the
+      // distinct+count(*) pipeline would count the NULL row as an
+      // active user while count(DISTINCT user_id) skips it (r9 sweep)
+      val base = events(s, dir).filter(col("user_id").isNotNull)
         .select(col("user_id"), to_date(col("ts")).as("d"))
         .withColumn("wk",
           (datediff(col("d"), lit("1970-01-05").cast("date"))
@@ -1106,8 +1110,11 @@ private[graft] object SparkEntryAnalytics3 {
         .agg(count(lit(1)).as("n"),
           sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sum_d2"))
         .select(col("n"), col("sum_d2"),
+          // nullif: n = 1 (single-day calendar) makes n(n²−1) = 0 and
+          // the ANSI double division throws; rho is undefined → NULL
           (lit(1.0) - (lit(6.0) * col("sum_d2").cast("double")) /
-            (col("n") * (col("n") * col("n") - 1)).cast("double")).as("rho"))
+            nullif((col("n") * (col("n") * col("n") - 1)).cast("double"),
+              lit(0.0))).as("rho"))
     }),
 
     // §2.6 — integer EMA over the day-grain series (round 4): the
@@ -1311,7 +1318,10 @@ private[graft] object SparkEntryAnalytics3 {
           (col(s"n_$nm") - 1)
       events(s, dir).filter(col("value").isNotNull)
         .select(col("event_type"), col("user_id"),
-          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+          // kernel, not inline floor/cast: the non-finite quarantine
+          // (ExactAgg.scaledLong) is what keeps a NaN/Inf row from
+          // killing the job under ANSI (adversarial sweep r9)
+          graft.functions.ExactAgg.cents(col("value")).as("cents"))
         .groupBy(col("event_type"))
         .agg(aggs.head, aggs.tail: _*)
         .filter(col("n_a") > 1 && col("n_b") > 1)
@@ -1357,6 +1367,68 @@ private[graft] object SparkEntryAnalytics3 {
         .distinct()
       Graph.linkScoresApprox(edges, Seq("0", "1", "2", "3"))
     }),
+
+    // §2.6 — DOULION accuracy instrument (round 9, VERDICT r8 item 4):
+    // q326 ships the SCRATCH half of the sampling trade (measured at
+    // sf10); this query measures the ACCURACY half so a 100 TB caller
+    // can pick p by target error instead of folklore. One p-sweep over
+    // keepHex sizes k ∈ {1,2,4,8} (p = k/16) on the same co-purchase
+    // graph: per arm, the sampled global triangle count S, the unbiased
+    // estimate S·(16/k)³, the EXACT count (affordable at verify scale),
+    // the measured |est−exact| relative error in micros, and TWO error
+    // scales: (a) `rel_bound_micro`, the folklore 1/sqrt(T·p³) binomial
+    // bound the q326 docstring used to cite, and (b) `stderr_tri`, the
+    // FULL published variance (Tsourakakis et al., KDD'09) including
+    // the shared-edge covariance term this sweep proved dominant here —
+    // Var(T̂) = T·(1−p³)/p³ + 2r·(1−p)/p with r = Σ_edges C(t_e, 2)
+    // (pairs of triangles sharing an edge; t_e = per-edge triangle
+    // count = linkScores' common). On this co-purchase graph r ≈ 65·T,
+    // so the binomial bound understates the error ~5–30x and the k=8
+    // arm sits at 10 binomial σ but only −2.4 FULL σ. Both variance
+    // terms divide by powers of 2 only (k, k³), so each is EXACT in
+    // IEEE before the single final sqrt — the whole sweep is
+    // md5-deterministic and full-hash replayable by the DuckDB oracle.
+    // At 100 TB the caller plugs est and the SAMPLED r̂ into the same
+    // formula; here exact T and r make the instrument itself exact.
+    "q330_doulion_accuracy" -> ((s, dir) => {
+      val po = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      // bounded edge-aggregate frame, reused by all six counting arms
+      val edges = po.as("x")
+        .join(po.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+        .localCheckpoint()
+      val exact = Graph.triangleCounts(edges)
+        .agg(expr("coalesce(sum(n_triangles), 0) div 3").as("exact_tri"))
+      // r = Σ_e C(t_e, 2): t_e is linkScores' per-edge common count
+      val sharedPairs = Graph.linkScores(edges)
+        .agg(expr("coalesce(sum(common * (common - 1) div 2), 0)").as("r"))
+      val arms = Seq(1, 2, 4, 8).map { k =>
+        val hex = "0123456789abcdef".take(k).map(_.toString)
+        Graph.triangleCountsApprox(edges, hex)
+          .agg(expr("coalesce(sum(n_sampled), 0) div 3").as("sampled_tri"))
+          .select(lit(k.toLong).as("keep_hex"), col("sampled_tri"),
+            expr(s"sampled_tri * 4096 div ${k * k * k}").as("est_tri"))
+      }.reduce(_ unionByName _)
+      arms.crossJoin(broadcast(exact)).crossJoin(broadcast(sharedPairs))
+        .withColumn("err_micro",
+          expr("abs(est_tri - exact_tri) * 1000000 div nullif(exact_tri, 0)"))
+        .withColumn("stderr_tri",
+          // Var = T(4096−k³)/k³ + 2r(16−k)/k; k and k³ are powers of 2,
+          // so both divisions are exact in IEEE — one rounding at the
+          // +, one at the sqrt, identical on both engines
+          expr("sqrt(CAST(exact_tri * (4096 - keep_hex*keep_hex*keep_hex)" +
+            " AS DOUBLE) / (keep_hex*keep_hex*keep_hex)" +
+            " + CAST(2 * r * (16 - keep_hex) AS DOUBLE) / keep_hex)"))
+        .withColumn("rel_bound_micro",
+          expr("CAST(floor(64000000 / nullif(sqrt(CAST(est_tri AS DOUBLE) " +
+            "* (keep_hex*keep_hex*keep_hex)), 0.0)) AS BIGINT)"))
+        .drop("r")
+        .orderBy(col("keep_hex"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1364,7 +1436,7 @@ private[graft] object SparkEntryAnalytics3 {
     "q292_quantile_effects" ->
       """WITH e AS (
         |  SELECT user_id % 2 = 0 AS is_a,
-        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |         CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL),
         |v AS (
         |  SELECT is_a,
@@ -1397,7 +1469,7 @@ private[graft] object SparkEntryAnalytics3 {
         |  FROM e)
         |SELECT coalesce(ft_type, 'unattributed') AS channel,
         |       CAST(count(*) AS BIGINT) AS n_conversions,
-        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |       CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
@@ -1526,7 +1598,7 @@ private[graft] object SparkEntryAnalytics3 {
     "q278_rolling_band_anomaly" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS x
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |w AS (
@@ -1564,7 +1636,7 @@ private[graft] object SparkEntryAnalytics3 {
     "q277_kendall_tau" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS y
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |pairs AS (
@@ -1624,7 +1696,7 @@ private[graft] object SparkEntryAnalytics3 {
     "q275_max_drawdown" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |c AS (
@@ -2188,7 +2260,7 @@ private[graft] object SparkEntryAnalytics3 {
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
         |         CAST(count(*) AS BIGINT) AS n_events,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |r AS (
@@ -2204,7 +2276,7 @@ private[graft] object SparkEntryAnalytics3 {
     "q173_ema_daily" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |idx AS (SELECT d, cents,
@@ -2298,7 +2370,7 @@ private[graft] object SparkEntryAnalytics3 {
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         |         CASE WHEN event_type = 'purchase'
-        |              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END
+        |              THEN CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT) END
         |           AS p_cents
         |  FROM events),
         |t AS (
@@ -2371,7 +2443,7 @@ private[graft] object SparkEntryAnalytics3 {
         |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents END) AS BIGINT) AS sx_b,
         |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents * cents END) AS BIGINT) AS sxx_b
         |  FROM (SELECT event_type, user_id,
-        |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |               CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT) AS cents
         |        FROM events WHERE value IS NOT NULL)
         |  GROUP BY 1),
         |x AS (
@@ -2428,5 +2500,60 @@ private[graft] object SparkEntryAnalytics3 {
         |SELECT a, b, common AS common_sampled,
         |       CAST(common * 16 AS BIGINT) AS common_est
         |FROM cm""".stripMargin,
+
+    "q330_doulion_accuracy" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b,
+        |         substr(md5(CAST(x.p AS VARCHAR) || ':'
+        |                    || CAST(y.p AS VARCHAR)), 1, 1) AS hx
+        |  FROM po x JOIN po y ON x.o = y.o AND x.p < y.p),
+        |ks AS (SELECT unnest([1, 2, 4, 8]) AS k),
+        |hexes AS (
+        |  SELECT k, h FROM ks,
+        |    unnest(['0','1','2','3','4','5','6','7'][1:k]) AS u(h)),
+        |e AS (
+        |  SELECT hexes.k, e0.a, e0.b FROM e0 JOIN hexes ON e0.hx = hexes.h),
+        |tr AS (
+        |  SELECT e1.k, CAST(count(*) AS BIGINT) AS s
+        |  FROM e e1 JOIN e e2 ON e2.k = e1.k AND e1.b = e2.a
+        |       JOIN e e3 ON e3.k = e1.k AND e3.a = e1.a AND e3.b = e2.b
+        |  GROUP BY 1),
+        |arms AS (
+        |  SELECT ks.k AS keep_hex, COALESCE(tr.s, 0) AS sampled_tri
+        |  FROM ks LEFT JOIN tr ON tr.k = ks.k),
+        |ex AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS exact_tri
+        |  FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+        |       JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |adj AS (SELECT a AS n, b AS m FROM e0 UNION ALL SELECT b, a FROM e0),
+        |cm AS (
+        |  SELECT e0.a, e0.b, CAST(count(*) AS BIGINT) AS t_e
+        |  FROM e0 JOIN adj x ON x.n = e0.a
+        |          JOIN adj y ON y.n = e0.b AND y.m = x.m
+        |  GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT CAST(COALESCE(sum(t_e * (t_e - 1) // 2), 0) AS BIGINT) AS r
+        |  FROM cm)
+        |SELECT CAST(keep_hex AS BIGINT) AS keep_hex,
+        |       CAST(sampled_tri AS BIGINT) AS sampled_tri,
+        |       CAST((sampled_tri * 4096) // (keep_hex*keep_hex*keep_hex)
+        |         AS BIGINT) AS est_tri,
+        |       exact_tri,
+        |       CAST(abs((sampled_tri * 4096) // (keep_hex*keep_hex*keep_hex)
+        |              - exact_tri) * 1000000
+        |            // nullif(exact_tri, 0) AS BIGINT) AS err_micro,
+        |       sqrt(CAST(exact_tri * (4096 - keep_hex*keep_hex*keep_hex)
+        |              AS DOUBLE) / (keep_hex*keep_hex*keep_hex)
+        |            + CAST(2 * r * (16 - keep_hex) AS DOUBLE) / keep_hex)
+        |         AS stderr_tri,
+        |       CAST(floor(64000000 / nullif(sqrt(
+        |              CAST((sampled_tri * 4096)
+        |                // (keep_hex*keep_hex*keep_hex) AS DOUBLE)
+        |              * (keep_hex*keep_hex*keep_hex)), 0.0)) AS BIGINT)
+        |         AS rel_bound_micro
+        |FROM arms CROSS JOIN ex CROSS JOIN sp
+        |ORDER BY keep_hex""".stripMargin,
   )
 }

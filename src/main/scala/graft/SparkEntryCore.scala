@@ -203,11 +203,22 @@ private[graft] object SparkEntryCore {
     // changelog(before, after)) == after is the operator contract, so
     // ANY defect in either primitive breaks the hash, on every key
     "q120_changelog_apply" -> ((s, dir) => {
-      val before = events(s, dir)
-        .select(col("event_id").as("k"), col("value").as("v"))
-      val after = corruptedEvents(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      // Cdc snapshots REQUIRE unique keys (a duplicated PK multiplies the
+      // full-outer diff join — found by the r9 adversarial sweep's
+      // duplicate event_ids). A hostile at-least-once feed is
+      // canonicalized FIRST-WRITE-WINS before diffing: row_number over
+      // (key, ts) keeps the earliest row per key, deterministic on both
+      // engines because ts differs within every duplicated key.
+      def firstWrite(df: DataFrame): DataFrame =
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("ts_us"))))
+          .filter(col("rn") === 1).select(col("k"), col("v"))
+      val before = firstWrite(events(s, dir)
+        .select(col("event_id").as("k"), col("value").as("v"), col("ts_us")))
+      val after = firstWrite(corruptedEvents(s, dir)
         .filter(col("event_id") % 101 =!= 0)
-        .select(col("event_id").as("k"), col("value").as("v"))
+        .select(col("event_id").as("k"), col("value").as("v"), col("ts_us")))
       Cdc.applyChangelog(before, Cdc.changelog(before, after))
     }),
 
@@ -385,6 +396,11 @@ private[graft] object SparkEntryCore {
         .orderBy(col("ts_us"), col("event_id"))
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, dir)
+        // NULL-typed events stay in the sequence as an explicit
+        // 'unknown' step: concat_ws SKIPS nulls (a silent 2-step path
+        // counted as a trigram) while SQL '||' null-propagates — the
+        // engines can only agree on a named token (adversarial r9)
+        .withColumn("event_type", coalesce(col("event_type"), lit("unknown")))
         .withColumn("prev", lag(col("ts_us"), 1).over(w))
         .withColumn("new_s",
           when(col("prev").isNull ||
@@ -624,7 +640,7 @@ private[graft] object SparkEntryCore {
         |SELECT min(us) AS session_start_us,
         |       max(us) + 1800000000 AS session_end_us,
         |       user_id, count(*) AS n_events,
-        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |       CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
         |FROM z GROUP BY user_id, sid""".stripMargin,
 
     "q33_quality_report" ->
@@ -746,9 +762,9 @@ private[graft] object SparkEntryCore {
     "q103_incremental_agg" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |       CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS BIGINT)
         |         AS cents,
-        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |       CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS DOUBLE)
         |         / 100.0 AS total_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
@@ -756,7 +772,9 @@ private[graft] object SparkEntryCore {
     "q120_changelog_apply" ->
       s"""$CorruptedCte
          |SELECT event_id AS k, value AS v FROM corrupted
-         |WHERE event_id % 101 <> 0""".stripMargin,
+         |WHERE event_id % 101 <> 0
+         |QUALIFY row_number() OVER (PARTITION BY event_id
+         |                           ORDER BY ts_us) = 1""".stripMargin,
 
     "q121_table_checksum" ->
       s"""SELECT l_returnflag,
@@ -907,7 +925,9 @@ private[graft] object SparkEntryCore {
 
     "q155_session_paths" ->
       """WITH x AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  SELECT user_id, event_id,
+        |         coalesce(event_type, 'unknown') AS event_type,
+        |         epoch_us(ts) AS us,
         |         lag(epoch_us(ts)) OVER w AS prev_us
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),

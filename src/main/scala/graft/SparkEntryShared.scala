@@ -16,6 +16,21 @@ private[graft] object SparkEntryShared {
   def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
   def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Finite-support guard for rank statistics (adversarial sweep r9):
+    * percentiles/medians are defined over the FINITE values only — NaN
+    * breaks DuckDB's quantile sort comparator outright (IEEE NaN
+    * comparisons make its ordering undefined: quantile_cont([1,2,3,NaN])
+    * returns NaN but [1,2,NaN] returns 2.0) and Spark deterministically
+    * sorts NaN last, so the engines cannot agree on ANY contract that
+    * includes non-finite values. NULL-ing them keeps row counts intact
+    * (aggregates skip NULL on both engines). `NaN <= MaxValue` is false
+    * in Spark (NaN compares larger than everything), so `abs(c)` inside
+    * the band is exactly isfinite. DuckDB twin: [[FiniteValue]].
+    */
+  def finiteVal(c: Column): Column =
+    when(abs(c) <= lit(Double.MaxValue), c)
+  val FiniteValue = "(CASE WHEN isfinite(value) THEN value END)"
+
 
   def corruptedEvents(s: SparkSession, dir: String): DataFrame =
     Validation.corruptEvents(events(s, dir))
@@ -46,7 +61,7 @@ private[graft] object SparkEntryShared {
       |  FROM events JOIN customer ON user_id = c_custkey)""".stripMargin
 
   // exact money sum: sum of integer cents, then one conversion to double
-  val SumCents = "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
+  val SumCents = "CAST(sum(CAST((CASE WHEN isfinite(value) THEN floor(value * 100 + 0.5) END) AS BIGINT)) AS DOUBLE) / 100.0"
 
   // DuckDB twin of functions.VectorFunctions.vdot: sequential left fold of
   // per-element double products (0.0 + x1 ≡ x1, so no-init list_reduce is

@@ -33,7 +33,17 @@ object AsofJoin {
     val leftCols = left.columns
     val payload = struct((rightTime +: rightPayloadCols).map(col): _*)
 
-    val taggedRight = right.select(
+    // NULL-key rows must obey equi-join semantics: NULL never matches
+    // NULL. The window below PARTITIONS BY key, and window partitioning
+    // (unlike joins) groups NULLs together — without this filter a
+    // NULL-key left row would carry the latest NULL-key RIGHT payload
+    // (found by the r9 adversarial sweep: 200 NULL-user events matched
+    // NULL-custkey orders). Dropping NULL-key right rows leaves the NULL
+    // partition with nothing to carry, so those left rows keep NULL
+    // asof columns — exactly SQL ASOF LEFT JOIN.
+    val matchableRight = right.filter(col(key).isNotNull)
+
+    val taggedRight = matchableRight.select(
       (Seq(col(key), col(rightTime).as("_t"), lit(1).as("_is_right"),
         payload.as("_r")) ++ leftCols.filterNot(_ == key).map(c => lit(null).as(c))): _*)
     val taggedLeft = left.select(

@@ -45,7 +45,13 @@ object Events {
       .withColumn("is_conv",
         col("event_type") === to && col("from_before").isNotNull)
     flagged.agg(
-      countDistinct(col("user_id"), col("sid")).as("n_sessions"),
+      // struct, not bare two-column countDistinct: Spark's multi-column
+      // count(DISTINCT a, b) SKIPS rows where any column is NULL, so
+      // NULL-user sessions vanished from the denominator while both
+      // engines (and the two struct-based counts below) keep them —
+      // found by the r9 adversarial sweep (200 NULL-user events = 200
+      // silently missing sessions)
+      countDistinct(struct(col("user_id"), col("sid"))).as("n_sessions"),
       countDistinct(when(col("event_type") === from,
         struct(col("user_id"), col("sid")))).as("n_with_from"),
       countDistinct(when(col("is_conv"),
@@ -244,7 +250,7 @@ object Events {
           col("lt_type")), lit("unattributed")))
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_conversions"),
-        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+        sum(graft.functions.ExactAgg.cents(col("value"))).as("cents"))
   }
 
   /** Multi-touch LINEAR attribution: each conversion's cents split
@@ -277,7 +283,7 @@ object Events {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts_us"),
         when(col("event_type") === conv,
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("p_cents"))
+          graft.functions.ExactAgg.cents(col("value"))).as("p_cents"))
       .withColumn("np", last(when(col("event_type") === conv,
         struct(col("ts_us").as("p_us"), col("event_id").as("p_id"),
           col("p_cents").as("cents"))), ignoreNulls = true).over(wDesc))

@@ -44,22 +44,28 @@ object Sketches {
     * rows-only to a full oracle row.
     */
   def summaryContract(events: DataFrame, rsd: Double = 0.05,
-                      percentileAccuracy: Int = 10000): DataFrame =
+                      percentileAccuracy: Int = 10000): DataFrame = {
+    // finite-support contract for every rank statistic (exact AND
+    // sketch): non-finite measures are no measurement — NaN breaks
+    // DuckDB's quantile ordering outright and would poison the
+    // approx-vs-exact bound columns (adversarial sweep r9)
+    val v = when(abs(col("value")) <= lit(Double.MaxValue), col("value"))
     events.groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
-        approx_percentile(col("value"), lit(0.5), lit(percentileAccuracy))
+        approx_percentile(v, lit(0.5), lit(percentileAccuracy))
           .as("approx_p50"),
-        percentile(col("value"), lit(0.5)).as("exact_p50"),
-        percentile(col("value"), lit(0.45)).as("p45"),
-        percentile(col("value"), lit(0.55)).as("p55"),
+        percentile(v, lit(0.5)).as("exact_p50"),
+        percentile(v, lit(0.45)).as("p45"),
+        percentile(v, lit(0.55)).as("p55"),
         count(lit(1)).as("n_events"))
       .select(col("event_type"), col("exact_users"), col("exact_p50"),
         col("n_events"),
         (abs(col("approx_users") - col("exact_users"))
           <= lit(3 * rsd) * col("exact_users")).as("users_in_bound"),
         col("approx_p50").between(col("p45"), col("p55")).as("p50_in_bound"))
+  }
 
   /** Mergeable distinct-user sketches — the non-monoid arm of incremental
     * aggregate maintenance: [[Kpi.mergeDailyAgg]] folds deliveries into

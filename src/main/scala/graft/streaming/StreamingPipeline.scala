@@ -243,12 +243,19 @@ object StreamingPipeline {
     */
   def upsertStream(spark: SparkSession, inputDir: String, schema: StructType,
                    tableDir: String, seqCol: String,
-                   checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+                   checkpointDir: String,
+                   // crash-injection seam (StreamingPipelineSpec): runs
+                   // AFTER the table promote but BEFORE foreachBatch
+                   // returns — i.e. before the source checkpoint commits —
+                   // the exact window a real crash-recovery must survive.
+                   // Production callers leave the default no-op.
+                   postBatchHook: Long => Unit = _ => ())
+                  : DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.expressions.Window
         graft.sinks.Compaction.recoverPath(spark, tableDir)
         val lastPerKey = batch
@@ -269,6 +276,7 @@ object StreamingPipeline {
         next.write.mode("overwrite")
           .parquet(graft.sinks.Compaction.stagingDir(tableDir))
         graft.sinks.Compaction.promote(spark, tableDir)
+        postBatchHook(batchId)
       }
 
   /** Synchronous one-shot run for tests/backfills: process everything

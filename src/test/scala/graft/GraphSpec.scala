@@ -200,4 +200,49 @@ class GraphSpec extends SparkTestBase {
     got.map(r => (r._1, r._2) -> r._3).toMap shouldBe expected
     got.foreach(r => r._4 shouldBe r._3 * 16)
   }
+
+  test("sampleEdges rejects non-power-of-2 keepHex sizes (inexact 1/p^d rescale)") {
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Graph.sampleEdges(edges, Seq("0", "1", "2"))
+    }
+    e.getMessage should include("1, 2, 4 or 8")
+  }
+
+  test("DOULION p-sweep accuracy: every arm within 4 FULL-variance sigma of exact " +
+      "(q330 instrument, VERDICT r8 item 4)") {
+    // q330 on the sf0.001 co-purchase graph carries the whole sweep:
+    // keepHex k in {1,2,4,8}, exact count, measured error, and the
+    // KDD'09 plug-in stderr INCLUDING the shared-edge covariance term
+    // 2r(1-p)/p — which dominates here (r ~ 65T), so the folklore
+    // binomial bound would NOT hold (the k=8 arm sits at 10 binomial
+    // sigma). The assertion uses the full stderr the query emits.
+    val rows = SparkEntry.queries("q330_doulion_accuracy")(
+        spark, "/root/testdata/sf0.001")
+      .select("keep_hex", "est_tri", "exact_tri", "stderr_tri")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    rows.map(_._1).toSeq shouldBe Seq(1L, 2L, 4L, 8L)
+    val exact = rows.head._3
+    exact should be > 0L
+    rows.foreach { case (k, est, ex, se) =>
+      ex shouldBe exact
+      se should be > 0.0
+      math.abs(est - ex).toDouble should be <= 4.0 * se
+    }
+    // determinism: the md5 sample is a pure function of the edge set
+    val again = SparkEntry.queries("q330_doulion_accuracy")(
+        spark, "/root/testdata/sf0.001")
+      .select("keep_hex", "est_tri").as[(Long, Long)].collect().sortBy(_._1)
+    again.toSeq shouldBe rows.map(r => (r._1, r._2)).toSeq
+  }
+
+  test("sampleEdges keeps exactly the md5-prefix edges (k=8 half-sample)") {
+    val edges = (for { a <- 1L to 30L; b <- 1L to 30L if a < b } yield (a, b))
+    val keep = "01234567".toSet
+    val expected = edges.filter(e => mdKeep(e._1, e._2, keep)).toSet
+    val got = Graph.sampleEdges(edges.toDF("a", "b"),
+        "01234567".map(_.toString))
+      .as[(Long, Long)].collect().toSet
+    got shouldBe expected
+  }
 }
