@@ -31,6 +31,50 @@ class PlanFingerprintSpec extends SparkTestBase {
     committed.keySet shouldBe PlanFingerprint.Gated.toSet
   }
 
+  test("rung-scale fingerprint file: no dangerous strategy at the 10x rung") {
+    // VERDICT r8 item 3: the sf0.001 gate cannot see size-ESTIMATE flips,
+    // so once per round the same 15 queries are re-fingerprinted at the
+    // 10x rung with the bench session shape (testdata-ext/sf1, local[32])
+    // into tools/plan_fingerprints_sf1.txt. Regenerating needs the sf1
+    // data, so the spec gates the COMMITTED ARTIFACT, not a recompute:
+    //   (a) both scales: zero cartesian products anywhere, and no
+    //       broadcast-nested-loop join at the rung that isn't in the
+    //       sf0.001 gate too (q97 carries one deliberate bnlj over a
+    //       ONE-ROW bound frame; a NEW bnlj appearing only at scale
+    //       would be an estimate-driven degradation);
+    //   (b) the q97 pin holds AT SCALE: its segment join must stay
+    //       sort-merge (bhj=0) in the sf1 file — the exact broadcast
+    //       flip that DNF'd at sf10 before the hint;
+    //   (c) every gated query appears in the sf1 file too.
+    // The six benign small->large flips (broadcast at sf0.001, SMJ at
+    // sf1, over corpus-derived frames with accurate scan statistics) are
+    // adjudicated in BASELINE.md round 9 — they are the optimizer doing
+    // its job, not the q97 class, and this spec deliberately does NOT
+    // freeze them.
+    val sf1File = "tools/plan_fingerprints_sf1.txt"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sf1File)),
+      s"$sf1File not committed yet")
+    val rung = PlanFingerprint.load(sf1File)
+    rung.keySet shouldBe PlanFingerprint.Gated.toSet
+    val gate = PlanFingerprint.load(PlanFingerprint.DefaultFile)
+    def field(fp: String, k: String): Int =
+      s"$k=(\\d+)".r.findFirstMatchIn(fp).map(_.group(1).toInt)
+        .getOrElse(fail(s"no $k= in fingerprint '$fp'"))
+    (rung.toSeq ++ gate.toSeq).foreach { case (name, fp) =>
+      withClue(s"$name ($fp): ") { field(fp, "cart") shouldBe 0 }
+    }
+    PlanFingerprint.Gated.foreach { name =>
+      withClue(s"$name: bnlj at the rung vs the sf0.001 gate: ") {
+        field(rung(name), "bnlj") should be <= field(gate(name), "bnlj")
+      }
+    }
+    withClue("q97's segment-join hint must keep it sort-merge at the rung " +
+      "(the exact sf10 broadcast flip the pin exists for): ") {
+      rung("q97_edit_distance_pairs") should include("bhj=0")
+      rung("q97_edit_distance_pairs") should not include "smj=0"
+    }
+  }
+
   test("negative control: a broadcast<->sort-merge flip changes the fingerprint") {
     // the r7 trap class, reproduced in miniature: the same equi-join
     // planned both ways MUST yield different fingerprints, or the gate
