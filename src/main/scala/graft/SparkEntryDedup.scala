@@ -91,6 +91,16 @@ private[graft] object SparkEntryDedup {
     "q329_weighted_lsh_rows8" -> ((s, dir) =>
       Dedup.weightedMinhashLshPairsMd5(t(s, dir, "documents"), 128, 16, 0.6, 5)),
 
+    // §2.7 — q328 with the 2-bit-minhash candidate screen (round 9: the
+    // answer to the measured sf5 wall — candidates stayed sub-linear but
+    // the exact verify's ~4 KB/row array join crossed the 78 GB scratch;
+    // the screen joins a 16-BYTE sketch instead and annihilates the
+    // template floor ~4σ below the cut BEFORE any array moves). The
+    // screen is md5-deterministic and replayed verbatim by the oracle —
+    // full-hash comparable, unlike the lossy xxhash64 agree screen.
+    "q331_minhash_lsh_screened" -> ((s, dir) =>
+      Dedup.minhashLshPairsScreenedMd5(t(s, dir, "documents"), 64, 8, 0.6, 5, 41)),
+
     // §2.7 — the composed 100 TB dedup pipeline: LSH candidates → exact
     // Jaccard verify → connected components, one operator end-to-end.
     // Oracled: the DuckDB closure over ALL exact-Jaccard pairs matches
@@ -460,11 +470,20 @@ private[graft] object SparkEntryDedup {
     * operator, so the two sides cannot drift independently.
     */
   private def md5LshOracleSql(elCte: String, numHashes: Int, bands: Int,
-                              threshold: Double, simName: String): String = {
+                              threshold: Double, simName: String,
+                              screenCut: Int = 0): String = {
     val rows = numHashes / bands
     val p = Dedup.AffineP
     val mins = (0 until numHashes).map(k =>
-      s"         min((h1 + $k*h2) % $p) AS m$k").mkString(",\n")
+      s"         min((h1 + $k*h2) % $p) AS m$k").mkString(",\n") +
+      // the screen's xor-family minima (see Dedup.screenConst: the
+      // h1-dominated banding minima are correlated across k and cannot
+      // feed a b-bit screen); each literal IS screenConst(k) — both
+      // engines derive from the one Scala function
+      (if (screenCut == 0) ""
+       else (0 until 64).map(k =>
+         s"         min(xor(h1, ${Dedup.screenConst(k)})) AS sm$k")
+         .mkString(",\n", ",\n", ""))
     val keys = (0 until bands).map { b =>
       val ks = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)")
         .mkString(" || ':' || ")
@@ -503,9 +522,24 @@ private[graft] object SparkEntryDedup {
        |           / (na.n + nb.n - len(list_intersect(na.hs, nb.hs))) AS $simName
        |  FROM cand c
        |  JOIN sig na ON na.doc_id = c.d1
-       |  JOIN sig nb ON nb.doc_id = c.d2)
+       |  JOIN sig nb ON nb.doc_id = c.d2${screenSql(numHashes, screenCut)})
        |WHERE $simName >= $threshold""".stripMargin
   }
+
+  /** The 2-bit-minhash screen clause of [[Dedup.minhashLshPairsScreenedMd5]]:
+    * slot k matches iff sm_k % 4 (the XOR-family screen minimum, added to
+    * the sig CTE when screenCut > 0) agrees on both docs. The Spark side
+    * packs these bits into two longs for shuffle width; the COUNT is the
+    * semantics and is engine-identical. Empty when screenCut == 0.
+    */
+  private def screenSql(numHashes: Int, screenCut: Int): String =
+    if (screenCut == 0) ""
+    else {
+      val terms = (0 until 64).map(k =>
+        s"CASE WHEN na.sm$k % 4 = nb.sm$k % 4 THEN 1 ELSE 0 END")
+        .grouped(4).map(_.mkString(" + ")).mkString("\n         + ")
+      s"\n  WHERE $terms >= $screenCut"
+    }
 
   /** Generates the DuckDB replay of [[Dedup.lshBucketAudit]]: the same
     * md5-affine signature CTEs as [[md5LshOracleSql]], finished by the
@@ -661,6 +695,15 @@ private[graft] object SparkEntryDedup {
          |      for x in range(1, CAST(length(ntext) AS BIGINT) - 3)]) AS g
          |    FROM (SELECT doc_id, $NormSql AS ntext FROM documents))""".stripMargin,
       numHashes = 128, bands = 16, threshold = 0.6, simName = "wjaccard"),
+
+    // q328's oracle + the engine-identical 2-bit screen clause (the
+    // screened twin's emitted set is by definition the screened subset)
+    "q331_minhash_lsh_screened" -> md5LshOracleSql(
+      """  SELECT doc_id, unnest(list_distinct([substr(text, CAST(x AS INT), 5)
+        |    for x in range(1, CAST(length(text) AS BIGINT) - 3)])) AS e
+        |  FROM documents""".stripMargin,
+      numHashes = 64, bands = 8, threshold = 0.6, simName = "jaccard",
+      screenCut = 41),
 
     "q24_embedding_neardup" ->
       s"""$EmbCte

@@ -1039,6 +1039,24 @@ object Dedup {
       conv(hx.substr(16, 13), 16, 10).cast("long"))
   }
 
+  /** The k-th 60-bit XOR-family constant for the b-bit screen: the top 60
+    * bits of md5("graft-bbit-k"). min(h1 XOR c_k) descends the element
+    * set's binary trie along a pseudo-random path per k — the pairwise
+    * order of two elements flips with c_k's bit at their highest
+    * differing position — giving near-independent argmins across k, which
+    * the ADDITIVE affine family (h1 + k·h2, h1-dominated, never wrapping
+    * mod 2^61-1) measurably does not: on the sf0.1 corpus its 64 minima
+    * agree on ALL slots for 703k of 5.2M banded candidates (see
+    * minhashLshPairsScreenedMd5's scaladoc). 64-bit-safe and replayed in
+    * DuckDB as xor(h1, <literal>) — the literal is this function's value,
+    * the single source of truth for both engines.
+    */
+  private[graft] def screenConst(k: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-bbit-$k".getBytes("UTF-8"))
+    new java.math.BigInteger(1, md).shiftRight(68).longValue()
+  }
+
   /** Shared md5-affine LSH core over a prepared frame of DISTINCT
     * (doc_id, e: string) element rows. Bands on concatenated per-band
     * minima (decimal strings joined by ':'), verifies candidates with the
@@ -1056,8 +1074,11 @@ object Dedup {
     * mathematically lossless for jaccard >= threshold, in both engines.
     */
   private def md5AffineLshPairs(elems: DataFrame, numHashes: Int, bands: Int,
-                                threshold: Double, simName: String): DataFrame = {
+                                threshold: Double, simName: String,
+                                screenCut: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(screenCut == 0 || numHashes == 64,
+      "the 2-bit screen packs exactly 64 minima into two longs")
     val rows = numHashes / bands
     val (h1, h2) = md5h(col("e"))
     val hashed = elems.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
@@ -1066,22 +1087,65 @@ object Dedup {
     }
     // one shuffle computes the verify set AND all minima; localCheckpoint
     // so the pipeline runs once across the four consumers below
-    val sig = hashed.groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("h1"))).as("hs"), minCols: _*)
+    // b-bit minhash screen payload (Li & Koenig, WWW'10): 2 low bits of
+    // each of 64 XOR-family minima packed into two longs — a 16-byte
+    // sketch whose per-slot match probability is j + (1-j)/4, carried
+    // through the candidate join where the full hs array (~4 KB) cannot
+    // be. The screen minima sm_k = min(h1 XOR screenConst(k)) are a
+    // SEPARATE family from the banding minima: the additive affine
+    // minima are h1-dominated and correlated across k (measured: 703k of
+    // 5.2M sf0.1 candidates agree on all 64 slots), so parity bits drawn
+    // from them cannot separate the floor — the xor family's argmins are
+    // near-independent and the floor lands at (1+3*j0)/4 * 64 as theory
+    // says (measured: the j0~0.2 floor concentrates at 16-35 matches
+    // with 18 of 5.2M candidates in the 44-55 gap).
+    val smCols =
+      if (screenCut == 0) Nil
+      else (0 until 64).map(k =>
+        min(col("h1").bitwiseXOR(lit(screenConst(k)))).as(s"sm$k"))
+    val sig0 = hashed.groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("h1"))).as("hs"), (minCols ++ smCols): _*)
       .withColumn("n", size(col("hs")).cast("long"))
-      .localCheckpoint(false)
+    val sig = (if (screenCut > 0) {
+      def pack(off: Int) = (0 until 32).map(i =>
+        shiftleft(col(s"sm${off + i}") % 4, 2 * i)).reduce(_ bitwiseOR _)
+      sig0.withColumn("bb0", pack(0)).withColumn("bb1", pack(32))
+        .drop((0 until 64).map(k => s"sm$k"): _*)
+    } else sig0).localCheckpoint(false)
     val bandKeys = (0 until bands).map { b =>
       concat_ws(":", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
     }
     val banded = sig.select(col("doc_id"), col("n"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand0 = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * threshold <= col("b.n") &&
           col("b.n") * threshold <= col("a.n"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    // screen stage: candidates join only the 16-byte sketches; slot k
+    // matches iff XOR bits 2k and 2k+1 are both zero, so
+    //   matches = 64 - popcount((x | x>>1) & 0x5555..5) summed over the
+    // two packs (x>>1 is the arithmetic shift: its sign-extended bit 63
+    // is an ODD position, masked out). Everything is md5-deterministic,
+    // so the DuckDB oracle replays the identical screen and the output
+    // stays full-hash comparable — the screen is part of the SEMANTICS.
+    val cand = if (screenCut == 0) cand0 else {
+      val evenMask = lit(0x5555555555555555L)
+      def slotMatches(a: Column, b: Column) = {
+        val x = a.bitwiseXOR(b)
+        lit(32) - bit_count(x.bitwiseOR(shiftright(x, 1)).bitwiseAND(evenMask))
+      }
+      cand0
+        .join(sig.select(col("doc_id").as("d1"), col("bb0").as("a0"),
+          col("bb1").as("a1")), Seq("d1"))
+        .join(sig.select(col("doc_id").as("d2"), col("bb0").as("b0"),
+          col("bb1").as("b1")), Seq("d2"))
+        .filter(slotMatches(col("a0"), col("b0")) +
+          slotMatches(col("a1"), col("b1")) >= screenCut)
+        .select(col("d1"), col("d2"))
+    }
     val inter = call_function("graft_sorted_intersect_count",
       col("hs1"), col("hs2"))
     val jac = inter.cast("double") /
@@ -1151,6 +1215,59 @@ object Dedup {
       .select(col("doc_id"),
         explode(shinglesW(col("text"), shingleWidth)).as("e"))
     md5AffineLshPairs(elems, numHashes, bands, threshold, "jaccard")
+  }
+
+  /** [[minhashLshPairsMd5]] with a 2-bit-minhash candidate screen between
+    * banding and exact verification — the operator this round's sf5 wall
+    * demanded. The rows=8 banding floor keeps CANDIDATES sub-linear
+    * (audited: 695M at 50x), but exact verification must drag each
+    * candidate's full shingle-hash array (~4 KB) through a shuffle, and
+    * that array-carrying intermediate is what crossed the 78 GB scratch
+    * at the 50x rung (measured DNF at 8g/64g heap, 32/256 partitions).
+    * The screen joins candidates against a 16-BYTE sketch instead: the
+    * two low bits of each of 64 XOR-FAMILY minima sm_k = min(h1 XOR
+    * screenConst(k)) (Li & Koenig's b-bit minhash, b=2), match
+    * probability j + (1-j)/4 per slot — so at the default cut the j0~0.2
+    * template floor sits ~4 sigma below and is annihilated before any
+    * array moves, while the verify stage runs on an output-sized
+    * survivor set (measured at sf0.1: 5.2M banded candidates -> ~1.1k
+    * screen survivors at cut 41, with the floor concentrated at 16-35
+    * matches and only 18 pairs in the 44-55 gap).
+    *
+    * WHY A SECOND HASH FAMILY (round-9 finding): the banding minima
+    * m_k = min((h1 + k*h2) mod 2^61-1) are h1-DOMINATED — h1 < 2^60 and
+    * k*h2 < 2^58, the mod never wraps — so one element (the min-h1 one)
+    * usually achieves the minimum for EVERY k and the 64 minima are
+    * heavily correlated (measured: 703k of the same 5.2M candidates
+    * agree on ALL 64 slots; parity bits drawn from them leave ~31% of
+    * the floor above any usable cut). Banding CORRECTNESS is unaffected
+    * (candidates are exactly verified; the correlation actually raises
+    * true-pair band recall), but any ESTIMATOR built on those minima
+    * inherits the correlation — hence the independent xor family here.
+    *
+    * The screen is DETERMINISTIC md5 arithmetic, replayed verbatim by
+    * the DuckDB oracle, so unlike the xxhash64 agree-count screen (lossy
+    * vs an independent oracle) the output stays full-hash comparable:
+    * the emitted set is exactly { pairs : screenMatches >= screenCut AND
+    * exact J >= threshold } on BOTH engines. The recall trade is the
+    * operator's contract, same style as the rows=8 banding itself: at
+    * screenCut=41 (mean - 1 sigma for j=0.6) a pair at exactly j=0.6
+    * passes with ~0.85, j=0.7 with ~0.995, j>=0.8 with >0.9999 — the
+    * catch-strong-dups production point. Pick screenCut ~ 4 sigma above
+    * the corpus floor measured by [[lshBucketAudit]].
+    */
+  def minhashLshPairsScreenedMd5(docs: DataFrame, numHashes: Int = 64,
+                                 bands: Int = 8, threshold: Double = 0.6,
+                                 shingleWidth: Int = 5,
+                                 screenCut: Int = 41): DataFrame = {
+    require(screenCut > 0, "screenCut must be positive (else use minhashLshPairsMd5)")
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val elems = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"),
+        explode(shinglesW(col("text"), shingleWidth)).as("e"))
+    md5AffineLshPairs(elems, numHashes, bands, threshold, "jaccard", screenCut)
   }
 
   /** Engine-portable WEIGHTED MinHash+LSH in [[weightedJaccardPairs]]'s

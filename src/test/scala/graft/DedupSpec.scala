@@ -294,6 +294,59 @@ class DedupSpec extends SparkTestBase {
     exact should not be empty
   }
 
+  test("screened LSH: 2-bit pack-popcount equals the direct minima-parity screen at every cut") {
+    // the screen's observable semantics: output(cut) = unscreened output
+    // restricted to pairs whose count of matching (sm_k % 4) slots >= cut,
+    // where sm_k = min(h1 XOR screenConst(k)) is the xor-family screen
+    // minimum (NOT the h1-dominated banding minima — see the operator's
+    // scaladoc for the measured correlation that rules those out). The
+    // reference recomputes the screen minima INDEPENDENTLY (plain SQL
+    // expressions — the oracle's arithmetic) and counts slot matches
+    // directly, so this pins the bit-twiddling in the operator: pack two
+    // bits per slot into two longs, then
+    // 32 - popcount((x | x>>1) & 0x5555..5) per long on the XOR. A wrong
+    // mask, shift, sign-extension, or constant bug breaks equality at
+    // some cut.
+    val df = ppCorpus.toDF("doc_id", "text")
+    val el = df.filter(expr("length(text) >= 5"))
+      .select(col("doc_id"), expr(
+        "explode(array_distinct(transform(sequence(1, length(text) - 4)," +
+          " x -> substring(text, x, 5))))").as("e"))
+    val hv = el.select(col("doc_id"),
+      expr("CAST(conv(substring(md5(CAST(e AS BINARY)), 1, 15), 16, 10) AS LONG)").as("h1"))
+    // derive the constants exactly as the operator documents them: top 60
+    // bits of md5("graft-bbit-k") — an independent reimplementation
+    val consts = (0 until 64).map { k =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-bbit-$k".getBytes("UTF-8"))
+      new java.math.BigInteger(1, md).shiftRight(68).longValue()
+    }
+    val minExprs = (0 until 64).map(k =>
+      org.apache.spark.sql.functions.min(
+        expr(s"h1 ^ ${consts(k)}L")).as(s"sm$k"))
+    val sig = hv.groupBy(col("doc_id")).agg(minExprs.head, minExprs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(r.getLong).toArray).toMap
+    def matches(a: Long, b: Long): Int =
+      (0 until 64).count(k => sig(a)(k) % 4 == sig(b)(k) % 4)
+    val unscreened = Dedup.minhashLshPairsMd5(df, 64, 8, 0.5, 5)
+      .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    unscreened should not be empty
+    for (cut <- Seq(1, 41, 55, 62, 64)) {
+      val got = Dedup.minhashLshPairsScreenedMd5(df, 64, 8, 0.5, 5, cut)
+        .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      withClue(s"cut=$cut: ") {
+        got shouldBe unscreened.filter(p => matches(p._1, p._2) >= cut)
+      }
+    }
+    // non-vacuity: the screen must BIND somewhere on this corpus — a
+    // j < 1 pair's parities cannot all 64 agree, so cut=64 drops it
+    val loose = unscreened.filter(p => matches(p._1, p._2) >= 1)
+    val tight = unscreened.filter(p => matches(p._1, p._2) >= 64)
+    tight should not equal loose
+  }
+
   test("weightedMinhashLshPairsMd5 equals the exact weighted pairs") {
     val df = ppCorpus.toDF("doc_id", "text")
     val exact = Dedup.weightedJaccardPairs(df, 0.5)
