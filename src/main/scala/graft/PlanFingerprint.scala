@@ -38,8 +38,8 @@ object PlanFingerprint {
     "q208_semdedup", "q321_semantic_decontaminate",
     "q326_triangles_doulion", "q327_link_scores_sampled",
     "q328_minhash_lsh_rows8", "q329_weighted_lsh_rows8",
-    // round 9: the screened twin that carries the 50x claim
-    "q331_minhash_lsh_screened")
+    // round 9: the screened twins that carry the 50x claim
+    "q331_minhash_lsh_screened", "q332_weighted_lsh_screened")
 
   // category -> node-name pattern over the plan tree's toString. The
   // shuffle pattern excludes BroadcastExchange and ReusedExchange via

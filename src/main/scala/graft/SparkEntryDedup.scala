@@ -101,6 +101,12 @@ private[graft] object SparkEntryDedup {
     "q331_minhash_lsh_screened" -> ((s, dir) =>
       Dedup.minhashLshPairsScreenedMd5(t(s, dir, "documents"), 64, 8, 0.6, 5, 41)),
 
+    // §2.7 — the weighted twin of q331 (round 9): q329's banding + the
+    // same 64-slot xor-family screen (sm_k derives from h1 alone, so the
+    // occurrence-expanded element space plugs in unchanged)
+    "q332_weighted_lsh_screened" -> ((s, dir) =>
+      Dedup.weightedMinhashLshPairsScreenedMd5(t(s, dir, "documents"), 128, 16, 0.6, 5, 41)),
+
     // §2.7 — the composed 100 TB dedup pipeline: LSH candidates → exact
     // Jaccard verify → connected components, one operator end-to-end.
     // Oracled: the DuckDB closure over ALL exact-Jaccard pairs matches
@@ -703,6 +709,18 @@ private[graft] object SparkEntryDedup {
         |    for x in range(1, CAST(length(text) AS BIGINT) - 3)])) AS e
         |  FROM documents""".stripMargin,
       numHashes = 64, bands = 8, threshold = 0.6, simName = "jaccard",
+      screenCut = 41),
+
+    // q329's oracle + the same 64-slot screen clause
+    "q332_weighted_lsh_screened" -> md5LshOracleSql(
+      s"""  SELECT doc_id,
+         |         g || '#' || CAST(row_number() OVER (PARTITION BY doc_id, g)
+         |                          AS VARCHAR) AS e
+         |  FROM (
+         |    SELECT doc_id, unnest([substr(ntext, CAST(x AS INT), 5)
+         |      for x in range(1, CAST(length(ntext) AS BIGINT) - 3)]) AS g
+         |    FROM (SELECT doc_id, $NormSql AS ntext FROM documents))""".stripMargin,
+      numHashes = 128, bands = 16, threshold = 0.6, simName = "wjaccard",
       screenCut = 41),
 
     "q24_embedding_neardup" ->

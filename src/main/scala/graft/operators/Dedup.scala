@@ -1077,8 +1077,9 @@ object Dedup {
                                 threshold: Double, simName: String,
                                 screenCut: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    require(screenCut == 0 || numHashes == 64,
-      "the 2-bit screen packs exactly 64 minima into two longs")
+    // the screen always uses 64 xor-family minima (two packed longs),
+    // independent of numHashes — sm_k derives from h1 alone
+    require(screenCut >= 0 && screenCut <= 64, "screenCut in [0, 64]")
     val rows = numHashes / bands
     val (h1, h2) = md5h(col("e"))
     val hashed = elems.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
@@ -1292,6 +1293,35 @@ object Dedup {
       .select(col("doc_id"),
         concat(col("g"), lit("#"), col("k").cast("string")).as("e"))
     md5AffineLshPairs(elems, numHashes, bands, threshold, "wjaccard")
+  }
+
+  /** [[weightedMinhashLshPairsMd5]] with the same 2-bit-minhash screen as
+    * [[minhashLshPairsScreenedMd5]] — the weighted twin of the 50x wall
+    * fix. The screen's 64 xor-family minima derive from h1 alone, so the
+    * occurrence-expanded "g#k" element space plugs in unchanged: weighted
+    * Jaccard is plain set Jaccard of the expansion, and the screen's
+    * per-slot match probability is j_w + (1-j_w)/4 over that expansion.
+    * Same deterministic-oracle grade: the screened set is the semantics,
+    * replayed verbatim by DuckDB.
+    */
+  def weightedMinhashLshPairsScreenedMd5(docs: DataFrame, numHashes: Int = 128,
+                                         bands: Int = 16, threshold: Double = 0.6,
+                                         shingleWidth: Int = 5,
+                                         screenCut: Int = 41): DataFrame = {
+    require(screenCut > 0, "screenCut must be positive (else use weightedMinhashLshPairsMd5)")
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val elems = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"),
+        explode(shinglesMultiW(normText(col("text")), shingleWidth)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("g"),
+        explode(sequence(lit(1L), col("tf"))).as("k"))
+      .select(col("doc_id"),
+        concat(col("g"), lit("#"), col("k").cast("string")).as("e"))
+    md5AffineLshPairs(elems, numHashes, bands, threshold, "wjaccard", screenCut)
   }
 
   /** Engine-portable SimHash: token bits come from md5 (hi/lo 32-bit hex

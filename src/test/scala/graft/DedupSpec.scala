@@ -347,6 +347,28 @@ class DedupSpec extends SparkTestBase {
     tight should not equal loose
   }
 
+  test("weighted screened LSH: subset of unscreened, binds at cut=64, passes all at cut=1") {
+    // the weighted twin shares the 64-slot xor screen (sm_k derives from
+    // h1 alone, so the g#k occurrence expansion plugs in unchanged); the
+    // full screen-count identity is pinned by the unweighted 5-cut test
+    // above and by q332's DuckDB oracle replay — here: containment, the
+    // trivial cut, and non-vacuity at the tight cut
+    val df = ppCorpus.toDF("doc_id", "text")
+    val un = Dedup.weightedMinhashLshPairsMd5(df, 128, 32, 0.5, 5)
+      .select("doc_id_1", "doc_id_2", "wjaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    un should not be empty
+    val atOne = Dedup.weightedMinhashLshPairsScreenedMd5(df, 128, 32, 0.5, 5, 1)
+      .select("doc_id_1", "doc_id_2", "wjaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    atOne shouldBe un
+    val at64 = Dedup.weightedMinhashLshPairsScreenedMd5(df, 128, 32, 0.5, 5, 64)
+      .select("doc_id_1", "doc_id_2", "wjaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    at64.subsetOf(un) shouldBe true
+    at64 should not equal un
+  }
+
   test("weightedMinhashLshPairsMd5 equals the exact weighted pairs") {
     val df = ppCorpus.toDF("doc_id", "text")
     val exact = Dedup.weightedJaccardPairs(df, 0.5)
