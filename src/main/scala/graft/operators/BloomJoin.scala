@@ -30,7 +30,16 @@ object BloomJoin {
     */
   def buildBloom(df: DataFrame, key: String, expectedItems: Long,
                  fpp: Double): Array[Byte] = {
-    val bloom = df.stat.bloomFilter(key, expectedItems, fpp)
+    // Spark's stat.bloomFilter NPEs on EMPTY input (its aggregate
+    // returns a null buffer — found by the round-9 empty-facts sweep);
+    // an explicitly-empty filter has the right semantics: mightContain
+    // is false for every key, so the prefilter drops everything and the
+    // join stays exactly equal to the (empty) plain join
+    val bloom =
+      if (df.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(
+          math.max(64L, expectedItems), fpp)
+      else df.stat.bloomFilter(key, expectedItems, fpp)
     val bos = new ByteArrayOutputStream()
     bloom.writeTo(bos)
     bos.toByteArray

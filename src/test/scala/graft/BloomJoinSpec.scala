@@ -60,6 +60,23 @@ class BloomJoinSpec extends SparkTestBase {
     kept shouldBe Array(1L)
   }
 
+  test("empty build side: result is the empty inner join, not a crash") {
+    // round-9 empty-facts sweep finding: Spark's stat.bloomFilter NPEs on
+    // zero input rows ("buf is null"), and the q65 crash hid behind the
+    // compare gate's stale-dump trap (also closed: tools/compare.py now
+    // fails oracle keys with no dump). buildBloom substitutes an
+    // explicitly-empty filter — mightContain false for every key — so the
+    // prefiltered join equals the (empty) plain join, schema intact.
+    val emptyBuild = build.filter(lit(false))
+    val viaBloom = BloomJoin
+      .bloomPrefilteredJoin(probe, emptyBuild, "k", "bk", fpp = 0.03)
+    viaBloom.columns.toSeq shouldBe Seq("k", "payload", "bk", "tag")
+    viaBloom.count() shouldBe 0L
+    // the fixed-capacity path too (expectedItems > 0 skips the count)
+    BloomJoin.bloomPrefilteredJoin(probe, emptyBuild, "k", "bk", 100L, 0.03)
+      .count() shouldBe 0L
+  }
+
   test("the prefilter sits below the join in the physical plan") {
     // a file-backed probe side: filters over LocalRelation constant-fold
     // at optimization time, hiding the node this test pins down

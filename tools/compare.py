@@ -50,6 +50,19 @@ def spark_dump(qdir):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
+
+# STALE-DUMP TRAP, closed (round 9): a query that THROWS in Verify leaves
+# no q* dir, and a dir-driven loop silently grades it absent — exactly how
+# q65's empty-input crash hid behind "FAILS: 0" on the advE profile. Every
+# oracle key must have a dump; a missing one is a hard FAIL here, not a
+# skip. (oracle_sql.json is written by the same Verify run, so the key set
+# is the catalog that was supposed to be dumped.)
+dumped = {d.split("/")[-1] for d in glob.glob(f"{out_dir}/q*")}
+for name in sorted(oracle):
+    if name not in dumped:
+        print(f"{name}: FAIL — NO DUMP (query threw in Verify; see its log)")
+        fails += 1
+
 for qdir in sorted(glob.glob(f"{out_dir}/q*")):
     name = qdir.split("/")[-1]
     spark_df = spark_dump(qdir)
@@ -73,9 +86,20 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
         print(f"{name}: OK ({len(spark_df)} rows)")
 
 # ---- negative controls: the gate must still catch drifts of both kinds ----
+# On an EMPTY base frame a perturbation has nothing to perturb (q03 is
+# empty either way on the empty-facts profile) — the control is VACUOUS,
+# not broken: it proves nothing but also breaks nothing. Skip with a note
+# instead of counting a fail (round 9; this was the advE FAILS:2 the
+# r9 sweep record adjudicated in prose).
+def control_vacuous(name):
+    if len(con.sql(oracle[name]).df()) == 0:
+        print(f"negative_control({name}): vacuous on empty data — skipped")
+        return True
+    return False
+
 # 1. value-level: q03's event_count + 1 must fail the VAL branch
 ctrl = "q03_daily_kpis"
-if ctrl in oracle and glob.glob(f"{out_dir}/{ctrl}"):
+if ctrl in oracle and glob.glob(f"{out_dir}/{ctrl}") and not control_vacuous(ctrl):
     pert = (f"SELECT * EXCLUDE (event_count), event_count + 1 AS event_count "
             f"FROM ({oracle[ctrl]})")
     ora_df = con.sql(pert).df().pipe(
@@ -92,7 +116,7 @@ if ctrl in oracle and glob.glob(f"{out_dir}/{ctrl}"):
 #    fail the ROWS branch (a gate that only checks values row-by-row would
 #    miss a silently shrunk result set)
 ctrl2 = "q20_minhash_lsh_pairs"
-if ctrl2 in oracle and glob.glob(f"{out_dir}/{ctrl2}"):
+if ctrl2 in oracle and glob.glob(f"{out_dir}/{ctrl2}") and not control_vacuous(ctrl2):
     pert2 = (f"SELECT * FROM ({oracle[ctrl2]}) "
              f"QUALIFY row_number() OVER (ORDER BY doc_id_1, doc_id_2) > 1")
     ora_df2 = con.sql(pert2).df().pipe(
