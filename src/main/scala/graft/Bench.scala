@@ -160,7 +160,11 @@ object Bench {
     // (probe_r8/): the DOULION arms (76× @ 100× / sub-linear) and the
     // rows=8 LSH twins (10.05× / 7.3× @ 10× — the j0^8 floor collapse)
     "q326_triangles_doulion", "q327_link_scores_sampled",
-    "q328_minhash_lsh_rows8", "q329_weighted_lsh_rows8")
+    "q328_minhash_lsh_rows8", "q329_weighted_lsh_rows8",
+    // round-9 screened twins: the entries that carry the 50x claim
+    // (isolated probes: 31.1x / 33.9x @ sf5 where the unscreened twins
+    // DNF'd the VM scratch — probe_r9/, BASELINE round 9)
+    "q331_minhash_lsh_screened", "q332_weighted_lsh_screened")
 
   /** Cumulative stage probes for the heaviest graph operators (VERDICT r5
     * item 7): when a query's sf1/sf0.1 rung ratio exceeds [[StageRatio]],
