@@ -68,9 +68,15 @@ object SkewProbe {
       rows(minTasks).sortBy(-_._3).headOption
   }
 
-  def main(args: Array[String]): Unit = {
-    val loadPre = scala.io.Source.fromFile("/proc/loadavg").mkString
+  /** 1/5/15-min loadavg right now — sampled per timed() call, not once at
+    * JVM start, so every record's "load_pre" reflects ITS OWN pre-run load
+    * (a probe list runs for minutes; the first query's load says nothing
+    * about the fifth's). */
+  private def loadNow(): String =
+    scala.io.Source.fromFile("/proc/loadavg").mkString
       .split(" ").take(3).mkString(" ")
+
+  def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "testdata-ext/sf1skew")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "probe_r9")
@@ -138,8 +144,12 @@ object SkewProbe {
       clearState()
       out
     }
-    def timed(mk: () => DataFrame, runs: Int = 2) =
-      (1 to runs).map(_ => runOnce(mk)).minBy(_._1)
+    /** Runs `mk` `runs` times, keeps the fastest; also returns the loadavg
+      * sampled BEFORE the first run (this call's true pre-run load). */
+    def timed(mk: () => DataFrame, runs: Int = 2) = {
+      val lp = loadNow()
+      (lp, (1 to runs).map(_ => runOnce(mk)).minBy(_._1))
+    }
 
     /** Plan-capture execution on the dataset's OWN QueryExecution so the
       * adaptive plan finalizes where we can read it; returns true iff the
@@ -160,7 +170,8 @@ object SkewProbe {
         f""""$key":{"stage":$sid,"tasks":$n,"max_ms":$max,"median_ms":$med,"ratio":$r%.2f}"""
       }.getOrElse(s""""$key":null""")
 
-    def emit(name: String, arm: String, sec: Double, shuf: Long, spill: Long,
+    def emit(name: String, arm: String, loadPre: String, sec: Double,
+             shuf: Long, spill: Long,
              wr: Option[(Int, Int, Long, Long, Double)],
              wm: Option[(Int, Int, Long, Long, Double)], skew: Boolean,
              extra: String = ""): Unit = {
@@ -169,9 +180,7 @@ object SkewProbe {
         s""""shuffle_write_bytes":{"$name":$shuf},"disk_spill_bytes":{"$name":$spill},""" +
         s"""${straggJson("straggler_by_ratio", wr)},${straggJson("critical_stage", wm)},""" +
         s""""skew_join_fired":$skew,"arm":"$arm",""" +
-        s""""sf":"$sfDir","context":{"load_pre":"$loadPre","load_post":"${
-          scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString(" ")
-        }","isolated":true,"cpus":$cpus}$extra}"""
+        s""""sf":"$sfDir","context":{"load_pre":"$loadPre","load_post":"${loadNow()}","isolated":true,"cpus":$cpus}$extra}"""
       val suffix = if (arm == "catalog") "" else s"_$arm"
       Files.writeString(
         Paths.get(s"$outDir/${name}${suffix}_$profile.json"), line)
@@ -240,8 +249,8 @@ object SkewProbe {
       arms.foreach { case (a, su, mk, td) =>
         su()
         try {
-          val (sec, shuf, spill, wr, wm) = timed(mk)
-          emit("hot_join", a, sec, shuf, spill, wr, wm, skewFired(mk))
+          val (lp, (sec, shuf, spill, wr, wm)) = timed(mk)
+          emit("hot_join", a, lp, sec, shuf, spill, wr, wm, skewFired(mk))
         } finally td()
       }
     }
@@ -249,8 +258,8 @@ object SkewProbe {
     // ---- catalog queries, unmodified --------------------------------
     args.filterNot(_ == "hot_join").foreach { name =>
       val mk = () => SparkEntry.queries(name)(spark, sfDir)
-      val (sec, shuf, spill, wr, wm) = timed(mk)
-      emit(name, "catalog", sec, shuf, spill, wr, wm, skewFired(mk))
+      val (lp, (sec, shuf, spill, wr, wm)) = timed(mk)
+      emit(name, "catalog", lp, sec, shuf, spill, wr, wm, skewFired(mk))
     }
     spark.stop()
   }

@@ -528,7 +528,7 @@ private[graft] object SparkEntryDedup {
        |           / (na.n + nb.n - len(list_intersect(na.hs, nb.hs))) AS $simName
        |  FROM cand c
        |  JOIN sig na ON na.doc_id = c.d1
-       |  JOIN sig nb ON nb.doc_id = c.d2${screenSql(numHashes, screenCut)})
+       |  JOIN sig nb ON nb.doc_id = c.d2${screenSql(screenCut)})
        |WHERE $simName >= $threshold""".stripMargin
   }
 
@@ -537,8 +537,12 @@ private[graft] object SparkEntryDedup {
     * the sig CTE when screenCut > 0) agrees on both docs. The Spark side
     * packs these bits into two longs for shuffle width; the COUNT is the
     * semantics and is engine-identical. Empty when screenCut == 0.
+    * The screen width is FIXED at 64 xor-family slots (two packed longs on
+    * the Spark side) regardless of the banding's numHashes — it draws from
+    * an independent hash family, so its width is a screen-precision knob,
+    * not a function of the banding geometry.
     */
-  private def screenSql(numHashes: Int, screenCut: Int): String =
+  private def screenSql(screenCut: Int): String =
     if (screenCut == 0) ""
     else {
       val terms = (0 until 64).map(k =>

@@ -57,7 +57,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Subset mode must also subset the oracle manifest: compare.py hard-
+    // FAILs any oracle key with no dump dir (the round-9 stale-dump fix),
+    // so a spot-check run that wrote 3 dumps but the full 332-key
+    // oracle_sql.json would grade 329 deliberate skips as crashes.
+    val oracleOut =
+      if (only.isEmpty) SparkEntry.oracleSql
+      else SparkEntry.oracleSql.filter { case (k, _) => only(k) }
+    val json = oracleOut
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

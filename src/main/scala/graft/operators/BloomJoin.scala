@@ -26,17 +26,20 @@ import org.apache.spark.sql.functions._
 object BloomJoin {
 
   /** Serialized Bloom filter of `df(key)` sized for `expectedItems` at
-    * false-positive rate `fpp`.
+    * false-positive rate `fpp`. `knownEmpty` lets a caller that already
+    * ran an action over `df` (e.g. the capacity `count()` in
+    * [[bloomPrefilteredJoin]]) settle emptiness for free instead of
+    * paying an extra `isEmpty` job here.
     */
   def buildBloom(df: DataFrame, key: String, expectedItems: Long,
-                 fpp: Double): Array[Byte] = {
+                 fpp: Double, knownEmpty: Option[Boolean] = None): Array[Byte] = {
     // Spark's stat.bloomFilter NPEs on EMPTY input (its aggregate
     // returns a null buffer — found by the round-9 empty-facts sweep);
     // an explicitly-empty filter has the right semantics: mightContain
     // is false for every key, so the prefilter drops everything and the
     // join stays exactly equal to the (empty) plain join
     val bloom =
-      if (df.isEmpty)
+      if (knownEmpty.getOrElse(df.isEmpty))
         org.apache.spark.util.sketch.BloomFilter.create(
           math.max(64L, expectedItems), fpp)
       else df.stat.bloomFilter(key, expectedItems, fpp)
@@ -60,10 +63,16 @@ object BloomJoin {
                            probeKey: String, buildKey: String,
                            expectedItems: Long = -1L,
                            fpp: Double = 0.01): DataFrame = {
-    val capacity =
-      if (expectedItems > 0) expectedItems
-      else math.max(64L, build.count())
-    val bytes = buildBloom(build, buildKey, capacity, fpp)
+    // default path: one count() over the small side both sizes the filter
+    // AND settles emptiness, so buildBloom skips its isEmpty job; only a
+    // caller-supplied capacity (no count run) pays the isEmpty check
+    val (capacity, knownEmpty) =
+      if (expectedItems > 0) (expectedItems, None)
+      else {
+        val n = build.count()
+        (math.max(64L, n), Some(n == 0L))
+      }
+    val bytes = buildBloom(build, buildKey, capacity, fpp, knownEmpty)
     val filtered = probe.filter(call_function("graft_bloom_might_contain",
       col(probeKey), lit(bytes)))
     // frame-qualified keys: stays unambiguous when both sides name the
