@@ -44,7 +44,18 @@ object SkewProbe {
   private class StageStats {
     val durations = new java.util.concurrent.ConcurrentHashMap[
       Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
-    def clear(): Unit = durations.clear()
+    /** stageId -> stage name (first line of the stage's callsite). */
+    val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    def clear(): Unit = { durations.clear(); names.clear() }
+    /** SPARK_GRAFT_STAGE_DUMP diagnostic: every >=minTasks stage of the
+      * last run, sorted by max task ms — pinpoints WHICH operator owns a
+      * straggler instead of just reporting the worst ratio. */
+    def dump(minTasks: Int): Unit =
+      rows(minTasks).sortBy(-_._3).foreach { case (sid, n, max, med, r) =>
+        System.err.println(
+          f"[stage-dump] stage=$sid tasks=$n max_ms=$max median_ms=$med " +
+          f"ratio=$r%.2f name=${names.getOrDefault(sid, "?")}")
+      }
     private def rows(minTasks: Int): Seq[(Int, Int, Long, Long, Double)] = {
       import scala.jdk.CollectionConverters._
       durations.asScala.toSeq.flatMap { case (sid, q) =>
@@ -113,6 +124,10 @@ object SkewProbe {
               .add(te.taskInfo.duration)
           }
         }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stages.names.put(sc.stageInfo.stageId,
+            sc.stageInfo.name.linesIterator.nextOption().getOrElse("?"))
       })
     val drain: () => Unit =
       try {
@@ -139,6 +154,7 @@ object SkewProbe {
       mk().write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
       drain()
+      if (sys.env.contains("SPARK_GRAFT_STAGE_DUMP")) stages.dump(8)
       val out = (dt, shuffleWrite.get() - sw0, diskSpill.get() - sp0,
         stages.worstByRatio(8), stages.worstByMax(8))
       clearState()

@@ -43,6 +43,43 @@ class DedupSpec extends SparkTestBase {
     j shouldBe 1.0 / 3.0
   }
 
+  test("triangle-grid split emits every in-block pair exactly once (180-doc hot block)") {
+    // One (lang, band) block of 180 docs — over the 64-doc split floor, so
+    // the adaptive grid is ACTIVE (g = ceil(180/64) = 3, 6 cells) and this
+    // pins both halves of its contract: no pair lost across cells, no pair
+    // emitted twice by the replicas. Expected set computed driver-side
+    // from first principles (distinct char-3-grams, exact jaccard).
+    val texts = (0 until 180).map { i =>
+      val base = s"shared template text block number ${i % 30} with payload"
+      if (i < 30) base else s"$base variant ${('a' + i / 30).toChar}"
+    }
+    val big = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", t) }
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", lit(55)) // force one band for all 180
+    val got = Dedup.ngramJaccardPairs(big, 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)]
+      .collect()
+    got.length shouldBe got.map(p => (p._1, p._2)).distinct.length // exactly-once
+    def grams(s: String): Set[String] = s.sliding(3).toSet
+    val expected = (for {
+      i <- texts.indices; j <- texts.indices if i < j
+      a = grams(texts(i)); b = grams(texts(j))
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter)
+      if jac >= 0.5
+    } yield (i.toLong, j.toLong)).toSet
+    expected.size should be > 1000 // the template makes the block genuinely hot
+    got.map(p => (p._1, p._2)).toSet shouldBe expected
+    // the jaccard VALUES agree with the driver-side computation too
+    val gotMap = got.map(p => (p._1, p._2) -> p._3).toMap
+    expected.take(50).foreach { case (i, j) =>
+      val a = grams(texts(i.toInt)); val b = grams(texts(j.toInt))
+      val inter = (a & b).size
+      gotMap((i, j)) shouldBe inter.toDouble / (a.size + b.size - inter)
+    }
+  }
+
   test("minhashLshPairs recovers the high-jaccard pairs (verified candidates)") {
     val lsh = Dedup.minhashLshPairs(docs, 64, 16, 0.5)
       .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
