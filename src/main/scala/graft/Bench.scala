@@ -242,7 +242,50 @@ object Bench {
       .split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "unavailable" }
 
+  private def load1m(): Double =
+    try loadavg().split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
+
+  /** Load-gate (VERDICT r9 item 3): two rounds running, the canonical
+    * BENCH_rN.json was recorded with load_pre >= 5 and showed phantom
+    * 1.8-1.9× "regressions" the quiet re-run contradicted — adjudicating
+    * those costs a round each time. Rather than record under load, WAIT
+    * for the 1-min loadavg to drop below `gate` (poll every 30 s, up to
+    * `maxWaitSec`), then proceed; if the machine never quiets, proceed
+    * anyway (the driver must still get a record) with the waiver stamped
+    * in the context. Returns the "load_gate" context note.
+    */
+  private def loadGate(gate: Double, maxWaitSec: Int): String = {
+    val first = load1m()
+    if (first < 0) return "\"unavailable\""
+    if (first <= gate) return "\"quiet\""
+    val t0 = System.nanoTime()
+    var cur = first
+    while (cur > gate && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      System.err.println(
+        f"[bench] load gate: 1-min load $cur%.2f > $gate%.1f — waiting 30 s")
+      Thread.sleep(30000)
+      cur = load1m()
+    }
+    val waited = ((System.nanoTime() - t0) / 1e9).round
+    if (cur <= gate) s""""waited ${waited}s (load $first -> $cur)""""
+    else s""""WAIVED after ${waited}s (load still $cur)""""
+  }
+
+  /** Prior-round quiet headline seconds (tools/bench_reference.json,
+    * refreshed each round from the closing quiet bench) — the 1.5×
+    * retry threshold's baseline. Missing file or queries -> no retries. */
+  private def reference(): Map[String, Double] = {
+    val p = java.nio.file.Paths.get("tools/bench_reference.json")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
+    val gateNote = loadGate(
+      sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(3.0),
+      sys.env.get("SPARK_GRAFT_LOAD_WAIT").map(_.toInt).getOrElse(600))
     val loadPre = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
@@ -361,9 +404,29 @@ object Bench {
     val rest =
       if (only.nonEmpty) Nil
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(Headline.contains)
-    val results = headline.map(n =>
-      n -> timed(n, sfDir, if (only.nonEmpty) namedRuns else 2)) ++
-      rest.map(n => n -> timed(n, sfDir, 1))
+    val headResults0 = headline.map(n =>
+      n -> timed(n, sfDir, if (only.nonEmpty) namedRuns else 2))
+    // Per-query retry (VERDICT r9 item 3, second half): a headline reading
+    // above 1.5× its prior-round QUIET value (tools/bench_reference.json)
+    // is re-run once more before recording — a transient load spike then
+    // shows up as a retry note instead of a phantom regression the next
+    // round has to adjudicate by archaeology. The min is kept (same
+    // protocol as the 2-run min); a genuinely regressed query stays slow
+    // on the retry and still reports as a regression, now with evidence.
+    val ref = reference()
+    val retryNotes = scala.collection.mutable.ListBuffer.empty[String]
+    val headResults = headResults0.map { case (n, r0 @ (v0, _, _)) =>
+      ref.get(n) match {
+        case Some(base) if v0 > base * 1.5 =>
+          val lp = loadavg()
+          val r1 = timed(n, sfDir, 1)
+          retryNotes += s""""$n":{"first":$v0,"retry":${r1._1},""" +
+            s""""prior_quiet":$base,"load_at_retry":"$lp"}"""
+          n -> (if (r1._1 >= 0 && r1._1 < v0) r1 else r0)
+        case _ => n -> r0
+      }
+    }
+    val results = headResults ++ rest.map(n => n -> timed(n, sfDir, 1))
     val headlineTotal = total(results.take(headline.length))
 
     // the 10× rung: the linear-claim set (or the named queries, 2-run-min).
@@ -510,7 +573,11 @@ object Bench {
       } finally rmTree(java.nio.file.Paths.get(tmp))
     }
 
+    val retryJson =
+      if (retryNotes.isEmpty) ""
+      else s""","retries":{${retryNotes.mkString(",")}}"""
     val context = s""""context":{"load_pre":"$loadPre","load_post":"${loadavg()}",""" +
+      s""""load_gate":$gateNote$retryJson,""" +
       s""""isolated":${only.nonEmpty},"cpus":$cpus}"""
     val line = s"""{"metric":"total","value":$headlineTotal,"unit":"sec",""" +
       s""""full_total":${total(results)},""" +

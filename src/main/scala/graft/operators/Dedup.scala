@@ -95,8 +95,12 @@ object Dedup {
     *    signature replication through the shuffle (measured flat wall at
     *    sf1 on 32 local cores; at 1000 executors the 7× straggler is gone).
     *  - cap auto-sizes from the same histogram: total pair volume spread
-    *    over `unitsPerPartition` × shuffle-partitions units (floored at
-    *    64² so tiny corpora never split). Replication per doc is
+    *    over `unitsPerPartition` × shuffle-partitions units, floored at
+    *    512² so blocks under 512 docs (~130k pairs, a sub-second task)
+    *    never split — below that the split's own overhead (a second sort,
+    *    no exchange reuse between the role sides) exceeds the straggler
+    *    it removes (measured: +57% on q45 at the 5k-doc rung with a 64²
+    *    floor, flat with 512²). Replication per doc is
     *    (g+1)/2 per side ≈ n·√(unitsPerPartition·parts/Σvol) — scale-FREE
     *    when the block size distribution keeps its shape (cold blocks
     *    stay g = 1, where both sides canonicalize to the SAME exchange
@@ -119,7 +123,7 @@ object Dedup {
     val grid = blocks.crossJoin(totalVol)
       .select(col("lang"), col("band"),
         greatest(lit(1L), ceil(col("n_docs") /
-          sqrt(greatest(lit(4096.0),
+          sqrt(greatest(lit(262144.0),
             col("total_vol") / lit(parts.toLong * unitsPerPartition))))
           .cast("long")).as("g_b"))
     val sh = docs.select(col("doc_id"), col("lang"),

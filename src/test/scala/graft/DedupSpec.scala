@@ -43,13 +43,13 @@ class DedupSpec extends SparkTestBase {
     j shouldBe 1.0 / 3.0
   }
 
-  test("triangle-grid split emits every in-block pair exactly once (180-doc hot block)") {
-    // One (lang, band) block of 180 docs — over the 64-doc split floor, so
-    // the adaptive grid is ACTIVE (g = ceil(180/64) = 3, 6 cells) and this
+  test("triangle-grid split emits every in-block pair exactly once (600-doc hot block)") {
+    // One (lang, band) block of 600 docs — over the 512-doc split floor, so
+    // the adaptive grid is ACTIVE (g = ceil(600/512) = 2, 3 cells) and this
     // pins both halves of its contract: no pair lost across cells, no pair
     // emitted twice by the replicas. Expected set computed driver-side
     // from first principles (distinct char-3-grams, exact jaccard).
-    val texts = (0 until 180).map { i =>
+    val texts = (0 until 600).map { i =>
       val base = s"shared template text block number ${i % 30} with payload"
       if (i < 30) base else s"$base variant ${('a' + i / 30).toChar}"
     }
