@@ -207,7 +207,16 @@ def gen_advD(dst):
 
 
 if __name__ == "__main__":
-    gen_advA(f"{BASE}/advA0.01")
-    gen_advE(f"{BASE}/advE0.01")
-    gen_advD(f"{BASE}/advD0.01")
+    # optional argv: profile names to generate (default: all three at the
+    # sf0.01 base). GEN_ADV_SUFFIX names the dst for other rungs, e.g.
+    #   GEN_ADV_SRC=testdata-ext/sf1 GEN_ADV_SUFFIX=1 python3 ... advA
+    # -> testdata-ext/advA1 (the VERDICT r9 item-5 adversarial-at-rung
+    # sweep: hostile VALUES at the scale where estimate-driven plan flips
+    # actually manifest).
+    import sys
+    suffix = os.environ.get("GEN_ADV_SUFFIX", "0.01")
+    which = sys.argv[1:] or ["advA", "advE", "advD"]
+    gens = {"advA": gen_advA, "advE": gen_advE, "advD": gen_advD}
+    for name in which:
+        gens[name](f"{BASE}/{name}{suffix}")
     print("done", flush=True)
