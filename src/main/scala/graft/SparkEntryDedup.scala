@@ -71,6 +71,16 @@ private[graft] object SparkEntryDedup {
     "q325_lsh_bucket_audit" -> ((s, dir) =>
       Dedup.lshBucketAudit(t(s, dir, "documents"), 64, 16, 5)),
 
+    // §2.7 — triangle-grid pre-flight audit (round 10, q325's pattern
+    // applied to the BLOCKED pair family): per (lang, band) block, the
+    // exact pair volume, the grid width g_b the role-split will use for
+    // a 32-partition deployment, the join-unit count and the replicated
+    // row volume — prices the verify stage's balance and its shuffle
+    // replication from ONE scan-side aggregate, before any shingle is
+    // computed. Pure integer/IEEE-double arithmetic → full oracle.
+    "q333_pair_grid_audit" -> ((s, dir) =>
+      Dedup.pairGridAudit(t(s, dir, "documents"), 32)),
+
     // §2.7 — q20's SCALE-USABLE twin (round 8, VERDICT r7 item 4): same
     // md5-affine machinery, 8-row bands (64 hashes × 8 bands). The
     // background-candidate floor is n²·(j0^rows)·bands, and rows 4 → 8
@@ -667,6 +677,32 @@ private[graft] object SparkEntryDedup {
     // full oracle (round 7): replay the md5-affine signatures and count
     // band-bucket sizes — same hv/sig/keys machinery as q20's oracle,
     // finishing in the bucket aggregate instead of the pair join
+    // the grid audit replays the operator's cap arithmetic verbatim:
+    // exact BIGINT pair volumes; the cap and g_b go through the same
+    // IEEE double sqrt/ceil (both engines' sqrt is correctly rounded,
+    // and every intermediate here is an exact integer in double range)
+    "q333_pair_grid_audit" ->
+      s"""WITH blocks AS (
+         |  SELECT lang, CAST(floor(n_chars / 50) AS BIGINT) AS band,
+         |         count(*) AS n_docs
+         |  FROM documents
+         |  WHERE length(coalesce(text, '')) >= 3
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT coalesce(sum(n_docs * (n_docs - 1) / 2), 0) AS total_vol
+         |  FROM blocks),
+         |grid AS (
+         |  SELECT lang, band, n_docs,
+         |         GREATEST(1, CAST(ceil(n_docs / sqrt(GREATEST(262144.0,
+         |           total_vol / 256))) AS BIGINT)) AS g_b
+         |  FROM blocks, tot)
+         |SELECT lang, band, n_docs,
+         |       n_docs * (n_docs - 1) // 2 AS pair_vol,
+         |       g_b,
+         |       g_b * (g_b + 1) // 2 AS n_units,
+         |       n_docs * (g_b + 1) AS repl_rows
+         |FROM grid""".stripMargin,
+
     "q325_lsh_bucket_audit" -> lshBucketAuditOracleSql(
       """  SELECT doc_id, unnest(list_distinct([substr(text, CAST(x AS INT), 5)
         |    for x in range(1, CAST(length(text) AS BIGINT) - 3)])) AS e

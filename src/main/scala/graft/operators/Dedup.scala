@@ -108,24 +108,55 @@ object Dedup {
     *  - |A∪B| = |A|+|B|-|A∩B| and the sorted-merge kernel: one linear
     *    pass per pair, zero allocation.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-                        unitsPerPartition: Int = 8): DataFrame = {
-    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // Block histogram + grid width: one agg over the scan (no shingles).
-    // Same population as the shingle frame (the length-3 prefilter), so
-    // every sh row finds its grid row in the inner join below.
+  /** The (lang, band) block histogram + per-block grid width `g_b` of the
+    * role-split triangle grid — one scan-cheap aggregate, no shingles.
+    * Shared by [[ngramJaccardPairs]] (physical splitting) and
+    * [[pairGridAudit]] (the pre-flight report). Population = the shingle
+    * frame's (length-3 prefilter), so every sh row finds its grid row.
+    */
+  private[operators] def blockGrid(docs: DataFrame, parts: Int,
+                                   unitsPerPartition: Int): DataFrame = {
     val vol = col("n_docs") * (col("n_docs") - lit(1L)) / lit(2L)
     val blocks = docs
       .filter(length(coalesce(col("text"), lit(""))) >= 3)
       .groupBy(col("lang"), floor(col("n_chars") / 50).as("band"))
       .agg(count(lit(1)).as("n_docs"))
     val totalVol = blocks.agg(coalesce(sum(vol), lit(0L)).as("total_vol"))
-    val grid = blocks.crossJoin(totalVol)
-      .select(col("lang"), col("band"),
+    blocks.crossJoin(totalVol)
+      .select(col("lang"), col("band"), col("n_docs"),
         greatest(lit(1L), ceil(col("n_docs") /
           sqrt(greatest(lit(262144.0),
             col("total_vol") / lit(parts.toLong * unitsPerPartition))))
           .cast("long")).as("g_b"))
+  }
+
+  /** Pre-flight audit of the triangle-grid split (round 10, the q325
+    * pattern applied to the blocked-pairs family): per (lang, band)
+    * block, the doc count, EXACT pair volume, the grid width g_b the
+    * split will use for a `parts`-partition deployment, the resulting
+    * join-unit count g·(g+1)/2, and the replicated row count n·(g+1)
+    * (every group-k doc lands in g−k LEFT cells and k+1 RIGHT cells).
+    * One aggregate over the scan — prices the verify stage's balance AND
+    * its shuffle replication BEFORE any shingle is computed, the same
+    * pilot-cost pre-flight a 100 TB dedup launch runs first. `parts` is
+    * explicit (the TARGET deployment's reducer count), so the report is
+    * deterministic across harnesses rather than inheriting the session's
+    * shuffle-partition setting.
+    */
+  def pairGridAudit(docs: DataFrame, parts: Int,
+                    unitsPerPartition: Int = 8): DataFrame =
+    blockGrid(docs, parts, unitsPerPartition)
+      .select(col("lang"), col("band"), col("n_docs"),
+        expr("n_docs * (n_docs - 1) div 2").as("pair_vol"),
+        col("g_b"),
+        expr("g_b * (g_b + 1) div 2").as("n_units"),
+        expr("n_docs * (g_b + 1)").as("repl_rows"))
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        unitsPerPartition: Int = 8): DataFrame = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val grid = blockGrid(docs, parts, unitsPerPartition)
+      .select(col("lang"), col("band"), col("g_b"))
     val sh = docs.select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 50).as("band"))
       .join(hashedShingles(docs), "doc_id")

@@ -80,6 +80,21 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("pairGridAudit reports hand-computed block volumes and grid widths") {
+    // block A: 600 docs in (en, band 1) -> over the 512 floor, g = 2;
+    // block B: 10 docs in (en, band 10) -> g = 1. total_vol = 179 745
+    // keeps cap at the 262 144 floor (179745/256 = 702 < floor).
+    val docs = ((0 until 600).map(i => (i.toLong, "en", s"doc text $i", 55L)) ++
+      (0 until 10).map(i => (1000L + i, "en", s"other $i", 500L)))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val r = Dedup.pairGridAudit(docs, 32)
+      .select("band", "n_docs", "pair_vol", "g_b", "n_units", "repl_rows")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (1L, 600L, 179700L, 2L, 3L, 1800L),
+      (10L, 10L, 45L, 1L, 1L, 20L))
+  }
+
   test("minhashLshPairs recovers the high-jaccard pairs (verified candidates)") {
     val lsh = Dedup.minhashLshPairs(docs, 64, 16, 0.5)
       .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
