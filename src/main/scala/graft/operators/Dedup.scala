@@ -947,23 +947,72 @@ object Dedup {
     * independent of |corpus|²; growing the corpus 100× grows only the
     * probe target linearly. In production the corpus arm of the union is
     * the stored signature table, refreshed incrementally, so only the
-    * batch is ever re-shingled. No explicit repartition: the equi-join
-    * places one AQE-splittable exchange per side.
+    * batch is ever re-shingled.
+    *
+    * RECTANGULAR GRID SPLIT (round 10): a (lang, band) key group is one
+    * reducer, and its pair work n_batch×n_target is COMPUTE-quadratic
+    * while its bytes stay small — AQE's byte-threshold skew split never
+    * fires (a 26k-doc hot block is ~40 MB, far under the 256 MB
+    * threshold, yet ~700M candidate evals — measured as a 1-2-core
+    * straggler tail at a 500k-row delivery before this fix). Same cure
+    * as [[ngramJaccardPairs]]'s triangle grid, rectangular because the
+    * sides are distinct roles: per block, g = ceil(√(n_a·n_b / cap));
+    * batch docs (group ga = doc_id mod g) replicate to cells (ga, j),
+    * target docs (group gb) to cells (i, gb), so every (batch, target)
+    * pair meets exactly once at (ga, gb) and no unit exceeds ~cap pair
+    * evals. cap auto-sizes from the block histogram exactly like the
+    * self-join grid; g = 1 blocks keep the pre-split plan. Blocks with
+    * no batch doc are pruned from the target at the grid join — corpus
+    * rows that could never match skip the shuffle entirely.
     */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         unitsPerPartition: Int = 8): DataFrame = {
+    val parts = batch.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def blockCounts(docs: DataFrame, cname: String) = docs
+      .filter(length(coalesce(col("text"), lit(""))) >= 3)
+      .groupBy(col("lang"), floor(col("n_chars") / 50).as("band"))
+      .agg(count(lit(1)).as(cname))
+    // per-block pair volume n_a (batch) × n_b (corpus + batch); blocks
+    // absent from the batch are dropped (left join) — nothing to probe
+    val blocks = blockCounts(batch, "n_a")
+      .join(blockCounts(corpus, "n_c"), Seq("lang", "band"), "left_outer")
+      .select(col("lang"), col("band"),
+        (col("n_a") * (col("n_a") + coalesce(col("n_c"), lit(0L))))
+          .cast("double").as("vol"))
+    val totalVol = blocks.agg(coalesce(sum(col("vol")), lit(0.0)).as("total_vol"))
+    val grid = blocks.crossJoin(totalVol)
+      .select(col("lang"), col("band"),
+        greatest(lit(1L), ceil(sqrt(col("vol") /
+          greatest(lit(262144.0),
+            col("total_vol") / lit(parts.toLong * unitsPerPartition))))
+          .cast("long")).as("g_b"))
     def blocked(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 50).as("band"))
       .join(hashedShingles(docs), "doc_id")
-    val newSide = blocked(batch)
+      .join(broadcast(grid), Seq("lang", "band"))
+      .withColumn("grp", pmod(col("doc_id"), col("g_b")))
+    val aSide = blocked(batch)
+      .select(col("doc_id"), col("lang"), col("band"), col("sh"), col("n_sh"),
+        col("grp").as("ci"),
+        explode(sequence(lit(0L), col("g_b") - 1)).as("cj"))
+      .repartition(parts, col("lang"), col("band"), col("ci"), col("cj"))
     val target = blocked(corpus).withColumn("dup_source", lit("corpus"))
-      .unionByName(newSide.withColumn("dup_source", lit("batch")))
+      .unionByName(blocked(batch).withColumn("dup_source", lit("batch")))
+    val bSide = target
+      .select(col("doc_id"), col("lang"), col("band"), col("sh"), col("n_sh"),
+        col("dup_source"),
+        explode(sequence(lit(0L), col("g_b") - 1)).as("ci"),
+        col("grp").as("cj"))
+      .repartition(parts, col("lang"), col("band"), col("ci"), col("cj"))
     val sizeCond =
       col("a.n_sh") * threshold <= col("b.n_sh") &&
         col("b.n_sh") * threshold <= col("a.n_sh")
-    newSide.as("a").join(target.as("b"),
+    aSide.as("a").join(bSide.as("b"),
         col("a.lang") === col("b.lang") &&
-        col("a.band") === col("b.band") && sizeCond &&
+        col("a.band") === col("b.band") &&
+        col("a.ci") === col("b.ci") && col("a.cj") === col("b.cj") &&
+        sizeCond &&
         (col("b.dup_source") === "corpus" ||
           col("a.doc_id") < col("b.doc_id")))
       .select(

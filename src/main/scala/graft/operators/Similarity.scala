@@ -697,9 +697,25 @@ object Similarity {
     * (join pushes the cell filter into the corpus assignment), and
     * nothing batch×corpus-quadratic exists outside a cell.
     * Output: (new_id, dup_id, cos_micro, dup_source).
+    *
+    * RECTANGULAR GRID SPLIT (round 10, the incrementalNearDup fix in
+    * cell space): a cell key group is one reducer and its pair work
+    * n_x·n_y is COMPUTE-quadratic while its bytes stay small — AQE's
+    * byte-threshold skew split cannot see it (measured: a 500k-vector
+    * delivery ran a 1-core straggler tail for 30+ minutes before this
+    * fix). Per cell, g = ceil(√(n_x·n_y / cap)) from a 16-row histogram;
+    * probe vectors (group = vec_id mod g) replicate to grid row (gx, ·),
+    * candidates to column (·, gy), every pair meets exactly once at
+    * (gx, gy), no unit exceeds ~cap cosine evals, and the kernel-eval
+    * count is IDENTICAL to the unsplit join (each (x, y) met once there
+    * too) — the split costs only the ~g× replication bytes. g = 1 cells
+    * keep the pre-split plan.
     */
   def incrementalSemDedup(corpus: DataFrame, batch: DataFrame, nCells: Int,
-                          threshMicro: Long): DataFrame = {
+                          threshMicro: Long,
+                          unitsPerPartition: Int = 8): DataFrame = {
+    val parts =
+      batch.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val base = if (corpus.isEmpty) batch else corpus
     val cents = detCentroids(base, nCells).localCheckpoint()
     def withNorm(asg: DataFrame) = asg
@@ -709,8 +725,31 @@ object Similarity {
     val cAsg = withNorm(assignTo(cents, corpus))
     def pairs(news: DataFrame, cands: DataFrame, source: String,
               inBatch: Boolean) = {
-      val joined = news.as("x").join(cands.as("y"),
+      def hist(df: DataFrame, cname: String) =
+        df.groupBy(col("cell")).agg(count(lit(1)).as(cname))
+      val vols = hist(news, "n_x").join(hist(cands, "n_y"), Seq("cell"))
+        .select(col("cell"),
+          (col("n_x") * col("n_y")).cast("double").as("vol"))
+      val tot = vols.agg(coalesce(sum(col("vol")), lit(0.0)).as("tv"))
+      val grid = vols.crossJoin(tot)
+        .select(col("cell"),
+          greatest(lit(1L), ceil(sqrt(col("vol") /
+            greatest(lit(262144.0),
+              col("tv") / lit(parts.toLong * unitsPerPartition))))
+            .cast("long")).as("g_c"))
+      val x = news.join(broadcast(grid), Seq("cell"))
+        .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"),
+          pmod(col("vec_id"), col("g_c")).as("ci"),
+          explode(sequence(lit(0L), col("g_c") - 1)).as("cj"))
+        .repartition(parts, col("cell"), col("ci"), col("cj"))
+      val y = cands.join(broadcast(grid), Seq("cell"))
+        .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"),
+          explode(sequence(lit(0L), col("g_c") - 1)).as("ci"),
+          pmod(col("vec_id"), col("g_c")).as("cj"))
+        .repartition(parts, col("cell"), col("ci"), col("cj"))
+      val joined = x.as("x").join(y.as("y"),
         col("x.cell") === col("y.cell") &&
+          col("x.ci") === col("y.ci") && col("x.cj") === col("y.cj") &&
           (if (inBatch) col("y.vec_id") < col("x.vec_id") else lit(true)))
       joined
         .select(col("x.vec_id").as("new_id"), col("y.vec_id").as("dup_id"),
