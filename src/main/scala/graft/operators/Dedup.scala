@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for a training-data pipeline: exact, blocked n-gram
@@ -121,8 +122,12 @@ object Dedup {
       .filter(length(coalesce(col("text"), lit(""))) >= 3)
       .groupBy(col("lang"), floor(col("n_chars") / 50).as("band"))
       .agg(count(lit(1)).as("n_docs"))
-    val totalVol = blocks.agg(coalesce(sum(vol), lit(0L)).as("total_vol"))
-    blocks.crossJoin(totalVol)
+    // scalar attach via an unpartitioned window over the BOUNDED block
+    // frame (|langs|×|bands| rows), not a crossJoin: a cross join with
+    // the 1-row aggregate plans as BroadcastNestedLoopJoin and trips the
+    // no-BNLJ plan guards on every consumer
+    blocks
+      .withColumn("total_vol", sum(vol).over(Window.partitionBy()))
       .select(col("lang"), col("band"), col("n_docs"),
         greatest(lit(1L), ceil(col("n_docs") /
           sqrt(greatest(lit(262144.0),
@@ -980,8 +985,10 @@ object Dedup {
       .select(col("lang"), col("band"),
         (col("n_a") * (col("n_a") + coalesce(col("n_c"), lit(0L))))
           .cast("double").as("vol"))
-    val totalVol = blocks.agg(coalesce(sum(col("vol")), lit(0.0)).as("total_vol"))
-    val grid = blocks.crossJoin(totalVol)
+    // unpartitioned window over the bounded block frame, not a crossJoin
+    // (a 1-row-aggregate cross join plans as BNLJ — see blockGrid)
+    val grid = blocks
+      .withColumn("total_vol", sum(col("vol")).over(Window.partitionBy()))
       .select(col("lang"), col("band"),
         greatest(lit(1L), ceil(sqrt(col("vol") /
           greatest(lit(262144.0),

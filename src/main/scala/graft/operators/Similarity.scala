@@ -730,8 +730,11 @@ object Similarity {
       val vols = hist(news, "n_x").join(hist(cands, "n_y"), Seq("cell"))
         .select(col("cell"),
           (col("n_x") * col("n_y")).cast("double").as("vol"))
-      val tot = vols.agg(coalesce(sum(col("vol")), lit(0.0)).as("tv"))
-      val grid = vols.crossJoin(tot)
+      // unpartitioned window over the <= nCells-row frame, not a
+      // crossJoin (a 1-row-aggregate cross join plans as BNLJ and trips
+      // the no-BNLJ plan guards)
+      val grid = vols
+        .withColumn("tv", sum(col("vol")).over(Window.partitionBy()))
         .select(col("cell"),
           greatest(lit(1L), ceil(sqrt(col("vol") /
             greatest(lit(262144.0),
