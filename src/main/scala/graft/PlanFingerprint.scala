@@ -39,7 +39,12 @@ object PlanFingerprint {
     "q326_triangles_doulion", "q327_link_scores_sampled",
     "q328_minhash_lsh_rows8", "q329_weighted_lsh_rows8",
     // round 9: the screened twins that carry the 50x claim
-    "q331_minhash_lsh_screened", "q332_weighted_lsh_screened")
+    "q331_minhash_lsh_screened", "q332_weighted_lsh_screened",
+    // round 11 (VERDICT r10 item 3): the role-split triangle-grid family
+    // — round 10's biggest plan change was guarded only by PlanShapeSpec's
+    // no-BNLJ check — plus the arms-only DOULION error model
+    "q19_ngram_jaccard_pairs", "q45_dedup_clusters", "q333_pair_grid_audit",
+    "q334_doulion_errmodel")
 
   // category -> node-name pattern over the plan tree's toString. The
   // shuffle pattern excludes BroadcastExchange and ReusedExchange via

@@ -1429,6 +1429,64 @@ private[graft] object SparkEntryAnalytics3 {
         .drop("r")
         .orderBy(col("keep_hex"))
     }),
+
+    // §2.6 — arms-only DOULION error model (round 11, VERDICT r10 item
+    // 6): q330 is the PILOT-scale accuracy instrument — it recomputes
+    // the exact triangle count T and the exact shared-edge term
+    // r = Σ_e C(t_e, 2) per sweep, so it inherits the exact arm's
+    // single-VM scale wall (q154's 78 GB wedge scratch DNF at sf10).
+    // This is the instrument a 100 TB caller can actually run: every
+    // quantity derives from the SAMPLE alone. Per arm k (p = k/16), one
+    // sampled per-edge common-count frame yields BOTH plug-ins —
+    //   sampled_tri = Σ c_e div 3       (each sampled triangle credits
+    //                                    its 3 surviving edges),
+    //   est_tri     = sampled_tri · (16/k)³  (the DOULION estimator),
+    //   r_hat       = Σ C(c_e, 2) · (16/k)⁵  (a pair of distinct
+    //     triangles sharing edge e involves e plus 4 OTHER distinct
+    //     edges — two triangles sharing two edges would coincide — so
+    //     each such pair survives md5 edge sampling with probability p⁵
+    //     and the (1/p)⁵ rescale is unbiased),
+    // and the full KDD'09 plug-in stderr is
+    //   sqrt(est_tri·(4096−k³)/k³ + 2·r_hat·(16−k)/k)
+    // — the same closed form q330 evaluates with exact T and r, with
+    // the estimates substituted. Arms k ∈ {1,2,4}: sampling at p ≥ 1/2
+    // saves < 4× scratch, which is not the regime sampling exists for
+    // (and the k=8 arm's wedge volume is ~1/4 of the exact arm's — the
+    // very wall this variant removes). All divisors are powers of 2, so
+    // every term is IEEE-exact before the single final sqrt: the whole
+    // sweep is md5-deterministic and full-hash replayable by DuckDB.
+    "q334_doulion_errmodel" -> ((s, dir) => {
+      val po = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      // edge frame built once, reused by the three sampled arms
+      val edges = po.as("x")
+        .join(po.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+        .localCheckpoint()
+      val arms = Seq(1, 2, 4).map { k =>
+        val hex = "0123456789abcdef".take(k).map(_.toString)
+        Graph.linkScoresApprox(edges, hex)
+          .agg(
+            expr("coalesce(sum(common_sampled), 0) div 3").as("sampled_tri"),
+            expr("coalesce(sum(common_sampled * (common_sampled - 1) div 2), 0)")
+              .as("rc2"))
+          .select(lit(k.toLong).as("keep_hex"), col("sampled_tri"), col("rc2"))
+      }.reduce(_ unionByName _)
+      arms
+        .select(col("keep_hex"), col("sampled_tri"),
+          expr("sampled_tri * 4096 div (keep_hex*keep_hex*keep_hex)")
+            .as("est_tri"),
+          expr("rc2 * 1048576 div " +
+            "(keep_hex*keep_hex*keep_hex*keep_hex*keep_hex)").as("r_hat"))
+        .withColumn("stderr_tri",
+          expr("sqrt(CAST(est_tri * (4096 - keep_hex*keep_hex*keep_hex)" +
+            " AS DOUBLE) / (keep_hex*keep_hex*keep_hex)" +
+            " + CAST(2 * r_hat * (16 - keep_hex) AS DOUBLE) / keep_hex)"))
+        .orderBy(col("keep_hex"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2555,5 +2613,47 @@ private[graft] object SparkEntryAnalytics3 {
         |         AS rel_bound_micro
         |FROM arms CROSS JOIN ex CROSS JOIN sp
         |ORDER BY keep_hex""".stripMargin,
+
+    // arms-only error model: the oracle replays each arm's md5 edge
+    // sample, recounts per-edge common neighbors on the sample (= the
+    // sampled per-edge triangle counts), and applies the same integer
+    // rescales + the identical power-of-2-exact stderr expression
+    "q334_doulion_errmodel" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b,
+        |         substr(md5(CAST(x.p AS VARCHAR) || ':'
+        |                    || CAST(y.p AS VARCHAR)), 1, 1) AS hx
+        |  FROM po x JOIN po y ON x.o = y.o AND x.p < y.p),
+        |ks AS (SELECT unnest([1, 2, 4]) AS k),
+        |hexes AS (
+        |  SELECT k, h FROM ks, unnest(['0','1','2','3'][1:k]) AS u(h)),
+        |e AS (
+        |  SELECT hexes.k, e0.a, e0.b FROM e0 JOIN hexes ON e0.hx = hexes.h),
+        |adj AS (SELECT k, a AS n, b AS m FROM e
+        |        UNION ALL SELECT k, b, a FROM e),
+        |cm AS (
+        |  SELECT e.k, e.a, e.b, CAST(count(*) AS BIGINT) AS c
+        |  FROM e JOIN adj x ON x.k = e.k AND x.n = e.a
+        |         JOIN adj y ON y.k = e.k AND y.n = e.b AND y.m = x.m
+        |  GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT k, CAST(COALESCE(sum(c), 0) // 3 AS BIGINT) AS sampled_tri,
+        |         CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT) AS rc2
+        |  FROM cm GROUP BY 1),
+        |arms AS (
+        |  SELECT ks.k, COALESCE(agg.sampled_tri, 0) AS sampled_tri,
+        |         COALESCE(agg.rc2, 0) AS rc2
+        |  FROM ks LEFT JOIN agg ON agg.k = ks.k)
+        |SELECT CAST(k AS BIGINT) AS keep_hex,
+        |       sampled_tri,
+        |       CAST(sampled_tri * 4096 // (k*k*k) AS BIGINT) AS est_tri,
+        |       CAST(rc2 * 1048576 // (k*k*k*k*k) AS BIGINT) AS r_hat,
+        |       sqrt(CAST((sampled_tri * 4096 // (k*k*k)) * (4096 - k*k*k)
+        |              AS DOUBLE) / (k*k*k)
+        |            + CAST(2 * (rc2 * 1048576 // (k*k*k*k*k)) * (16 - k)
+        |              AS DOUBLE) / k) AS stderr_tri
+        |FROM arms ORDER BY keep_hex""".stripMargin,
   )
 }

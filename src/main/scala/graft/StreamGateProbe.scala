@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming ingest-gate probe at DELIVERY scale (VERDICT r9 item 7):
@@ -18,9 +18,27 @@ import org.apache.spark.sql.functions._
   * Two deliveries through one checkpoint also re-prove the exactly-once
   * contract at this scale: delivery 2 processes only its own file.
   *
+  * NOVEL-CONTENT arms (round 11, VERDICT r10 item 5): the replica
+  * deliveries are the OUTPUT-BOUND worst case — every replica is a true
+  * near-dup of its base and its replica-mates, ~30-62M emitted pairs by
+  * construction. A production delivery is mostly novel content: the
+  * `dedup_novel` / `semdedup_novel` arms keep the delivery's SHAPE
+  * (row count, lang/n_chars blocking columns, vector locality — so the
+  * candidate volume the gate must screen is the same) but make the
+  * CONTENT deterministic pseudo-noise, so true pairs are ~zero and the
+  * measured wall is the candidate/screen-stage cost alone:
+  *  - documents: text is replaced by md5-hex noise of the SAME length
+  *    (n_chars and lang untouched -> identical (lang, band) block
+  *    volume; two noise texts share far too few 3-grams to pass 0.6).
+  *  - embeddings: each vector gets deterministic per-component noise at
+  *    ~0.87× its own RMS (cos(e, e+noise) ≈ 0.76, far under the 0.99
+  *    gate; vectors stay NEAR their originals so IVF cell occupancy —
+  *    the candidate blocking — stays realistic).
+  *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *        sbt "runMain graft.StreamGateProbe" — writes
-  * probe_r10/gate_{dedup,semdedup}_500k.json (one JSON line each).
+  *        sbt "runMain graft.StreamGateProbe [arms...]" — arms default
+  * to all four; writes probe dir JSON (one line per arm), e.g.
+  * gate_{dedup,semdedup}[_novel]_500k.json.
   */
 object StreamGateProbe {
   private def loadavg(): String =
@@ -28,9 +46,35 @@ object StreamGateProbe {
       .split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "unavailable" }
 
+  /** Deterministic per-row md5-hex noise text of the same length as the
+    * original (`n_chars` is the documents table's own length column, so
+    * the (lang, n_chars/50) blocking is untouched). */
+  private def noiseText: Column =
+    expr("substring(repeat(md5(concat(cast(doc_id as string), ':t')), " +
+      "cast(n_chars as int) div 32 + 1), 1, cast(n_chars as int))")
+
+  /** Deterministic per-component noise at ~0.87× the vector's own RMS:
+    * n_i ~ uniform[-1,1] from md5(vec_id:i) has RMS 1/sqrt(3); scaling by
+    * 1.5·nrm/sqrt(d) gives noise RMS ≈ 0.87·(vector RMS), so
+    * cos(e, e') ≈ 1/sqrt(1+0.75) ≈ 0.76 — far below the 0.99 gate — while
+    * e' stays near e (realistic IVF cell occupancy). */
+  private def noisyEmbedding: Column = {
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0d),
+      (acc: Column, x: Column) => acc + x.cast("double") * x.cast("double")))
+    val amp = lit(1.5d) * nrm / sqrt(size(col("embedding")).cast("double"))
+    zip_with(col("embedding"),
+      sequence(lit(1), size(col("embedding"))),
+      (x, i) => {
+        val h = conv(substring(md5(concat(col("vec_id").cast("string"),
+          lit(":"), i.cast("string"))), 1, 8), 16, 10).cast("long")
+        (x.cast("double") + amp * ((h % 2001L).cast("double") - 1000.0d)
+          / 1000.0d).cast("float")
+      })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "probe_r10")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "probe_r11")
     val target = sys.env.get("SPARK_GRAFT_GATE_ROWS").map(_.toLong)
       .getOrElse(500000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -57,23 +101,28 @@ object StreamGateProbe {
     }
 
     /** Key-shifted replica delivery of `base` with ~target rows; replica
-      * r shifts `key` by (r+1+deliveryNo*reps)*1e8 so two deliveries
-      * never collide with each other or the corpus. */
-    def delivery(base: DataFrame, key: String, reps: Long,
+      * r shifts `key` by (r+1+deliveryNo*reps)*stride, with the stride
+      * derived from the corpus's own max key (ADVICE r10: a fixed 1e8
+      * stride silently collides on a large enough sfDir, inflating the
+      * measured pair volume) so deliveries never collide with each other
+      * or the corpus at any scale. */
+    def delivery(base: DataFrame, key: String, stride: Long, reps: Long,
                  deliveryNo: Int): DataFrame =
       base
         .withColumn("r", explode(sequence(lit(0L), lit(reps - 1))))
         .withColumn(key,
-          col(key) + (col("r") + lit(1L + deliveryNo * reps)) * 100000000L)
+          col(key) + (col("r") + lit(1L + deliveryNo * reps)) * stride)
         .select(base.columns.map(col): _*)
 
     def probeGate(label: String, table: String, key: String,
+                  novelize: DataFrame => DataFrame,
                   mkStream: (String, DataFrame, () => DataFrame, String)
                     => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
         : Unit = {
       val loadPre = loadavg()
       val base = Tables.load(spark, sfDir, table)
       val nBase = base.count()
+      val stride = base.agg(max(col(key))).head().getLong(0) + 1L
       val reps = math.max(1L, target / math.max(1L, nBase))
       // production corpus thunk: reload from parquet on every evaluation
       val corpus = () => Tables.load(spark, sfDir, table)
@@ -83,7 +132,7 @@ object StreamGateProbe {
       val in = s"$tmp/${label}_in"
       val ckpt = s"$tmp/${label}_ckpt"
       val walls = (0 until 2).map { d =>
-        val dl = delivery(base, key, reps, d)
+        val dl = novelize(delivery(base, key, stride, reps, d))
         dl.write.mode("append").parquet(in)
         val n = nBase * reps
         val (_, wall) = timed {
@@ -109,18 +158,35 @@ object StreamGateProbe {
         .foreach(_.unpersist(blocking = false))
     }
 
+    val id: DataFrame => DataFrame = df => df
+    val novelDocs: DataFrame => DataFrame =
+      _.withColumn("text", noiseText)
+    val novelVecs: DataFrame => DataFrame =
+      _.withColumn("embedding", noisyEmbedding)
+    def dedupStream(in: String, base: DataFrame, corpus: () => DataFrame,
+                    ckpt: String) =
+      graft.streaming.StreamingPipeline.dedupIngestStream(
+        spark, in, base.schema, corpus, 0.6, ckpt) { (pairs, _) =>
+          pairs.write.format("noop").mode("overwrite").save() }
+    def semDedupStream(in: String, base: DataFrame, corpus: () => DataFrame,
+                       ckpt: String) =
+      graft.streaming.StreamingPipeline.semDedupIngestStream(
+        spark, in, base.schema, corpus, 16, 990000L, ckpt) { (pairs, _) =>
+          pairs.write.format("noop").mode("overwrite").save() }
+
     try {
-      val which = if (args.isEmpty) Seq("dedup", "semdedup") else args.toSeq
+      val which =
+        if (args.isEmpty) Seq("dedup", "semdedup", "dedup_novel", "semdedup_novel")
+        else args.toSeq
       if (which.contains("dedup"))
-        probeGate("dedup", "documents", "doc_id", (in, base, corpus, ckpt) =>
-          graft.streaming.StreamingPipeline.dedupIngestStream(
-            spark, in, base.schema, corpus, 0.6, ckpt) { (pairs, _) =>
-              pairs.write.format("noop").mode("overwrite").save() })
+        probeGate("dedup", "documents", "doc_id", id, dedupStream)
       if (which.contains("semdedup"))
-        probeGate("semdedup", "embeddings", "vec_id", (in, base, corpus, ckpt) =>
-          graft.streaming.StreamingPipeline.semDedupIngestStream(
-            spark, in, base.schema, corpus, 16, 990000L, ckpt) { (pairs, _) =>
-              pairs.write.format("noop").mode("overwrite").save() })
+        probeGate("semdedup", "embeddings", "vec_id", id, semDedupStream)
+      if (which.contains("dedup_novel"))
+        probeGate("dedup_novel", "documents", "doc_id", novelDocs, dedupStream)
+      if (which.contains("semdedup_novel"))
+        probeGate("semdedup_novel", "embeddings", "vec_id", novelVecs,
+          semDedupStream)
     } finally rmTree(Paths.get(tmp))
     spark.stop()
   }

@@ -98,14 +98,15 @@ object Dedup {
     *  - cap auto-sizes from the same histogram: total pair volume spread
     *    over `unitsPerPartition` × shuffle-partitions units, floored at
     *    512² so blocks under 512 docs (~130k pairs, a sub-second task)
-    *    never split — below that the split's own overhead (a second sort,
-    *    no exchange reuse between the role sides) exceeds the straggler
-    *    it removes (measured: +57% on q45 at the 5k-doc rung with a 64²
-    *    floor, flat with 512²). Replication per doc is
-    *    (g+1)/2 per side ≈ n·√(unitsPerPartition·parts/Σvol) — scale-FREE
-    *    when the block size distribution keeps its shape (cold blocks
-    *    stay g = 1, where both sides canonicalize to the SAME exchange
-    *    and Spark reuses it like the pre-split plan).
+    *    never split — below that the split's own overhead (the extra
+    *    sort + per-row cell array) exceeds the straggler it removes
+    *    (measured: +57% on q45 at the 5k-doc rung with a 64² floor,
+    *    flat with 512²). Replication per doc is (g+1)/2 per side
+    *    ≈ n·√(unitsPerPartition·parts/Σvol) — scale-FREE when the block
+    *    size distribution keeps its shape. The two role pipelines each
+    *    run their own shingle pass and exchange — deliberate; see the
+    *    in-body comment for why a shared exchange is not reachable
+    *    without a materialization barrier.
     *  - |A∪B| = |A|+|B|-|A∩B| and the sorted-merge kernel: one linear
     *    pass per pair, zero allocation.
     */
@@ -125,7 +126,9 @@ object Dedup {
     // scalar attach via an unpartitioned window over the BOUNDED block
     // frame (|langs|×|bands| rows), not a crossJoin: a cross join with
     // the 1-row aggregate plans as BroadcastNestedLoopJoin and trips the
-    // no-BNLJ plan guards on every consumer
+    // no-BNLJ plan guards on every consumer. Spark logs "No Partition
+    // Defined for Window operation" here — EXPECTED and safe: the frame
+    // is the bounded histogram, never the corpus (PLANS.md round 10)
     blocks
       .withColumn("total_vol", sum(vol).over(Window.partitionBy()))
       .select(col("lang"), col("band"), col("n_docs"),
@@ -167,6 +170,23 @@ object Dedup {
       .join(hashedShingles(docs), "doc_id")
       .join(broadcast(grid), Seq("lang", "band"))
       .withColumn("grp", pmod(col("doc_id"), col("g_b")))
+    // TWO role pipelines by design (round 11, closing ADVICE r10 item 1
+    // with a measured adjudication): a single role-tagged exploded frame
+    // CANNOT feed both join sides through one reused exchange — any
+    // correct per-side role restriction is a deterministic filter, and
+    // Catalyst pushes it below the repartition
+    // (PushPredicateThroughNonJoin), making the exchange children
+    // structurally different; even a cross-side join predicate
+    // (a.role < b.role) gets decomposed into per-side role = 0/1 filters
+    // (valid: role is literal-backed) and pushed the same way — measured
+    // ReusedExchange = 0 under BOTH formulations, with the union frame
+    // then computed twice. A shared exchange needs a materialization
+    // barrier (localCheckpoint of the replicated shingle frame), whose
+    // executor-local storage volume and lost-executor fragility on a
+    // real cluster cost more than what it saves: the duplicated work is
+    // one scan-side shingle pass — linear, shuffle-free, measured flat
+    // at sf1 — while everything downstream of the two exchanges is
+    // disjoint (each side explodes ONLY its own role's cells).
     def explodeCells(cells: Column): DataFrame = sh
       .select(col("doc_id"), col("lang"), col("band"), col("sh"),
         col("n_sh"), explode(cells).as("cell"))
@@ -966,7 +986,8 @@ object Dedup {
     * target docs (group gb) to cells (i, gb), so every (batch, target)
     * pair meets exactly once at (ga, gb) and no unit exceeds ~cap pair
     * evals. cap auto-sizes from the block histogram exactly like the
-    * self-join grid; g = 1 blocks keep the pre-split plan. Blocks with
+    * self-join grid; at g = 1 the cell key is constant and the plan
+    * degenerates to the pre-split single-unit join. Blocks with
     * no batch doc are pruned from the target at the grid join — corpus
     * rows that could never match skip the shuffle entirely.
     */
@@ -999,6 +1020,14 @@ object Dedup {
       .join(hashedShingles(docs), "doc_id")
       .join(broadcast(grid), Seq("lang", "band"))
       .withColumn("grp", pmod(col("doc_id"), col("g_b")))
+    // TWO role pipelines by design — the batch (probe) side and the
+    // target side each shingle and exchange independently, so the batch
+    // is shingled twice per call. Deliberate (round 11, ADVICE r10
+    // adjudication, same finding as ngramJaccardPairs): any per-side
+    // role restriction over a shared role-tagged union is pushed below
+    // the repartition, which both breaks exchange canonicalization AND
+    // makes the corpus arm of the union compute on the batch side too —
+    // strictly worse than re-shingling the (delivery-sized) batch.
     val aSide = blocked(batch)
       .select(col("doc_id"), col("lang"), col("band"), col("sh"), col("n_sh"),
         col("grp").as("ci"),
@@ -1278,14 +1307,35 @@ object Dedup {
           slotMatches(col("a1"), col("b1")) >= screenCut)
         .select(col("d1"), col("d2"))
     }
+    // verify staging (round 11, VERDICT r10 item 2): when the screen is
+    // on, only SURVIVORS may carry the full hs arrays into the verify
+    // joins. Unstaged, both verify joins sort-merge the ENTIRE sig frame
+    // — every doc's element-hash array through an SMJ sort — and that
+    // sort is what OOMed the occurrence-expanded weighted twin at the
+    // sf10 rung on the 8 g protocol heap (33-134 MB sorter page allocs;
+    // probe_r10/q332_*_8g_OOM.json) while the 16-byte screen had already
+    // cut 5.2M candidates to ~1k survivors. Staging: checkpoint the
+    // survivor pairs (output-sized), semi-filter sig to survivor ids with
+    // a SHUFFLED HASH semi join (build = the narrow id side, the array
+    // side is streamed — never sorted, never built into a map), then run
+    // the exact verify on the survivor-only frame. Semantics unchanged:
+    // the semi filter drops only rows no surviving pair references.
+    val (candV, sigV) =
+      if (screenCut == 0) (cand, sig)
+      else {
+        val c = cand.localCheckpoint(false)
+        val ids = c.select(col("d1").as("doc_id"))
+          .union(c.select(col("d2").as("doc_id"))).distinct()
+        (c, sig.join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi"))
+      }
     val inter = call_function("graft_sorted_intersect_count",
       col("hs1"), col("hs2"))
     val jac = inter.cast("double") /
       (col("n1") + col("n2") - inter).cast("double")
-    cand
-      .join(sig.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+    candV
+      .join(sigV.select(col("doc_id").as("d1"), col("hs").as("hs1"),
         col("n").as("n1")), Seq("d1"))
-      .join(sig.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+      .join(sigV.select(col("doc_id").as("d2"), col("hs").as("hs2"),
         col("n").as("n2")), Seq("d2"))
       .filter(jac >= threshold)
       .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),

@@ -236,6 +236,41 @@ class GraphSpec extends SparkTestBase {
     again.toSeq shouldBe rows.map(r => (r._1, r._2)).toSeq
   }
 
+  test("arms-only DOULION error model: estimates match q330's arms, the " +
+      "sampled-r̂ plug-in stderr tracks the exact-based one (q334, VERDICT r10 item 6)") {
+    val plugin = SparkEntry.queries("q334_doulion_errmodel")(
+        spark, "/root/testdata/sf0.001")
+      .select("keep_hex", "sampled_tri", "est_tri", "r_hat", "stderr_tri")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    plugin.map(_._1).toSeq shouldBe Seq(1L, 2L, 4L)
+    val exactRows = SparkEntry.queries("q330_doulion_accuracy")(
+        spark, "/root/testdata/sf0.001")
+      .select("keep_hex", "sampled_tri", "est_tri", "exact_tri", "stderr_tri")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    plugin.foreach { case (k, st, est, rHat, se) =>
+      val (_, st330, est330, exact, se330) = exactRows(k)
+      // the sampled count and estimator are the same md5-deterministic
+      // functions q330 evaluates — must agree exactly
+      st shouldBe st330
+      est shouldBe est330
+      rHat should be > 0L
+      // the plug-in stderr (est_tri and r̂ substituted for exact T and r)
+      // must track the exact-based stderr — measured within 7% on this
+      // graph; the band allows plug-in noise at the sparse k=1 arm
+      se should be > 0.5 * se330
+      se should be < 2.0 * se330
+      // and the error model must actually cover the measured error
+      math.abs(est - exact).toDouble should be <= 4.0 * se
+    }
+    // determinism: pure function of the edge set
+    val again = SparkEntry.queries("q334_doulion_errmodel")(
+        spark, "/root/testdata/sf0.001")
+      .select("keep_hex", "est_tri", "r_hat")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    again.toSeq shouldBe plugin.map(r => (r._1, r._3, r._4)).toSeq
+  }
+
   test("sampleEdges keeps exactly the md5-prefix edges (k=8 half-sample)") {
     val edges = (for { a <- 1L to 30L; b <- 1L to 30L if a < b } yield (a, b))
     val keep = "01234567".toSet
