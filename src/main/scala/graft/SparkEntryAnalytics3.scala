@@ -1466,6 +1466,12 @@ private[graft] object SparkEntryAnalytics3 {
         .select(col("x.p").as("a"), col("y.p").as("b"))
         .distinct()
         .localCheckpoint()
+      // each arm's 1-row aggregate is EAGERLY checkpointed so the three
+      // sampled-wedge pipelines run SEQUENTIALLY: under one action, AQE
+      // materializes independent union branches concurrently, and three
+      // concurrent wedge sorts/aggregations OOMed the 8 g protocol heap
+      // at sf10 (probe_r11 AGGREGATE_OUT_OF_MEMORY) where each arm alone
+      // is q326/q327-sized and measured to fit
       val arms = Seq(1, 2, 4).map { k =>
         val hex = "0123456789abcdef".take(k).map(_.toString)
         Graph.linkScoresApprox(edges, hex)
@@ -1474,6 +1480,7 @@ private[graft] object SparkEntryAnalytics3 {
             expr("coalesce(sum(common_sampled * (common_sampled - 1) div 2), 0)")
               .as("rc2"))
           .select(lit(k.toLong).as("keep_hex"), col("sampled_tri"), col("rc2"))
+          .localCheckpoint()
       }.reduce(_ unionByName _)
       arms
         .select(col("keep_hex"), col("sampled_tri"),

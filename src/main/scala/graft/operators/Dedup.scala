@@ -1276,37 +1276,45 @@ object Dedup {
     val bandKeys = (0 until bands).map { b =>
       concat_ws(":", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
     }
-    val banded = sig.select(col("doc_id"), col("n"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-    val cand0 = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * threshold <= col("b.n") &&
-          col("b.n") * threshold <= col("a.n"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    // screen stage: candidates join only the 16-byte sketches; slot k
-    // matches iff XOR bits 2k and 2k+1 are both zero, so
+    // the 16-byte screen sketches RIDE THE BANDED ROWS so the screen can
+    // run INSIDE the band join, before the candidate distinct (round 11):
+    // the distinct was the real sf10 wall — 3.15 BILLION banded
+    // co-occurrences at the weighted twin's 16-band geometry (measured,
+    // tools/bisect_q332.scala audit; biggest bucket only 3875 docs, so
+    // this is volume, not skew) flowed through the pair distinct and
+    // OOMed the 8 g protocol heap in the join+partial-distinct stage.
+    // Screening per CO-OCCURRENCE is pure codegen bit arithmetic in the
+    // join's streamed inner loop — no shuffle, no aggregation state —
+    // and the distinct then ingests only survivors. The emitted SET is
+    // unchanged (screen-then-distinct = distinct-then-screen for a
+    // per-pair predicate), so the DuckDB oracle is untouched.
+    val bandedCols =
+      if (screenCut == 0) Seq(col("doc_id"), col("n"))
+      else Seq(col("doc_id"), col("n"), col("bb0"), col("bb1"))
+    val banded = sig.select(bandedCols :+
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")): _*)
+    // slot k matches iff XOR bits 2k and 2k+1 are both zero, so
     //   matches = 64 - popcount((x | x>>1) & 0x5555..5) summed over the
     // two packs (x>>1 is the arithmetic shift: its sign-extended bit 63
     // is an ODD position, masked out). Everything is md5-deterministic,
     // so the DuckDB oracle replays the identical screen and the output
     // stays full-hash comparable — the screen is part of the SEMANTICS.
-    val cand = if (screenCut == 0) cand0 else {
-      val evenMask = lit(0x5555555555555555L)
-      def slotMatches(a: Column, b: Column) = {
-        val x = a.bitwiseXOR(b)
-        lit(32) - bit_count(x.bitwiseOR(shiftright(x, 1)).bitwiseAND(evenMask))
-      }
-      cand0
-        .join(sig.select(col("doc_id").as("d1"), col("bb0").as("a0"),
-          col("bb1").as("a1")), Seq("d1"))
-        .join(sig.select(col("doc_id").as("d2"), col("bb0").as("b0"),
-          col("bb1").as("b1")), Seq("d2"))
-        .filter(slotMatches(col("a0"), col("b0")) +
-          slotMatches(col("a1"), col("b1")) >= screenCut)
-        .select(col("d1"), col("d2"))
+    val evenMask = lit(0x5555555555555555L)
+    def slotMatches(a: Column, b: Column) = {
+      val x = a.bitwiseXOR(b)
+      lit(32) - bit_count(x.bitwiseOR(shiftright(x, 1)).bitwiseAND(evenMask))
     }
+    val screenCond =
+      if (screenCut == 0) lit(true)
+      else slotMatches(col("a.bb0"), col("b.bb0")) +
+        slotMatches(col("a.bb1"), col("b.bb1")) >= screenCut
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n") && screenCond)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
     // verify staging (round 11, VERDICT r10 item 2): when the screen is
     // on, only SURVIVORS may carry the full hs arrays into the verify
     // joins. Unstaged, both verify joins sort-merge the ENTIRE sig frame
@@ -1406,15 +1414,18 @@ object Dedup {
     * candidate's full shingle-hash array (~4 KB) through a shuffle, and
     * that array-carrying intermediate is what crossed the 78 GB scratch
     * at the 50x rung (measured DNF at 8g/64g heap, 32/256 partitions).
-    * The screen joins candidates against a 16-BYTE sketch instead: the
+    * The screen carries a 16-BYTE sketch on the banded rows instead: the
     * two low bits of each of 64 XOR-FAMILY minima sm_k = min(h1 XOR
     * screenConst(k)) (Li & Koenig's b-bit minhash, b=2), match
     * probability j + (1-j)/4 per slot — so at the default cut the j0~0.2
-    * template floor sits ~4 sigma below and is annihilated before any
-    * array moves, while the verify stage runs on an output-sized
-    * survivor set (measured at sf0.1: 5.2M banded candidates -> ~1.1k
-    * screen survivors at cut 41, with the floor concentrated at 16-35
-    * matches and only 18 pairs in the 44-55 gap).
+    * template floor sits ~4 sigma below and is annihilated INSIDE the
+    * band join (round 11: per co-occurrence, codegen bit ops in the
+    * join's inner loop, before even the candidate DISTINCT — which was
+    * itself the 100× wall: 3.15B banded co-occurrences at sf10), while
+    * the verify stage runs on an output-sized survivor set (measured at
+    * sf0.1: 5.2M banded candidates -> ~1.1k screen survivors at cut 41,
+    * with the floor concentrated at 16-35 matches and only 18 pairs in
+    * the 44-55 gap).
     *
     * WHY A SECOND HASH FAMILY (round-9 finding): the banding minima
     * m_k = min((h1 + k*h2) mod 2^61-1) are h1-DOMINATED — h1 < 2^60 and
