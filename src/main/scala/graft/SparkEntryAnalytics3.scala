@@ -1459,13 +1459,18 @@ private[graft] object SparkEntryAnalytics3 {
       val po = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      // edge frame built once, reused by the three sampled arms
+      // edge frame built once, reused by the three sampled arms.
+      // DISK_ONLY: the default MEMORY_AND_DISK checkpoint fills unified
+      // storage memory with the rung-scale edge blocks and starves the
+      // arms' own execution memory (UNABLE_TO_ACQUIRE at sf10,
+      // probe_r11); the arms re-read the frame once each, so page-cache-
+      // backed disk blocks cost ~nothing on re-read
       val edges = po.as("x")
         .join(po.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // each arm's 1-row aggregate is EAGERLY checkpointed so the three
       // sampled-wedge pipelines run SEQUENTIALLY: under one action, AQE
       // materializes independent union branches concurrently, and three
