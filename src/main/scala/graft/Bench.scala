@@ -168,7 +168,12 @@ object Bench {
     // round 11: the arms-only DOULION error model rides the q326/q327
     // sampled-wedge machinery (sub-linear by the same argument); the
     // exact-arm q330 stays OUT (it recomputes exact T, the q154 wall)
-    "q334_doulion_errmodel")
+    "q334_doulion_errmodel",
+    // round 12: the screened incremental gate arm — q331's banding+screen
+    // restated bipartite. Unlike q98 (exact block pairs — quadratic by
+    // formulation at the rung), its candidate work is banded and
+    // screened per co-occurrence, the survivor-bounded q331/q332 shape
+    "q335_incremental_lsh_screened")
 
   /** Cumulative stage probes for the heaviest graph operators (VERDICT r5
     * item 7): when a query's sf1/sf0.1 rung ratio exceeds [[StageRatio]],
@@ -290,6 +295,14 @@ object Bench {
     val p = java.nio.file.Paths.get("tools/bench_reference.json")
     if (!java.nio.file.Files.exists(p)) return Map.empty
     val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // reject nested objects outright (ADVICE r11): the file's contract is
+    // one flat {"query": seconds} map; if bench output with nested
+    // "retries"/"context" objects is ever copied in, the flat regex would
+    // silently adopt inner keys ("first"/"retry") as positive baselines
+    require(!"\"[^\"]+\"\\s*:\\s*\\{".r.findFirstIn(txt).isDefined,
+      "tools/bench_reference.json must be a FLAT {query: seconds} map — " +
+        "found a nested object value; refresh it from the per-query " +
+        "seconds only, never by copying a bench_out.json verbatim")
     val parsed = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
       .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
       .toMap

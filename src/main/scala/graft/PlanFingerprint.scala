@@ -44,7 +44,14 @@ object PlanFingerprint {
     // — round 10's biggest plan change was guarded only by PlanShapeSpec's
     // no-BNLJ check — plus the arms-only DOULION error model
     "q19_ngram_jaccard_pairs", "q45_dedup_clusters", "q333_pair_grid_audit",
-    "q334_doulion_errmodel")
+    "q334_doulion_errmodel",
+    // round 12 (VERDICT r11 item 2): the iterative-graph band — the most
+    // expensive catalog family (11.9/8.7/8.5/7.3 s at sf0.1, 1.86 GB
+    // shuffle at sf1 for q248) had no gate entries and no beyond-sf1
+    // rung record; plus the round's operator, the screened incremental
+    // LSH gate arm
+    "q248_label_propagation", "q174_kcore", "q268_modularity",
+    "q110_pagerank", "q335_incremental_lsh_screened")
 
   // category -> node-name pattern over the plan tree's toString. The
   // shuffle pattern excludes BroadcastExchange and ReusedExchange via

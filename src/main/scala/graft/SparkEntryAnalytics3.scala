@@ -1418,11 +1418,16 @@ private[graft] object SparkEntryAnalytics3 {
           expr("abs(est_tri - exact_tri) * 1000000 div nullif(exact_tri, 0)"))
         .withColumn("stderr_tri",
           // Var = T(4096−k³)/k³ + 2r(16−k)/k; k and k³ are powers of 2,
-          // so both divisions are exact in IEEE — one rounding at the
-          // +, one at the sqrt, identical on both engines
-          expr("sqrt(CAST(exact_tri * (4096 - keep_hex*keep_hex*keep_hex)" +
-            " AS DOUBLE) / (keep_hex*keep_hex*keep_hex)" +
-            " + CAST(2 * r * (16 - keep_hex) AS DOUBLE) / keep_hex)"))
+          // so both divisions are exact in IEEE — one rounding at each
+          // multiply past 2^53, one at the +, one at the sqrt, identical
+          // on both engines. Casts moved BEFORE the constant multiplies
+          // (ADVICE r11): exact_tri·4096 / 2·r·16 in Long wrap silently
+          // in Spark and raise in DuckDB on an extreme-scale graph; the
+          // double multiply rounds instead — same IEEE result on both
+          expr("sqrt(CAST(exact_tri AS DOUBLE)" +
+            " * (4096 - keep_hex*keep_hex*keep_hex)" +
+            " / (keep_hex*keep_hex*keep_hex)" +
+            " + 2.0 * CAST(r AS DOUBLE) * (16 - keep_hex) / keep_hex)"))
         .withColumn("rel_bound_micro",
           expr("CAST(floor(64000000 / nullif(sqrt(CAST(est_tri AS DOUBLE) " +
             "* (keep_hex*keep_hex*keep_hex)), 0.0)) AS BIGINT)"))
@@ -1491,12 +1496,29 @@ private[graft] object SparkEntryAnalytics3 {
         .select(col("keep_hex"), col("sampled_tri"),
           expr("sampled_tri * 4096 div (keep_hex*keep_hex*keep_hex)")
             .as("est_tri"),
-          expr("rc2 * 1048576 div " +
-            "(keep_hex*keep_hex*keep_hex*keep_hex*keep_hex)").as("r_hat"))
+          // overflow-safe EXACT integral rescale (ADVICE r11): the naive
+          // rc2 * 2^20 wraps silently in Spark (and raises in DuckDB) at
+          // rc2 >= 2^43 — reachable on an extreme-scale graph while the
+          // final r_hat still fits. With rc2 = q·k⁵ + s (0 <= s < k⁵),
+          // rc2·2^20 div k⁵ = q·2^20 + s·2^20 div k⁵ exactly (k⁵ divides
+          // q·k⁵·2^20), and s·2^20 < k⁵·2^20 <= 2^30 never overflows —
+          // the result now overflows only when r_hat itself does
+          expr("(rc2 div (keep_hex*keep_hex*keep_hex*keep_hex*keep_hex))" +
+            " * 1048576 + ((rc2 % (keep_hex*keep_hex*keep_hex*keep_hex" +
+            "*keep_hex)) * 1048576) div (keep_hex*keep_hex*keep_hex" +
+            "*keep_hex*keep_hex)").as("r_hat"))
         .withColumn("stderr_tri",
-          expr("sqrt(CAST(est_tri * (4096 - keep_hex*keep_hex*keep_hex)" +
-            " AS DOUBLE) / (keep_hex*keep_hex*keep_hex)" +
-            " + CAST(2 * r_hat * (16 - keep_hex) AS DOUBLE) / keep_hex)"))
+          // NULL, not 0, when the arm sampled nothing (VERDICT r11 item
+          // 4): sampled_tri = 0 means "no signal at this sampling rate",
+          // not "zero error" — a k=1 arm of a sparse graph must not read
+          // as perfectly estimated. Both double multiplies cast FIRST
+          // (ADVICE r11): est_tri·(4096−k³) in Long wraps at ~2^51; in
+          // IEEE it rounds past 2^53 instead — identical on both engines
+          expr("CASE WHEN sampled_tri = 0 THEN NULL ELSE " +
+            "sqrt(CAST(est_tri AS DOUBLE) * (4096 - keep_hex*keep_hex" +
+            "*keep_hex) / (keep_hex*keep_hex*keep_hex)" +
+            " + 2.0 * CAST(r_hat AS DOUBLE) * (16 - keep_hex) / keep_hex)" +
+            " END"))
         .orderBy(col("keep_hex"))
     }),
   )
@@ -2614,9 +2636,10 @@ private[graft] object SparkEntryAnalytics3 {
         |       CAST(abs((sampled_tri * 4096) // (keep_hex*keep_hex*keep_hex)
         |              - exact_tri) * 1000000
         |            // nullif(exact_tri, 0) AS BIGINT) AS err_micro,
-        |       sqrt(CAST(exact_tri * (4096 - keep_hex*keep_hex*keep_hex)
-        |              AS DOUBLE) / (keep_hex*keep_hex*keep_hex)
-        |            + CAST(2 * r * (16 - keep_hex) AS DOUBLE) / keep_hex)
+        |       sqrt(CAST(exact_tri AS DOUBLE)
+        |              * (4096 - keep_hex*keep_hex*keep_hex)
+        |              / (keep_hex*keep_hex*keep_hex)
+        |            + 2.0 * CAST(r AS DOUBLE) * (16 - keep_hex) / keep_hex)
         |         AS stderr_tri,
         |       CAST(floor(64000000 / nullif(sqrt(
         |              CAST((sampled_tri * 4096)
@@ -2657,15 +2680,22 @@ private[graft] object SparkEntryAnalytics3 {
         |arms AS (
         |  SELECT ks.k, COALESCE(agg.sampled_tri, 0) AS sampled_tri,
         |         COALESCE(agg.rc2, 0) AS rc2
-        |  FROM ks LEFT JOIN agg ON agg.k = ks.k)
-        |SELECT CAST(k AS BIGINT) AS keep_hex,
-        |       sampled_tri,
-        |       CAST(sampled_tri * 4096 // (k*k*k) AS BIGINT) AS est_tri,
-        |       CAST(rc2 * 1048576 // (k*k*k*k*k) AS BIGINT) AS r_hat,
-        |       sqrt(CAST((sampled_tri * 4096 // (k*k*k)) * (4096 - k*k*k)
-        |              AS DOUBLE) / (k*k*k)
-        |            + CAST(2 * (rc2 * 1048576 // (k*k*k*k*k)) * (16 - k)
-        |              AS DOUBLE) / k) AS stderr_tri
-        |FROM arms ORDER BY keep_hex""".stripMargin,
+        |  FROM ks LEFT JOIN agg ON agg.k = ks.k),
+        |est AS (
+        |  SELECT CAST(k AS BIGINT) AS keep_hex, sampled_tri,
+        |         CAST(sampled_tri * 4096 // (k*k*k) AS BIGINT) AS est_tri,
+        |         CAST((rc2 // (k*k*k*k*k)) * 1048576
+        |              + ((rc2 % (k*k*k*k*k)) * 1048576) // (k*k*k*k*k)
+        |           AS BIGINT) AS r_hat
+        |  FROM arms)
+        |SELECT keep_hex, sampled_tri, est_tri, r_hat,
+        |       CASE WHEN sampled_tri = 0 THEN NULL ELSE
+        |         sqrt(CAST(est_tri AS DOUBLE)
+        |                * (4096 - keep_hex*keep_hex*keep_hex)
+        |                / (keep_hex*keep_hex*keep_hex)
+        |              + 2.0 * CAST(r_hat AS DOUBLE) * (16 - keep_hex)
+        |                / keep_hex)
+        |       END AS stderr_tri
+        |FROM est ORDER BY keep_hex""".stripMargin,
   )
 }

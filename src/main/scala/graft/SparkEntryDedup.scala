@@ -218,6 +218,23 @@ private[graft] object SparkEntryDedup {
         threshold = 0.6)
     }),
 
+    // §2.7 — SCREENED incremental LSH dedup (round 12, VERDICT r11 item
+    // 1): q98's ingest-time bipartite shape × q331's banding + in-band
+    // 2-bit screen + survivor-staged verify — the streaming gate's scale
+    // arm (the exact gate is candidate-bound: 1661 rows/s at a 500k
+    // novel delivery; the screen collapses candidates before any array
+    // moves). Same delivery convention as q98 (doc_id % 10 = 0 stands in
+    // for the arriving batch); the oracle replays signatures, bands,
+    // screen and exact h1-space Jaccard over the same split
+    "q335_incremental_lsh_screened" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalLshScreenedMd5(
+        corpus = docs.filter(expr("doc_id % 10 <> 0")),
+        batch = docs.filter(expr("doc_id % 10 = 0")),
+        numHashes = 64, bands = 8, threshold = 0.6,
+        shingleWidth = 5, screenCut = 41)
+    }),
+
     // §2.7 — winnowing-fingerprint near-dup (MOSS selector): the
     // SUBSTRING-match arm of the dedup family — guaranteed detection of
     // any shared w+k-1-char run, map-side selection, inverted-index
@@ -542,6 +559,71 @@ private[graft] object SparkEntryDedup {
        |WHERE $simName >= $threshold""".stripMargin
   }
 
+  /** The BIPARTITE (incremental) twin of [[md5LshOracleSql]]: replays
+    * [[Dedup.incrementalLshScreenedMd5]] in DuckDB over an element CTE
+    * `elCte` covering ALL documents and a boolean `isBatchSql` over
+    * doc_id that names the arriving delivery. Signatures are content
+    * functions, so one sig CTE serves both roles; the band join then
+    * requires the left side in the batch and orders only batch×batch
+    * pairs — exactly the operator's join condition. The screen clause
+    * and the exact h1-space verify are verbatim [[md5LshOracleSql]]'s.
+    */
+  private def md5LshIncrOracleSql(elCte: String, isBatchSql: String,
+                                  numHashes: Int, bands: Int,
+                                  threshold: Double,
+                                  screenCut: Int): String = {
+    val rows = numHashes / bands
+    val p = Dedup.AffineP
+    val mins = (0 until numHashes).map(k =>
+      s"         min((h1 + $k*h2) % $p) AS m$k").mkString(",\n") +
+      (0 until 64).map(k =>
+        s"         min(xor(h1, ${Dedup.screenConst(k)})) AS sm$k")
+        .mkString(",\n", ",\n", "")
+    val keys = (0 until bands).map { b =>
+      val ks = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"         $ks AS k$b"
+    }.mkString(",\n")
+    val candUnion = (0 until bands).map { b =>
+      s"""    SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |           CASE WHEN b.is_batch THEN 'batch' ELSE 'corpus' END AS dup_source
+         |    FROM keys a JOIN keys b
+         |      ON a.k$b = b.k$b AND a.is_batch
+         |         AND (NOT b.is_batch OR a.doc_id < b.doc_id)
+         |         AND a.n * $threshold <= b.n AND b.n * $threshold <= a.n""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    s"""WITH el AS (
+       |$elCte),
+       |hx AS (SELECT doc_id, e, md5(e) AS hx FROM el),
+       |hv AS (
+       |  SELECT doc_id,
+       |         ${hexValSql("hx", 1, 15)} AS h1,
+       |         ${hexValSql("hx", 16, 13)} AS h2
+       |  FROM hx),
+       |sig AS (
+       |  SELECT doc_id,
+       |         list_sort(list(DISTINCT h1)) AS hs,
+       |         CAST(count(DISTINCT h1) AS BIGINT) AS n,
+       |$mins
+       |  FROM hv GROUP BY doc_id),
+       |keys AS (
+       |  SELECT doc_id, ($isBatchSql) AS is_batch, n,
+       |$keys
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT d1, d2, dup_source FROM (
+       |$candUnion
+       |  ))
+       |SELECT new_id, dup_id, dup_source, jaccard FROM (
+       |  SELECT c.d1 AS new_id, c.d2 AS dup_id, c.dup_source,
+       |         CAST(len(list_intersect(na.hs, nb.hs)) AS DOUBLE)
+       |           / (na.n + nb.n - len(list_intersect(na.hs, nb.hs))) AS jaccard
+       |  FROM cand c
+       |  JOIN sig na ON na.doc_id = c.d1
+       |  JOIN sig nb ON nb.doc_id = c.d2${screenSql(screenCut)})
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
   /** The 2-bit-minhash screen clause of [[Dedup.minhashLshPairsScreenedMd5]]:
     * slot k matches iff sm_k % 4 (the XOR-family screen minimum, added to
     * the sig CTE when screenCut > 0) agrees on both docs. The Spark side
@@ -750,6 +832,16 @@ private[graft] object SparkEntryDedup {
         |  FROM documents""".stripMargin,
       numHashes = 64, bands = 8, threshold = 0.6, simName = "jaccard",
       screenCut = 41),
+
+    // q331's banding/screen constants over q98's delivery split: the
+    // bipartite generator replays signature → bands → screened
+    // batch-vs-target collisions → exact verify (round 12)
+    "q335_incremental_lsh_screened" -> md5LshIncrOracleSql(
+      """  SELECT doc_id, unnest(list_distinct([substr(text, CAST(x AS INT), 5)
+        |    for x in range(1, CAST(length(text) AS BIGINT) - 3)])) AS e
+        |  FROM documents""".stripMargin,
+      isBatchSql = "doc_id % 10 = 0",
+      numHashes = 64, bands = 8, threshold = 0.6, screenCut = 41),
 
     // q329's oracle + the same 64-slot screen clause
     "q332_weighted_lsh_screened" -> md5LshOracleSql(

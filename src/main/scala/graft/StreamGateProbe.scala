@@ -74,7 +74,7 @@ object StreamGateProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "probe_r11")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "probe_r12")
     val target = sys.env.get("SPARK_GRAFT_GATE_ROWS").map(_.toLong)
       .getOrElse(500000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -122,7 +122,12 @@ object StreamGateProbe {
       val loadPre = loadavg()
       val base = Tables.load(spark, sfDir, table)
       val nBase = base.count()
-      val stride = base.agg(max(col(key))).head().getLong(0) + 1L
+      // coalesce + explicit cast (ADVICE r11): an empty/misconfigured
+      // sfDir or a non-long key column fails with a clear message here,
+      // not an NPE/ClassCastException inside the delivery builder
+      val stride = base
+        .agg(coalesce(max(col(key)), lit(0L)).cast("long")).head().getLong(0) + 1L
+      require(nBase > 0, s"gate probe: $sfDir/$table is empty")
       val reps = math.max(1L, target / math.max(1L, nBase))
       // production corpus thunk: reload from parquet on every evaluation
       val corpus = () => Tables.load(spark, sfDir, table)
@@ -168,11 +173,57 @@ object StreamGateProbe {
       graft.streaming.StreamingPipeline.dedupIngestStream(
         spark, in, base.schema, corpus, 0.6, ckpt) { (pairs, _) =>
           pairs.write.format("noop").mode("overwrite").save() }
-    def semDedupStream(in: String, base: DataFrame, corpus: () => DataFrame,
-                       ckpt: String) =
-      graft.streaming.StreamingPipeline.semDedupIngestStream(
-        spark, in, base.schema, corpus, 16, 990000L, ckpt) { (pairs, _) =>
+    def dedupScreenedStream(in: String, base: DataFrame,
+                            corpus: () => DataFrame, ckpt: String) =
+      graft.streaming.StreamingPipeline.dedupIngestStreamScreened(
+        spark, in, base.schema, corpus, 0.6, ckpt) { (pairs, _) =>
           pairs.write.format("noop").mode("overwrite").save() }
+    def semDedupStream(nCells: Int)(in: String, base: DataFrame,
+                                    corpus: () => DataFrame, ckpt: String) =
+      graft.streaming.StreamingPipeline.semDedupIngestStream(
+        spark, in, base.schema, corpus, nCells, 990000L, ckpt) { (pairs, _) =>
+          pairs.write.format("noop").mode("overwrite").save() }
+
+    /** Semantic-gate RECALL at a given nCells (round 12, VERDICT r11
+      * item 3's other axis): one replica delivery (true pairs abound by
+      * construction) scored by incrementalSemDedup vs the exact
+      * bipartite all-pairs cosine truth — cross-cell true pairs are the
+      * misses. Runs at base-table size (no replication), so the truth
+      * join is bounded (~n² cosine evals at 2k vectors).
+      */
+    def semRecall(nCells: Int): Unit = {
+      val base = Tables.load(spark, sfDir, "embeddings")
+      val stride = base
+        .agg(coalesce(max(col("vec_id")), lit(0L)).cast("long")).head()
+        .getLong(0) + 1L
+      val batch = delivery(base, "vec_id", stride, 1L, 0)
+      val flagged = graft.operators.Similarity
+        .incrementalSemDedup(base, batch, nCells, 990000L)
+        .select(col("new_id"), col("dup_id")).distinct().count()
+      // exact bipartite truth: batch × (corpus ∪ lower-id batch-mates)
+      def nrm(df: DataFrame, p: String) = df.select(
+        col("vec_id").as(s"${p}id"), col("embedding").as(s"${p}e"),
+        sqrt(aggregate(col("embedding"), lit(0.0d),
+          (a: Column, x: Column) => a + x.cast("double") * x.cast("double")))
+          .as(s"${p}n"))
+      val tgt = nrm(base, "t").withColumn("src", lit("corpus"))
+        .unionByName(nrm(batch, "t").withColumn("src", lit("batch")))
+      val cos = aggregate(
+        zip_with(col("be"), col("te"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (a: Column, x: Column) => a + x) / (col("bn") * col("tn"))
+      val truth = nrm(batch, "b").join(tgt,
+          col("src") === "corpus" || col("tid") < col("bid"))
+        .filter(floor(cos * 1e6 + 0.5) >= 990000L)
+        .count()
+      val line =
+        s"""{"metric":"sem_recall","n_cells":$nCells,"sf":"$sfDir",""" +
+        s""""flagged_pairs":$flagged,"truth_pairs":$truth,""" +
+        s""""recall":${if (truth == 0) 1.0 else flagged.toDouble / truth}}"""
+      Files.writeString(
+        Paths.get(s"$outDir/gate_semdedup_recall_cells$nCells.json"), line)
+      println(line)
+    }
 
     try {
       val which =
@@ -181,12 +232,32 @@ object StreamGateProbe {
       if (which.contains("dedup"))
         probeGate("dedup", "documents", "doc_id", id, dedupStream)
       if (which.contains("semdedup"))
-        probeGate("semdedup", "embeddings", "vec_id", id, semDedupStream)
+        probeGate("semdedup", "embeddings", "vec_id", id, semDedupStream(16))
       if (which.contains("dedup_novel"))
         probeGate("dedup_novel", "documents", "doc_id", novelDocs, dedupStream)
       if (which.contains("semdedup_novel"))
         probeGate("semdedup_novel", "embeddings", "vec_id", novelVecs,
-          semDedupStream)
+          semDedupStream(16))
+      // round 12: the screened gate (the exact gate's scale arm) on the
+      // same replica/novel deliveries — the rows/s-multiple record
+      if (which.contains("dedup_screened"))
+        probeGate("dedup_screened", "documents", "doc_id", id,
+          dedupScreenedStream)
+      if (which.contains("dedup_screened_novel"))
+        probeGate("dedup_screened_novel", "documents", "doc_id", novelDocs,
+          dedupScreenedStream)
+      // round 12: the semantic gate's candidate-volume knob — novel-
+      // delivery throughput per nCells (cells bound the per-cell
+      // quadratic term; noise spreads occupancy, the production regime)
+      which.collect { case s if s.startsWith("semdedup_novel_cells") =>
+        s.stripPrefix("semdedup_novel_cells").toInt
+      }.foreach { n =>
+        probeGate(s"semdedup_novel_cells$n", "embeddings", "vec_id",
+          novelVecs, semDedupStream(n))
+      }
+      which.collect { case s if s.startsWith("semdedup_recall_cells") =>
+        s.stripPrefix("semdedup_recall_cells").toInt
+      }.foreach(semRecall)
     } finally rmTree(Paths.get(tmp))
     spark.stop()
   }

@@ -1217,6 +1217,21 @@ object Dedup {
     new java.math.BigInteger(1, md).shiftRight(68).longValue()
   }
 
+  /** Matched-slot count of one 32-slot pack of a 2-bit-minhash sketch:
+    * slot k matches iff XOR bits 2k and 2k+1 are both zero, so
+    * matches = 32 - popcount((x | x>>1) & 0x5555..5) (x>>1 is the
+    * arithmetic shift: its sign-extended bit 63 is an ODD position,
+    * masked out). Pure codegen bit arithmetic — evaluable per
+    * co-occurrence inside a join's streamed inner loop, zero state.
+    * Shared by the self-join ([[minhashLshPairsScreenedMd5]]) and
+    * bipartite ([[incrementalLshScreenedMd5]]) screened operators.
+    */
+  private def bbSlotMatches(a: Column, b: Column): Column = {
+    val x = a.bitwiseXOR(b)
+    lit(32) - bit_count(x.bitwiseOR(shiftright(x, 1))
+      .bitwiseAND(lit(0x5555555555555555L)))
+  }
+
   /** Shared md5-affine LSH core over a prepared frame of DISTINCT
     * (doc_id, e: string) element rows. Bands on concatenated per-band
     * minima (decimal strings joined by ':'), verifies candidates with the
@@ -1299,15 +1314,10 @@ object Dedup {
     // is an ODD position, masked out). Everything is md5-deterministic,
     // so the DuckDB oracle replays the identical screen and the output
     // stays full-hash comparable — the screen is part of the SEMANTICS.
-    val evenMask = lit(0x5555555555555555L)
-    def slotMatches(a: Column, b: Column) = {
-      val x = a.bitwiseXOR(b)
-      lit(32) - bit_count(x.bitwiseOR(shiftright(x, 1)).bitwiseAND(evenMask))
-    }
     val screenCond =
       if (screenCut == 0) lit(true)
-      else slotMatches(col("a.bb0"), col("b.bb0")) +
-        slotMatches(col("a.bb1"), col("b.bb1")) >= screenCut
+      else bbSlotMatches(col("a.bb0"), col("b.bb0")) +
+        bbSlotMatches(col("a.bb1"), col("b.bb1")) >= screenCut
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -1514,6 +1524,135 @@ object Dedup {
       .select(col("doc_id"),
         concat(col("g"), lit("#"), col("k").cast("string")).as("e"))
     md5AffineLshPairs(elems, numHashes, bands, threshold, "wjaccard", screenCut)
+  }
+
+  /** Screened incremental LSH near-dup (round 12, VERDICT r11 item 1):
+    * [[minhashLshPairsScreenedMd5]]'s banding + in-band 2-bit-minhash
+    * screen + survivor-staged verify, restated as the BIPARTITE
+    * batch-vs-corpus join [[incrementalNearDup]] shapes — the scale arm
+    * of the streaming ingest gate. The gate is measured CANDIDATE-bound
+    * (probe_r11: 1661 rows/s on a 500k NOVEL delivery ≈ the 1422 replica
+    * worst case — kernel evals dominate, output is ~15%), and the
+    * screen that collapsed q331/q332's candidate volume (5.2M banded
+    * co-occurrences → ~1k survivors at sf0.1) applies verbatim: the
+    * 16-byte b-bit sketches ride the banded rows and the screen
+    * evaluates INSIDE the bipartite band join — pure codegen bit
+    * arithmetic per co-occurrence, before the candidate DISTINCT — so
+    * the exact verify only ever sees an output-sized survivor set.
+    *
+    * Emits one row per flagged pair `(new_id, dup_id, dup_source,
+    * jaccard)`: `new_id` is always from the batch; `dup_id` from the
+    * corpus (`dup_source = 'corpus'`) or a LOWER-id batch-mate
+    * (`'batch'`). Corpus×corpus pairs are never generated. doc_ids must
+    * be disjoint across the two frames (same implicit contract as
+    * [[incrementalNearDup]] — a delivery never reuses a corpus id).
+    *
+    * The 100 TB shape, and where it beats the exact gate:
+    *  - the batch is shingled and signed ONCE (its checkpointed
+    *    signature frame serves both the probe side and the batch arm of
+    *    the target union — unlike the shingle-level union, where the
+    *    round-11 adjudication showed role filters get pushed below the
+    *    repartition, a checkpoint boundary is opaque to Catalyst, so
+    *    reuse is free). In production the corpus arm is the STORED
+    *    signature table, refreshed as deliveries are accepted — only
+    *    delivery bytes are ever re-hashed, and the whole corpus text is
+    *    never re-read per delivery.
+    *  - candidate work is banded (rows=8 floor collapses the template
+    *    floor ~600×) and then screened per co-occurrence, so the
+    *    per-delivery wall tracks the SURVIVOR count, not the block
+    *    density that bounds [[incrementalNearDup]] (whose exact
+    *    (lang, size-band) blocks pair every block-mate).
+    *  - the verify joins are survivor-staged behind shuffled-hash semi
+    *    joins (arrays streamed, never sorted) — the q331/q332 sf10 fix.
+    *
+    * Same recall contract as [[minhashLshPairsScreenedMd5]] (banding ×
+    * screen, catch-strong-dups production point at the defaults); the
+    * emitted set is md5-deterministic and fully replayed by the DuckDB
+    * oracle (q335).
+    */
+  def incrementalLshScreenedMd5(corpus: DataFrame, batch: DataFrame,
+                                numHashes: Int = 64, bands: Int = 8,
+                                threshold: Double = 0.6,
+                                shingleWidth: Int = 5,
+                                screenCut: Int = 41): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(screenCut >= 1 && screenCut <= 64, "screenCut in [1, 64]")
+    val rows = numHashes / bands
+    val parts = batch.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // md5-affine signature + 16-byte screen sketch per doc — identical
+    // constants/expressions to md5AffineLshPairs so the oracle replay and
+    // the self-join operators share every bit of the hash space
+    def sigOf(docs: DataFrame): DataFrame = {
+      val elems = docs.select(col("doc_id"), col("text"))
+        .repartition(parts, col("doc_id")) // spread the shingle+md5 CPU
+        .select(col("doc_id"),
+          explode(shinglesW(col("text"), shingleWidth)).as("e"))
+      val (h1, h2) = md5h(col("e"))
+      val hashed = elems.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+      val minCols = (0 until numHashes).map { k =>
+        min((col("h1") + lit(k.toLong) * col("h2")) % AffineP).as(s"m$k")
+      }
+      val smCols = (0 until 64).map(k =>
+        min(col("h1").bitwiseXOR(lit(screenConst(k)))).as(s"sm$k"))
+      val sig0 = hashed.groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("h1"))).as("hs"), (minCols ++ smCols): _*)
+        .withColumn("n", size(col("hs")).cast("long"))
+      def pack(off: Int) = (0 until 32).map(i =>
+        shiftleft(col(s"sm${off + i}") % 4, 2 * i)).reduce(_ bitwiseOR _)
+      sig0.withColumn("bb0", pack(0)).withColumn("bb1", pack(32))
+        .drop((0 until 64).map(k => s"sm$k"): _*)
+        .localCheckpoint(false)
+    }
+    val sigB = sigOf(batch)
+    // production: this union arm is the standing signature TABLE — the
+    // only corpus-sized cost per delivery; here it is computed from text
+    val sigT = sigOf(corpus).withColumn("dup_source", lit("corpus"))
+      .unionByName(sigB.withColumn("dup_source", lit("batch")))
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+    }
+    def banded(sig: DataFrame, extra: Seq[Column]): DataFrame = sig.select(
+      (Seq(col("doc_id"), col("n"), col("bb0"), col("bb1")) ++ extra) :+
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")): _*)
+    val bandedB = banded(sigB, Nil)
+    val bandedT = banded(sigT, Seq(col("dup_source")))
+    val screenCond =
+      bbSlotMatches(col("a.bb0"), col("b.bb0")) +
+        bbSlotMatches(col("a.bb1"), col("b.bb1")) >= screenCut
+    // batch-internal pairs meet once per ordering guard; batch×corpus
+    // pairs carry no order (the batch doc is always the new side). The
+    // screen + lossless size prune run INSIDE the join, pre-distinct.
+    val cand = bandedB.as("a").join(bandedT.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          (col("b.dup_source") === "corpus" ||
+            col("a.doc_id") < col("b.doc_id")) &&
+          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n") && screenCond)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("b.dup_source").as("dup_source"))
+      .distinct()
+      .localCheckpoint(false) // output-sized; feeds the two semi filters
+    // survivor staging (the q331/q332 sf10 fix): only docs a surviving
+    // pair references carry their hs arrays into the verify joins, and
+    // the semi joins build on the narrow id side (arrays streamed)
+    val sigBv = sigB.join(
+      cand.select(col("d1").as("doc_id")).distinct().hint("shuffle_hash"),
+      Seq("doc_id"), "left_semi")
+    val sigTv = sigT.join(
+      cand.select(col("d2").as("doc_id")).distinct().hint("shuffle_hash"),
+      Seq("doc_id"), "left_semi")
+    val inter = call_function("graft_sorted_intersect_count",
+      col("hs1"), col("hs2"))
+    val jac = inter.cast("double") /
+      (col("n1") + col("n2") - inter).cast("double")
+    cand
+      .join(sigBv.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+        col("n").as("n1")), Seq("d1"))
+      .join(sigTv.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+        col("n").as("n2")), Seq("d2"))
+      .filter(jac >= threshold)
+      .select(col("d1").as("new_id"), col("d2").as("dup_id"),
+        col("dup_source"), jac.as("jaccard"))
   }
 
   /** Engine-portable SimHash: token bits come from md5 (hi/lo 32-bit hex

@@ -671,6 +671,50 @@ class DedupSpec extends SparkTestBase {
     finalPlan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell"
   }
 
+  test("incrementalLshScreenedMd5 equals the batch-involving subset of the screened self-join") {
+    // the round-12 gate scale arm's semantics contract: bipartite
+    // banding + in-band screen + survivor-staged verify over (corpus,
+    // batch) must emit EXACTLY the screened self-join's pairs that touch
+    // the batch — same signatures, same bands, same screen, same exact
+    // h1-space jaccard — with the batch doc as new_id and batch pairs
+    // ordered new_id < dup_id. Holds at any recall point because both
+    // sides share the banding (a missed band collision is missed by
+    // both), so this is an identity, not a recall bound.
+    val df = ppCorpus.toDF("doc_id", "text")
+    val batchIds = Set(2L, 4L, 8L)
+    val batch = df.filter(col("doc_id").isin(batchIds.toSeq.map(Long.box): _*))
+    val corpus = df.filter(!col("doc_id").isin(batchIds.toSeq.map(Long.box): _*))
+    for (cut <- Seq(1, 41, 64)) {
+      val full = Dedup.minhashLshPairsScreenedMd5(df, 64, 8, 0.5, 5, cut)
+        .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      val expected = full.collect {
+        case (a, b, j) if batchIds(a) && batchIds(b) => (a, b, "batch", j)
+        case (a, b, j) if batchIds(a) => (a, b, "corpus", j)
+        case (a, b, j) if batchIds(b) => (b, a, "corpus", j)
+      }
+      val inc = Dedup.incrementalLshScreenedMd5(corpus, batch, 64, 8, 0.5, 5, cut)
+        .select("new_id", "dup_id", "dup_source", "jaccard")
+        .as[(Long, Long, String, Double)].collect().toSet
+      withClue(s"cut=$cut: ") {
+        if (cut <= 41) expected should not be empty
+        inc shouldBe expected
+        // corpus×corpus never pairs: the new side is always the batch
+        inc.foreach { case (n, _, _, _) => batchIds(n) shouldBe true }
+      }
+    }
+    // first-delivery case: an EMPTY corpus degrades to the batch-only
+    // self-join — every pair tagged 'batch', ordered new_id < dup_id
+    val emptyCorpus = df.filter(lit(false))
+    val batchOnly = Dedup.incrementalLshScreenedMd5(emptyCorpus, batch, 64, 8, 0.5, 5, 41)
+      .select("new_id", "dup_id", "dup_source", "jaccard")
+      .as[(Long, Long, String, Double)].collect().toSet
+    val selfPairs = Dedup.minhashLshPairsScreenedMd5(batch, 64, 8, 0.5, 5, 41)
+      .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    batchOnly shouldBe selfPairs.map { case (a, b, j) => (a, b, "batch", j) }
+  }
+
   test("incrementalNearDup equals the batch-involving subset of the full join") {
     val batchIds = Set(2L, 4L)
     val batch = docs.filter(col("doc_id").isin(batchIds.toSeq.map(Long.box): _*))

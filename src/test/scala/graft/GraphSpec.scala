@@ -271,6 +271,35 @@ class GraphSpec extends SparkTestBase {
     again.toSeq shouldBe plugin.map(r => (r._1, r._3, r._4)).toSeq
   }
 
+  test("q334 sparse-graph arm: sampled_tri = 0 emits NULL stderr, not a silent 0 (VERDICT r11 item 4)") {
+    // One order containing parts {1, 12, 14} — one triangle whose three
+    // edge hexes are md5('1:12')='1', md5('1:14')='0', md5('12:14')='2'
+    // (found by construction), so the k=1 arm keeps one edge, k=2 keeps
+    // two (no triangle either way → sampled_tri = 0 → NULL stderr: "no
+    // signal at this rate", not "perfectly estimated"), and k=4 keeps
+    // all three (sampled_tri = 1: est_tri = 4096 div 64 = 64, rc2 = 0 →
+    // stderr = sqrt(64·(4096−64)/64) = sqrt(4032)).
+    val dir = java.nio.file.Files.createTempDirectory("q334sparse").toString
+    Seq((1L, 1L), (1L, 12L), (1L, 14L))
+      .toDF("l_orderkey", "l_partkey")
+      .repartition(1).write.parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q334_doulion_errmodel")(spark, dir)
+      .select("keep_hex", "sampled_tri", "est_tri", "r_hat", "stderr_tri")
+      .collect().sortBy(_.getLong(0))
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 4L)
+    rows.take(2).foreach { r =>
+      r.getLong(1) shouldBe 0L          // sampled_tri
+      r.getLong(2) shouldBe 0L          // est_tri
+      r.getLong(3) shouldBe 0L          // r_hat
+      r.isNullAt(4) shouldBe true       // stderr: NULL, never 0
+    }
+    val k4 = rows(2)
+    k4.getLong(1) shouldBe 1L
+    k4.getLong(2) shouldBe 64L
+    k4.getLong(3) shouldBe 0L
+    k4.getDouble(4) shouldBe math.sqrt(4032.0)
+  }
+
   test("sampleEdges keeps exactly the md5-prefix edges (k=8 half-sample)") {
     val edges = (for { a <- 1L to 30L; b <- 1L to 30L if a < b } yield (a, b))
     val keep = "01234567".toSet

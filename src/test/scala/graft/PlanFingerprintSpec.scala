@@ -75,6 +75,32 @@ class PlanFingerprintSpec extends SparkTestBase {
     }
   }
 
+  test("negative control: a perturbed CATALOG plan trips its committed fingerprint (VERDICT r11 item 7)") {
+    // the gate's own wiring under test (the oracle gate has negative
+    // controls; until round 12 the plan gate had none): take a GATED
+    // catalog query whose committed fingerprint carries auto-planned
+    // broadcasts (q20: bhj=3, no explicit broadcast() hints), disable
+    // auto-broadcast, and recompute IN THE GATE ENVIRONMENT — the
+    // fingerprint MUST differ from the committed line, i.e. exactly the
+    // estimate-driven strategy flip the gate exists to catch produces a
+    // red diff, not a silent pass.
+    val committed = PlanFingerprint.load(PlanFingerprint.DefaultFile)
+    val name = "q20_minhash_lsh_pairs"
+    committed(name) should include("bhj=3") // control is meaningful
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val perturbed = PlanFingerprint.fingerprint(
+        spark, PlanFingerprint.DefaultSfDir, name)
+      withClue("perturbed plan vs committed fingerprint — equality here " +
+        "means the gate is vacuous: ") {
+        perturbed should not be committed(name)
+      }
+      perturbed should include("bhj=0") // every broadcast was auto-planned
+    } finally spark.conf.set(key, prev)
+  }
+
   test("negative control: a broadcast<->sort-merge flip changes the fingerprint") {
     // the r7 trap class, reproduced in miniature: the same equi-join
     // planned both ways MUST yield different fingerprints, or the gate

@@ -192,6 +192,59 @@ class StreamingPipelineSpec extends SparkTestBase {
     flagged.sorted shouldBe Seq((13L, 1L, "corpus"))
   }
 
+  test("dedupIngestStreamScreened flags dups per delivery and equals the batch operator") {
+    // the gate's scale arm (round 12): same foreachBatch/checkpoint
+    // contract as dedupIngestStream, the screened incremental LSH
+    // operator inside. Exact copies make the banding deterministic
+    // (identical signatures collide in every band, 64/64 screen slots),
+    // so the flag set is hand-predictable; the per-delivery output must
+    // ALSO equal a direct batch call of the operator (gate == operator,
+    // streaming contributes only discovery/recovery).
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def mkDocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val corpus = mkDocs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog at dawn"),
+      (2L, "completely different content about spark engines today")))
+    val dir = Files.createTempDirectory("dedupscreenedstream").toString
+    val input = s"$dir/in"
+    // delivery 1: 10 = exact copy of corpus 1; 11/12 identical novel
+    // batch-mates; 13 unrelated
+    val d1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog at dawn"),
+      (11L, "entirely novel text with no duplicate anywhere at all"),
+      (12L, "entirely novel text with no duplicate anywhere at all"),
+      (13L, "unrelated prose concerning parquet row group statistics"))
+    mkDocs(d1).repartition(1).write.parquet(input)
+
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    def run() = StreamingPipeline.runOnce(
+      StreamingPipeline.dedupIngestStreamScreened(spark, input, docSchema,
+        () => corpus, 0.6, s"$dir/ckpt") { (pairs, _) =>
+        flagged ++= pairs.select("new_id", "dup_id", "dup_source")
+          .as[(Long, Long, String)].collect()
+      })
+    run()
+    flagged.sorted shouldBe Seq((10L, 1L, "corpus"), (11L, 12L, "batch"))
+    // gate == operator on the same delivery
+    val direct = graft.operators.Dedup
+      .incrementalLshScreenedMd5(corpus, mkDocs(d1))
+      .select("new_id", "dup_id", "dup_source").as[(Long, Long, String)]
+      .collect().toSet
+    flagged.toSet shouldBe direct
+
+    // delivery 2, same checkpoint: only the new file is re-checked — 14
+    // dups the corpus; 15 dups delivery-1's doc 11, which is NOT in the
+    // corpus yet, so by the scope contract no pair
+    flagged.clear()
+    mkDocs(Seq(
+      (14L, "completely different content about spark engines today"),
+      (15L, "entirely novel text with no duplicate anywhere at all")))
+      .repartition(1).write.mode("append").parquet(input)
+    run()
+    flagged.sorted shouldBe Seq((14L, 2L, "corpus"))
+  }
+
   test("semDedupIngestStream flags semantic dups vs corpus and in-batch per delivery") {
     val embSchema = StructType(Seq(
       StructField("vec_id", LongType),
