@@ -183,15 +183,9 @@ object Bench {
     * cumulative (each includes its predecessors); consecutive differences
     * localize the cost. Run once each (diagnostic, not a benchmark).
     */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val po = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    po.as("x").join(po.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .distinct()
-  }
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.coOccurrenceEdges(Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
   // env-overridable so the stage path can be forced (e.g. "0" in a smoke
   // test, or lowered when chasing a milder inflation)
   val StageRatio: Double =

@@ -521,12 +521,8 @@ private[graft] object SparkEntryAnalytics1 {
     // graph (pair fan-out bounded by lineitems-per-order, a schema
     // constant; the orderkey exchange is shared by both self-join sides)
     "q110_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val edges = Graph.symmetricCoOccurrenceEdges(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       Graph.pageRankMicro(edges, 3)
     }),
 
@@ -962,14 +958,8 @@ private[graft] object SparkEntryAnalytics1 {
     // degree-ordered orientation — wedge volume ≤ m·√m on any graph; the
     // oracle counts the same triangles via the naive id-ordered 3-way join
     "q154_triangles" -> ((s, dir) => {
-      val po = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = po.as("x")
-        .join(po.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-        .distinct()
+      val edges = Graph.coOccurrenceEdges(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       Graph.triangleCounts(edges)
         .orderBy(col("n_triangles").desc, col("node").asc)
         .limit(10)

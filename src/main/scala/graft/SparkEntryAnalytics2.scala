@@ -437,12 +437,9 @@ private[graft] object SparkEntryAnalytics2 {
     // hash-comparable. Degrees join back by key (two broadcast-or-shuffle
     // equi-joins on the node key), never a matrix
     "q247_assortativity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val edges = Graph.symmetricCoOccurrenceEdges(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+        .localCheckpoint() // feeds the degree aggregate AND the moment pass
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
       edges
@@ -472,12 +469,13 @@ private[graft] object SparkEntryAnalytics2 {
     // per round one dst-key join, one (node,label) count, one per-node
     // argmax window — linear in |E|
     "q248_label_propagation" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val edges = Graph.symmetricCoOccurrenceEdges(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+        // round 12: LPA reads the edge frame once per round (each round
+        // is its own checkpoint action), so an un-materialized edge
+        // build was being re-executed 4× here — q268 already
+        // checkpointed it; q248 now does too
+        .localCheckpoint()
       Graph.labelPropagation(edges, 3)
     }),
 

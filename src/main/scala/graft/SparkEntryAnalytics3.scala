@@ -452,12 +452,8 @@ private[graft] object SparkEntryAnalytics3 {
     // + min aggregate, so a node reached at several depths keeps the
     // closest (the BFS invariant), all exact
     "q269_khop_neighborhood" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val edges = Graph.symmetricCoOccurrenceEdges(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
         .localCheckpoint() // both hop joins read it
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") < 10)
@@ -502,12 +498,8 @@ private[graft] object SparkEntryAnalytics3 {
     // then two label joins onto the edge frame and one community-grain
     // aggregate
     "q268_modularity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val edges = Graph.symmetricCoOccurrenceEdges(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
         .localCheckpoint() // feeds LPA rounds, degrees, AND the intra join
       val labels = Graph.labelPropagation(edges, 3)
       val deg = edges.groupBy(col("src").as("node"))
@@ -1055,14 +1047,8 @@ private[graft] object SparkEntryAnalytics3 {
     // expands a hub neighborhood; oracle recounts via the naive
     // adjacency join
     "q194_link_scores" -> ((s, dir) => {
-      val po = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = po.as("x")
-        .join(po.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-        .distinct()
+      val edges = Graph.coOccurrenceEdges(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       Graph.linkScores(edges)
     }),
 
@@ -1146,13 +1132,8 @@ private[graft] object SparkEntryAnalytics3 {
     // each round is one degree aggregate + one surviving-endpoint
     // restriction over edge rows, checkpointed — never node×node
     "q174_kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val edges = Graph.symmetricCoOccurrenceEdges(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       Graph.kCoreSurvivors(edges, k = 80, rounds = 6)
     }),
 
@@ -1339,14 +1320,8 @@ private[graft] object SparkEntryAnalytics3 {
     // oracle-able — the oracle replays the same sample and recounts via
     // the naive id-ordered 3-way join
     "q326_triangles_doulion" -> ((s, dir) => {
-      val po = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = po.as("x")
-        .join(po.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-        .distinct()
+      val edges = Graph.coOccurrenceEdges(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       Graph.triangleCountsApprox(edges, Seq("0", "1", "2", "3"))
         .orderBy(col("est_triangles").desc, col("node").asc)
         .limit(10)
@@ -1357,14 +1332,8 @@ private[graft] object SparkEntryAnalytics3 {
     // common counts among surviving edges, ·16 (1/p²) unbiased rescale;
     // wedge scratch drops ~p², the q194-at-100× safety valve
     "q327_link_scores_sampled" -> ((s, dir) => {
-      val po = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = po.as("x")
-        .join(po.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-        .distinct()
+      val edges = Graph.coOccurrenceEdges(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       Graph.linkScoresApprox(edges, Seq("0", "1", "2", "3"))
     }),
 
@@ -1391,29 +1360,58 @@ private[graft] object SparkEntryAnalytics3 {
     // At 100 TB the caller plugs est and the SAMPLED r̂ into the same
     // formula; here exact T and r make the instrument itself exact.
     "q330_doulion_accuracy" -> ((s, dir) => {
-      val po = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      // bounded edge-aggregate frame, reused by all six counting arms
-      val edges = po.as("x")
-        .join(po.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-        .distinct()
-        .localCheckpoint()
-      val exact = Graph.triangleCounts(edges)
-        .agg(expr("coalesce(sum(n_triangles), 0) div 3").as("exact_tri"))
-      // r = Σ_e C(t_e, 2): t_e is linkScores' per-edge common count
-      val sharedPairs = Graph.linkScores(edges)
-        .agg(expr("coalesce(sum(common * (common - 1) div 2), 0)").as("r"))
-      val arms = Seq(1, 2, 4, 8).map { k =>
-        val hex = "0123456789abcdef".take(k).map(_.toString)
-        Graph.triangleCountsApprox(edges, hex)
-          .agg(expr("coalesce(sum(n_sampled), 0) div 3").as("sampled_tri"))
-          .select(lit(k.toLong).as("keep_hex"), col("sampled_tri"),
-            expr(s"sampled_tri * 4096 div ${k * k * k}").as("est_tri"))
-      }.reduce(_ unionByName _)
-      arms.crossJoin(broadcast(exact)).crossJoin(broadcast(sharedPairs))
+      val edges = Graph.coOccurrenceEdges(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+      // round 12 (optimization): the six counting arms used to run SIX
+      // independent wedge enumerations (exact, linkScores, and one per
+      // sampled k). ONE oriented enumeration now serves them all: the
+      // triangle SET is orientation-invariant, the md5 edge sampling is
+      // NESTED across arms ("0" ⊂ "01" ⊂ "0123" ⊂ "01234567"), so a
+      // triangle survives arm k iff the MAX first-hex-digit of its three
+      // id-ordered edges is < k, and both Σ-aggregates decompose over
+      // the per-edge incidence frame: exact_tri = Σ t_e div 3,
+      // r = Σ C(t_e, 2), sampled_tri(k) = Σ c_e(k) div 3. Verified
+      // bit-identical per arm at sf0.01 before the rewrite.
+      val dg = (u: Column, v: Column) =>
+        conv(substring(md5(concat(u.cast("string"), lit(":"),
+          v.cast("string"))), 1, 1), 16, 10).cast("long")
+      val inc = Graph.orientedTriangles(edges)
+        .withColumn("m", greatest(
+          dg(least(col("apex"), col("x")), greatest(col("apex"), col("x"))),
+          dg(least(col("apex"), col("y")), greatest(col("apex"), col("y"))),
+          dg(least(col("x"), col("y")), greatest(col("x"), col("y")))))
+        .select(col("m"), explode(array(
+          struct(least(col("apex"), col("x")).as("ea"),
+            greatest(col("apex"), col("x")).as("eb")),
+          struct(least(col("apex"), col("y")).as("ea"),
+            greatest(col("apex"), col("y")).as("eb")),
+          struct(least(col("x"), col("y")).as("ea"),
+            greatest(col("x"), col("y")).as("eb")))).as("e"))
+      val scalars = inc
+        .groupBy(col("e"))
+        .agg(count(lit(1)).as("t_e"),
+          count(when(col("m") < 1, 1)).as("c1"),
+          count(when(col("m") < 2, 1)).as("c2"),
+          count(when(col("m") < 4, 1)).as("c4"),
+          count(when(col("m") < 8, 1)).as("c8"))
+        .agg(expr("coalesce(sum(t_e), 0) div 3").as("exact_tri"),
+          expr("coalesce(sum(t_e * (t_e - 1) div 2), 0)").as("r"),
+          expr("coalesce(sum(c1), 0) div 3").as("s1"),
+          expr("coalesce(sum(c2), 0) div 3").as("s2"),
+          expr("coalesce(sum(c4), 0) div 3").as("s4"),
+          expr("coalesce(sum(c8), 0) div 3").as("s8"))
+      val arms = scalars.select(explode(array(
+          struct(lit(1L).as("keep_hex"), col("s1").as("sampled_tri")),
+          struct(lit(2L).as("keep_hex"), col("s2").as("sampled_tri")),
+          struct(lit(4L).as("keep_hex"), col("s4").as("sampled_tri")),
+          struct(lit(8L).as("keep_hex"), col("s8").as("sampled_tri"))))
+          .as("arm"), col("exact_tri"), col("r"))
+        .select(col("arm.keep_hex").as("keep_hex"),
+          col("arm.sampled_tri").as("sampled_tri"),
+          expr("arm.sampled_tri * 4096 div " +
+            "(arm.keep_hex * arm.keep_hex * arm.keep_hex)").as("est_tri"),
+          col("exact_tri"), col("r"))
+      arms
         .withColumn("err_micro",
           expr("abs(est_tri - exact_tri) * 1000000 div nullif(exact_tri, 0)"))
         .withColumn("stderr_tri",
@@ -1461,37 +1459,58 @@ private[graft] object SparkEntryAnalytics3 {
     // every term is IEEE-exact before the single final sqrt: the whole
     // sweep is md5-deterministic and full-hash replayable by DuckDB.
     "q334_doulion_errmodel" -> ((s, dir) => {
-      val po = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      // edge frame built once, reused by the three sampled arms.
-      // DISK_ONLY: the default MEMORY_AND_DISK checkpoint fills unified
-      // storage memory with the rung-scale edge blocks and starves the
-      // arms' own execution memory (UNABLE_TO_ACQUIRE at sf10,
-      // probe_r11); the arms re-read the frame once each, so page-cache-
-      // backed disk blocks cost ~nothing on re-read
-      val edges = po.as("x")
-        .join(po.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-        .distinct()
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      // each arm's 1-row aggregate is EAGERLY checkpointed so the three
-      // sampled-wedge pipelines run SEQUENTIALLY: under one action, AQE
-      // materializes independent union branches concurrently, and three
-      // concurrent wedge sorts/aggregations OOMed the 8 g protocol heap
-      // at sf10 (probe_r11 AGGREGATE_OUT_OF_MEMORY) where each arm alone
-      // is q326/q327-sized and measured to fit
-      val arms = Seq(1, 2, 4).map { k =>
-        val hex = "0123456789abcdef".take(k).map(_.toString)
-        Graph.linkScoresApprox(edges, hex)
-          .agg(
-            expr("coalesce(sum(common_sampled), 0) div 3").as("sampled_tri"),
-            expr("coalesce(sum(common_sampled * (common_sampled - 1) div 2), 0)")
-              .as("rc2"))
-          .select(lit(k.toLong).as("keep_hex"), col("sampled_tri"), col("rc2"))
-          .localCheckpoint()
-      }.reduce(_ unionByName _)
+      // round 12 (optimization): the three sampled arms used to run
+      // three SEQUENTIAL wedge enumerations over the DISK_ONLY-
+      // checkpointed full edge frame (the r11 OOM adjudication). The
+      // arms are NESTED ("0" ⊂ "01" ⊂ "0123"), so ONE enumeration of
+      // the k=4 sample now serves all three: a k=4 triangle belongs to
+      // arm k iff the max first-hex-digit of its three edges is < k,
+      // and per-edge c_e(k) (the arm's common_sampled) is the count of
+      // its incident triangles with m < k. One pipeline, strictly
+      // smaller than the old k=4 arm alone (which re-derived degrees
+      // and wedges from scratch), so the sf10 8 g heap headroom only
+      // improves; the full-edge checkpoint is gone (the sampled frame
+      // is the only one re-read). Verified bit-identical per arm at
+      // sf0.01 before the rewrite.
+      val edges = Graph.coOccurrenceEdges(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+      val sampled = Graph.sampleEdges(edges, Seq("0", "1", "2", "3"))
+        .localCheckpoint()
+      val dg = (u: Column, v: Column) =>
+        conv(substring(md5(concat(u.cast("string"), lit(":"),
+          v.cast("string"))), 1, 1), 16, 10).cast("long")
+      val inc = Graph.orientedTriangles(sampled)
+        .withColumn("m", greatest(
+          dg(least(col("apex"), col("x")), greatest(col("apex"), col("x"))),
+          dg(least(col("apex"), col("y")), greatest(col("apex"), col("y"))),
+          dg(least(col("x"), col("y")), greatest(col("x"), col("y")))))
+        .select(col("m"), explode(array(
+          struct(least(col("apex"), col("x")).as("ea"),
+            greatest(col("apex"), col("x")).as("eb")),
+          struct(least(col("apex"), col("y")).as("ea"),
+            greatest(col("apex"), col("y")).as("eb")),
+          struct(least(col("x"), col("y")).as("ea"),
+            greatest(col("x"), col("y")).as("eb")))).as("e"))
+      val scalars = inc
+        .groupBy(col("e"))
+        .agg(count(when(col("m") < 1, 1)).as("c1"),
+          count(when(col("m") < 2, 1)).as("c2"),
+          count(lit(1)).as("c4"))
+        .agg(expr("coalesce(sum(c1), 0) div 3").as("s1"),
+          expr("coalesce(sum(c1 * (c1 - 1) div 2), 0)").as("rc2_1"),
+          expr("coalesce(sum(c2), 0) div 3").as("s2"),
+          expr("coalesce(sum(c2 * (c2 - 1) div 2), 0)").as("rc2_2"),
+          expr("coalesce(sum(c4), 0) div 3").as("s4"),
+          expr("coalesce(sum(c4 * (c4 - 1) div 2), 0)").as("rc2_4"))
+      val arms = scalars.select(explode(array(
+          struct(lit(1L).as("keep_hex"), col("s1").as("sampled_tri"),
+            col("rc2_1").as("rc2")),
+          struct(lit(2L).as("keep_hex"), col("s2").as("sampled_tri"),
+            col("rc2_2").as("rc2")),
+          struct(lit(4L).as("keep_hex"), col("s4").as("sampled_tri"),
+            col("rc2_4").as("rc2")))).as("arm"))
+        .select(col("arm.keep_hex").as("keep_hex"),
+          col("arm.sampled_tri").as("sampled_tri"), col("arm.rc2").as("rc2"))
       arms
         .select(col("keep_hex"), col("sampled_tri"),
           expr("sampled_tri * 4096 div (keep_hex*keep_hex*keep_hex)")

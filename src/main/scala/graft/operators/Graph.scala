@@ -26,6 +26,45 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Distinct co-occurrence edges (a < b) from a two-column (o, p)
+    * frame — the shared edge build of the co-purchase graph family.
+    *
+    * Round 12 (optimization): the former shape was
+    * `po.distinct self-join on o + pair distinct` — three edge-volume
+    * exchanges (the (o, p) distinct, the join re-key on o, the pair
+    * distinct) plus a join. This build collapses the first two into ONE
+    * `groupBy(o)` basket collect (partial collect_set dedups (o, p)
+    * map-side) and generates the C(k, 2) ordered pairs MAP-SIDE from the
+    * sorted basket (the q233 triple-mining pattern; basket size is
+    * bounded by lines-per-order, a schema constant), so only the li rows
+    * and the pair stream are ever shuffled: 3 exchanges + join → 2
+    * exchanges, no join. Output is bit-identical (same distinct a < b
+    * pair set — verified by full-frame hash at sf0.01).
+    */
+  def coOccurrenceEdges(op: DataFrame): DataFrame =
+    op.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+      )).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+
+  /** Symmetric (both-directions) co-occurrence edge list (src, dst) from
+    * a (o, p) frame — the input shape of the iterative operators
+    * (PageRank / k-core / LPA / modularity). Built as the a < b half
+    * mirrored AFTER its distinct, so the distinct exchange runs on half
+    * the rows (the halves are swaps of each other; the pre-r12 shape
+    * distinct'ed the full symmetric pair stream).
+    */
+  def symmetricCoOccurrenceEdges(op: DataFrame): DataFrame = {
+    val half = coOccurrenceEdges(op)
+    half.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+  }
+
   /** `iters` rounds of damped PageRank (d = 0.85, sum-to-N convention:
     * every node's base term is 0.15) over a DISTINCT directed edge list
     * (src, dst). The graph must be dangling-free — callers with
@@ -38,8 +77,12 @@ object Graph {
     val edgeDeg = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint()
-    var rank = deg.select(col("src").as("node"),
-      lit(1000000L).as("rank_micro")).localCheckpoint()
+    // round 12: the initial rank derives from the CHECKPOINTED edge
+    // frame, not from `deg`'s live plan — deriving it from deg made the
+    // rank-init action execute the whole edge build a second time
+    var rank = edgeDeg.select(col("src")).distinct()
+      .select(col("src").as("node"),
+        lit(1000000L).as("rank_micro")).localCheckpoint()
     for (_ <- 1 to iters) {
       rank = edgeDeg
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
@@ -75,8 +118,17 @@ object Graph {
     for (_ <- 1 to rounds) {
       val keep = deg.filter(col("deg") >= k)
         .select(col("src").as("node")).localCheckpoint()
-      e = e.join(keep.withColumnRenamed("node", "src"), Seq("src"))
-        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"))
+      // round 12 (guide §2.4/§3.1): the endpoint restrictions are LEFT
+      // SEMI shuffled-hash joins — keep's nodes are unique, so inner ≡
+      // semi, and the hash build is the node-sized keep frame while the
+      // edge side streams unsorted. dst is restricted FIRST so the
+      // round's last exchange is on src and the follow-up degree
+      // aggregate reuses that partitioning instead of re-shuffling the
+      // surviving edges.
+      e = e.join(keep.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+          Seq("dst"), "left_semi")
+        .join(keep.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint()
       deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -103,7 +155,6 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "labelPropagation needs iters >= 1")
-    import org.apache.spark.sql.expressions.Window
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -111,10 +162,15 @@ object Graph {
       val freq = edges
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("c").desc, col("label").asc)
-      labels = freq.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      // per-node argmax as a DECLARATIVE aggregate instead of a
+      // row_number window (round 12, guide §2.3): max_by over the
+      // (count, −label) struct picks the same (c desc, label asc)
+      // winner — labels are non-negative node ids, so the negate never
+      // overflows — with map-side partial aggregation and NO sort of
+      // the frequency frame
+      labels = freq.groupBy(col("src"))
+        .agg(max_by(col("label"),
+          struct(col("c"), (-col("label")).as("nl"))).as("label"))
         .select(col("src").as("node"), col("label"))
         .localCheckpoint()
     }
@@ -152,13 +208,27 @@ object Graph {
     * exactly once as (apex, x, y) — apex is the π-smallest corner, (x, y)
     * the π-ordered closing edge. Shared core of [[triangleCounts]] and
     * [[linkScores]]; see triangleCounts for the m·√m wedge bound.
+    *
+    * Round 12 (optimization, guide §2.3/§8): the former shape EXPLODED
+    * the wedges — Σ outdeg² rows — through an exchange on (x, y) and
+    * sort-merge-joined them against the oriented edges (two SMJ sorts of
+    * wedge volume; the measured 78 GB sf10 scratch wall). This shape
+    * never ships a wedge row: out-neighborhoods are collected ONCE into
+    * per-node (deg, id)-sorted arrays, each oriented edge (u, v) carries
+    * A(u) across ONE exchange on v, and the triangles fall out of a
+    * MAP-SIDE `array_intersect(A(u), A(v))` — per-edge work is the same
+    * Σ wedge comparisons, but as packed long arrays inside a codegen
+    * stage instead of shuffled+sorted rows. The closing join builds its
+    * hash table from the adjacency frame (SHUFFLE_HASH hint: m arrays),
+    * so nothing of wedge volume is ever sorted. Triangle set is
+    * bit-identical (same π-orientation; verified by full-frame hash).
     */
   private[graft] def orientedTriangles(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // π-orientation: src = (deg, id)-smaller endpoint; carry dst's degree
-    // so wedge pairs can be π-ordered without re-joining degrees
+    // π-orientation: src = (deg, id)-smaller endpoint; dst rides as a
+    // (deg, id) struct so adjacency arrays need no degree re-join
     val aFirst = edges
       .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
@@ -166,22 +236,23 @@ object Graph {
         (col("deg_a") < col("deg_b") ||
           (col("deg_a") === col("deg_b") && col("a") < col("b"))).as("fwd"))
     val dir = aFirst.select(
-        when(col("fwd"), col("a")).otherwise(col("b")).as("src"),
-        when(col("fwd"), col("b")).otherwise(col("a")).as("dst"),
-        when(col("fwd"), col("deg_b")).otherwise(col("deg_a")).as("dst_deg"))
-      .localCheckpoint() // reused: both wedge sides AND the closing probe
-    // wedges (x, y) from each apex's out-neighborhood, π-ordered so the
-    // closing edge — stored π-ascending by construction — is exactly
-    // (src = x, dst = y)
-    val wedges = dir.select(col("src"), col("dst").as("x"),
-        col("dst_deg").as("x_deg"))
-      .join(dir.select(col("src"), col("dst").as("y"),
-        col("dst_deg").as("y_deg")), Seq("src"))
-      .filter(col("x_deg") < col("y_deg") ||
-        (col("x_deg") === col("y_deg") && col("x") < col("y")))
-    wedges
-      .join(dir.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
-      .select(col("src").as("apex"), col("x"), col("y"))
+      when(col("fwd"), col("a")).otherwise(col("b")).as("src"),
+      when(col("fwd"), struct(col("deg_b").as("dd"), col("b").as("id")))
+        .otherwise(struct(col("deg_a").as("dd"), col("a").as("id"))).as("d"))
+    // out-neighborhoods as (deg, id) structs — reused by the probe
+    // explode AND as the closing hash side, so materialized once
+    val adj = dir.groupBy(col("src"))
+      .agg(collect_list(col("d")).as("nb"))
+      .localCheckpoint()
+    val probe = adj
+      .select(col("src"), col("nb"), explode(col("nb")).as("w"))
+      .select(col("src"), col("nb"), col("w.id").as("dst"))
+    probe
+      .join(adj.select(col("src").as("dst"), col("nb").as("nb2"))
+        .hint("shuffle_hash"), Seq("dst"))
+      .select(col("src").as("apex"), col("dst").as("x"),
+        explode(array_intersect(col("nb"), col("nb2"))).as("w"))
+      .select(col("apex"), col("x"), col("w.id").as("y"))
   }
 
   /** Deterministic DOULION edge sampling: keep edge (a, b) iff the first

@@ -268,6 +268,18 @@ object TextAnalysis {
     val long = base.filter(col("len") >= m)
 
     // index side: own segments, keyed by (seg, j, l_r = own length)
+    // Texts ride the segment rows DELIBERATELY (round 12, measured):
+    // a "shuffle ids, attach texts after the distinct" restructure (the
+    // guide §8 proxy-shuffle shape) was built, verified, and REVERTED —
+    // with texts at the join, Catalyst pushes the levenshtein verify
+    // below the candidate distinct INTO the join condition, so only
+    // VERIFIED pairs (a small fraction) ever cross the distinct
+    // exchange; splitting texts off blocked that pushdown and shipped
+    // all ~52M distinct candidates (sf0.1) through the exchange before
+    // verifying — 10.0 s → 21.3 s warm. The verify-in-join is also why
+    // the wide candidate frame never materializes in the production
+    // path (the sf1 OOM note below concerns the DIAGNOSTIC that
+    // materializes candidates WITHOUT the verify filter).
     val idx = long
       .select(col("id").as("id_r"), col("txt").as("t_r"), col("len").as("l_r"),
         explode(expr(
@@ -283,16 +295,29 @@ object TextAnalysis {
     // ascending by construction (len >= m ensures len-k <= len; the
     // position set is a filtered CONSTANT-bounds sequence, dodging
     // Spark's descending-sequence inference on empty ranges).
+    //
+    // Round 12: the window is tightened from the former -k..+2k to the
+    // LOSSLESS shift bound |shift| + |Δ - shift| <= k (shift = p - a_j,
+    // Δ = l_s - l_r): an untouched segment's position shift equals the
+    // net insertions before it, so edits-before >= |shift|, and the net
+    // length change after it forces edits-after >= |Δ - shift|; their
+    // sum is bounded by k. Any pair within distance k still yields at
+    // least one surviving (j, p) key inside the bound (the PassJoin
+    // guarantee), so the candidate SET of pairs is unchanged — only
+    // spurious probe keys drop (measured 52M -> see OPTIMIZATION_r12.md
+    // distinct candidates at sf0.1). Verified vs the brute-force spec
+    // and the full-hash oracle at sf0.01.
     val probe = long
       .select(col("id").as("id_s"), col("txt").as("t_s"), col("len").as("l_s"),
         explode(expr(
           s"""flatten(transform(sequence(greatest($m, len - $k), len), lr ->
              |  flatten(transform(sequence(0, $k), j ->
              |    transform(
-             |      filter(sequence(0, ${3 * k}),
+             |      filter(sequence(0, ${2 * k}),
              |        d -> ${segStart("lr", "j")} - $k + d >= 0
              |         AND ${segStart("lr", "j")} - $k + d
-             |             <= len - ${segLen("lr", "j")}),
+             |             <= len - ${segLen("lr", "j")}
+             |         AND abs(d - $k) + abs((len - lr) - (d - $k)) <= $k),
              |      d -> named_struct(
              |        'j', j, 'lr', lr,
              |        'seg', substring(txt,
@@ -310,7 +335,18 @@ object TextAnalysis {
     // exceeds the 8 GiB broadcast hard cap and the job dies). A shuffle
     // on (seg, j, l_r) is the shape that survives any corpus size, and
     // AQE's skew rule can split hot segment buckets.
-    val longPairs = idx.hint("merge").join(probe, Seq("seg", "j", "l_r"))
+    // EXPLICIT repartition on the join keys (round 12): with the texts
+    // off the segment rows (above), the join inputs shrink ~5× in bytes
+    // and AQE's byte-based coalescing folded the join stage to a third
+    // of the cores — but the stage's cost is the JOIN OUTPUT (candidate
+    // enumeration + partial distinct), which didn't shrink. A
+    // REPARTITION_BY_NUM exchange is exempt from AQE coalescing, so the
+    // pair work keeps cluster-width parallelism; width still tracks
+    // spark.sql.shuffle.partitions, not a local constant.
+    val longPairs = idx.repartition(parts, col("seg"), col("j"), col("l_r"))
+      .hint("merge")
+      .join(probe.repartition(parts, col("seg"), col("j"), col("l_r")),
+        Seq("seg", "j", "l_r"))
       // shorter-indexes-into-longer gives each unequal-length pair ONE
       // direction; equal lengths appear both ways -> id order picks one
       .filter(col("l_r") < col("l_s") ||
