@@ -486,6 +486,11 @@ private[graft] object SparkEntryText {
         .select(col("df.doc_id").as("doc_id"), col("source"), col("cls"),
           (col("n_toks") * col("base_bits") -
             coalesce(col("adj"), lit(0L))).as("score_bits"))
+      // round 12: a min_by(struct, struct) argmin variant was measured
+      // SLOWER than this window (3.6 -> 5.1 s at sf0.1): struct-ordered
+      // aggregates compare interpreted per row where the window sort is
+      // codegen'd — same lesson as the struct-element array_intersect
+      // (OPTIMIZATION_r12.md). The row_number shape stays.
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score_bits").asc, col("cls").asc)
       scored.withColumn("rk", row_number().over(w))

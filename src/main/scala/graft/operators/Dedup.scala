@@ -1144,12 +1144,17 @@ object Dedup {
         col("text"))
       .select(col("doc_id"), col("off"),
         col("text").substr(col("off").cast("int") + 1, lit(k)).as("s"))
-      .localCheckpoint() // feeds both the multiplicity count and the mark join
-    val dupShingles = sh.groupBy(col("s"))
-      .agg(count(lit(1)).as("n_occ"))
+    // round 12 (guide §2.3/§2.4): multiplicity marking used to
+    // localCheckpoint the (doc_id, off, s) frame — corpus chars × k
+    // bytes of storage — then shuffle it TWICE (the groupBy(s) count and
+    // the semi join back). A count window partitioned by the shingle
+    // does both in ONE exchange of the frame with no checkpoint: rows
+    // whose window count >= 2 are exactly the duplicated starts. Window
+    // buffers are per-shingle groups (occurrence counts), never a
+    // corpus-scale partition.
+    val dupStarts = sh
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("n_occ") >= 2)
-      .select(col("s"))
-    val dupStarts = sh.join(dupShingles, Seq("s"), "left_semi")
       .select(col("doc_id"), col("off"))
     // merge duplicated starts into maximal covered spans: a start opens a
     // new span iff its interval [off, off+k) neither overlaps nor touches
