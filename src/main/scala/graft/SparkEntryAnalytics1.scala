@@ -1001,16 +1001,24 @@ private[graft] object SparkEntryAnalytics1 {
     // basket size; item supports re-attach by key join; both rule
     // directions emitted
     "q157_basket_rules" -> ((s, dir) => {
-      val po = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-        .localCheckpoint() // feeds totals, item supports, AND the pair join
-      val nTot = po.groupBy().agg(countDistinct(col("o")).as("n"))
-      val item = po.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
-      val pairs = po.as("x")
-        .join(po.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+      // round 12: the (o, p)-distinct frame + self-join became ONE
+      // basket collect (the shared co-occurrence edge-build shape):
+      // baskets feed totals, item supports, and the MAP-SIDE pair
+      // explode — the pair self-join and its two exchanges are gone.
+      // Counts are identical: each order contributes exactly one
+      // (pa < pb) instance per unordered pair, as the join did.
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .localCheckpoint() // feeds totals, item supports, AND the pairs
+      val nTot = baskets.groupBy().agg(count(lit(1)).as("n"))
+      val item = baskets.select(explode(col("ps")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+      val pairs = baskets.filter(size(col("ps")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, " +
+            "size(ps)), y -> struct(x AS pa, y AS pb))))")).as("e"))
+        .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 5)
       val rules = pairs

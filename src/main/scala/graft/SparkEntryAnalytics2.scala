@@ -841,6 +841,11 @@ private[graft] object SparkEntryAnalytics2 {
     // |brands|, so the pair stage is customer-grain × C(25,2), never
     // order-grain
     "q314_brand_affinity" -> ((s, dir) => {
+      // Round 12: a basket-collect + map-side pair-explode variant was
+      // measured SLOWER here (2.0 -> 4.0 s sf0.1; near-25-brand sets
+      // make the per-customer C(k,2) array allocation beat the join's
+      // streaming cost — the q80/coPairs lesson at smaller k) and
+      // reverted; the distinct + self-join stays.
       val cb = t(s, dir, "lineitem")
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))

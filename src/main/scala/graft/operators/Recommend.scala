@@ -25,6 +25,14 @@ object Recommend {
     * total-order tie-break. `edges` must have (user, item) columns.
     */
   def coPairs(edges: DataFrame, capPerUser: Int, k: Int): DataFrame = {
+    // Round 12: a basket-collect + map-side C(k,2) pair-explode variant
+    // (the q157/q314/co-occurrence-edge shape) was built, verified, and
+    // REVERTED here on measurement: with capPerUser = 100 the nested
+    // transform/flatten materializes up-to-4950-struct arrays per user
+    // before exploding, and the query regressed 3.9 -> 9.9 s (sf0.1) /
+    // 17.2 -> 24.4 s (sf1). The basket shape wins only when baskets are
+    // SMALL (orders ~7 items, brand sets <= 25); at ~100-item baskets
+    // the streaming self-join is the right tool.
     val w = Window.partitionBy(col("user")).orderBy(col("item"))
     val capped = edges.distinct()
       .withColumn("rn", row_number().over(w))
