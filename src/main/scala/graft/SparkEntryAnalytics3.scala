@@ -507,10 +507,13 @@ private[graft] object SparkEntryAnalytics3 {
       val dC = deg.join(labels, Seq("node"))
         .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
       val intra = edges
-        .join(labels.select(col("node").as("src"), col("label").as("ls")),
-          Seq("src"))
-        .join(labels.select(col("node").as("dst"), col("label").as("ld")),
-          Seq("dst"))
+        // SHUFFLE_HASH: node-sized label attach onto edge rows — not
+        // broadcastable at 100 TB node counts, and the hint spares the
+        // driver round-trips (the LPA-round lesson, round 12)
+        .join(labels.select(col("node").as("src"), col("label").as("ls"))
+          .hint("shuffle_hash"), Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("label").as("ld"))
+          .hint("shuffle_hash"), Seq("dst"))
         .filter(col("ls") === col("ld"))
         .groupBy(col("ls").as("label")).agg(count(lit(1)).as("intra_c"))
       val e2 = edges.agg(count(lit(1)).as("e2"))

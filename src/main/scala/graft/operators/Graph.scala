@@ -84,8 +84,11 @@ object Graph {
       .select(col("src").as("node"),
         lit(1000000L).as("rank_micro")).localCheckpoint()
     for (_ <- 1 to iters) {
+      // SHUFFLE_HASH on the node-sized rank side — the same per-round
+      // driver-broadcast trap as labelPropagation's labels join
       rank = edgeDeg
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst"), expr("rank_micro div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
@@ -159,8 +162,16 @@ object Graph {
       .withColumn("label", col("node"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // SHUFFLE_HASH on the node-sized labels side (round 12): with an
+      // accurately-sized checkpointed edge frame the planner broadcasts
+      // the labels EVERY round — a serial driver collect+build+ship per
+      // iteration (measured 4.4-4.7 → 3.4-3.5 s at sf0.1 for 3 rounds),
+      // and at 100 TB node counts a broadcast of the label frame is not
+      // viable at all. The hinted build side stays the per-partition
+      // node slice; the edge side streams unsorted.
       val freq = edges
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .join(labels.select(col("node").as("dst"), col("label"))
+          .hint("shuffle_hash"), Seq("dst"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
       // per-node argmax as a DECLARATIVE aggregate instead of a
       // row_number window (round 12, guide §2.3): max_by over the
