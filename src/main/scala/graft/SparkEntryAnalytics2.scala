@@ -469,12 +469,14 @@ private[graft] object SparkEntryAnalytics2 {
     // per round one dst-key join, one (node,label) count, one per-node
     // argmax window — linear in |E|
     "q248_label_propagation" -> ((s, dir) => {
+      // round 13: the checkpoint cuts lineage at the point of maximum
+      // reuse (the raw edge build), and LPA re-establishes hash(dst)
+      // IN-PLAN above it — its rounds are checkpoint-free and reuse
+      // that one repartition (a fully checkpoint-free variant measured
+      // flat: the duplicated edge-build subplans cost more in planning
+      // than the stage cache saves)
       val edges = Graph.symmetricCoOccurrenceEdges(t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
-        // round 12: LPA reads the edge frame once per round (each round
-        // is its own checkpoint action), so an un-materialized edge
-        // build was being re-executed 4× here — q268 already
-        // checkpointed it; q248 now does too
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
         .localCheckpoint()
       Graph.labelPropagation(edges, 3)
     }),

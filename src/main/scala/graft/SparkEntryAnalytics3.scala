@@ -498,22 +498,38 @@ private[graft] object SparkEntryAnalytics3 {
     // then two label joins onto the edge frame and one community-grain
     // aggregate
     "q268_modularity" -> ((s, dir) => {
+      // round 13: checkpoint the RAW edge build once (feeds LPA rounds,
+      // degrees, intra, e2), then re-establish hash(dst) IN-PLAN above
+      // it — the checkpoint erases partitioning (LogicalRDD reports
+      // Unknown under AQE), so the repartition puts it back where every
+      // consumer can see it, and AQE's stage cache materializes that
+      // one exchange once however many consumers reference it.
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val edges = Graph.symmetricCoOccurrenceEdges(t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
-        .localCheckpoint() // feeds LPA rounds, degrees, AND the intra join
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+        .localCheckpoint()
+        // REPARTITION_BY_NUM width (scale-adaptive): AQE-coalescing-
+        // exempt — see labelPropagation's comment
+        .repartition(parts, col("dst")) // shared by LPA rounds+intra+deg
       val labels = Graph.labelPropagation(edges, 3)
-      val deg = edges.groupBy(col("src").as("node"))
+      // degree via groupBy(dst): the edge set is SYMMETRIC ((s,d) present
+      // iff (d,s) is), so per-node dst-counts equal src-counts exactly —
+      // and the dst grouping reuses the repartition above, no exchange
+      val deg = edges.groupBy(col("dst").as("node"))
         .agg(count(lit(1)).as("deg"))
       val dC = deg.join(labels, Seq("node"))
         .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
       val intra = edges
         // SHUFFLE_HASH: node-sized label attach onto edge rows — not
         // broadcastable at 100 TB node counts, and the hint spares the
-        // driver round-trips (the LPA-round lesson, round 12)
-        .join(labels.select(col("node").as("src"), col("label").as("ls"))
-          .hint("shuffle_hash"), Seq("src"))
+        // driver round-trips (the LPA-round lesson, round 12). dst side
+        // joins FIRST: the edge frame is hash(dst) from the repartition
+        // above, so this join adds no edge exchange; only the src-side
+        // attach re-shuffles edge rows, once.
         .join(labels.select(col("node").as("dst"), col("label").as("ld"))
           .hint("shuffle_hash"), Seq("dst"))
+        .join(labels.select(col("node").as("src"), col("label").as("ls"))
+          .hint("shuffle_hash"), Seq("src"))
         .filter(col("ls") === col("ld"))
         .groupBy(col("ls").as("label")).agg(count(lit(1)).as("intra_c"))
       val e2 = edges.agg(count(lit(1)).as("e2"))

@@ -73,19 +73,35 @@ object Graph {
     */
   def pageRankMicro(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "pageRankMicro needs at least one iteration")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgeDeg = edges.join(deg, "src")
+    // Round 13 (optimization): NO per-round localCheckpoint. The round
+    // count is a fixed constant and the query has exactly one action, so
+    // the rounds compose into ONE plan above a single checkpoint of the
+    // RAW edge list (lineage cut at the point of maximum reuse — a fully
+    // checkpoint-free variant duplicated the whole edge-build subplan
+    // per round and lost its shuffle savings to planning time). The
+    // repeated edgeDeg subplan above the checkpoint is deduplicated at
+    // runtime by AQE's stage cache (canonically equal exchanges
+    // materialize once), and — the real win — partitioning stays VISIBLE
+    // to EnsureRequirements across rounds, which the old per-round
+    // checkpoints erased (LogicalRDD reports UnknownPartitioning under
+    // AQE, so every round re-shuffled the edge frame). Shape now:
+    // edgeDeg is hash(src) from its build join; each round's rank frame
+    // arrives hash(dst→node→src) via alias-aware partitioning from the
+    // previous round's aggregate — BOTH join sides are co-partitioned,
+    // so a round's only exchange is its contribution groupBy(dst).
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // SHUFFLE_HASH on the node-sized deg side — the per-round driver-
+    // broadcast trap (round 12) applies to the build join too
+    val edgeDeg = e.join(deg.hint("shuffle_hash"), "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .localCheckpoint()
-    // round 12: the initial rank derives from the CHECKPOINTED edge
-    // frame, not from `deg`'s live plan — deriving it from deg made the
-    // rank-init action execute the whole edge build a second time
-    var rank = edgeDeg.select(col("src")).distinct()
-      .select(col("src").as("node"),
-        lit(1000000L).as("rank_micro")).localCheckpoint()
+    // rank init straight from deg: its keys ARE the distinct srcs, and
+    // deg's stages are shared with edgeDeg's build side, so no separate
+    // distinct pass runs (the round-12 "init re-executed the edge build"
+    // problem was a checkpoint-boundary artifact — one plan, one build)
+    var rank = deg.select(col("src").as("node"),
+      lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
-      // SHUFFLE_HASH on the node-sized rank side — the same per-round
-      // driver-broadcast trap as labelPropagation's labels join
       rank = edgeDeg
         .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"),
           Seq("src"))
@@ -94,7 +110,6 @@ object Graph {
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(85 * s) div 100")).as("rank_micro"))
-        .localCheckpoint()
     }
     rank
   }
@@ -158,32 +173,58 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "labelPropagation needs iters >= 1")
-    var labels = edges.select(col("src").as("node")).distinct()
+    // Round 13 (optimization): NO per-round localCheckpoint — fixed
+    // round count + single action means the rounds compose into ONE
+    // plan (see pageRankMicro). The explicit repartition pins the edge
+    // frame hash(dst): every round's join consumes it with no further
+    // exchange (its REPARTITION_BY_COL shuffle materializes once and is
+    // stage-cache-shared by all rounds), and each round's labels arrive
+    // already hash(src→node→dst) from the argmax aggregate via alias-
+    // aware partitioning — so a round's only exchanges are its two
+    // aggregates. The old shape re-shuffled edges AND labels every
+    // round because the checkpoint boundary erased the partitioning.
+    // REPARTITION_BY_NUM (explicit width = spark.sql.shuffle.partitions,
+    // scale-adaptive, not a constant): the un-numbered variant is fair
+    // game for AQE byte-based coalescing, which halved task parallelism
+    // on these CPU-bound join/aggregate rounds (measured: 16 of 32
+    // cores busy) — the same AQE-vs-CPU-stage lesson as q97 (round 12).
+    val parts = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val e = edges.repartition(parts, col("dst"))
+    var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
     for (_ <- 1 to iters) {
-      // SHUFFLE_HASH on the node-sized labels side (round 12): with an
-      // accurately-sized checkpointed edge frame the planner broadcasts
-      // the labels EVERY round — a serial driver collect+build+ship per
-      // iteration (measured 4.4-4.7 → 3.4-3.5 s at sf0.1 for 3 rounds),
-      // and at 100 TB node counts a broadcast of the label frame is not
-      // viable at all. The hinted build side stays the per-partition
-      // node slice; the edge side streams unsorted.
-      val freq = edges
+      // SHUFFLE_HASH on the node-sized labels side (round 12): letting
+      // the planner broadcast the labels costs a serial driver
+      // collect+build+ship per iteration, and at 100 TB node counts a
+      // broadcast of the label frame is not viable at all. The hinted
+      // build side stays the per-partition node slice; the edge side
+      // streams unsorted.
+      //
+      // ONE exchange per round (round 13): hash(src) satisfies the
+      // clustering requirement of BOTH the (src, label) count and the
+      // per-src argmax, so the explicit src repartition replaces the
+      // two ENSURE_REQUIREMENTS exchanges the aggregates used to plan
+      // ((src, label) partials, then (src)) — map-side combining lost
+      // nothing there, since neighbor labels within a dst partition are
+      // mostly distinct per (src, label) and the partials shipped ~the
+      // raw row count anyway.
+      val freq = e
         .join(labels.select(col("node").as("dst"), col("label"))
           .hint("shuffle_hash"), Seq("dst"))
+        .select(col("src"), col("label"))
+        .repartition(parts, col("src"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
       // per-node argmax as a DECLARATIVE aggregate instead of a
       // row_number window (round 12, guide §2.3): max_by over the
       // (count, −label) struct picks the same (c desc, label asc)
       // winner — labels are non-negative node ids, so the negate never
-      // overflows — with map-side partial aggregation and NO sort of
-      // the frequency frame
+      // overflows — runs in the SAME stage as the count (both satisfied
+      // by the src repartition above)
       labels = freq.groupBy(col("src"))
         .agg(max_by(col("label"),
           struct(col("c"), (-col("label")).as("nl"))).as("label"))
         .select(col("src").as("node"), col("label"))
-        .localCheckpoint()
     }
     labels
   }
