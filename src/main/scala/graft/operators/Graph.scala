@@ -131,27 +131,54 @@ object Graph {
     */
   def kCoreSurvivors(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(rounds >= 1 && k >= 1, "kCore needs rounds >= 1 and k >= 1")
+    // Round 13 (optimization): checkpoint every OTHER round instead of
+    // every round (and never checkpoint the node-sized keep frame) — a
+    // 2-round SPAN is one plan, so inside it partitioning stays visible:
+    // the span's second round restricts the endpoint the first round's
+    // last exchange already clustered by (free), and the degree
+    // aggregate always groups on the key of the last restriction. That
+    // grouping key alternates between src and dst across rounds — valid
+    // because restricting BOTH endpoints by the same keep set preserves
+    // the edge set's symmetry ((s,d) survives iff (d,s) does), so
+    // per-node dst-counts equal src-counts exactly, every round.
+    // Per 2 rounds: 3 edge exchanges + 1 materialization, down from 4
+    // edge exchanges + 2 edge + 2 keep materializations. The duplicated
+    // in-span subplans (each round references its predecessor twice:
+    // once for the keep set's degree, once as the restricted stream)
+    // share their exchanges through AQE's runtime stage cache; spans are
+    // capped at 2 so the duplication never compounds past 4 leaf scans.
+    def degOn(f: DataFrame, key: String): DataFrame =
+      f.groupBy(col(key).as("node")).agg(count(lit(1)).as("deg"))
+    def restrict(f: DataFrame, keep: DataFrame, key: String): DataFrame =
+      // LEFT SEMI shuffled-hash (round 12, guide §2.4/§3.1): keep's
+      // nodes are unique so inner ≡ semi; the hash build is the
+      // node-sized keep frame while the edge side streams unsorted
+      f.join(keep.withColumnRenamed("node", key).hint("shuffle_hash"),
+        Seq(key), "left_semi")
     var e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    for (_ <- 1 to rounds) {
-      val keep = deg.filter(col("deg") >= k)
-        .select(col("src").as("node")).localCheckpoint()
-      // round 12 (guide §2.4/§3.1): the endpoint restrictions are LEFT
-      // SEMI shuffled-hash joins — keep's nodes are unique, so inner ≡
-      // semi, and the hash build is the node-sized keep frame while the
-      // edge side streams unsorted. dst is restricted FIRST so the
-      // round's last exchange is on src and the follow-up degree
-      // aggregate reuses that partitioning instead of re-shuffling the
-      // surviving edges.
-      e = e.join(keep.withColumnRenamed("node", "dst").hint("shuffle_hash"),
-          Seq("dst"), "left_semi")
-        .join(keep.withColumnRenamed("node", "src").hint("shuffle_hash"),
-          Seq("src"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
-      deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var degKey = "src"
+    var deg = degOn(e, degKey)
+    var r = 0
+    while (r < rounds) {
+      val span = math.min(2, rounds - r)
+      for (_ <- 0 until span) {
+        val keep = deg.filter(col("deg") >= k).select(col("node"))
+        // restrict the CURRENT clustering key first (no exchange), the
+        // other endpoint second — the round ends clustered by the other
+        // endpoint, which the next degree aggregate then reuses
+        val other = if (degKey == "src") "dst" else "src"
+        e = restrict(restrict(e, keep, degKey), keep, other)
+          .select(col("src"), col("dst"))
+        degKey = other
+        deg = degOn(e, degKey)
+      }
+      e = e.localCheckpoint()
+      // re-derive deg from the materialized frame so the NEXT span's
+      // keep doesn't re-execute this span's lineage
+      deg = degOn(e, degKey)
+      r += span
     }
-    deg.filter(col("deg") >= k).select(col("src").as("node"), col("deg"))
+    deg.filter(col("deg") >= k).select(col("node"), col("deg"))
   }
 
   /** Synchronous label-propagation community detection over UNDIRECTED
