@@ -755,15 +755,46 @@ object Dedup {
     val fwd = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    // Iterate ONLY over documents that appear in an edge: every untouched
-    // document is trivially its own singleton component and is re-attached
-    // with one left join at the end. The near-dup subgraph is normally a
-    // small fraction of the corpus, so each round's joins run over edge
-    // endpoints, not corpus rows — at 100 TB this is the difference
-    // between iterating on a few hundred GB and on the whole corpus.
-    // (`edges` holds both directions, so distinct source endpoints = all
-    // touched nodes.)
-    var comp = edges.select(col("a").as("doc_id")).distinct()
+    // PRE-CONTRACTION (round 13, guide §1.2 "algorithm first"): one
+    // min-neighbor pass labels every touched node with the smallest id
+    // in its 1-hop ball, then the edge set CONTRACTS to those
+    // representatives (loops dropped, distinct) — near-dup clusters are
+    // mostly doublet/triplet stars, which contract to nothing, so the
+    // convergence loop below runs on the tiny multi-hop remainder
+    // instead of re-shuffling the full edge set every round. Lossless:
+    // c1(v) stays inside v's component, a component's global-min node
+    // keeps itself (its c1 is itself), so min-label components of the
+    // contracted graph, composed through c1, are EXACTLY the min-label
+    // components of the original graph.
+    val c1 = edges.groupBy(col("a")).agg(min(col("b")).as("nm"))
+      .select(col("a").as("doc_id"),
+        least(col("a"), col("nm")).as("c1"))
+      .localCheckpoint()
+    // contract the a < b half and mirror AFTER the distinct (half the
+    // distinct volume — the symmetricCoOccurrenceEdges trick); the
+    // representative attaches are SHUFFLE_HASH on the node-sized c1
+    // frame (not broadcastable at 100 TB node counts)
+    val halfC = edges.filter(col("a") < col("b"))
+      .join(c1.select(col("doc_id").as("a"), col("c1").as("ca"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(c1.select(col("doc_id").as("b"), col("c1").as("cb"))
+        .hint("shuffle_hash"), Seq("b"))
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"))
+      .distinct()
+    val cEdges = halfC
+      .union(halfC.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    // Iterate ONLY over representatives that appear in a contracted
+    // edge: every untouched document is trivially its own singleton
+    // component and is re-attached with one left join at the end, and
+    // every contracted-away node recovers its component through c1.
+    // The near-dup subgraph is normally a small fraction of the corpus,
+    // so each round's joins run over the contracted remainder, not
+    // corpus rows — at 100 TB this is the difference between iterating
+    // on a few hundred GB and on the whole corpus.
+    var comp = cEdges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
     var converged = false
@@ -771,7 +802,7 @@ object Dedup {
     while (!converged && i < maxIter) {
       // Step 1 — propagate: a node's label becomes the min of its own and
       // its neighbors' labels (one hop per round on its own).
-      val nbrMin = edges.join(comp, edges("b") === comp("doc_id"))
+      val nbrMin = cEdges.join(comp, cEdges("b") === comp("doc_id"))
         .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
       val prop = comp.join(nbrMin, comp("doc_id") === nbrMin("a"), "left_outer")
         .select(col("doc_id"),
@@ -817,7 +848,16 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter iterations; " +
           "raise maxIter (components need O(cluster diameter) rounds)")
-    docs.select(col("doc_id")).join(comp.select(col("doc_id"),
+    // compose: every touched node's component is its representative's
+    // fixpoint label (representatives not in any contracted edge keep
+    // their c1 — already the component minimum for fully-contracted
+    // clusters); untouched docs re-attach as singletons.
+    val touched = c1.join(
+        comp.select(col("doc_id").as("c1"), col("component").as("m")),
+        Seq("c1"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("m"), col("c1")).as("component"))
+    docs.select(col("doc_id")).join(touched.select(col("doc_id"),
         col("component").as("nbr_component")), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("nbr_component"), col("doc_id")).as("component"))

@@ -181,6 +181,32 @@ class DedupSpec extends SparkTestBase {
     r.map(_._2).distinct shouldBe Array(1L)
   }
 
+  test("duplicateClusters matches union-find on a random mixed graph " +
+    "(pre-contraction equivalence, round 13)") {
+    // stars, chains, and cross-links — exercises both the contracted-away
+    // fast path and the multi-hop remainder loop plus their composition
+    val rnd = new scala.util.Random(42)
+    val n = 200L
+    val pairEdges = (1 to 260).map { _ =>
+      val a = 1L + rnd.nextInt(200); val b = 1L + rnd.nextInt(200)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val nodes = (1L to n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = pairEdges.toDF("doc_id_1", "doc_id_2")
+    // ground truth: plain union-find with min-id representatives
+    val parent = Array.tabulate(n.toInt + 1)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val expected = (1L to n).map(i => i -> find(i.toInt).toLong).toMap
+    val got = Dedup.duplicateClusters(nodes, pairs)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    got shouldBe expected
+  }
+
   test("duplicateClusters throws instead of returning partial components at maxIter") {
     val nodes = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
