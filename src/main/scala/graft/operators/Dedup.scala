@@ -290,8 +290,9 @@ object Dedup {
     * positional filters prune relative to all-pairs.
     */
   private[graft] def ppjoinCandidates(docs: DataFrame, threshold: Double,
-                                      shingleWidth: Int = 5): DataFrame =
-    ppjoin(docs, threshold, shingleWidth, verify = false, weighted = false,
+                                      shingleWidth: Int = 5,
+                                      weighted: Boolean = false): DataFrame =
+    ppjoin(docs, threshold, shingleWidth, verify = false, weighted = weighted,
       DefaultMaxVocab)
 
   /** PPJoin's rarest-first ordering broadcasts the (tok → rank) table into
@@ -417,14 +418,33 @@ object Dedup {
     // stream is post-prune (output-bounded, not the raw instance stream),
     // so the array bytes shuffled here are candidates × |doc|, the same
     // corpus-linear class as the build side.
+    //
+    // SHUFFLE_HASH on the WEIGHTED record-store side (round 13):
+    // unhinted, the weighted variant's record-joins planned as
+    // SortMergeJoins whose sorts run over the CANDIDATE stream — the
+    // second one with the ~KB rks1 array payload already attached
+    // (measured: 3.2 GB of sort spill, q52 10.6 s at sf0.1). Hash-
+    // building the record slice per partition lets the 3.9M candidates
+    // stream through unsorted (8.3 s, zero spill) — the same build-on-
+    // the-record-store shape the screened LSH twins ship. The UNWEIGHTED
+    // store stays unhinted deliberately: occurrence expansion makes the
+    // weighted store ~an order wider by construction, while the
+    // unweighted store is the smallest frame in the query — AQE promotes
+    // its attach to broadcast once the checkpoint's true size is known,
+    // and a hint would veto that (measured: hinting q51 forced the
+    // 4.6M-candidate stream through two exchanges, 110 MB -> 3.0 GB
+    // shuffle, 4.6 -> 7.3 s).
+    def rec(d: String, rk: String, nn: String) = {
+      val r = ranks.select(col("doc_id").as(d), col("rks").as(rk),
+        col("n").as(nn))
+      if (weighted) r.hint("shuffle_hash") else r
+    }
     val inter = call_function("graft_sorted_intersect_count",
       col("rks1"), col("rks2"))
     val jac = inter.cast("double") / ((col("n1") + col("n2")) - inter)
     cand
-      .join(ranks.select(col("doc_id").as("d1"), col("rks").as("rks1"),
-        col("n").as("n1")), "d1")
-      .join(ranks.select(col("doc_id").as("d2"), col("rks").as("rks2"),
-        col("n").as("n2")), "d2")
+      .join(rec("d1", "rks1", "n1"), "d1")
+      .join(rec("d2", "rks2", "n2"), "d2")
       .filter(jac >= threshold)
       .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
         jac.as(if (weighted) "wjaccard" else "jaccard"))
