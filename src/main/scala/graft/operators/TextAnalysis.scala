@@ -335,13 +335,12 @@ object TextAnalysis {
     // exceeds the 8 GiB broadcast hard cap and the job dies). A shuffle
     // on (seg, j, l_r) is the shape that survives any corpus size, and
     // AQE's skew rule can split hot segment buckets.
-    // EXPLICIT repartition on the join keys (round 12): with the texts
-    // off the segment rows (above), the join inputs shrink ~5× in bytes
-    // and AQE's byte-based coalescing folded the join stage to a third
-    // of the cores — but the stage's cost is the JOIN OUTPUT (candidate
-    // enumeration + partial distinct), which didn't shrink. A
-    // REPARTITION_BY_NUM exchange is exempt from AQE coalescing, so the
-    // pair work keeps cluster-width parallelism; width still tracks
+    // EXPLICIT repartition on the join keys (round 12): AQE's byte-based
+    // coalescing folded the join stage to a third of the cores, but the
+    // stage's cost is the JOIN OUTPUT (candidate enumeration + verify +
+    // partial distinct), not its input bytes. A REPARTITION_BY_NUM
+    // exchange is exempt from AQE coalescing, so the pair work keeps
+    // cluster-width parallelism; width still tracks
     // spark.sql.shuffle.partitions, not a local constant.
     val longPairs = idx.repartition(parts, col("seg"), col("j"), col("l_r"))
       .hint("merge")
