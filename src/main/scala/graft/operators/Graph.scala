@@ -329,7 +329,11 @@ object Graph {
     // aggregate consumers), and array_intersect over primitive longs
     // runs the codegen'd specialized path where struct elements fall
     // back to interpreted row comparisons. Reused by the probe explode
-    // AND as the closing hash side, so materialized once.
+    // AND as the closing hash side, so materialized once. The
+    // checkpoint is LOAD-BEARING (round 13, measured): dropping it in
+    // favor of AQE runtime stage reuse shares only the EXCHANGES — the
+    // post-exchange collect_list final merge re-executes per consumer,
+    // and q154 regressed 4.0 -> 9.2 s at sf0.1. Checkpoint kept.
     val adj = dir.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nb"))
       .localCheckpoint()
