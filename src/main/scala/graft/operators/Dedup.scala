@@ -1196,9 +1196,18 @@ object Dedup {
     */
   def dupSubstringSpans(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val parts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     // one row per k-char window start; guard n_chars >= k (sequence(0, n)
-    // with n < 0 would infer a NEGATIVE step and emit descending offsets)
+    // with n < 0 would infer a NEGATIVE step and emit descending offsets).
+    // repartition FIRST (round 13): without it the explode + substr + the
+    // window exchange's write all run inside the parquet SCAN stage — a
+    // few input splits, not the cluster (on the hot-shingle profile the
+    // whole corpus was ONE task: 15 of q142's 16.8 s; the same
+    // spread-the-CPU move hashedShingles documents).
     val sh = docs.filter(col("n_chars") >= k)
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .repartition(parts, col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_chars") - k)).as("off"),
         col("text"))
