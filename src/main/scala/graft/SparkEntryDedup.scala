@@ -270,7 +270,14 @@ private[graft] object SparkEntryDedup {
     // broadcast
     "q150_source_overlap" -> ((s, dir) => {
       import graft.functions.TextFunctions.shingles3
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val ss = t(s, dir, "documents")
+        // repartition before the shingle explode (round 13): the sf0.1
+        // documents parquet is ONE 4 MB-class scan split, so the whole
+        // char-3-gram explode ran single-task inside the scan stage —
+        // the q142 scan-serialization finding, same fix
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(parts, col("doc_id"))
         .select(col("source"), explode(shingles3(col("text"))).as("s"))
         .distinct()
         .localCheckpoint() // feeds per-source totals AND the pair join
@@ -305,7 +312,12 @@ private[graft] object SparkEntryDedup {
     // letters separated only by H/W collapse; vowels reset) from scratch
     // in SQL, so the builtin's semantics are independently checked
     "q207_phonetic_pairs" -> ((s, dir) => {
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val toks = t(s, dir, "documents")
+        // repartition before the token explode + regex filter (round 13):
+        // single-split scan stage, the q142/q150 scan-serialization fix
+        .select(col("doc_id"), col("text"))
+        .repartition(parts, col("doc_id"))
         .select(explode(split(lower(col("text")), " ")).as("tok"))
         .union(t(s, dir, "part")
           .select(explode(split(col("p_name"), " ")).as("tok")))
