@@ -309,9 +309,25 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val gateNote = loadGate(
-      sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(3.0),
+    val gateLoad =
+      sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(3.0)
+    val gateNote = loadGate(gateLoad,
       sys.env.get("SPARK_GRAFT_LOAD_WAIT").map(_.toInt).getOrElse(600))
+    // Per-QUERY gate for the comparison legs (round 13, VERDICT r12
+    // item 6): the start-of-run gate left the rest of the headline leg
+    // exposed — r12's driver record ran its retries at 1-min load 15-17
+    // and the whole round-over-round table needed load archaeology.
+    // Waiting happens BETWEEN queries (never inside a timed region), is
+    // bounded per query, and each wait is stamped into the context.
+    val perQueryWait =
+      sys.env.get("SPARK_GRAFT_LOAD_WAIT_Q").map(_.toInt).getOrElse(120)
+    val gateNotes = scala.collection.mutable.ListBuffer.empty[String]
+    def gateBefore(name: String): Unit = {
+      if (load1m() > gateLoad) {
+        val note = loadGate(gateLoad, perQueryWait)
+        if (note != "\"quiet\"") gateNotes += s""""$name":$note"""
+      }
+    }
     val loadPre = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
@@ -430,8 +446,10 @@ object Bench {
     val rest =
       if (only.nonEmpty) Nil
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(Headline.contains)
-    val headResults0 = headline.map(n =>
-      n -> timed(n, sfDir, if (only.nonEmpty) namedRuns else 2))
+    val headResults0 = headline.map { n =>
+      gateBefore(n)
+      n -> timed(n, sfDir, if (only.nonEmpty) namedRuns else 2)
+    }
     // Per-query retry (VERDICT r9 item 3, second half): a headline reading
     // above 1.5× its prior-round QUIET value (tools/bench_reference.json)
     // is re-run once more before recording — a transient load spike then
@@ -477,6 +495,7 @@ object Bench {
           val rungLoadPre = loadavg()
           val rungRetryNotes = scala.collection.mutable.ListBuffer.empty[String]
           val r = names.map { n =>
+            gateBefore("sf1:" + n)
             val r0 @ (v0, _, _) = timed(n, sf1Dir, runs)
             ref.get("sf1:" + n) match {
               case Some(base) if v0 > base * 1.5 =>
@@ -625,8 +644,11 @@ object Bench {
     val retryJson =
       if (retryNotes.isEmpty) ""
       else s""","retries":{${retryNotes.mkString(",")}}"""
+    val gateJson =
+      if (gateNotes.isEmpty) ""
+      else s""","query_gates":{${gateNotes.mkString(",")}}"""
     val context = s""""context":{"load_pre":"$loadPre","load_post":"${loadavg()}",""" +
-      s""""load_gate":$gateNote$retryJson,""" +
+      s""""load_gate":$gateNote$retryJson$gateJson,""" +
       s""""isolated":${only.nonEmpty},"cpus":$cpus}"""
     val line = s"""{"metric":"total","value":$headlineTotal,"unit":"sec",""" +
       s""""full_total":${total(results)},""" +
