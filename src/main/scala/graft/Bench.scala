@@ -317,15 +317,42 @@ object Bench {
     // item 6): the start-of-run gate left the rest of the headline leg
     // exposed — r12's driver record ran its retries at 1-min load 15-17
     // and the whole round-over-round table needed load archaeology.
-    // Waiting happens BETWEEN queries (never inside a timed region), is
-    // bounded per query, and each wait is stamped into the context.
+    // The signal is an INSTANTANEOUS /proc/stat busy-fraction sample,
+    // not the 1-min loadavg: between queries this JVM is idle, so the
+    // sample measures EXTERNAL load cleanly, while the loadavg stays
+    // inflated for a minute by the bench's own just-finished 32-core
+    // burst (measured: a loadavg-based per-query gate waited 30-90 s
+    // after EVERY heavy query, gating on its own wake). Waiting happens
+    // BETWEEN queries (never inside a timed region), is bounded per
+    // query, and each wait is stamped into the context.
     val perQueryWait =
       sys.env.get("SPARK_GRAFT_LOAD_WAIT_Q").map(_.toInt).getOrElse(120)
+    def busyCpus(ms: Long): Double = {
+      def snap(): (Long, Long) =
+        try {
+          val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+            .trim.split("\\s+").drop(1).map(_.toLong)
+          (f.sum, f(3) + f(4)) // total, idle + iowait
+        } catch { case _: Throwable => (0L, 0L) }
+      val (t0, i0) = snap(); Thread.sleep(ms); val (t1, i1) = snap()
+      val dt = (t1 - t0).toDouble
+      if (dt <= 0) 0.0
+      else (1.0 - (i1 - i0) / dt) * Runtime.getRuntime.availableProcessors()
+    }
     val gateNotes = scala.collection.mutable.ListBuffer.empty[String]
     def gateBefore(name: String): Unit = {
-      if (load1m() > gateLoad) {
-        val note = loadGate(gateLoad, perQueryWait)
-        if (note != "\"quiet\"") gateNotes += s""""$name":$note"""
+      val first = busyCpus(400)
+      if (first > gateLoad) {
+        val t0 = System.nanoTime()
+        var cur = first
+        while (cur > gateLoad &&
+            (System.nanoTime() - t0) / 1e9 < perQueryWait) {
+          Thread.sleep(5000)
+          cur = busyCpus(400)
+        }
+        val waited = ((System.nanoTime() - t0) / 1e9).round
+        gateNotes += s""""$name":"waited ${waited}s """ +
+          f"""(busy_cpus $first%.1f -> $cur%.1f)""""
       }
     }
     val loadPre = loadavg()
